@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table access layer for the graft warehouse.
+  *
+  * Mirrors the reference's catalog-mediated table loading
+  * (reference: IcebergConnection.py:99-110 `catalog.load_table(...).scan()`)
+  * but Spark-native: `spark.read.parquet` gives a lazy, pushdown-capable scan
+  * — filters and column pruning reach the parquet reader instead of the
+  * reference's full-scan-then-filter (reference README.md:5).
+  *
+  * At 100 TB each table is a partitioned parquet dataset; the same
+  * `spark.read.parquet(root)` call handles partition discovery + pruning.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` covers the
+    * reference's arbitrary-SQL surface (IcebergConnection.py:113-120). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
+    registerAll(spark, dir)
+    spark.sql(text)
+  }
+
+  /** Exact, order-independent sum of a double column: accumulate as decimal
+    * (associative, no fp reordering drift across partitions/AQE re-plans),
+    * render as double. The DuckDB oracle uses the identical text
+    * `CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)` so both engines agree
+    * bit-for-bit. See SURVEY.md §4.
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
+
+  /** Deterministic mean built from dsum / count — same text both engines. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+}

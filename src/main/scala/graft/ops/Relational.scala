@@ -1,0 +1,492 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{dsum, davg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.2 Relational SQL suite — capability parity with the reference's
+  * "scan table then run arbitrary DuckDB SQL" path
+  * (reference: IcebergConnection.py:99-131), re-expressed as declarative
+  * Spark plans so Catalyst gets pushdown / pruning / join selection.
+  *
+  * Scale notes are per-query in the Scaladoc; blanket rules in SURVEY.md §5.
+  */
+object Relational {
+
+  /** TPC-H Q1-style grouped aggregate. Partial (map-side) aggregation over
+    * 6 groups means shuffle traffic is O(partitions), not O(rows) — the plan
+    * that survives 100 TB. Decimal-exact sums per SURVEY.md §4. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.table(spark, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Predicate + projection pushdown: both the filter and the 4-column
+    * read-schema reach the parquet scan (verified in RelationalSpec via
+    * the formatted plan's PushedFilters/ReadSchema). At 100 TB this is the
+    * difference between reading 4 columns of a date slice and the whole table. */
+  def qFilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+        && col("l_discount") > 0.05 && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val qFilterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |  AND l_discount > 0.05 AND l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** ORDER BY + LIMIT compiles to TakeOrderedAndProject: each partition keeps
+    * its local top-k, driver merges k*partitions rows — no global sort at any
+    * scale. Tie-broken on o_orderkey for determinism. */
+  def qSortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  val qSortLimitSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** DISTINCT = partial-aggregate dedup; 6 distinct pairs → map-side collapse,
+    * near-zero shuffle. */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val qDistinctSql: String =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus"
+
+  /** GROUP BY + HAVING: the HAVING predicate runs post-agg on ~|customers|
+    * rows, already distributed by the group key. */
+  def qAggHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 12)
+      .orderBy("o_custkey")
+
+  val qAggHavingSql: String =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_spent,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12 ORDER BY o_custkey""".stripMargin
+
+  /** Scalar expression battery (CASE / string / date functions) — all
+    * `org.apache.spark.sql.functions`, whole-stage-codegen'd; zero UDFs. */
+  def qExprScalar(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("size_class"),
+        lower(substring(col("o_orderpriority"), 3, 100)).as("prio_word"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        concat_ws("_", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        length(col("o_orderpriority")).as("prio_len"))
+      .orderBy("o_orderkey")
+
+  val qExprScalarSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 200000 THEN 'big'
+      |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS size_class,
+      |  lower(substr(o_orderpriority, 3, 100)) AS prio_word,
+      |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+      |  concat_ws('_', o_orderstatus, o_orderpriority) AS status_prio,
+      |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Fact ⋈ small dim with an explicit broadcast hint: at 100 TB `customer`
+    * per-segment rollup must not shuffle the fact table — broadcast-hash-join
+    * keeps the orders scan shuffle-free; agg on 5 segments is map-side. */
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(spark, dir, "orders")
+    val c = Tables.table(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qJoinBroadcastSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Fact ⋈ fact join on the natural key. At bench scale AQE may elect a
+    * broadcast — correct locally; at 100 TB both sides exceed the threshold
+    * and this becomes a shuffle join co-partitioned on orderkey. No hint on
+    * purpose: the optimizer must stay free to pick per-scale strategy. */
+  def qJoinShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.table(spark, dir, "lineitem")
+    val o = Tables.table(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qJoinShuffleSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5-shaped 5-way star join: dims (customer/supplier/nation/region)
+    * broadcast, single shuffle join lineitem⋈orders, region filter pushed
+    * into the nation broadcast before it fans out. */
+  def qJoinMultiway(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.table(spark, dir, "lineitem")
+    val o = Tables.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = Tables.table(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val s = Tables.table(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n = Tables.table(spark, dir, "nation")
+    val r = Tables.table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nr = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val qJoinMultiwaySql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** NOT EXISTS as a left-anti join — streams the probe side, never
+    * materializes the negation. */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(spark, dir, "customer")
+    val urgent = Tables.table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Top-3 orders per customer: rank window partitioned on the group key —
+    * one shuffle on o_custkey, rank computed inside each partition. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.table(spark, dir, "orders")
+      .withColumn("rnk", rank().over(w))
+      .where(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  val qWindowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
+  /** Running sum + lag over a per-customer frame. The running sum accumulates
+    * in decimal so Spark's sequential frame evaluation and DuckDB's
+    * segment-tree re-association produce identical bits (SURVEY.md §4). */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.table(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(30,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  o_totalprice - lag(o_totalprice, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_prev
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** ROLLUP: Spark expands grouping sets in one pass with partial agg.
+    * NULLS FIRST pinned on both engines (DuckDB defaults NULLS LAST). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** UNION ALL of two grouped sides, labeled; unionByName keeps schema
+    * alignment explicit. */
+  def qUnionSet(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("customer").as("side"), col("nationkey"), col("n"))
+    val s = Tables.table(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("supplier").as("side"), col("nationkey"), col("n"))
+    c.unionByName(s).orderBy("side", "nationkey")
+  }
+
+  val qUnionSetSql: String =
+    """SELECT 'customer' AS side, c_nationkey AS nationkey, COUNT(*) AS n
+      |  FROM customer GROUP BY c_nationkey
+      |UNION ALL
+      |SELECT 'supplier' AS side, s_nationkey AS nationkey, COUNT(*) AS n
+      |  FROM supplier GROUP BY s_nationkey
+      |ORDER BY side, nationkey""".stripMargin
+
+  /** IN-subquery + scalar subquery via spark.sql — Catalyst rewrites the IN
+    * to a left-semi join and the scalar agg to a broadcast of one row.
+    * Exercises the reference's "hand the SQL string to the engine" surface
+    * (IcebergConnection.py:113-120) on Spark's own parser. */
+  def qSubqueryIn(spark: SparkSession, dir: String): DataFrame =
+    Tables.sql(spark, dir,
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  AND o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+
+  val qSubqueryInSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |  AND o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Statistical aggregates; inherently floating → round(4) contract with the
+    * oracle (SURVEY.md §4). All are single-pass partial-aggregatable. */
+  def qStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
+        round(var_samp(col("c_acctbal")), 4).as("var_bal"),
+        round(median(col("c_acctbal")), 4).as("med_bal"),
+        round(corr(col("c_acctbal"), col("c_custkey")), 4).as("corr_bal_key"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  val qStatsSql: String =
+    """SELECT c_mktsegment,
+      |  round(stddev_samp(c_acctbal), 4) AS sd_bal,
+      |  round(var_samp(c_acctbal), 4) AS var_bal,
+      |  round(median(c_acctbal), 4) AS med_bal,
+      |  round(corr(c_acctbal, c_custkey), 4) AS corr_bal_key,
+      |  COUNT(*) AS n
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Pivot as conditional aggregation — one shuffle on the row key, each
+    * status bucket a map-side SUM(CASE). Same text both engines, so the
+    * oracle stays exact (DuckDB's native PIVOT has different output rules). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** HLL approx distinct next to the exact count — rows-only driver check;
+    * RelationalSpec asserts relative error < 5%. At 100 TB the HLL sketch
+    * (fixed KB per group) replaces an exact distinct whose hash table would
+    * not fit anywhere. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
+  /** JSON field extraction from events.props — get_json_object is codegen'd;
+    * at scale prefer parsing once (from_json to a struct column) over
+    * repeated path probes. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val qJsonExtractSql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Tumbling 5-minute windowed aggregate. events.ts is INT64-nanos parquet,
+    * read as raw long nanos (spark.sql.legacy.parquet.nanosAsLong) so the
+    * bucket key is exact integer arithmetic — bit-identical to the oracle's
+    * epoch_ns path, no float time math anywhere (SURVEY.md §4).
+    * Streaming twin: StreamOps.stWindowAgg. */
+  def qEventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .select(
+        expr("ts div 300000000000 * 300").as("win_start"),
+        col("event_type"), col("value"), col("user_id"))
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("win_start", "event_type")
+
+  val qEventsWindowSql: String =
+    """SELECT epoch_ns(ts)//300000000000*300 AS win_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** Sessionization: 30-min-gap split via lag + running sum of boundaries —
+    * the classic two-window formulation; one shuffle on user_id, everything
+    * else intra-partition. Streaming twin: StreamOps session windows. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.table(spark, dir, "events")
+      .withColumn("new_s",
+        when(col("ts") - lag(col("ts"), 1).over(byUser) > 1800000000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, value, ts,
+      |    CASE WHEN epoch_ns(ts) - epoch_ns(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, value,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
+      |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_filter_project" -> (qFilterProject _),
+    "q_sort_limit" -> (qSortLimit _),
+    "q_distinct" -> (qDistinct _),
+    "q_agg_having" -> (qAggHaving _),
+    "q_expr_scalar" -> (qExprScalar _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_shuffle" -> (qJoinShuffle _),
+    "q_join_multiway" -> (qJoinMultiway _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_rollup" -> (qRollup _),
+    "q_union_set" -> (qUnionSet _),
+    "q_subquery_in" -> (qSubqueryIn _),
+    "q_stats" -> (qStats _),
+    "q_pivot" -> (qPivot _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_sessionize" -> (qSessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q_filter_project" -> qFilterProjectSql,
+    "q_sort_limit" -> qSortLimitSql,
+    "q_distinct" -> qDistinctSql,
+    "q_agg_having" -> qAggHavingSql,
+    "q_expr_scalar" -> qExprScalarSql,
+    "q_join_broadcast" -> qJoinBroadcastSql,
+    "q_join_shuffle" -> qJoinShuffleSql,
+    "q_join_multiway" -> qJoinMultiwaySql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_window_rank" -> qWindowRankSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_rollup" -> qRollupSql,
+    "q_union_set" -> qUnionSetSql,
+    "q_subquery_in" -> qSubqueryInSql,
+    "q_stats" -> qStatsSql,
+    "q_pivot" -> qPivotSql,
+    "q_json_extract" -> qJsonExtractSql,
+    "q_events_window" -> qEventsWindowSql,
+    "q_sessionize" -> qSessionizeSql)
+}
