@@ -1,0 +1,230 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.dsum
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.4 Deduplication over `documents` — the core LLM-training-data operators.
+  *
+  * Design rule for 100 TB: **no O(n²) stage, ever**. Every near-dup operator
+  * is a *blocked* join — shingle inverted index (d_ngram_jaccard), LSH band
+  * buckets (d_minhash_lsh), 16-bit simhash bands (d_simhash) — so the
+  * candidate set stays ~linear in corpus size, and every aggregation is
+  * partial (map-side) before its one hash shuffle.
+  */
+object Dedup {
+
+  private def norm(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Exact dedup: one hash-partitioned aggregate over md5(canonical text).
+    * Keeps min(doc_id) per group — the standard "first writer wins" policy.
+    * At 100 TB: shuffle = one 16-byte key + id per doc; no sort, no skew
+    * (md5 keys are uniform). */
+  def dExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .groupBy(md5(norm(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  val dExactSql: String =
+    s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Distinct word-5-gram shingles per document: tokenize once, window-lead
+    * to form shingles (one shuffle on doc_id, reused by callers). */
+  private[ops] def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(norm(col("text")), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), concat_ws(" ",
+        col("word"), lead("word", 1).over(w), lead("word", 2).over(w),
+        lead("word", 3).over(w), lead("word", 4).over(w)).as("shingle"),
+        lead("word", 4).over(w).isNotNull.as("complete"))
+      .where(col("complete"))
+      .select("doc_id", "shingle").distinct()
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs (threshold 0.5) via the shingle
+    * inverted index: pairs are generated ONLY for docs sharing a shingle —
+    * the candidate count is Σ df(s)², bounded because word-5-grams are
+    * near-unique outside true near-dups. At 100 TB add a doc-frequency cap
+    * (drop shingles with df > 1e-5·corpus — they carry no dedup signal and
+    * all the skew; see SURVEY.md §5). */
+  def dNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("shared")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dNgramJaccardSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash(128 perms) + LSH(32 bands × 4 rows) near-dup detection,
+    * candidates verified with exact Jaccard ≥ 0.5 (precision 1.0 by
+    * construction; recall ≥ 1-(1-j⁴)³² ≈ 1 for j ≥ 0.8 planted dups).
+    *
+    * Pipeline (all linear in corpus size):
+    *  1. shingle → 128 hashes via xxhash64(shingle, perm) — explode over the
+    *     perm index; partial (map-side) min collapses to docs×128 rows
+    *     before the shuffle, so the exchange is tiny even at 100 TB.
+    *  2. band signature = xxhash64 over the band's 4 minhashes (perm-sorted).
+    *  3. self-join on (band, signature) → candidate pairs (distinct).
+    *  4. verify candidates against exact shingle-Jaccard (semi-join first —
+    *     only candidate docs' shingle sets are re-read).
+    *
+    * Not SQL-oracle-able (xxhash64 is Spark-specific); DedupSpec asserts
+    * exact agreement with dNgramJaccard's ≥0.8 pairs and recall ≥ 0.9 at 0.5.
+    */
+  def dMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nPerm = 128
+    val bandRows = 4
+    val sh = shingles(spark, dir).cache()
+
+    val minh = sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(nPerm - 1))).as("perm"), col("shingle"))
+      .groupBy("doc_id", "perm")
+      .agg(min(xxhash64(col("shingle"), col("perm"))).as("mh"))
+    val sigs = minh
+      .withColumn("band", (col("perm") / bandRows).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(xxhash64(col("band"),
+        transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
+          x => x.getField("mh"))).as("sig"))
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("shared")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash over word-bigram features (unigrams are too coarse on
+    * low-vocab corpora), hamming ≤ 3 near-dups, blocked by 4 × 16-bit bands
+    * (pigeonhole: hamming ≤ 3 ⇒ at least one band identical — blocking is
+    * lossless, never a recall trade). Verified by exact bit_count(xor).
+    * All bit math is codegen'd column algebra. Spec: exact match vs
+    * brute-force hamming on sf0.001. */
+  def dSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val feats = docs
+      .select(col("doc_id"), posexplode(split(norm(col("text")), " ")).as(Seq("pos", "word")))
+      .withColumn("nxt", lead("word", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("word"), col("nxt")).as("feat"))
+      .groupBy("doc_id", "feat").agg(count(lit(1)).as("cnt"))
+    val votes = feats
+      .select(col("doc_id"), col("cnt"), xxhash64(col("feat")).as("fh"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("vote",
+        when(expr("(fh >> bit) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy("doc_id", "bit").agg(sum("vote").as("v"))
+    val sim = votes
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .otherwise(0L)).as("simhash"))
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("bandval", expr("(simhash >> (k * 16)) & 65535"))
+    banded.as("x").join(banded.as("y"),
+        col("x.k") === col("y.k") && col("x.bandval") === col("y.bandval")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine most-similar pairs: top-20 pairs by cosine. Exact
+    * brute-force — correct as the *baseline*; the scale path is
+    * Similarity.sLshAnn's bucketed join (SURVEY.md §5). Dot products are a
+    * deterministic left fold (Catalyst `aggregate` HOF) in double precision;
+    * oracle mirrors with double math (never DuckDB's float32
+    * list_cosine_similarity). */
+  def dEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(
+          aggregate(zip_with(col("a.embedding"), col("b.embedding"),
+            (x, y) => x.cast("double") * y.cast("double")), lit(0.0d), (acc, x) => acc + x)
+            / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val dEmbedNeardupSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+      |                   for i in generate_series(1, len(embedding))])) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+      |                  for i in generate_series(1, len(a.embedding))]) / (a.nrm*b.nrm), 6) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact" -> (dExact _),
+    "d_ngram_jaccard" -> (dNgramJaccard _),
+    "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_simhash" -> (dSimhash _),
+    "d_embed_neardup" -> (dEmbedNeardup _))
+
+  val oracles: Map[String, String] = Map(
+    "d_exact" -> dExactSql,
+    "d_ngram_jaccard" -> dNgramJaccardSql,
+    "d_embed_neardup" -> dEmbedNeardupSql)
+}

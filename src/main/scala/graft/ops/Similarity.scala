@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.5 Similarity search over `embeddings` (Array[Float], 64-dim).
+  *
+  * Three tiers, one contract (query vec → top-k neighbors by cosine):
+  *  - sCosineTopk: exact brute force — the baseline and the oracle. Bounded:
+  *    cost = |queries| × |corpus|, so the query batch must be capped; at
+  *    100 TB this is the re-ranking stage, never the candidate generator.
+  *  - sLshAnn: random-hyperplane LSH — corpus hashed once (linear), queries
+  *    probe their bucket (+ multiprobe neighbors); candidates ≪ corpus.
+  *  - sIvfTopk: IVF-style coarse quantization — corpus assigned to centroid
+  *    cells once, queries probe nprobe nearest cells.
+  *
+  * All dot products are deterministic left folds (`aggregate` HOF) in double
+  * precision — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** dot(a,b) as a deterministic double left fold. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  private def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Query subset: every 20th vector — a stand-in for an external query
+    * batch; keeps brute-force cost |corpus|²/20 at bench scale. */
+  private def queriesOf(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+
+  /** Exact cosine top-5 per query (self excluded): crossJoin + window top-k.
+    * Ranked on the ROUNDED cosine (6 dp) + candidate id so the ordering is
+    * engine-portable (unrounded last-ulp differences can't flip ranks). */
+  def sCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val q = queriesOf(e)
+    val scored = q.crossJoin(e)
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val sCosineTopkSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+      |                   for i in generate_series(1, len(embedding))])) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+      |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+      |                    for i in generate_series(1, len(q.embedding))]) / (q.nrm*c.nrm), 6) AS cosine
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 20 = 0),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine
+      |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** Random-hyperplane LSH ANN, multi-table (L=8 tables × k=6 planes — the
+    * same band structure as MinHash-LSH): candidate iff query and vector
+    * share a full 6-bit signature in ANY table. Hyperplanes are
+    * deterministic pseudo-Gaussians — sign(xxhash64(plane,dim)) — so the
+    * index is reproducible with zero stored model.
+    *
+    * Recall math (cos θ neighbors, per-plane agree p = 1−θ/π):
+    * recall = 1−(1−p^k)^L — at cos 0.8, p≈0.80 → 0.50; at cos 0.5 → ~0.5;
+    * random pairs (cos≈0) hit ~12% of the corpus as candidates. k and L are
+    * THE scale dials: at 100 TB raise k (smaller buckets) and L (recall back
+    * up); index build stays one linear pass, probe cost |corpus|·(1/2)^k·L.
+    * Approximate → no SQL oracle; SimilaritySpec asserts recall@5 ≥ 0.35 vs
+    * sCosineTopk and candidate-set ≤ 40% of corpus.
+    */
+  def sLshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val k = 6 // planes per table
+    val nTables = 8
+    val e = withNorm(spark, dir)
+
+    // 6-bit signature for table t: bit j = [ Σ_d sign(xxhash64(16t+j, d))·v_d > 0 ]
+    def tableSig(emb: Column, t: Int): Column =
+      (0 until k).map { j =>
+        val proj = aggregate(
+          zip_with(emb, sequence(lit(0), lit(63)),
+            (x, d) => when(xxhash64(lit(t * 16 + j), d) % 2 === 0, x.cast("double"))
+              .otherwise(-x.cast("double"))),
+          lit(0.0d), (acc, x) => acc + x)
+        when(proj > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    val sigs = e.select(
+      col("vec_id"), col("embedding"), col("nrm"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"), tableSig(col("embedding"), t).as("sig"))): _*)).as("ts"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val q = sigs.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("t"), col("sig"))
+    val cand = q.join(sigs, Seq("t", "sig"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("q_nrm"),
+        col("embedding"), col("nrm"))
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand.select(col("q_id"), col("vec_id"),
+      round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** IVF-style ANN: centroids = the label centroids (k-means analog computed
+    * in one agg pass — deterministic), corpus assigned to nearest centroid,
+    * queries probe the nprobe=3 nearest cells then exact-rerank.
+    * SimilaritySpec asserts recall@5 ≥ 0.7 vs exact. At 100 TB the
+    * assignment is one broadcast(centroids) map pass; probe reads 3/k of
+    * the corpus. */
+  def sIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val nprobe = 3
+    val e = withNorm(spark, dir)
+    // centroid per label: elementwise mean — explode (dim, value), mean, regroup
+    val cents = Tables.table(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+      .select(col("label").as("cell"), col("centroid"),
+        norm2(col("centroid")).as("c_nrm"))
+
+    // assign corpus vectors to nearest centroid by cosine
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        (dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))).as("sim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
+      .where(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+
+    // queries probe their nprobe nearest cells
+    val qProbes = e.where(col("vec_id") % 20 === 0).crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        col("cell"),
+        (dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))).as("sim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))))
+      .where(col("r") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
+
+    val scored = qProbes.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_cosine_topk" -> (sCosineTopk _),
+    "s_lsh_ann" -> (sLshAnn _),
+    "s_ivf_topk" -> (sIvfTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "s_cosine_topk" -> sCosineTopkSql)
+}

@@ -1,0 +1,203 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.3 Text analysis over `documents` — the per-document scoring layer of a
+  * training-data pipeline. Everything here is pure column algebra
+  * (`org.apache.spark.sql.functions`, whole-stage codegen): no UDFs, so each
+  * operator is a narrow map over the scan — embarrassingly parallel and
+  * shuffle-free at any corpus size. Outputs are deterministic and expressible
+  * in ANSI SQL, so every operator carries a DuckDB oracle.
+  */
+object TextOps {
+
+  /** Normalized text: lowercase, collapse whitespace, trim — the shared
+    * canonical form for token/dedup operators. Same regex both engines. */
+  private def norm(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter-runs, digit-runs, single punctuation — the classic pre-tokenizer
+    * shape) + char count. */
+  def tTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(norm(col("text")), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .as("bpe_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  val tTokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(string_split($normSql, ' ')) AS INTEGER) AS ws_tokens,
+       |  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+       |  CAST(length(text) AS INTEGER) AS n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    * length, alpha ratio → composite score in [0,1]. The ratio formulas are
+    * written with decimal-free integer counts divided once at the end, so
+    * both engines compute identical doubles. */
+  def tQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(split(norm(col("text")), " ")).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val nAlpha = size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))).cast("double")
+    val nStop = size(regexp_extract_all(concat(lit(" "), norm(col("text")), lit(" ")),
+      lit(" (the|a|of|and|to|in|is|it) "), lit(0))).cast("double")
+    val punctRatio = nPunct / nChars
+    val alphaRatio = nAlpha / nChars
+    val stopRatio = nStop / nTokens
+    val meanWordLen = nChars / nTokens
+    // quality: long-enough, low punctuation, some stopwords, sane word length
+    val score =
+      (least(nTokens / 50.0, lit(1.0)) * 0.25
+        + (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.25
+        + least(stopRatio * 5.0, lit(1.0)) * 0.25
+        + alphaRatio * 0.25)
+    Tables.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(alphaRatio, 6).as("alpha_ratio"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(meanWordLen, 6).as("mean_word_len"),
+        round(score, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val tQualityScoreSql: String = {
+    val nChars = "CAST(length(text) AS DOUBLE)"
+    val nTokens = s"CAST(length(string_split($normSql, ' ')) AS DOUBLE)"
+    val nPunct = "CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+    val nAlpha = "CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)"
+    val nStop = s"CAST(length(regexp_extract_all(' ' || $normSql || ' ', ' (the|a|of|and|to|in|is|it) ')) AS DOUBLE)"
+    s"""SELECT doc_id,
+       |  round($nPunct / $nChars, 6) AS punct_ratio,
+       |  round($nAlpha / $nChars, 6) AS alpha_ratio,
+       |  round($nStop / $nTokens, 6) AS stop_ratio,
+       |  round($nChars / $nTokens, 6) AS mean_word_len,
+       |  round(
+       |    least($nTokens / 50.0, 1.0) * 0.25
+       |    + (1.0 - least($nPunct / $nChars * 5.0, 1.0)) * 0.25
+       |    + least($nStop / $nTokens * 5.0, 1.0) * 0.25
+       |    + $nAlpha / $nChars * 0.25, 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID: marker-word scoring argmax — the classic n-gram-profile
+    * heuristic reduced to codegen-able column algebra. Score per language =
+    * count of marker-word occurrences; argmax with deterministic tie-break
+    * (first in fixed language order). At 100 TB: narrow map, no shuffle. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5"))
+
+  private def markerCount(c: Column, words: Seq[String]): Column =
+    words.map(w => size(regexp_extract_all(c, lit(s" ${java.util.regex.Pattern.quote(w)} "), lit(0))))
+      .reduce(_ + _)
+
+  def tLangId(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), norm(col("text")), lit(" "))
+    val scores = langMarkers.map { case (lang, ws) => lang -> markerCount(padded, ws) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    // first language (in langMarkers order) achieving the max score
+    val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        scores.head._2.as("score_en"),
+        pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val tLangIdSql: String = {
+    def mc(words: Seq[String]) =
+      words.map(w => s"length(regexp_extract_all(' ' || $normSql || ' ', ' ${w} '))")
+        .mkString("(", " + ", ")")
+    val scoreExprs = langMarkers.map { case (lang, ws) => lang -> mc(ws) }
+    val best = scoreExprs.map(_._2).mkString("greatest(", ", ", ")")
+    val caseExpr = scoreExprs
+      .map { case (lang, s) => s"WHEN $s = $best AND $best > 0 THEN '$lang'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id,
+       |  CAST(${scoreExprs.head._2} AS INTEGER) AS score_en,
+       |  $caseExpr AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 of the canonical form (engine-portable) +
+    * Spark-native xxhash64 (the one to use at 100 TB — 64-bit, no string
+    * materialization) + a 16-hex-char truncated signature. */
+  def tFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(norm(col("text"))).as("fp_md5"),
+        substring(md5(norm(col("text"))), 1, 16).as("fp_sig64"),
+        xxhash64(norm(col("text"))).as("fp_xx"))
+      .orderBy("doc_id")
+
+  // xxhash64 is Spark-specific → excluded from the oracle columns; the oracle
+  // checks the portable md5 fingerprints. fp_xx correctness is covered by
+  // TextSpec (stability + collision-freedom vs distinct texts).
+  val tFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  md5($normSql) AS fp_md5,
+       |  substr(md5($normSql), 1, 16) AS fp_sig64
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** tFingerprint without the Spark-only column, for the oracle compare. */
+  def tFingerprintOracle(spark: SparkSession, dir: String): DataFrame =
+    tFingerprint(spark, dir).drop("fp_xx")
+
+  /** Corpus-level top-25 word bigrams: explode adjacent pairs via a window
+    * lead, count, top-k. One shuffle on the bigram key with map-side partial
+    * counts; top-k via TakeOrderedAndProject. */
+  def tNgramTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(norm(col("text")), " ")).as(Seq("pos", "word")))
+      .withColumn("nxt", lead(col("word"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("word"), col("nxt")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(25)
+  }
+
+  val tNgramTopkSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |big AS (
+       |  SELECT word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+       |  FROM tok)
+       |SELECT bigram, COUNT(*) AS n FROM big WHERE bigram IS NOT NULL
+       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_count" -> (tTokenCount _),
+    "t_quality_score" -> (tQualityScore _),
+    "t_lang_id" -> (tLangId _),
+    "t_fingerprint" -> (tFingerprintOracle _),
+    "t_ngram_topk" -> (tNgramTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "t_token_count" -> tTokenCountSql,
+    "t_quality_score" -> tQualityScoreSql,
+    "t_lang_id" -> tLangIdSql,
+    "t_fingerprint" -> tFingerprintSql,
+    "t_ngram_topk" -> tNgramTopkSql)
+}
