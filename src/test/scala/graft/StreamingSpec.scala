@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ≡ batch equivalence: drive the SAME transform over a
+  * MemoryStream and over the batch table, compare results. */
+class StreamingSpec extends SparkSpec {
+
+  private def eventsBatch = Tables.table(spark, sfDir, "events")
+
+  /** Run a streaming transform of the events table via MemoryStream to
+    * completion (all data in one epoch, Complete/Append as given). */
+  private def runStream(mode: String)(
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    mem.addData(rows)
+    val sdf = transform(mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val qname = s"q_${System.nanoTime()}"
+    val q = sdf.writeStream.format("memory").queryName(qname).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname)
+  }
+
+  test("windowAgg: stream (complete mode) == batch") {
+    val batch = StreamOps.windowAgg(eventsBatch)
+      .orderBy("win_start", "event_type").collect().toSeq
+    val stream = runStream("complete")(StreamOps.windowAgg)
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} rows vs stream ${stream.size} rows; first diff: " +
+        batch.zip(stream).find { case (a, b) => a != b })
+  }
+
+  test("dedup: streaming dropDuplicates preserves the distinct event count") {
+    val expect = eventsBatch.select("event_id").distinct().count()
+    val got = runStream("append")(StreamOps.dedup).count()
+    assert(got == expect, s"stream dedup $got != batch distinct $expect")
+  }
+
+  test("sessionAgg (session_window): stream (complete) == batch") {
+    val batch = StreamOps.sessionAgg(eventsBatch)
+      .select(col("user_id"), col("session_window.start").as("s"), col("n_events"))
+      .orderBy("user_id", "s").collect().toSeq
+    val stream = runStream("complete")(StreamOps.sessionAgg)
+      .select(col("user_id"), col("session_window.start").as("s"), col("n_events"))
+      .orderBy("user_id", "s").collect().toSeq
+    assert(batch.nonEmpty && batch == stream)
+  }
+
+  test("sessionizeWithState agrees with the windowed sessionize operator") {
+    import spark.implicits._
+    val evs = eventsBatch.select(col("user_id"), col("ts").as("tsNs"), col("value"))
+      .as[StreamOps.Ev]
+    val custom = StreamOps.sessionizeWithState(spark, evs)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .orderBy("user_id").collect().toSeq
+    val windowed = ops.Relational.qSessionize(spark, sfDir)
+      .groupBy("user_id").agg(countDistinct("session_id").as("n_sessions"))
+      .orderBy("user_id").collect().toSeq
+    assert(custom.nonEmpty && custom == windowed)
+  }
+}
