@@ -34,19 +34,19 @@ object Dedup {
     s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
-  /** Distinct word-5-gram shingles per document: tokenize once, window-lead
-    * to form shingles (one shuffle on doc_id, reused by callers). */
-  private[ops] def shingles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+  /** Distinct word-5-gram shingles per document. Built with array
+    * `transform`+`slice` inside the scan projection — zero shuffles, zero
+    * window state; the only exchange anywhere downstream is the consumer's
+    * own aggregate. (The windowed lead() formulation costs a doc_id shuffle
+    * + sort before producing a single shingle — pure overhead at any scale.) */
+  private[ops] def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(split(norm(col("text")), " ")).as(Seq("pos", "word")))
-      .select(col("doc_id"), concat_ws(" ",
-        col("word"), lead("word", 1).over(w), lead("word", 2).over(w),
-        lead("word", 3).over(w), lead("word", 4).over(w)).as("shingle"),
-        lead("word", 4).over(w).isNotNull.as("complete"))
-      .where(col("complete"))
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        // element_at is O(1); a slice() here would be O(n) per shingle → O(n²)/doc
+        "transform(sequence(1, greatest(size(ws) - 4, 0)), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))"))
+        .as("shingle"))
       .select("doc_id", "shingle").distinct()
-  }
 
   /** Exact n-gram-Jaccard near-dup pairs (threshold 0.5) via the shingle
     * inverted index: pairs are generated ONLY for docs sharing a shingle —
@@ -112,18 +112,34 @@ object Dedup {
   def dMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val nPerm = 128
     val bandRows = 4
+    val nBands = nPerm / bandRows
+
+    // Permutation family over ONE base hash per shingle: perm p rehashes the
+    // 8-byte base hash with seed p (XxHash64 seed constructor) — hashing the
+    // string once instead of 128× is the dominant saving, and the fixed-width
+    // rehash is a handful of instructions. (The classic a·h+b affine family
+    // needs wrap-around multiply, which ANSI mode — Spark 4's default —
+    // rejects; seeded rehash is equally uniform and ANSI-safe.)
     val sh = shingles(spark, dir).cache()
 
-    val minh = sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(nPerm - 1))).as("perm"), col("shingle"))
-      .groupBy("doc_id", "perm")
-      .agg(min(xxhash64(col("shingle"), col("perm"))).as("mh"))
+    def seededHash(c: Column, seed: Int): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(org.apache.spark.sql.GraftBridge.expression(c)), seed.toLong))
+
+    // 128 codegen'd min-aggregates in one HashAggregate pass (wide buffer,
+    // no row explosion, no UDAF object boxing).
+    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val minCols = (0 until nPerm).map(p =>
+      min(seededHash(col("h"), p)).as(s"m$p"))
+    val minh = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    // band signature = xxhash64 over the band's 4 minhash columns
+    val bandSigs = (0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64((Seq(lit(b)) ++ (0 until bandRows).map(r => col(s"m${b * bandRows + r}"))): _*).as("sig")))
     val sigs = minh
-      .withColumn("band", (col("perm") / bandRows).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(xxhash64(col("band"),
-        transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
-          x => x.getField("mh"))).as("sig"))
+      .select(col("doc_id"), explode(array(bandSigs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
           && col("x.doc_id") < col("y.doc_id"))
@@ -153,23 +169,24 @@ object Dedup {
     * brute-force hamming on sf0.001. */
   def dSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // word-bigram features with counts — slice-based, no window shuffle
     val feats = docs
-      .select(col("doc_id"), posexplode(split(norm(col("text")), " ")).as(Seq("pos", "word")))
-      .withColumn("nxt", lead("word", 1).over(w))
-      .where(col("nxt").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("word"), col("nxt")).as("feat"))
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+        .as("feat"))
       .groupBy("doc_id", "feat").agg(count(lit(1)).as("cnt"))
+    // 64 codegen'd conditional-sum aggregates (one per bit) in a single
+    // HashAggregate pass — bit j's vote is ±cnt by the feature hash's bit.
+    val voteCols = (0 until 64).map(j =>
+      sum(when(expr(s"(fh >> $j) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as(s"v$j"))
     val votes = feats
-      .select(col("doc_id"), col("cnt"), xxhash64(col("feat")).as("fh"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("vote",
-        when(expr("(fh >> bit) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy("doc_id", "bit").agg(sum("vote").as("v"))
+      .select(col("doc_id"), col("cnt"), xxhash64(col("feat")).as("fh"))
+      .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
     val sim = votes
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-        .otherwise(0L)).as("simhash"))
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("k"))
       .withColumn("bandval", expr("(simhash >> (k * 16)) & 65535"))
@@ -192,13 +209,11 @@ object Dedup {
   def dEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        sqrt(aggregate(col("embedding"), lit(0.0d),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+        graft.functions.Vec.vnorm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(
-          aggregate(zip_with(col("a.embedding"), col("b.embedding"),
-            (x, y) => x.cast("double") * y.cast("double")), lit(0.0d), (acc, x) => acc + x)
+          graft.functions.Vec.vdot(col("a.embedding"), col("b.embedding"))
             / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(20)

@@ -445,7 +445,64 @@ object Relational {
       |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS session_value
       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** As-of join: each purchase event matched to the user's latest view event
+    * at-or-before it (the attribution join; Spark has no native ASOF).
+    * Implemented as union + one window — NOT a range join: both sides
+    * shuffle once on user_id, the "join" is a running last_value inside each
+    * partition. At 100 TB this is the only formulation that doesn't explode:
+    * an inequality join would be O(views × purchases) per user.
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+    val tagged = ev.where(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"),
+        // views sort before purchases at equal ts → "at-or-before" semantics
+        when(col("event_type") === "view", 0).otherwise(1).as("side"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("view_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      // micro precision on output: DuckDB truncates parquet ns-timestamps to
+      // µs, Spark keeps ns — emit both at µs (SURVEY.md §4)
+      .select(col("event_id"), col("user_id"),
+        expr("view_ts div 1000").as("view_ts_us"),
+        expr("(ts div 1000) - (view_ts div 1000)").as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT p.event_id, p.user_id, epoch_us(v.ts) AS view_ts_us,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Salted two-stage aggregation — the skew-defeating pattern: stage 1
+    * aggregates on (key, salt) spreading each hot key over 16 reducers;
+    * stage 2 merges the 16 partials per key. Sums stay DECIMAL through both
+    * stages (double partials would re-order). Result is bit-identical to the
+    * direct aggregate — which is exactly what the oracle checks. */
+  def qSkewSalted(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(30,6)")).as("psum"))
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
+  val qSkewSaltedSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
+    "q_skew_salted" -> (qSkewSalted _),
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
     "q_sort_limit" -> (qSortLimit _),
@@ -469,6 +526,8 @@ object Relational {
     "q_sessionize" -> (qSessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinSql,
+    "q_skew_salted" -> qSkewSaltedSql,
     "q1_agg" -> q1AggSql,
     "q_filter_project" -> qFilterProjectSql,
     "q_sort_limit" -> qSortLimitSql,

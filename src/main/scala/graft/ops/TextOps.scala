@@ -163,18 +163,15 @@ object TextOps {
   /** Corpus-level top-25 word bigrams: explode adjacent pairs via a window
     * lead, count, top-k. One shuffle on the bigram key with map-side partial
     * counts; top-k via TakeOrderedAndProject. */
-  def tNgramTopk(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+  def tNgramTopk(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(split(norm(col("text")), " ")).as(Seq("pos", "word")))
-      .withColumn("nxt", lead(col("word"), 1).over(w))
-      .where(col("nxt").isNotNull)
-      .select(concat_ws(" ", col("word"), col("nxt")).as("bigram"))
+      .select(split(norm(col("text")), " ").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+        .as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(25)
-  }
 
   val tNgramTopkSql: String =
     s"""WITH tok AS (
