@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.TextOps.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.CatalogOps.queries ++
-      ops.Multimodal.queries ++ streaming.StreamOps.queries
+      ops.Multimodal.queries ++ streaming.StreamOps.queries ++
+      ops.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.TextOps.oracles ++ ops.Dedup.oracles ++
       ops.Similarity.oracles ++ ops.CatalogOps.oracles ++
-      ops.Multimodal.oracles ++ streaming.StreamOps.oracles
+      ops.Multimodal.oracles ++ streaming.StreamOps.oracles ++
+      ops.Pipeline.oracles
 }

@@ -84,6 +84,15 @@ class LakeCatalog(spark: SparkSession, root: String) {
   def append(ns: String, table: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(s"$root/$ns/$table")
 
+  /** Partitioned append (hive-style directories) — the Iceberg partition-spec
+    * analog: scans with a predicate on the partition column prune whole
+    * directories (PartitionFilters), the property that makes date/source
+    * layouts work at 100 TB. */
+  def appendPartitioned(ns: String, table: String, df: DataFrame,
+                        partitionCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*)
+      .parquet(s"$root/$ns/$table")
+
   /** Single typed-row INSERT (the reference's whole INSERT surface,
     * IcebergConnection.py:133-187) — a degenerate one-row append. */
   def insertRow(ns: String, table: String, values: Seq[Any]): Unit = {

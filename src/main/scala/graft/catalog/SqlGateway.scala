@@ -1,0 +1,123 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The reference's SQL-dialect front end, Spark-native.
+  *
+  * The reference accepts a small command dialect over MCP
+  * (QueryManager.py:20-36 extends sqlparse with LIST/DESCRIBE/NAMESPACES):
+  *   LIST NAMESPACES [IN ns] | LIST TABLES [IN ns] | DESCRIBE TABLE t |
+  *   CREATE TABLE t (col type, …) | INSERT INTO t VALUES (…) | SELECT …
+  * and routes them to pyiceberg/DuckDB (IcebergConnection.py:29-131).
+  *
+  * This gateway is the same user-facing surface routed to [[LakeCatalog]] +
+  * Spark SQL. A reference user's query strings work unchanged; everything a
+  * bare SELECT could do in DuckDB now runs on the full distributed Spark SQL
+  * engine (joins across tables included — the reference's "single table
+  * only" caveat, README.md:5, disappears rather than being ported).
+  */
+class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
+
+  private val listNs = """(?is)\s*LIST\s+NAMESPACES\s*;?\s*""".r
+  private val listTb = """(?is)\s*LIST\s+TABLES(?:\s+IN\s+(\w+))?\s*;?\s*""".r
+  private val descTb = """(?is)\s*DESCRIBE\s+TABLE\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  private val createTb = """(?is)\s*CREATE\s+TABLE\s+(?:(\w+)\.)?(\w+)\s*\((.+)\)\s*;?\s*""".r
+  private val insertTb =
+    """(?is)\s*INSERT\s+INTO\s+(?:(\w+)\.)?(\w+)\s+VALUES\s*\((.+)\)\s*;?\s*""".r
+
+  /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
+    * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
+    * the types its INSERT path already handled: bool/bigint). */
+  private def parseType(t: String): DataType = t.trim.toUpperCase match {
+    case s if s.contains("BIGINT") || s.contains("LONG") => LongType
+    case s if s.contains("INT") => IntegerType
+    case s if s.contains("DOUBLE") || s.contains("FLOAT") => DoubleType
+    case s if s.contains("BOOL") => BooleanType
+    case s if s.contains("TIMESTAMP") => TimestampType
+    case _ => StringType
+  }
+
+  /** Single-row VALUES literal parsing — the reference's typed dispatch
+    * (IcebergConnection.py:110-131: quoted string / true / false / null /
+    * int / float fallback-to-string). */
+  private[catalog] def parseValues(s: String): Seq[Any] =
+    splitTopLevel(s).map { raw =>
+      val v = raw.trim
+      if (v.startsWith("'") && v.endsWith("'")) v.stripPrefix("'").stripSuffix("'")
+      else if (v.equalsIgnoreCase("true")) true
+      else if (v.equalsIgnoreCase("false")) false
+      else if (v.equalsIgnoreCase("null")) null
+      else v.toIntOption.getOrElse(
+        v.toLongOption.getOrElse(
+          v.toDoubleOption.getOrElse(v)))
+    }
+
+  /** Split on commas not inside quotes (the reference's naive
+    * `strip('()').split(',')` corrupts quoted strings with commas — a bug we
+    * do not reproduce). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case ',' if !inQ => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
+  /** Execute one statement of the reference dialect; DataFrame out
+    * (the MCP server's rows-of-dicts, Spark-shaped). */
+  def execute(sql: String): DataFrame = {
+    import spark.implicits._
+    sql match {
+      case listNs() =>
+        catalog.listNamespaces().toDF("namespace")
+
+      case listTb(ns) =>
+        val all = catalog.listTables()
+        (if (ns == null) all else all.filter(_._1 == ns)).toDF("namespace", "table_name")
+
+      case descTb(ns, table) =>
+        catalog.describe(Option(ns).getOrElse("main"), table)
+          .toDF("col_name", "data_type", "nullable")
+
+      case createTb(ns, table, colsSpec) =>
+        val fields = splitTopLevel(colsSpec).map { c =>
+          val parts = c.trim.split("\\s+", 2)
+          StructField(parts(0), parseType(parts.lift(1).getOrElse("string")))
+        }
+        catalog.createTable(Option(ns).getOrElse("scratch"), table, StructType(fields))
+        Seq("Table created successfully").toDF("status")
+
+      case insertTb(ns, table, values) =>
+        val nsName = Option(ns).getOrElse("scratch")
+        val schema = catalog.load(nsName, table).schema
+        val typed = parseValues(values).zip(schema.fields).map {
+          case (v, f) => coerce(v, f.dataType)
+        }
+        catalog.insertRow(nsName, table, typed)
+        Seq("Inserted 1 row successfully").toDF("status")
+
+      case _ => // SELECT (and any other full SQL): Spark SQL over registered tables
+        catalog.listTables().foreach { case (ns, t) =>
+          catalog.load(ns, t).createOrReplaceTempView(t)
+        }
+        spark.sql(sql)
+    }
+  }
+
+  private def coerce(v: Any, t: DataType): Any = (v, t) match {
+    case (null, _) => null
+    case (s: String, TimestampType) => java.sql.Timestamp.valueOf(
+      if (s.contains(" ")) s else s + " 00:00:00")
+    case (i: Int, LongType) => i.toLong
+    case (i: Int, DoubleType) => i.toDouble
+    case (l: Long, DoubleType) => l.toDouble
+    case (i: Int, StringType) => i.toString
+    case (x, _) => x
+  }
+}

@@ -122,7 +122,36 @@ object CatalogOps {
       |FROM orders WHERE o_totalprice > 150000
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Partition-pruned scan: write events partitioned by event_type
+    * (hive layout via LakeCatalog.appendPartitioned), read back with a
+    * partition predicate — the scan touches ONE directory of five
+    * (CatalogSpec asserts PartitionFilters). This is the layout/pruning
+    * story that carries the engine at 100 TB (SURVEY.md §5). */
+  def cPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "events_by_type")
+    cat.createTable("scratch", "events_by_type", StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("event_type", StringType))))
+    cat.appendPartitioned("scratch", "events_by_type",
+      Tables.table(spark, dir, "events")
+        .select("event_id", "user_id", "value", "event_type"),
+      Seq("event_type"))
+    cat.load("scratch", "events_by_type")
+      .where(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val cPartitionPruneSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_partition_prune" -> (cPartitionPrune _),
     "c_list_namespaces" -> (cListNamespaces _),
     "c_list_tables" -> (cListTables _),
     "c_describe_table" -> (cDescribeTable _),
@@ -131,6 +160,7 @@ object CatalogOps {
     "c_scan_pushdown" -> (cScanPushdown _))
 
   val oracles: Map[String, String] = Map(
+    "c_partition_prune" -> cPartitionPruneSql,
     "c_list_namespaces" -> cListNamespacesSql,
     "c_list_tables" -> cListTablesSql,
     "c_describe_table" -> cDescribeTableSql,

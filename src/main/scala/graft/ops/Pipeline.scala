@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.8 End-to-end training-data pipeline compositions — the operators a
+  * 100 TB curation run actually chains: quality-gate → language-filter →
+  * dedup (p_curate), and train/test decontamination (p_decontaminate).
+  * Both are pure compositions of §2.3/§2.4 primitives — one plan each, so
+  * Catalyst fuses the filters into the scan and the whole curation pass
+  * stays two shuffles (dedup fingerprint + the contamination join). */
+object Pipeline {
+
+  private def norm(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Curation: quality ≥ 0.55, metadata lang ∈ {en, fr}, exact-dup collapsed
+    * (keep min doc_id per md5 fingerprint). The dedup "keeper" check is a
+    * window min over the fingerprint — same single shuffle as the dedup
+    * aggregate, but keeps full rows flowing. */
+  def pCurate(spark: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(split(norm(col("text")), " ")).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val nAlpha = size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))).cast("double")
+    val nStop = size(regexp_extract_all(concat(lit(" "), norm(col("text")), lit(" ")),
+      lit(" (the|a|of|and|to|in|is|it) "), lit(0))).cast("double")
+    val quality = round(
+      least(nTokens / 50.0, lit(1.0)) * 0.25
+        + (lit(1.0) - least(nPunct / nChars * 5.0, lit(1.0))) * 0.25
+        + least(nStop / nTokens * 5.0, lit(1.0)) * 0.25
+        + nAlpha / nChars * 0.25, 6)
+    val wFp = Window.partitionBy("fp")
+    Tables.table(spark, dir, "documents")
+      .where(col("lang").isin("en", "fr"))
+      .select(col("doc_id"), col("lang"), quality.as("quality"),
+        md5(norm(col("text"))).as("fp"))
+      .where(col("quality") >= 0.55)
+      .withColumn("keep", min("doc_id").over(wFp))
+      .where(col("doc_id") === col("keep"))
+      .select("doc_id", "lang", "quality")
+      .orderBy("doc_id")
+  }
+
+  val pCurateSql: String = {
+    val nChars = "CAST(length(text) AS DOUBLE)"
+    val nTokens = s"CAST(length(string_split($normSql, ' ')) AS DOUBLE)"
+    val nPunct = "CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+    val nAlpha = "CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)"
+    val nStop = s"CAST(length(regexp_extract_all(' ' || $normSql || ' ', ' (the|a|of|and|to|in|is|it) ')) AS DOUBLE)"
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, md5($normSql) AS fp,
+       |    round(least($nTokens / 50.0, 1.0) * 0.25
+       |      + (1.0 - least($nPunct / $nChars * 5.0, 1.0)) * 0.25
+       |      + least($nStop / $nTokens * 5.0, 1.0) * 0.25
+       |      + $nAlpha / $nChars * 0.25, 6) AS quality
+       |  FROM documents WHERE lang IN ('en', 'fr')),
+       |g AS (SELECT q.*, min(doc_id) OVER (PARTITION BY fp) AS keep
+       |      FROM q WHERE quality >= 0.55)
+       |SELECT doc_id, lang, quality FROM g WHERE doc_id = keep
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Train/test decontamination: test split = doc_id % 4 == 0; flag every
+    * train doc whose word-5-gram Jaccard with ANY test doc is ≥ 0.5 (the
+    * standard benchmark-leak sweep). Same inverted-index blocking as
+    * d_ngram_jaccard, restricted to cross-split pairs — at 100 TB the test
+    * side is tiny, so the candidate join is effectively a semi-broadcast. */
+  def pDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(spark, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val train = sh.where(col("doc_id") % 4 =!= 0)
+    val test = sh.where(col("doc_id") % 4 === 0)
+    train.as("a").join(test.as("b"), col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.doc_id").as("train_id"), col("b.doc_id").as("test_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.as("sa"), col("train_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("test_id") === col("sb.doc_id"))
+      .select(col("train_id"), col("test_id"),
+        round(col("shared").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("shared")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy("train_id", "test_id")
+  }
+
+  val pDecontaminateSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS train_id, b.doc_id AS test_id, COUNT(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  WHERE a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+       |  GROUP BY 1, 2)
+       |SELECT train_id, test_id,
+       |  round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+       |FROM pairs JOIN sizes sa ON train_id = sa.doc_id JOIN sizes sb ON test_id = sb.doc_id
+       |WHERE round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) >= 0.5
+       |ORDER BY train_id, test_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_curate" -> (pCurate _),
+    "p_decontaminate" -> (pDecontaminate _))
+
+  val oracles: Map[String, String] = Map(
+    "p_curate" -> pCurateSql,
+    "p_decontaminate" -> pDecontaminateSql)
+}

@@ -37,6 +37,17 @@ class CatalogSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,150000.0)]"), plan)
   }
 
+  test("c_partition_prune: the event_type predicate prunes partitions at the scan") {
+    CatalogOps.cPartitionPrune(spark, sfDir).collect() // materialize the scratch table
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    val pruned = new LakeCatalog(spark, scratch).load("scratch", "events_by_type")
+      .where(col("event_type") === "purchase")
+    val plan = planOf(pruned)
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    // partition column never materializes as a data filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type)"), plan)
+  }
+
   test("m_frame_sample: frame counts follow byte lengths; deterministic across runs") {
     val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("bytes"))

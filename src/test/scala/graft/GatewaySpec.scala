@@ -1,0 +1,48 @@
+package graft
+
+import graft.catalog.{LakeCatalog, SqlGateway}
+
+/** Mirrors the reference's test coverage (test_QueryManager.py: statement
+  * dispatch per type; test_IcebergConnection.py: list/describe/insert
+  * round trips) against the Spark-native gateway, plus the capability the
+  * reference lacks: multi-table SELECT. */
+class GatewaySpec extends SparkSpec {
+
+  private def flatGw = new SqlGateway(spark, new LakeCatalog(spark, sfDir))
+
+  test("LIST NAMESPACES / LIST TABLES [IN ns] dispatch (ref: test_parse_sql_list_parametrized)") {
+    assert(flatGw.execute("LIST NAMESPACES").collect().map(_.getString(0)).toSeq == Seq("main"))
+    val tables = flatGw.execute("LIST TABLES IN main").collect().map(_.getString(1)).toSet
+    assert(tables == Tables.names.toSet)
+    assert(flatGw.execute("LIST TABLES").count() == 10)
+  }
+
+  test("DESCRIBE TABLE returns normalized schema rows") {
+    val rows = flatGw.execute("DESCRIBE TABLE orders").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("o_orderkey") == "bigint" && rows("o_totalprice") == "double")
+  }
+
+  test("CREATE TABLE + INSERT VALUES round trip (ref: INSERT INTO orders VALUES (1, 100))") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gw").toString
+    val gw = new SqlGateway(spark, new LakeCatalog(spark, root))
+    assert(gw.execute("CREATE TABLE scratch.users (id INT, name STRING, bal DOUBLE, active BOOLEAN)")
+      .head().getString(0).contains("created"))
+    assert(gw.execute("INSERT INTO scratch.users VALUES (1, 'John, Jr.', 9.5, true)")
+      .head().getString(0).contains("Inserted"))
+    val row = new LakeCatalog(spark, root).load("scratch", "users").head()
+    assert(row.getInt(0) == 1)
+    assert(row.getString(1) == "John, Jr.") // quoted comma survives (ref bug not reproduced)
+    assert(row.getDouble(2) == 9.5 && row.getBoolean(3))
+  }
+
+  test("SELECT passthrough runs full Spark SQL — including the multi-table join the reference rejects") {
+    val n = flatGw.execute(
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin).count()
+    assert(n == 5)
+    // single-table path (the reference's whole SELECT surface)
+    assert(flatGw.execute("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity < 10").head().getLong(0) > 0)
+  }
+}
