@@ -167,7 +167,9 @@ object Dedup {
     * lossless, never a recall trade). Verified by exact bit_count(xor).
     * All bit math is codegen'd column algebra. Spec: exact match vs
     * brute-force hamming on sf0.001. */
-  def dSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, simhash) signatures — exposed for DedupSpec's unblocked
+    * brute-force comparison. */
+  private[graft] def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     // word-bigram features with counts — slice-based, no window shuffle
     val feats = docs
@@ -183,10 +185,14 @@ object Dedup {
     val votes = feats
       .select(col("doc_id"), col("cnt"), xxhash64(col("feat")).as("fh"))
       .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val sim = votes
+    votes
       .select(col("doc_id"),
         (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
+  }
+
+  def dSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sim = simhashes(spark, dir)
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("k"))
       .withColumn("bandval", expr("(simhash >> (k * 16)) & 65535"))

@@ -45,20 +45,19 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("d_simhash: banding finds exactly the brute-force hamming<=3 pairs") {
-    val out = Dedup.dSimhash(spark, sfDir)
+    val banded = Dedup.dSimhash(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // brute force on the same simhash values: recompute via the operator's
-    // own signatures is circular for VALUES, but banding completeness is
-    // what's under test: hamming<=3 with 4x16-bit bands is lossless by
-    // pigeonhole, so compare against an unblocked cross join.
-    val docs = Tables.table(spark, sfDir, "documents").select("doc_id")
-    val n = docs.count()
-    assert(n > 0)
-    // reconstruct pair set via a no-banding variant: join all pairs on hamming
-    val sims = Dedup.dSimhash(spark, sfDir) // banded result
-    // completeness check: every pair in the banded result has hamming<=3
-    assert(sims.where(col("hamming") > 3).count() == 0)
-    assert(out.nonEmpty, "no simhash near-dups found — feature/banding regression?")
+    // unblocked brute force over the same signatures: banding must be
+    // lossless (pigeonhole: hamming<=3 over 4 bands → one band equal)
+    val sims = Dedup.simhashes(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- sims; (b, hb) <- sims if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "no simhash near-dups in test data — regression?")
+    assert(banded == brute,
+      s"banding lost pairs: missing=${brute -- banded}, extra=${banded -- brute}")
   }
 
   test("s_lsh_ann: recall@5 >= 0.35 vs exact top-k; candidates bounded") {

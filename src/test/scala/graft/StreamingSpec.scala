@@ -30,6 +30,31 @@ class StreamingSpec extends SparkSpec {
     spark.table(qname)
   }
 
+  test("windowAgg: incremental multi-batch stream (complete mode) == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val sdf = StreamOps.windowAgg(mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val q = sdf.writeStream.format("memory").queryName("incr_win")
+      .outputMode("complete").start()
+    // three out-of-order chunks across separate micro-batches: state must
+    // merge partial windows, not overwrite them
+    rows.grouped((rows.size / 3) + 1).toSeq.reverse.foreach { chunk =>
+      mem.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val stream = spark.table("incr_win")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val batch = StreamOps.windowAgg(eventsBatch)
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} rows vs stream ${stream.size}")
+  }
+
   test("windowAgg: stream (complete mode) == batch") {
     val batch = StreamOps.windowAgg(eventsBatch)
       .orderBy("win_start", "event_type").collect().toSeq
