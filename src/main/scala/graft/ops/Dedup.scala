@@ -137,9 +137,12 @@ object Dedup {
     val bandSigs = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
         xxhash64((Seq(lit(b)) ++ (0 until bandRows).map(r => col(s"m${b * bandRows + r}"))): _*).as("sig")))
+    // cache: sigs (docs×32 tiny rows) feeds BOTH sides of the self-join —
+    // without it the 128-wide min-agg pipeline runs twice
     val sigs = minh
       .select(col("doc_id"), explode(array(bandSigs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .cache()
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
           && col("x.doc_id") < col("y.doc_id"))
@@ -192,7 +195,8 @@ object Dedup {
   }
 
   def dSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sim = simhashes(spark, dir)
+    // cache: one row per doc; the banded self-join reads it twice
+    val sim = simhashes(spark, dir).cache()
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("k"))
       .withColumn("bandval", expr("(simhash >> (k * 16)) & 65535"))

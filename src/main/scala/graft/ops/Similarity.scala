@@ -112,6 +112,7 @@ object Similarity {
         struct(lit(t).as("t"), tableSig(col("embedding"), t).as("sig"))): _*)).as("ts"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("ts.t").as("t"), col("ts.sig").as("sig"))
+      .cache() // 72 hyperplane projections per vector — never compute twice
     val q = sigs.where(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("t"), col("sig"))
@@ -147,6 +148,7 @@ object Similarity {
         x => x.getField("c")).cast("array<float>").as("centroid"))
       .select(col("label").as("cell"), col("centroid"),
         norm2(col("centroid")).as("c_nrm"))
+      .cache() // k rows; probed by both corpus assignment and queries
 
     // assign corpus vectors to nearest centroid by cosine
     val assigned = e.crossJoin(broadcast(cents))
