@@ -106,23 +106,29 @@ object Similarity {
         when(dot(emb, typedlit(plane(t, j))) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
 
+    // Cache ONLY (vec_id, t, sig): the 72 projections are the expensive
+    // part; carrying embedding+nrm through the 12-way explode would pin
+    // 12 duplicated copies of the corpus in storage memory. Vectors are
+    // joined back from the (cheap, pushdown-pruned) base scan for scoring.
     val sigs = e.select(
-      col("vec_id"), col("embedding"), col("nrm"),
+      col("vec_id"),
       explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"), tableSig(col("embedding"), t).as("sig"))): _*)).as("ts"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("ts.t").as("t"), col("ts.sig").as("sig"))
-      .cache() // 72 hyperplane projections per vector — never compute twice
+      .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+      .cache()
     val q = sigs.where(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("t"), col("sig"))
+      .select(col("vec_id").as("q_id"), col("t"), col("sig"))
     val cand = q.join(sigs, Seq("t", "sig"))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("q_emb"), col("q_nrm"),
-        col("embedding"), col("nrm"))
+      .select(col("q_id"), col("vec_id"))
       .dropDuplicates("q_id", "vec_id")
-    val scored = cand.select(col("q_id"), col("vec_id"),
-      round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6).as("cosine"))
+    val qv = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val scored = cand
+      .join(qv, Seq("q_id"))
+      .join(e, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 5)
