@@ -25,29 +25,36 @@ class LakeCatalog(spark: SparkSession, root: String) {
 
   private def rootPath: Path = Paths.get(root)
 
+  /** List a directory with the stream properly closed — Files.list holds an
+    * open directory descriptor until closed; a long-lived gateway process
+    * leaking one per catalog call eventually hits EMFILE. */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def isFlatWarehouse: Boolean =
-    Files.exists(rootPath) && Files.list(rootPath).iterator().asScala
-      .exists(p => p.getFileName.toString.endsWith(".parquet"))
+    Files.exists(rootPath) &&
+      listDir(rootPath).exists(_.getFileName.toString.endsWith(".parquet"))
 
   /** Namespaces: subdirectories of the root; a flat dir of parquet files is
     * namespace `main` (reference: catalog.list_namespaces). */
   def listNamespaces(): Seq[String] =
     if (isFlatWarehouse) Seq("main")
     else if (!Files.exists(rootPath)) Seq.empty
-    else Files.list(rootPath).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    else listDir(rootPath)
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).sorted
 
   /** (namespace, table) pairs (reference: catalog.list_tables per ns). */
   def listTables(): Seq[(String, String)] =
     if (isFlatWarehouse)
-      Files.list(rootPath).iterator().asScala
+      listDir(rootPath)
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => ("main", p.getFileName.toString.stripSuffix(".parquet")))
-        .toSeq.sorted
+        .sorted
     else listNamespaces().flatMap { ns =>
-      val nsPath = rootPath.resolve(ns)
-      Files.list(nsPath).iterator().asScala.filter(Files.isDirectory(_))
-        .map(p => (ns, p.getFileName.toString)).toSeq.sorted
+      listDir(rootPath.resolve(ns)).filter(Files.isDirectory(_))
+        .map(p => (ns, p.getFileName.toString)).sorted
     }
 
   private def tablePath(ns: String, table: String): String =
@@ -104,7 +111,9 @@ class LakeCatalog(spark: SparkSession, root: String) {
   def dropTable(ns: String, table: String): Unit = {
     val dir = Paths.get(s"$root/$ns/$table")
     if (Files.exists(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val w = Files.walk(dir)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
       val meta = dir.resolveSibling(s"${table}_meta.json")
       if (Files.exists(meta)) Files.delete(meta)
     }

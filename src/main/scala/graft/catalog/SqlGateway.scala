@@ -53,21 +53,31 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
           v.toDoubleOption.getOrElse(v)))
     }
 
-  /** Split on commas not inside quotes (the reference's naive
-    * `strip('()').split(',')` corrupts quoted strings with commas — a bug we
-    * do not reproduce). */
+  /** Split on commas not inside quotes or parentheses (the reference's naive
+    * `strip('()').split(',')` corrupts quoted strings with commas AND
+    * parenthesized types like DECIMAL(10,2) — bugs we do not reproduce). */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ = false
+    var depth = 0
     s.foreach {
       case '\'' => inQ = !inQ; cur += '\''
-      case ',' if !inQ => out += cur.toString; cur.clear()
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case ',' if !inQ && depth == 0 => out += cur.toString; cur.clear()
       case c => cur += c
     }
     out += cur.toString
     out.toSeq
   }
+
+  /** Resolve an unqualified table name: prefer the namespace that actually
+    * holds it (so CREATE → DESCRIBE round trips on bare names), fall back
+    * to the given default. */
+  private def resolveNs(table: String, default: String): String =
+    catalog.listTables().collectFirst { case (ns, t) if t == table => ns }
+      .getOrElse(default)
 
   /** Execute one statement of the reference dialect; DataFrame out
     * (the MCP server's rows-of-dicts, Spark-shaped). */
@@ -82,7 +92,7 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         (if (ns == null) all else all.filter(_._1 == ns)).toDF("namespace", "table_name")
 
       case descTb(ns, table) =>
-        catalog.describe(Option(ns).getOrElse("main"), table)
+        catalog.describe(Option(ns).getOrElse(resolveNs(table, "main")), table)
           .toDF("col_name", "data_type", "nullable")
 
       case createTb(ns, table, colsSpec) =>
@@ -94,17 +104,25 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         Seq("Table created successfully").toDF("status")
 
       case insertTb(ns, table, values) =>
-        val nsName = Option(ns).getOrElse("scratch")
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         val schema = catalog.load(nsName, table).schema
-        val typed = parseValues(values).zip(schema.fields).map {
+        val parsed = parseValues(values)
+        require(parsed.length == schema.fields.length,
+          s"INSERT arity mismatch: ${parsed.length} values for ${schema.fields.length} columns in $nsName.$table")
+        val typed = parsed.zip(schema.fields).map {
           case (v, f) => coerce(v, f.dataType)
         }
         catalog.insertRow(nsName, table, typed)
         Seq("Inserted 1 row successfully").toDF("status")
 
       case _ => // SELECT (and any other full SQL): Spark SQL over registered tables
-        catalog.listTables().foreach { case (ns, t) =>
-          catalog.load(ns, t).createOrReplaceTempView(t)
+        val tables = catalog.listTables()
+        tables.foreach { case (ns, t) =>
+          // qualified view always; bare name only when unambiguous — two
+          // namespaces holding the same table name must not silently shadow
+          catalog.load(ns, t).createOrReplaceTempView(s"${ns}_$t")
+          if (tables.count(_._2 == t) == 1)
+            catalog.load(ns, t).createOrReplaceTempView(t)
         }
         spark.sql(sql)
     }
@@ -112,8 +130,13 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
 
   private def coerce(v: Any, t: DataType): Any = (v, t) match {
     case (null, _) => null
-    case (s: String, TimestampType) => java.sql.Timestamp.valueOf(
-      if (s.contains(" ")) s else s + " 00:00:00")
+    case (s: String, TimestampType) =>
+      // parse as UTC explicitly — Timestamp.valueOf would use the JVM
+      // default zone, shifting instants on non-UTC hosts
+      val txt = if (s.contains(" ")) s else s + " 00:00:00"
+      java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse(txt.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC))
     case (i: Int, LongType) => i.toLong
     case (i: Int, DoubleType) => i.toDouble
     case (l: Long, DoubleType) => l.toDouble

@@ -66,8 +66,12 @@ object CatalogOps {
       StructField("created", TimestampType)))
     cat.dropTable("scratch", "people")
     cat.createTable("scratch", "people", schema, Map("owner" -> "graft"))
-    cat.insertRow("scratch", "people",
-      Seq(1, "alice", true, 9.5d, java.sql.Timestamp.valueOf("2024-06-01 12:00:00")))
+    // parse the timestamp literal in UTC explicitly (Timestamp.valueOf uses
+    // the JVM default zone → shifted instants on non-UTC hosts)
+    val created = java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse("2024-06-01T12:00:00")
+        .toInstant(java.time.ZoneOffset.UTC))
+    cat.insertRow("scratch", "people", Seq(1, "alice", true, 9.5d, created))
     cat.load("scratch", "people")
       .select(col("id"), col("name"), col("flag"), col("score"),
         // render timestamp portably (UTC session both engines)

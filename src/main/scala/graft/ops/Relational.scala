@@ -130,24 +130,27 @@ object Relational {
       |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
-  /** Fact ⋈ small dim with an explicit broadcast hint: at 100 TB `customer`
-    * per-segment rollup must not shuffle the fact table — broadcast-hash-join
-    * keeps the orders scan shuffle-free; agg on 5 segments is map-side. */
+  /** Fact ⋈ small dim with an explicit broadcast hint. The hinted side is
+    * `nation` — a dim with a BOUNDED cardinality (25 rows at every scale
+    * factor), which is the only kind of table an explicit broadcast hint is
+    * safe for: hinting a linearly-growing table (customer, part) overrides
+    * Catalyst's size check and OOMs at the 100 TB design point. The
+    * customer scan stays shuffle-free; agg on 25 nations is map-side. */
   def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.table(spark, dir, "orders")
-    val c = Tables.table(spark, dir, "customer").select("c_custkey", "c_mktsegment")
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
-      .orderBy("c_mktsegment")
+    val c = Tables.table(spark, dir, "customer")
+    val n = Tables.table(spark, dir, "nation").select("n_nationkey", "n_name")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
+      .orderBy("n_name")
   }
 
   val qJoinBroadcastSql: String =
-    """SELECT c_mktsegment,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
-      |  COUNT(*) AS n_orders
-      |FROM orders JOIN customer ON o_custkey = c_custkey
-      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    """SELECT n_name,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal,
+      |  COUNT(*) AS n_cust
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   /** Fact ⋈ fact join on the natural key. At bench scale AQE may elect a
     * broadcast — correct locally; at 100 TB both sides exceed the threshold
@@ -172,9 +175,11 @@ object Relational {
       |WHERE o_orderstatus = 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** TPC-H Q5-shaped 5-way star join: dims (customer/supplier/nation/region)
-    * broadcast, single shuffle join lineitem⋈orders, region filter pushed
-    * into the nation broadcast before it fans out. */
+  /** TPC-H Q5-shaped 5-way star join. Only the BOUNDED dims (nation⋈region,
+    * ≤25 rows forever) carry an explicit broadcast hint; customer and
+    * supplier grow linearly with scale, so their join strategy is left to
+    * the optimizer — AQE broadcasts them at small SF and falls back to
+    * shuffle joins at 100 TB instead of OOMing on a forced broadcast. */
   def qJoinMultiway(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.table(spark, dir, "lineitem")
     val o = Tables.table(spark, dir, "orders")
@@ -187,8 +192,8 @@ object Relational {
     val nr = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .select("n_nationkey", "n_name")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s),
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")

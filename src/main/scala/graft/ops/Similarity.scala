@@ -75,17 +75,18 @@ object Similarity {
       |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine
       |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
-  /** Random-hyperplane LSH ANN, multi-table (L=8 tables × k=6 planes — the
+  /** Random-hyperplane LSH ANN, multi-table (L=12 tables × k=6 planes — the
     * same band structure as MinHash-LSH): candidate iff query and vector
     * share a full 6-bit signature in ANY table. Hyperplanes are
-    * deterministic pseudo-Gaussians — sign(xxhash64(plane,dim)) — so the
-    * index is reproducible with zero stored model.
+    * deterministic seeded Gaussians, so the index is reproducible with zero
+    * stored model.
     *
     * Recall math (cos θ neighbors, per-plane agree p = 1−θ/π):
-    * recall = 1−(1−p^k)^L — at cos 0.8, p≈0.80 → 0.50; at cos 0.5 → ~0.5;
-    * random pairs (cos≈0) hit ~12% of the corpus as candidates. k and L are
-    * THE scale dials: at 100 TB raise k (smaller buckets) and L (recall back
-    * up); index build stays one linear pass, probe cost |corpus|·(1/2)^k·L.
+    * recall = 1−(1−p^k)^L — at cos 0.8, p≈0.80 → ~0.63 with L=12; at cos
+    * 0.5 → ~0.5; random pairs (cos≈0) hit ~17% of the corpus as candidates.
+    * k and L are THE scale dials: at 100 TB raise k (smaller buckets) and L
+    * (recall back up); index build stays one linear pass, probe cost
+    * |corpus|·(1/2)^k·L.
     * Approximate → no SQL oracle; SimilaritySpec asserts recall@5 ≥ 0.35 vs
     * sCosineTopk and candidate-set ≤ 40% of corpus.
     */
@@ -139,9 +140,13 @@ object Similarity {
   /** IVF-style ANN: centroids = the label centroids (k-means analog computed
     * in one agg pass — deterministic), corpus assigned to nearest centroid,
     * queries probe the nprobe=3 nearest cells then exact-rerank.
-    * SimilaritySpec asserts recall@5 ≥ 0.7 vs exact. At 100 TB the
-    * assignment is one broadcast(centroids) map pass; probe reads 3/k of
-    * the corpus. */
+    * SimilaritySpec asserts recall@5 ≥ 0.7 vs exact.
+    *
+    * Assignment is a genuine zero-shuffle map pass: the k centroid vectors
+    * (tiny, k=|labels|) are collected to the driver — exactly what k-means
+    * does each iteration — and embedded as array literals, so each corpus
+    * row computes its argmax cell inside the scan projection. No crossJoin,
+    * no window, no embedding-carrying shuffle anywhere in the assignment. */
   def sIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val nprobe = 3
     val e = withNorm(spark, dir)
@@ -152,24 +157,38 @@ object Similarity {
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x.getField("c")).cast("array<float>").as("centroid"))
-      .select(col("label").as("cell"), col("centroid"),
-        norm2(col("centroid")).as("c_nrm"))
-      .cache() // k rows; probed by both corpus assignment and queries
+      .select(col("label").as("cell"), col("centroid"))
+      .collect() // k tiny rows → driver, like every k-means implementation
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
 
-    // assign corpus vectors to nearest centroid by cosine
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-        (dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))).as("sim"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
-      .where(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    // per-row cell similarities as literal-centroid vdots (codegen'd)
+    def cellSims(emb: Column, nrm: Column): Seq[(Int, Column)] =
+      cents.map { case (cell, cvec) =>
+        val cn = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
+        cell -> (dot(emb, typedlit(cvec)) / (nrm * lit(cn)))
+      }
 
-    // queries probe their nprobe nearest cells
-    val qProbes = e.where(col("vec_id") % 20 === 0).crossJoin(broadcast(cents))
+    // argmax cell: sims packed into an array (cell order), argmax =
+    // 1-based position of the max — first occurrence, so ties break to the
+    // lowest cell deterministically
+    val cellIds = cents.map(_._1)
+    def argmaxCell(emb: Column, nrm: Column): Column = {
+      val simArr = array(cellSims(emb, nrm).map(_._2): _*)
+      element_at(typedlit(cellIds), array_position(simArr, array_max(simArr)).cast("int"))
+    }
+
+    val assigned = e.withColumn("cell", argmaxCell(col("embedding"), col("nrm")))
+
+    // queries probe their nprobe nearest cells (query side is tiny — the
+    // explode+window here is over |queries|×k rows, not the corpus)
+    val qProbes = e.where(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
-        col("cell"),
-        (dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))).as("sim"))
+        explode(array(cellSims(col("embedding"), col("nrm")).map { case (cell, sim) =>
+          struct(lit(cell).as("cell"), sim.as("sim"))
+        }: _*)).as("cs"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("cs.cell").as("cell"), col("cs.sim").as("sim"))
       .withColumn("r", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))))
       .where(col("r") <= nprobe)

@@ -49,9 +49,16 @@ object StreamOps {
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
   /** Streaming exact dedup on event_id with a watermark bounding state
-    * retention. Batch form: dropDuplicates. */
-  def dedup(df: DataFrame): DataFrame =
-    watermarked(df, "10 minutes").dropDuplicates("event_id")
+    * retention. Streaming path uses dropDuplicatesWithinWatermark — plain
+    * dropDuplicates(id) would keep every id in the state store FOREVER
+    * (Spark only evicts dedup state when the event-time column is part of
+    * the key set or the WithinWatermark variant is used). Batch form:
+    * dropDuplicates. */
+  def dedup(df: DataFrame): DataFrame = {
+    val t = watermarked(df, "10 minutes")
+    if (t.isStreaming) t.dropDuplicatesWithinWatermark("event_id")
+    else t.dropDuplicates("event_id")
+  }
 
   def stDedup(spark: SparkSession, dir: String): DataFrame =
     dedup(Tables.table(spark, dir, "events"))

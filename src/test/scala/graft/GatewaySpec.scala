@@ -36,6 +36,20 @@ class GatewaySpec extends SparkSpec {
     assert(row.getDouble(2) == 9.5 && row.getBoolean(3))
   }
 
+  test("CREATE with parenthesized types, bare-name DESCRIBE round trip, INSERT arity check") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gw2").toString
+    val gw = new SqlGateway(spark, new LakeCatalog(spark, root))
+    gw.execute("CREATE TABLE t (a DECIMAL(10,2), b INT)")
+    // paren-aware split: two columns, not three garbage ones
+    val desc = gw.execute("DESCRIBE TABLE t").collect().map(_.getString(0)).toSet
+    assert(desc == Set("a", "b"), s"got columns $desc")
+    // arity mismatch is an error, not silent truncation
+    val e = intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO t VALUES (1.5, 2, 99)")
+    }
+    assert(e.getMessage.contains("arity"), e.getMessage)
+  }
+
   test("SELECT passthrough runs full Spark SQL — including the multi-table join the reference rejects") {
     val n = flatGw.execute(
       """SELECT c_mktsegment, COUNT(*) AS n
