@@ -241,7 +241,80 @@ object Dedup {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
 
+  /** Duplicate families: connected components over the near-dup pair graph,
+    * emitted as (doc_id, cluster_id = min doc_id in component) — the form a
+    * curation pipeline consumes (keep one doc per cluster).
+    *
+    * The PAIR GENERATION is the distributed, corpus-scale stage (the
+    * blocked inverted-index join); the resulting edge set is orders of
+    * magnitude smaller than the corpus — near-dup graphs are sparse by
+    * construction — so the component labeling itself is a driver-side
+    * union-find over the collected edges (exactly how production dedup
+    * pipelines do it; a pathological edge set that didn't fit would call
+    * for iterative distributed label propagation instead, at the cost of a
+    * checkpoint per round). */
+  def dDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = dNgramJaccard(spark, dir).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min root wins → cluster_id = min doc_id in component
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    val members = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    members.map(d => (d, find(d))).toSeq
+      .toDF("doc_id", "cluster_id")
+      .orderBy("doc_id")
+  }
+
+  val dDupClustersSql: String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+         |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+         |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+         |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) >= 0.5),
+         |e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS doc, u AS lbl FROM e)""".stripMargin
+    val rounds = (1 to 8).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT d.doc AS doc, least(min(d.lbl), min(n.lbl)) AS lbl
+         |  FROM l${i - 1} d JOIN e ON d.doc = e.u JOIN l${i - 1} n ON e.v = n.doc
+         |  GROUP BY d.doc)""".stripMargin
+    }.mkString(",\n")
+    // NOTE: no stripMargin on the assembly — base/rounds are already
+    // stripped, and a second pass would eat the leading bar of any
+    // whitespace-led `||` concat line
+    base + ",\n" + rounds +
+      "\nSELECT doc AS doc_id, lbl AS cluster_id FROM l8 ORDER BY doc_id"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_dup_clusters" -> (dDupClusters _),
     "d_exact" -> (dExact _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_minhash_lsh" -> (dMinhashLsh _),
@@ -249,6 +322,7 @@ object Dedup {
     "d_embed_neardup" -> (dEmbedNeardup _))
 
   val oracles: Map[String, String] = Map(
+    "d_dup_clusters" -> dDupClustersSql,
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_embed_neardup" -> dEmbedNeardupSql)

@@ -288,6 +288,20 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** GROUP BY CUBE — all four grouping-set combinations in one pass with
+    * partial aggregation (Spark expands the sets before the single shuffle). */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** UNION ALL of two grouped sides, labeled; unionByName keeps schema
     * alignment explicit. */
   def qUnionSet(spark: SparkSession, dir: String): DataFrame = {
@@ -508,6 +522,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
     "q_skew_salted" -> (qSkewSalted _),
+    "q_cube" -> (qCube _),
     "q1_agg" -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
     "q_sort_limit" -> (qSortLimit _),
@@ -533,6 +548,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinSql,
     "q_skew_salted" -> qSkewSaltedSql,
+    "q_cube" -> qCubeSql,
     "q1_agg" -> q1AggSql,
     "q_filter_project" -> qFilterProjectSql,
     "q_sort_limit" -> qSortLimitSql,

@@ -205,11 +205,43 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Radius search — the other standard ANN contract: ALL neighbors with
+    * cosine ≥ 0.25 per query (vs top-k's fixed count). Same bounded
+    * brute-force shape as sCosineTopk; at 100 TB the LSH/IVF candidate
+    * generators feed this exact scoring + threshold filter. */
+  def sRadius(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val q = queriesOf(e)
+    q.crossJoin(e)
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6).as("cosine"))
+      .where(col("cosine") >= 0.25)
+      .orderBy("q_id", "vec_id")
+  }
+
+  val sRadiusSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+      |                   for i in generate_series(1, len(embedding))])) AS nrm
+      |  FROM embeddings)
+      |SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+      |  round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+      |                  for i in generate_series(1, len(q.embedding))]) / (q.nrm*c.nrm), 6) AS cosine
+      |FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |WHERE q.vec_id % 20 = 0
+      |  AND round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+      |                      for i in generate_series(1, len(q.embedding))]) / (q.nrm*c.nrm), 6) >= 0.25
+      |ORDER BY q_id, vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_radius" -> (sRadius _),
     "s_cosine_topk" -> (sCosineTopk _),
     "s_lsh_ann" -> (sLshAnn _),
     "s_ivf_topk" -> (sIvfTopk _))
 
   val oracles: Map[String, String] = Map(
+    "s_radius" -> sRadiusSql,
     "s_cosine_topk" -> sCosineTopkSql)
 }
