@@ -22,6 +22,18 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Decouple map-side parallelism from the input split count for
+    * compute-heavy per-row work (regex, shingling, vector math). A small
+    * parquet file arrives as ONE split (< files.maxPartitionBytes), which
+    * would serialize all downstream per-row compute onto a single core. The
+    * round-robin shuffle moves only the tiny input (KBs–MBs); at 100 TB the
+    * scan already has thousands of splits and the repartition count equals
+    * the cluster's default parallelism, so the pattern stays correct — the
+    * shuffle is what you pay to fix pathological split skew (many small
+    * files per executor is the cluster analog of this local case). */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Register every table as a temp view so `spark.sql` covers the
     * reference's arbitrary-SQL surface (IcebergConnection.py:113-120). */
   def registerAll(spark: SparkSession, dir: String): Unit =

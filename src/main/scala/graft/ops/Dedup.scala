@@ -34,19 +34,23 @@ object Dedup {
     s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
-  /** Distinct word-5-gram shingles per document. Built with array
-    * `transform`+`slice` inside the scan projection — zero shuffles, zero
-    * window state; the only exchange anywhere downstream is the consumer's
-    * own aggregate. (The windowed lead() formulation costs a doc_id shuffle
-    * + sort before producing a single shingle — pure overhead at any scale.) */
-  private[ops] def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "documents")
+  /** Distinct word-5-gram shingles per document, pre-hashed to 64 bits:
+    * (doc_id, h). Built with an array `transform` inside the scan projection
+    * — zero shuffles, zero window state — and hashed INSIDE the lambda
+    * (multi-arg xxhash64 over the 5 words), so the shingle string is never
+    * materialized: downstream joins/distincts run on (long, long) keys
+    * instead of ~30-char strings. Equality semantics are identical (words
+    * contain no separators; collisions are 2⁻⁶⁴-scale — immaterial next to
+    * the 0.5 Jaccard threshold). The scan is fanned out first: shingling is
+    * the per-row hot loop and must not be bound to the input split count. */
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.table(spark, dir, "documents"))
       .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
         // element_at is O(1); a slice() here would be O(n) per shingle → O(n²)/doc
-        "transform(sequence(1, greatest(size(ws) - 4, 0)), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))"))
-        .as("shingle"))
-      .select("doc_id", "shingle").distinct()
+        "transform(sequence(1, greatest(size(ws) - 4, 0)), i -> xxhash64(element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))"))
+        .as("h"))
+      .select("doc_id", "h").distinct()
 
   /** Exact n-gram-Jaccard near-dup pairs (threshold 0.5) via the shingle
     * inverted index: pairs are generated ONLY for docs sharing a shingle —
@@ -58,7 +62,7 @@ object Dedup {
     val sh = shingles(spark, dir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shared = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     shared
@@ -128,11 +132,10 @@ object Dedup {
           Seq(org.apache.spark.sql.GraftBridge.expression(c)), seed.toLong))
 
     // 128 codegen'd min-aggregates in one HashAggregate pass (wide buffer,
-    // no row explosion, no UDAF object boxing).
-    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    // no row explosion, no UDAF object boxing). Shingles arrive pre-hashed.
     val minCols = (0 until nPerm).map(p =>
       min(seededHash(col("h"), p)).as(s"m$p"))
-    val minh = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val minh = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     // band signature = xxhash64 over the band's 4 minhash columns
     val bandSigs = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
@@ -150,9 +153,12 @@ object Dedup {
       .distinct()
 
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shared = cand
+    // the candidate pair set is sparse by construction (near-dup graphs are
+    // orders of magnitude smaller than the corpus) → broadcast it, so the
+    // verify stage never shuffles the full shingle table on doc_id
+    val shared = broadcast(cand)
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -173,7 +179,7 @@ object Dedup {
   /** (doc_id, simhash) signatures — exposed for DedupSpec's unblocked
     * brute-force comparison. */
   private[graft] def simhashes(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(spark, dir, "documents")
+    val docs = Tables.fanout(Tables.table(spark, dir, "documents"))
     // word-bigram features with counts — slice-based, no window shuffle
     val feats = docs
       .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
@@ -217,7 +223,7 @@ object Dedup {
     * oracle mirrors with double math (never DuckDB's float32
     * list_cosine_similarity). */
   def dEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.table(spark, dir, "embeddings")
+    val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
         graft.functions.Vec.vnorm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))

@@ -74,7 +74,7 @@ object Pipeline {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val train = sh.where(col("doc_id") % 4 =!= 0)
     val test = sh.where(col("doc_id") % 4 === 0)
-    train.as("a").join(test.as("b"), col("a.shingle") === col("b.shingle"))
+    train.as("a").join(test.as("b"), col("a.h") === col("b.h"))
       .groupBy(col("a.doc_id").as("train_id"), col("b.doc_id").as("test_id"))
       .agg(count(lit(1)).as("shared"))
       .join(sizes.as("sa"), col("train_id") === col("sa.doc_id"))

@@ -36,7 +36,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
 
   private def withNorm(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "embeddings")
+    Tables.fanout(Tables.table(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
 
   /** Exact cosine top-5 per query (self excluded): crossJoin + window top-k.
@@ -151,7 +151,7 @@ object Similarity {
     val nprobe = 3
     val e = withNorm(spark, dir)
     // centroid per label: elementwise mean — explode (dim, value), mean, regroup
-    val cents = Tables.table(spark, dir, "embeddings")
+    val cents = Tables.fanout(Tables.table(spark, dir, "embeddings"))
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("c"))
       .groupBy("label")

@@ -164,7 +164,7 @@ object TextOps {
     * lead, count, top-k. One shuffle on the bigram key with map-side partial
     * counts; top-k via TakeOrderedAndProject. */
   def tNgramTopk(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "documents")
+    Tables.fanout(Tables.table(spark, dir, "documents"))
       .select(split(norm(col("text")), " ").as("ws"))
       .select(explode(expr(
         "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))

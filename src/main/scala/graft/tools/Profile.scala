@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler for the slow operators — not part of the driver
+  * contract; run with `sbt "runMain graft.tools.Profile"`. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    args.headOption.getOrElse("minhash") match {
+      case "minhash" =>
+        // stage decomposition of dMinhashLsh
+        val sh = graft.ops.Dedup.shingles(spark, sfDir)
+        time("shingles")(sh.count())
+        val shc = sh.cache()
+        time("shingles cached")(shc.count())
+        time("full d_minhash_lsh")(graft.ops.Dedup.dMinhashLsh(spark, sfDir).count())
+        spark.catalog.clearCache()
+        time("full again (cold cache)")(graft.ops.Dedup.dMinhashLsh(spark, sfDir).count())
+        spark.catalog.clearCache()
+      case "clusters" =>
+        time("d_ngram_jaccard")(graft.ops.Dedup.dNgramJaccard(spark, sfDir).count())
+        spark.catalog.clearCache()
+        time("d_dup_clusters")(graft.ops.Dedup.dDupClusters(spark, sfDir).count())
+        spark.catalog.clearCache()
+      case "cosine" =>
+        time("s_cosine_topk")(graft.ops.Similarity.sCosineTopk(spark, sfDir).count())
+        time("s_cosine_topk warm")(graft.ops.Similarity.sCosineTopk(spark, sfDir).count())
+      case other =>
+        time(other)(graft.SparkEntry.queries(other)(spark, sfDir).count())
+        spark.catalog.clearCache()
+        time(other + " warm")(graft.SparkEntry.queries(other)(spark, sfDir).count())
+    }
+    spark.stop()
+  }
+}
