@@ -126,20 +126,18 @@ object Dedup {
     // rejects; seeded rehash is equally uniform and ANSI-safe.)
     val sh = shingles(spark, dir).cache()
 
-    def seededHash(c: Column, seed: Int): Column =
-      org.apache.spark.sql.GraftBridge.column(
-        new org.apache.spark.sql.catalyst.expressions.XxHash64(
-          Seq(org.apache.spark.sql.GraftBridge.expression(c)), seed.toLong))
-
-    // 128 codegen'd min-aggregates in one HashAggregate pass (wide buffer,
-    // no row explosion, no UDAF object boxing). Shingles arrive pre-hashed.
-    val minCols = (0 until nPerm).map(p =>
-      min(seededHash(col("h"), p)).as(s"m$p"))
-    val minh = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    // band signature = xxhash64 over the band's 4 minhash columns
+    // All 128 permutation minimums in ONE agg column (MinHashAgg: primitive
+    // long[128] buffer, XXH64.hashLong(h, p) per permutation — byte-identical
+    // to the former 128×min(XxHash64(h, seed=p)) wide-column shape, but the
+    // generated plan is tiny: the wide shape cost ~5 s of Janino compile per
+    // cold run at bench time).
+    val minh = sh.groupBy("doc_id")
+      .agg(graft.functions.Sketch.minhash(col("h"), nPerm).as("m"))
+    // band signature = xxhash64 over the band's 4 minhash values
     val bandSigs = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
-        xxhash64((Seq(lit(b)) ++ (0 until bandRows).map(r => col(s"m${b * bandRows + r}"))): _*).as("sig")))
+        xxhash64((Seq(lit(b)) ++ (0 until bandRows).map(r =>
+          element_at(col("m"), b * bandRows + r + 1))): _*).as("sig")))
     // cache: sigs (docs×32 tiny rows) feeds BOTH sides of the self-join —
     // without it the 128-wide min-agg pipeline runs twice
     val sigs = minh
@@ -180,24 +178,20 @@ object Dedup {
     * brute-force comparison. */
   private[graft] def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.fanout(Tables.table(spark, dir, "documents"))
-    // word-bigram features with counts — slice-based, no window shuffle
-    val feats = docs
+    // Word-bigram features, hashed inside the transform lambda (multi-arg
+    // xxhash64 — the bigram string is never materialized), then ONE
+    // SimHashAgg pass: per-occurrence ±1 bit votes are equivalent to the
+    // count-weighted formulation, so the former (doc, feature) counting
+    // shuffle disappears — one exchange total, map-side combine into a
+    // long[64] vote buffer, and none of the 64-column codegen the wide
+    // conditional-sum shape paid (~6 s Janino per cold run).
+    docs
       .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
-        .as("feat"))
-      .groupBy("doc_id", "feat").agg(count(lit(1)).as("cnt"))
-    // 64 codegen'd conditional-sum aggregates (one per bit) in a single
-    // HashAggregate pass — bit j's vote is ±cnt by the feature hash's bit.
-    val voteCols = (0 until 64).map(j =>
-      sum(when(expr(s"(fh >> $j) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as(s"v$j"))
-    val votes = feats
-      .select(col("doc_id"), col("cnt"), xxhash64(col("feat")).as("fh"))
-      .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    votes
-      .select(col("doc_id"),
-        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+        "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> xxhash64(element_at(ws, i), element_at(ws, i + 1)))"))
+        .as("fh"))
+      .groupBy("doc_id")
+      .agg(graft.functions.Sketch.simhash(col("fh")).as("simhash"))
   }
 
   def dSimhash(spark: SparkSession, dir: String): DataFrame = {

@@ -96,16 +96,17 @@ object Similarity {
     val dims = 64
     val e = withNorm(spark, dir)
 
-    // Deterministic Gaussian hyperplanes (seeded PRNG), embedded as array
-    // literals — each projection is one codegen'd vdot, not 64 hash calls.
-    def plane(t: Int, j: Int): Array[Float] = {
+    // Deterministic Gaussian hyperplanes (seeded PRNG). All 72 projections
+    // are computed by ONE HyperplaneSigs expression (a single codegen loop
+    // over the plane matrix) — same double-precision dots bit-for-bit as 72
+    // separate literal-plane vdots, without the 72-expression projection
+    // that cost seconds of Janino compile per cold plan.
+    def plane(t: Int, j: Int): Seq[Float] = {
       val rng = new scala.util.Random(1000L * t + j)
-      Array.fill(dims)(rng.nextGaussian().toFloat)
+      Seq.fill(dims)(rng.nextGaussian().toFloat)
     }
-    def tableSig(emb: Column, t: Int): Column =
-      (0 until k).map { j =>
-        when(dot(emb, typedlit(plane(t, j))) > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
+    val planes: Seq[Seq[Float]] =
+      for (t <- 0 until nTables; j <- 0 until k) yield plane(t, j)
 
     // Cache ONLY (vec_id, t, sig): the 72 projections are the expensive
     // part; carrying embedding+nrm through the 12-way explode would pin
@@ -113,9 +114,8 @@ object Similarity {
     // joined back from the (cheap, pushdown-pruned) base scan for scoring.
     val sigs = e.select(
       col("vec_id"),
-      explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("t"), tableSig(col("embedding"), t).as("sig"))): _*)).as("ts"))
-      .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+      posexplode(graft.functions.Sketch.hyperplaneSigs(col("embedding"), planes, k))
+        .as(Seq("t", "sig")))
       .cache()
     val q = sigs.where(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("t"), col("sig"))
