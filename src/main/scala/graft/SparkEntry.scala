@@ -16,7 +16,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.TextOps.queries ++ ops.Dedup.queries ++
+    ops.Relational.queries ++ ops.Relational2.queries ++
+      ops.TextOps.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.CatalogOps.queries ++
       ops.Multimodal.queries ++ streaming.StreamOps.queries ++
       ops.Pipeline.queries
@@ -24,7 +25,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ ops.TextOps.oracles ++ ops.Dedup.oracles ++
+    ops.Relational.oracles ++ ops.Relational2.oracles ++
+      ops.TextOps.oracles ++ ops.Dedup.oracles ++
       ops.Similarity.oracles ++ ops.CatalogOps.oracles ++
       ops.Multimodal.oracles ++ streaming.StreamOps.oracles ++
       ops.Pipeline.oracles
