@@ -109,11 +109,71 @@ object Pipeline {
        |WHERE round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) >= 0.5
        |ORDER BY train_id, test_id""".stripMargin
 
+  /** Deterministic stratified sampling: ~10% per (source, lang) stratum via
+    * a multiplicative hash-mod on doc_id — reproducible across runs/engines
+    * (never rand(): a resumable 100 TB pipeline needs the same sample on
+    * retry). One partial-agg pass computes per-stratum totals, sample
+    * counts and a sample checksum. Knuth's 2654435761 multiplier is fine
+    * at BIGINT range (doc_id·2.6e9 ≪ 2⁶³); the 100 TB variant swaps in
+    * xxhash64(doc_id) with identical structure. */
+  def pSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * 2654435761L + 40503L, lit(100L))
+    Tables.table(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("doc_id"), bucket.as("bucket"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("bucket") < 10, 1)).as("n_sampled"),
+        sum(when(col("bucket") < 10, col("doc_id"))).as("sample_idsum"))
+      .orderBy("source", "lang")
+  }
+
+  val pSampleStratifiedSql: String =
+    """SELECT source, lang, COUNT(*) AS n_total,
+      |  COUNT(CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 10 THEN 1 END) AS n_sampled,
+      |  CAST(SUM(CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 10 THEN doc_id END) AS BIGINT) AS sample_idsum
+      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  /** Token-budget selection: per source, admit documents in doc_id order
+    * until the cumulative whitespace-token count crosses 2000 — the "fill
+    * the training mix per domain" primitive. One window (running sum per
+    * source partition); the admit predicate is `cum − own ≤ budget`, i.e.
+    * the document that CROSSES the budget is still admitted (budget is a
+    * floor on coverage, not a hard cap), which keeps every source
+    * represented even when its first document alone exceeds the budget. */
+  def pTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(norm(col("text")), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .where(col("cum_tok") - col("n_tok") <= budget)
+      .orderBy("source", "doc_id")
+  }
+
+  val pTokenBudgetSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(length(string_split($normSql, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                     ROWS UNBOUNDED PRECEDING) AS cum_tok
+       |  FROM t)
+       |SELECT source, doc_id, n_tok, cum_tok FROM c
+       |WHERE cum_tok - n_tok <= 2000 ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_curate" -> (pCurate _),
-    "p_decontaminate" -> (pDecontaminate _))
+    "p_decontaminate" -> (pDecontaminate _),
+    "p_sample_stratified" -> (pSampleStratified _),
+    "p_token_budget" -> (pTokenBudget _))
 
   val oracles: Map[String, String] = Map(
     "p_curate" -> pCurateSql,
-    "p_decontaminate" -> pDecontaminateSql)
+    "p_decontaminate" -> pDecontaminateSql,
+    "p_sample_stratified" -> pSampleStratifiedSql,
+    "p_token_budget" -> pTokenBudgetSql)
 }

@@ -184,17 +184,63 @@ object TextOps {
        |SELECT bigram, COUNT(*) AS n FROM big WHERE bigram IS NOT NULL
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""".stripMargin
 
+  /** TF-IDF: top-3 terms per document. tf = in-doc count, idf = ln(N/df)
+    * over the corpus. Three partial aggregates ((doc,word) tf, word df,
+    * corpus N) and one window top-k; the df and N sides are tiny and
+    * broadcast back. Ranking uses the ROUNDED score (6 dp) with a word
+    * tie-break — ln() can differ in the last ulp across libm
+    * implementations, and ranking on the rounded value keeps the top-k
+    * engine-portable (same technique as the cosine rankings). */
+  def tTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.table(spark, dir, "documents")
+    val tok = Tables.fanout(docs)
+      .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("word"))
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tTfidfSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tf.word AS word,
+       |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+       |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, word, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, word, tfidf
+       |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> (tTokenCount _),
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
     "t_fingerprint" -> (tFingerprintOracle _),
-    "t_ngram_topk" -> (tNgramTopk _))
+    "t_ngram_topk" -> (tNgramTopk _),
+    "t_tfidf" -> (tTfidf _))
 
   val oracles: Map[String, String] = Map(
     "t_token_count" -> tTokenCountSql,
     "t_quality_score" -> tQualityScoreSql,
     "t_lang_id" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
-    "t_ngram_topk" -> tNgramTopkSql)
+    "t_ngram_topk" -> tNgramTopkSql,
+    "t_tfidf" -> tTfidfSql)
 }
