@@ -19,6 +19,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Relational2.queries ++
       ops.TextOps.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.CatalogOps.queries ++
+      ops.CatalogOps2.queries ++
       ops.Multimodal.queries ++ streaming.StreamOps.queries ++
       ops.Pipeline.queries
 
@@ -28,6 +29,7 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Relational2.oracles ++
       ops.TextOps.oracles ++ ops.Dedup.oracles ++
       ops.Similarity.oracles ++ ops.CatalogOps.oracles ++
+      ops.CatalogOps2.oracles ++
       ops.Multimodal.oracles ++ streaming.StreamOps.oracles ++
       ops.Pipeline.oracles
 }

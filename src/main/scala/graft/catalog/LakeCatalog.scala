@@ -1,6 +1,7 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, when}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -61,8 +62,80 @@ class LakeCatalog(spark: SparkSession, root: String) {
     if (isFlatWarehouse && ns == "main") s"$root/$table.parquet"
     else s"$root/$ns/$table"
 
+  // ---------------------------------------------------------------- snapshots
+  // Iceberg-shaped commit log: `<table>_snapshots.json` holds one snapshot
+  // per line `{"v":N,"files":[...]}` (paths relative to the table dir).
+  // Data files are immutable; every mutation (append / delete / update /
+  // merge / compact) writes NEW files and commits a new file list, so every
+  // historical snapshot stays readable (time travel) and concurrent readers
+  // of an older snapshot are never broken. Snapshot-logged tables are read
+  // via their current file list, not the directory listing.
+
+  private def snapshotLogPath(ns: String, table: String): Path =
+    Paths.get(s"$root/$ns/${table}_snapshots.json")
+
+  private def listParquet(dir: Path): Seq[String] =
+    if (!Files.exists(dir)) Seq.empty
+    else listDir(dir).map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).sorted
+
+  /** All committed snapshots, oldest first: (version, files). */
+  def snapshots(ns: String, table: String): Seq[(Int, Seq[String])] = {
+    val p = snapshotLogPath(ns, table)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
+        val j = JsonMethods.parse(line)
+        val JInt(v) = (j \ "v"): @unchecked
+        val files = (j \ "files").asInstanceOf[JArray].arr.collect { case JString(f) => f }
+        (v.toInt, files)
+      }
+    }
+  }
+
+  private def commitSnapshot(ns: String, table: String, files: Seq[String]): Int = {
+    val prev = snapshots(ns, table)
+    val v = prev.map(_._1).maxOption.map(_ + 1).getOrElse(0)
+    val line = files.sorted.map(f => s""""$f"""").mkString(s"""{"v":$v,"files":[""", ",", "]}\n")
+    Files.writeString(snapshotLogPath(ns, table), line,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    v
+  }
+
+  private def currentFiles(ns: String, table: String): Option[Seq[String]] =
+    snapshots(ns, table).lastOption.map(_._2)
+
+  private def readFiles(ns: String, table: String, files: Seq[String]): DataFrame = {
+    val dir = tablePath(ns, table)
+    if (files.isEmpty) // preserve schema for an empty snapshot
+      spark.read.parquet(dir).limit(0)
+    else spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Time travel: the table as of snapshot `v`. */
+  def loadSnapshot(ns: String, table: String, v: Int): DataFrame = {
+    val files = snapshots(ns, table).find(_._1 == v)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $v for $ns.$table"))._2
+    readFiles(ns, table, files)
+  }
+
+  /** Write `df` as new immutable data files in the table dir, returning the
+    * new files' names (directory-diff before/after — single-writer commit,
+    * same assumption as the reference's catalog). */
+  private def writeNewFiles(ns: String, table: String, df: DataFrame): Seq[String] = {
+    val dir = Paths.get(tablePath(ns, table))
+    val before = listParquet(dir).toSet
+    df.write.mode("append").parquet(dir.toString)
+    listParquet(dir).filterNot(before)
+  }
+
   def load(ns: String, table: String): DataFrame =
-    spark.read.parquet(tablePath(ns, table))
+    currentFiles(ns, table) match {
+      case Some(files) => readFiles(ns, table, files)
+      case None => spark.read.parquet(tablePath(ns, table))
+    }
 
   /** Normalized (column, type, nullable) schema rows
     * (reference: DESCRIBE TABLE, IcebergConnection.py:64-77). */
@@ -85,20 +158,30 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val props = properties.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     Files.writeString(dir.resolveSibling(s"${table}_meta.json"),
       s"""{"table":"$ns.$table","schema":$meta,"partition_spec":[],"properties":$props}""")
+    commitSnapshot(ns, table, listParquet(dir)) // v0: the empty table
   }
 
-  /** Distributed append — any-size DataFrame, immutable-file commit. */
-  def append(ns: String, table: String, df: DataFrame): Unit =
-    df.write.mode("append").parquet(s"$root/$ns/$table")
+  /** Distributed append — any-size DataFrame, immutable-file commit.
+    * Snapshot = previous files + the new ones (pure add, nothing rewritten). */
+  def append(ns: String, table: String, df: DataFrame): Unit = {
+    val newFiles = writeNewFiles(ns, table, df)
+    commitSnapshot(ns, table,
+      currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles)
+  }
 
   /** Partitioned append (hive-style directories) — the Iceberg partition-spec
     * analog: scans with a predicate on the partition column prune whole
     * directories (PartitionFilters), the property that makes date/source
     * layouts work at 100 TB. */
   def appendPartitioned(ns: String, table: String, df: DataFrame,
-                        partitionCols: Seq[String]): Unit =
+                        partitionCols: Seq[String]): Unit = {
     df.write.mode("append").partitionBy(partitionCols: _*)
       .parquet(s"$root/$ns/$table")
+    // partition-layout tables are served by directory listing + partition
+    // pruning, not the flat-file snapshot log — retire any v0 log entry
+    val log = snapshotLogPath(ns, table)
+    if (Files.exists(log)) Files.delete(log)
+  }
 
   /** Single typed-row INSERT (the reference's whole INSERT surface,
     * IcebergConnection.py:133-187) — a degenerate one-row append. */
@@ -116,6 +199,138 @@ class LakeCatalog(spark: SparkSession, root: String) {
       finally w.close()
       val meta = dir.resolveSibling(s"${table}_meta.json")
       if (Files.exists(meta)) Files.delete(meta)
+    }
+    val log = snapshotLogPath(ns, table)
+    if (Files.exists(log)) Files.delete(log)
+    val evo = Paths.get(s"$root/$ns/${table}_evolution.json")
+    if (Files.exists(evo)) Files.delete(evo)
+  }
+
+  // ------------------------------------------------- copy-on-write mutations
+  // All three follow the same file-granular COW shape Iceberg uses: find the
+  // data files that actually CONTAIN affected rows (everything else is
+  // untouched metadata), rewrite only those files, commit
+  // (current − touched) + rewritten. At 100 TB with date/source-partitioned
+  // layouts the touched set is a sliver of the table, and the "find" pass
+  // is a pushdown-filtered scan that only reads the predicate's columns.
+
+  /** Names of current data files containing rows matching `cond`. */
+  private def touchedFiles(cur: Seq[String], df: DataFrame, cond: Column): Seq[String] = {
+    val touched = df.where(cond)
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
+    cur.filter(touched.toSet)
+  }
+
+  /** DELETE WHERE cond — file-granular copy-on-write. */
+  def deleteWhere(ns: String, table: String, cond: Column): Unit = {
+    val cur = currentFiles(ns, table).getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val df = readFiles(ns, table, cur)
+    val touched = touchedFiles(cur, df, cond)
+    if (touched.nonEmpty) {
+      val kept = readFiles(ns, table, touched).where(!cond)
+      val newFiles = writeNewFiles(ns, table, kept)
+      commitSnapshot(ns, table, cur.diff(touched) ++ newFiles)
+    }
+  }
+
+  /** UPDATE SET col = expr WHERE cond — file-granular copy-on-write. */
+  def updateWhere(ns: String, table: String, cond: Column,
+                  set: Map[String, Column]): Unit = {
+    val cur = currentFiles(ns, table).getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val df = readFiles(ns, table, cur)
+    val touched = touchedFiles(cur, df, cond)
+    if (touched.nonEmpty) {
+      val updated = set.foldLeft(readFiles(ns, table, touched)) {
+        case (d, (name, value)) =>
+          d.withColumn(name, when(cond, value).otherwise(col(name)))
+      }
+      val newFiles = writeNewFiles(ns, table, updated)
+      commitSnapshot(ns, table, cur.diff(touched) ++ newFiles)
+    }
+  }
+
+  /** MERGE (upsert) by key: source rows replace target rows with the same
+    * key; unmatched source rows are inserts. Only files containing matched
+    * keys are rewritten; inserts land as fresh files. The source is
+    * broadcast into both probe and rewrite joins (upsert batches are small
+    * next to the table — the Iceberg MERGE assumption). */
+  def merge(ns: String, table: String, source: DataFrame, key: String): Unit = {
+    val cur = currentFiles(ns, table).getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val target = readFiles(ns, table, cur)
+    val srcKeys = broadcast(source.select(col(key)).distinct())
+    val touched = {
+      // capture the file name BEFORE the join — input_file_name() is
+      // undefined once rows can come from more than one source
+      val t = target.withColumn("_graft_file", input_file_name())
+        .join(srcKeys, Seq(key), "left_semi")
+        .select(col("_graft_file")).distinct().collect()
+        .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
+      cur.filter(t.toSet)
+    }
+    // rewritten touched files: unmatched rows survive, matched keys take the
+    // source row wholesale; inserts = source keys absent from the target
+    val survivors = readFiles(ns, table, touched)
+      .join(srcKeys, Seq(key), "left_anti")
+    val updates = source.join(broadcast(target.select(col(key)).distinct()), Seq(key), "left_semi")
+    val inserts = source.join(broadcast(target.select(col(key)).distinct()), Seq(key), "left_anti")
+    val newData = survivors.unionByName(updates).unionByName(inserts)
+    val newFiles = writeNewFiles(ns, table, newData)
+    commitSnapshot(ns, table, cur.diff(touched) ++ newFiles)
+  }
+
+  /** Small-file compaction: rewrite the CURRENT snapshot into `target`
+    * files (bin-packing analog). Old files stay on disk for older
+    * snapshots — time travel across a compaction keeps working; a separate
+    * expire/vacuum pass would reclaim them once history is aged out. */
+  def compact(ns: String, table: String, target: Int): Unit = {
+    val cur = currentFiles(ns, table).getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val compacted = readFiles(ns, table, cur).repartition(target)
+    val newFiles = writeNewFiles(ns, table, compacted)
+    commitSnapshot(ns, table, newFiles)
+  }
+
+  /** Schema evolution: ADD COLUMN with a default (SQL expression text) for
+    * pre-existing rows. Metadata-only commit — no data file is rewritten;
+    * the evolution sidecar records (name, type, default) and reads
+    * reconcile old files (column absent → default) with new files, exactly
+    * Iceberg's add-column semantics. Durable: any later catalog instance
+    * reads the sidecar back. */
+  def addColumn(ns: String, table: String, field: StructField,
+                defaultSql: String): Unit = {
+    val metaPath = Paths.get(s"$root/$ns/${table}_evolution.json")
+    Files.writeString(metaPath,
+      s"""{"add_column":{"name":"${field.name}","type":"${field.dataType.sql.toLowerCase}","default":"${defaultSql.replace("\"", "\\\"")}"}}""")
+  }
+
+  private def evolution(ns: String, table: String): Option[(String, String)] = {
+    val p = Paths.get(s"$root/$ns/${table}_evolution.json")
+    if (!Files.exists(p)) None
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(Files.readString(p)) \ "add_column"
+      (j \ "name", j \ "default") match {
+        case (JString(n), JString(d)) => Some((n, d))
+        case _ => None
+      }
+    }
+  }
+
+  /** The table under its evolved schema: old files' missing columns read as
+    * the declared default. mergeSchema unions file schemas; coalesce fills. */
+  def loadEvolved(ns: String, table: String): DataFrame = {
+    val cur = currentFiles(ns, table)
+      .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val dir = tablePath(ns, table)
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(cur.map(f => s"$dir/$f"): _*)
+    evolution(ns, table) match {
+      case Some((name, defaultSql)) if df.columns.contains(name) =>
+        df.withColumn(name, coalesce(col(name), org.apache.spark.sql.functions.expr(defaultSql)))
+      case Some((name, defaultSql)) =>
+        df.withColumn(name, org.apache.spark.sql.functions.expr(defaultSql))
+      case None => df
     }
   }
 }

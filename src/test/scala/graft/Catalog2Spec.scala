@@ -1,0 +1,103 @@
+package graft
+
+import graft.catalog.LakeCatalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-2 lake-mutation semantics: snapshot isolation, file-granular COW
+  * (untouched files must NOT be rewritten), merge behavior, compaction
+  * history. */
+class Catalog2Spec extends SparkSpec {
+
+  private def freshCat: (LakeCatalog, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat2_spec").toString
+    (new LakeCatalog(spark, root), root)
+  }
+
+  test("deleteWhere rewrites ONLY files containing matching rows") {
+    import spark.implicits._
+    val (cat, _) = freshCat
+    cat.createTable("ns", "t", StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType))))
+    // two appends → disjoint files: grp 'a' rows live only in file(s) of
+    // append 1, 'b' only in append 2
+    cat.append("ns", "t", Seq((1L, "a"), (2L, "a")).toDF("id", "grp").coalesce(1))
+    cat.append("ns", "t", Seq((3L, "b"), (4L, "b")).toDF("id", "grp").coalesce(1))
+    val before = cat.snapshots("ns", "t").last._2
+    cat.deleteWhere("ns", "t", col("grp") === "b")
+    val after = cat.snapshots("ns", "t").last._2
+    // the 'a' file survives verbatim; the 'b' file is gone from the snapshot
+    val surviving = before.toSet.intersect(after.toSet)
+    assert(surviving.nonEmpty, s"expected the untouched 'a' file to survive: $before -> $after")
+    assert(cat.load("ns", "t").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // deleted file still on disk → old snapshot still readable
+    val v = cat.snapshots("ns", "t").map(_._1)
+    assert(cat.loadSnapshot("ns", "t", v(v.length - 2)).count() == 4)
+  }
+
+  test("updateWhere leaves non-matching files untouched and applies the set") {
+    import spark.implicits._
+    val (cat, _) = freshCat
+    cat.createTable("ns", "u", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    cat.append("ns", "u", Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1))
+    cat.append("ns", "u", Seq((3L, 30L)).toDF("id", "v").coalesce(1))
+    val before = cat.snapshots("ns", "u").last._2
+    cat.updateWhere("ns", "u", col("id") === 3, Map("v" -> lit(999L)))
+    val after = cat.snapshots("ns", "u").last._2
+    assert(before.toSet.intersect(after.toSet).nonEmpty, "file 1 must survive")
+    val got = cat.load("ns", "u").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 999L)))
+  }
+
+  test("merge: updates replace by key, inserts append, others survive") {
+    import spark.implicits._
+    val (cat, _) = freshCat
+    cat.createTable("ns", "m", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    cat.append("ns", "m", Seq((1L, "old1"), (2L, "old2")).toDF("k", "v").coalesce(1))
+    cat.append("ns", "m", Seq((3L, "old3")).toDF("k", "v").coalesce(1))
+    val before = cat.snapshots("ns", "m").last._2
+    cat.merge("ns", "m", Seq((3L, "new3"), (9L, "new9")).toDF("k", "v"), "k")
+    val after = cat.snapshots("ns", "m").last._2
+    // file holding keys 1,2 (no matched key) must not be rewritten
+    assert(before.toSet.intersect(after.toSet).nonEmpty)
+    val got = cat.load("ns", "m").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "old1"), (2L, "old2"), (3L, "new3"), (9L, "new9")))
+  }
+
+  test("compact preserves content and history; snapshot count grows by one") {
+    import spark.implicits._
+    val (cat, _) = freshCat
+    cat.createTable("ns", "c", StructType(Seq(StructField("id", LongType))))
+    (1 to 5).foreach(i => cat.append("ns", "c", Seq(i.toLong).toDF("id").coalesce(1)))
+    val preVersions = cat.snapshots("ns", "c").length
+    cat.compact("ns", "c", 1)
+    val snaps = cat.snapshots("ns", "c")
+    assert(snaps.length == preVersions + 1)
+    assert(snaps.last._2.length == 1, s"want 1 compacted file, got ${snaps.last._2}")
+    assert(cat.load("ns", "c").as[Long].collect().sorted.toSeq == (1L to 5L))
+    // pre-compaction snapshot still readable (old files retained on disk)
+    assert(cat.loadSnapshot("ns", "c", snaps(snaps.length - 2)._1).count() == 5)
+  }
+
+  test("schema evolution: defaults fill old rows; new appends carry values") {
+    import spark.implicits._
+    val (cat, _) = freshCat
+    cat.createTable("ns", "e", StructType(Seq(StructField("id", LongType))))
+    cat.append("ns", "e", Seq(1L).toDF("id"))
+    cat.addColumn("ns", "e", StructField("tag", StringType), "'legacy'")
+    cat.append("ns", "e", Seq((2L, "fresh")).toDF("id", "tag"))
+    // a NEW catalog instance must see the evolution (sidecar, not state)
+    val got = new LakeCatalog(spark, catRoot(cat)).loadEvolved("ns", "e")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "legacy"), (2L, "fresh")))
+  }
+
+  // reflectively read the private root — keeps LakeCatalog's API surface clean
+  private def catRoot(cat: LakeCatalog): String = {
+    val f = cat.getClass.getDeclaredField("root")
+    f.setAccessible(true)
+    f.get(cat).asInstanceOf[String]
+  }
+}
