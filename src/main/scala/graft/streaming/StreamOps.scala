@@ -136,13 +136,79 @@ object StreamOps {
       }
   }
 
+  /** Stream-static enrichment join: the event stream joined to a broadcast
+    * dimension (customer) — the lookup-table pattern. The static side is
+    * broadcast per micro-batch (no state store involvement); the post-join
+    * aggregate carries the streaming state. Identical plan on batch input. */
+  def enrichJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    watermarked(events, "10 minutes")
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  def stEnrichJoin(spark: SparkSession, dir: String): DataFrame =
+    enrichJoin(Tables.table(spark, dir, "events"),
+      Tables.table(spark, dir, "customer"))
+      .orderBy("c_mktsegment")
+
+  val stEnrichJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Stream-stream attribution join: per user, purchases within 10 minutes
+    * AFTER a view. Both sides watermarked; the event-time interval bound is
+    * what lets Spark expire join state (an unbounded stream-stream join
+    * would otherwise keep every row forever). Batch form: same equi+range
+    * condition — a user-partitioned hash join with the range filter inside,
+    * never a cross product. Time math in integer micros on both engines. */
+  def streamStreamJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = (if (views.isStreaming) withEventTime(views).withWatermark("event_time", "10 minutes")
+             else withEventTime(views))
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("event_time").as("view_time"))
+    val p = (if (purchases.isStreaming) withEventTime(purchases).withWatermark("event_time", "10 minutes")
+             else withEventTime(purchases))
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("event_time").as("purchase_time"))
+    v.join(p, col("user_id") === col("p_user_id")
+      && (unix_micros(col("purchase_time")) - unix_micros(col("view_time")))
+        .between(lit(0L), lit(600000000L)))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
+  def stStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "events")
+    streamStreamJoin(e.where(col("event_type") === "view"),
+      e.where(col("event_type") === "purchase"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("purchase_id")).as("n_attributed"))
+      .orderBy("user_id")
+  }
+
+  val stStreamJoinSql: String =
+    """SELECT v.user_id AS user_id, COUNT(*) AS n_pairs,
+      |  CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_attributed
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND epoch_ns(p.ts)//1000 - epoch_ns(v.ts)//1000 BETWEEN 0 AND 600000000
+      |GROUP BY v.user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> (stWindowAgg _),
     "st_dedup" -> (stDedup _),
-    "st_session" -> (stSession _))
+    "st_session" -> (stSession _),
+    "st_enrich_join" -> (stEnrichJoin _),
+    "st_stream_join" -> (stStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "st_window_agg" -> stWindowAggSql,
     "st_dedup" -> stDedupSql,
-    "st_session" -> stSessionSql)
+    "st_session" -> stSessionSql,
+    "st_enrich_join" -> stEnrichJoinSql,
+    "st_stream_join" -> stStreamJoinSql)
 }

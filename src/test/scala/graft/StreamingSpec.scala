@@ -81,6 +81,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && batch == stream)
   }
 
+  test("enrichJoin: stream-static join (complete) == batch") {
+    val dim = Tables.table(spark, sfDir, "customer")
+    val batch = StreamOps.enrichJoin(eventsBatch, dim)
+      .orderBy("c_mktsegment").collect().toSeq
+    val stream = runStream("complete")(df => StreamOps.enrichJoin(df, dim))
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} vs stream ${stream.size}")
+  }
+
+  test("streamStreamJoin: stream-stream interval join (append) == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    val memV = MemoryStream[(Long, Long, Long, String, Double)]
+    val memP = MemoryStream[(Long, Long, Long, String, Double)]
+    def named(m: MemoryStream[(Long, Long, Long, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    memV.addData(rows.filter(_._4 == "view"))
+    memP.addData(rows.filter(_._4 == "purchase"))
+    val sdf = StreamOps.streamStreamJoin(named(memV), named(memP))
+    val q = sdf.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("ss_join")
+      .orderBy("user_id", "view_id", "purchase_id").collect().toSeq
+    val batch = StreamOps.streamStreamJoin(
+      eventsBatch.where(col("event_type") === "view"),
+      eventsBatch.where(col("event_type") === "purchase"))
+      .orderBy("user_id", "view_id", "purchase_id").collect().toSeq
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} pairs vs stream ${stream.size}")
+  }
+
   test("sessionizeWithState agrees with the windowed sessionize operator") {
     import spark.implicits._
     val evs = eventsBatch.select(col("user_id"), col("ts").as("tsNs"), col("value"))
