@@ -25,6 +25,16 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   private val createTb = """(?is)\s*CREATE\s+TABLE\s+(?:(\w+)\.)?(\w+)\s*\((.+)\)\s*;?\s*""".r
   private val insertTb =
     """(?is)\s*INSERT\s+INTO\s+(?:(\w+)\.)?(\w+)\s+VALUES\s*\((.+)\)\s*;?\s*""".r
+  // round-2 mutation verbs (the operations the reference's Iceberg catalog
+  // implies but its append-only MCP surface never exposed)
+  private val deleteTb =
+    """(?is)\s*DELETE\s+FROM\s+(?:(\w+)\.)?(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val updateTb =
+    """(?is)\s*UPDATE\s+(?:(\w+)\.)?(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val compactTb =
+    """(?is)\s*COMPACT\s+TABLE\s+(?:(\w+)\.)?(\w+)(?:\s+INTO\s+(\d+)\s+FILES?)?\s*;?\s*""".r
+  private val showSnaps =
+    """(?is)\s*SHOW\s+SNAPSHOTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -102,6 +112,31 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         }
         catalog.createTable(Option(ns).getOrElse("scratch"), table, StructType(fields))
         Seq("Table created successfully").toDF("status")
+
+      case deleteTb(ns, table, cond) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.deleteWhere(nsName, table, org.apache.spark.sql.functions.expr(cond))
+        Seq("Delete committed").toDF("status")
+
+      case updateTb(ns, table, assignments, cond) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val sets = splitTopLevel(assignments).map { a =>
+          val Array(c, e) = a.split("=", 2)
+          c.trim -> org.apache.spark.sql.functions.expr(e.trim)
+        }.toMap
+        catalog.updateWhere(nsName, table, org.apache.spark.sql.functions.expr(cond), sets)
+        Seq("Update committed").toDF("status")
+
+      case compactTb(ns, table, n) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.compact(nsName, table, Option(n).map(_.toInt).getOrElse(1))
+        Seq("Compaction committed").toDF("status")
+
+      case showSnaps(ns, table) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.snapshots(nsName, table)
+          .map { case (v, files) => (v, files.length) }
+          .toDF("snapshot", "n_files")
 
       case insertTb(ns, table, values) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

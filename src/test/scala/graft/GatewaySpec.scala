@@ -50,6 +50,29 @@ class GatewaySpec extends SparkSpec {
     assert(e.getMessage.contains("arity"), e.getMessage)
   }
 
+  test("DELETE / UPDATE / COMPACT / SHOW SNAPSHOTS dialect verbs round trip") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gw3").toString
+    val gw = new SqlGateway(spark, new LakeCatalog(spark, root))
+    gw.execute("CREATE TABLE scratch.acct (id BIGINT, bal DOUBLE, status STRING)")
+    gw.execute("INSERT INTO scratch.acct VALUES (1, 10.0, 'open')")
+    gw.execute("INSERT INTO scratch.acct VALUES (2, 20.0, 'open')")
+    gw.execute("INSERT INTO scratch.acct VALUES (3, 30.0, 'closed')")
+    assert(gw.execute("DELETE FROM scratch.acct WHERE status = 'closed'")
+      .head().getString(0).contains("Delete"))
+    assert(gw.execute("UPDATE scratch.acct SET bal = bal * 2 WHERE id = 2")
+      .head().getString(0).contains("Update"))
+    val cat = new LakeCatalog(spark, root)
+    val got = cat.load("scratch", "acct").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 40.0)), got.toString)
+    gw.execute("COMPACT TABLE scratch.acct INTO 1 FILES")
+    val snaps = gw.execute("SHOW SNAPSHOTS IN scratch.acct").collect()
+    assert(snaps.length >= 6) // v0 + 3 inserts + delete + update + compact
+    assert(snaps.last.getInt(1) == 1, "compacted snapshot should be 1 file")
+    // history: the pre-delete snapshot still reads 3 rows
+    assert(cat.loadSnapshot("scratch", "acct", 3).count() == 3)
+  }
+
   test("SELECT passthrough runs full Spark SQL — including the multi-table join the reference rejects") {
     val n = flatGw.execute(
       """SELECT c_mktsegment, COUNT(*) AS n
