@@ -241,6 +241,70 @@ case class HyperplaneSigs(child: Expression, planes: Seq[Seq[Float]], k: Int)
     copy(child = newChild)
 }
 
+/** All word-k-gram hashes of a string array in one codegen loop:
+  * `ngram_hashes(ws, k)[i] = xxhash64(ws[i], …, ws[i+k-1])` — byte-identical
+  * to the Catalyst multi-arg XxHash64 fold (seed 42, then each word's
+  * XXH64.hashUTF8String chains the running seed).
+  *
+  * Replaces `transform(sequence(…), i -> xxhash64(element_at(…)…))`: array
+  * HOF lambdas are CodegenFallback, so that shape pays interpreted
+  * per-element dispatch on the hottest loop of the dedup family. This is a
+  * plain UnaryExpression — whole-stage codegen'd wherever the scan
+  * projection compiles, k×(n−k+1) hash calls and nothing else. */
+case class NgramHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes expects (array<string>, k >= 1), got ${child.dataType.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val ws = a.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    val m = math.max(n - k + 1, 0)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < k) { h = XXH64.hashUTF8String(ws.getUTF8String(i + j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int $n = $a.numElements();
+         |int $m = java.lang.Math.max($n - $k + 1, 0);
+         |long[] $out = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $h = 42L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    $h = $xxh.hashUTF8String($a.getUTF8String($i + $j), $h);
+         |  }
+         |  $out[$i] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
 /** DataFrame-API entry points for the sketch aggregates. */
 object Sketch {
   import org.apache.spark.sql.{Column, GraftBridge}
@@ -255,4 +319,7 @@ object Sketch {
 
   def hyperplaneSigs(emb: Column, planes: Seq[Seq[Float]], k: Int): Column =
     GraftBridge.column(HyperplaneSigs(GraftBridge.expression(emb), planes, k))
+
+  def ngramHashes(ws: Column, k: Int): Column =
+    GraftBridge.column(NgramHashes(GraftBridge.expression(ws), k))
 }

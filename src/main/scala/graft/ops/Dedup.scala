@@ -46,10 +46,11 @@ object Dedup {
   private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.fanout(Tables.table(spark, dir, "documents"))
       .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        // element_at is O(1); a slice() here would be O(n) per shingle → O(n²)/doc
-        "transform(sequence(1, greatest(size(ws) - 4, 0)), i -> xxhash64(element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))"))
-        .as("h"))
+      // native NgramHashes expression (one codegen loop) — the former
+      // transform(sequence…, i -> xxhash64(…)) lambda is CodegenFallback
+      // and paid interpreted dispatch per shingle; hash values unchanged
+      .select(col("doc_id"),
+        explode(graft.functions.Sketch.ngramHashes(col("ws"), 5)).as("h"))
       .select("doc_id", "h").distinct()
 
   /** Exact n-gram-Jaccard near-dup pairs (threshold 0.5) via the shingle
@@ -187,9 +188,8 @@ object Dedup {
     // conditional-sum shape paid (~6 s Janino per cold run).
     docs
       .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> xxhash64(element_at(ws, i), element_at(ws, i + 1)))"))
-        .as("fh"))
+      .select(col("doc_id"),
+        explode(graft.functions.Sketch.ngramHashes(col("ws"), 2)).as("fh"))
       .groupBy("doc_id")
       .agg(graft.functions.Sketch.simhash(col("fh")).as("simhash"))
   }
