@@ -17,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++
+      ops.Relational3.queries ++
       ops.TextOps.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.CatalogOps.queries ++
       ops.CatalogOps2.queries ++
@@ -27,6 +28,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Relational2.oracles ++
+      ops.Relational3.oracles ++
       ops.TextOps.oracles ++ ops.Dedup.oracles ++
       ops.Similarity.oracles ++ ops.CatalogOps.oracles ++
       ops.CatalogOps2.oracles ++

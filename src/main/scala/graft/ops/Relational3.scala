@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.2 continued — analytic completeness batch: the window-function,
+  * aggregate-function, date-function and regex-function families a DuckDB
+  * user exercises daily, each as one oracle-matched operator. All pure
+  * `functions._` column algebra (whole-stage codegen, no UDFs). */
+object Relational3 {
+
+  /** Window frames beyond rank/running: ntile, percent_rank, cume_dist,
+    * nth_value, and a RANGE frame (trailing-30-day spend via integer-day
+    * range). One shuffle on the partition key serves every frame. */
+  def qWindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byCustDay = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    Tables.table(spark, dir, "orders")
+      .where(col("o_custkey") <= 300)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate"),
+        datediff(col("o_orderdate"), lit("1990-01-01").cast("date")).as("day"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(byCust).as("quartile"),
+        round(percent_rank().over(byCust), 6).as("pct_rank"),
+        round(cume_dist().over(byCust), 6).as("cdist"),
+        nth_value(col("o_orderkey"), 2).over(
+          Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("second_order"),
+        dsumOver(col("o_totalprice"), byCustDay).as("trailing_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Decimal-exact windowed sum (same rule as Tables.dsum, window form). */
+  private def dsumOver(c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+    sum(c.cast("decimal(30,6)")).over(w).cast("double")
+
+  val qWindowFramesSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cdist,
+      |  nth_value(o_orderkey, 2) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER
+      |    (PARTITION BY o_custkey ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+      |     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+      |FROM orders WHERE o_custkey <= 300
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Aggregate-function extras: count_if, max_by/min_by (arg-extrema),
+    * bool_or/bool_and, distinct counts — one partial-agg pass. max/min keys
+    * are unique per group in this data (no arg-extrema tie ambiguity). */
+  def qAggExtras(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_totalprice") > 150000).as("n_big"),
+        max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+        bool_or(col("o_orderstatus") === "F").as("any_f"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy("o_orderpriority")
+
+  val qAggExtrasSql: String =
+    """SELECT o_orderpriority,
+      |  count_if(o_totalprice > 150000) AS n_big,
+      |  arg_max(o_orderkey, o_totalprice) AS priciest_order,
+      |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+      |  bool_or(o_orderstatus = 'F') AS any_f,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Date-function family: trunc-to-month, last_day, add_months (both
+    * engines clamp end-of-month), day diff, quarter, day-of-week
+    * (normalized to Spark's 1=Sunday), ISO week. Dates rendered as strings
+    * for engine-portable hashing. */
+  def qDateSuite(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .where(col("l_orderkey") % 500 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        date_format(trunc(col("l_shipdate"), "month"), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("l_shipdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(col("l_shipdate"), 3), "yyyy-MM-dd").as("plus_3mo"),
+        datediff(col("l_shipdate"), lit("1995-01-01").cast("date")).as("days_since_95"),
+        quarter(col("l_shipdate")).as("qtr"),
+        dayofweek(col("l_shipdate")).as("dow"),
+        weekofyear(col("l_shipdate")).as("iso_week"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val qDateSuiteSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+      |  strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month_start,
+      |  strftime(last_day(l_shipdate), '%Y-%m-%d') AS month_end,
+      |  strftime(l_shipdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+      |  CAST(datediff('day', DATE '1995-01-01', l_shipdate) AS INTEGER) AS days_since_95,
+      |  CAST(quarter(l_shipdate) AS INTEGER) AS qtr,
+      |  CAST(dayofweek(l_shipdate) + 1 AS INTEGER) AS dow,
+      |  CAST(weekofyear(l_shipdate) AS INTEGER) AS iso_week
+      |FROM lineitem WHERE l_orderkey % 500 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Regex-function family over part names: extract, count, replace,
+    * LIKE/ILIKE — RE2-and-Java-compatible patterns only (char classes,
+    * quantifiers; no lookaround), so both engines agree. */
+  def qRegexSuite(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "part")
+      .where(col("p_partkey") % 50 === 0)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_count(col("p_name"), lit("[aeiou]")).as("n_vowels"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").like("%red%").as("has_red"),
+        col("p_type").ilike("%BRUSHED%").as("is_brushed"))
+      .orderBy("p_partkey")
+
+  val qRegexSuiteSql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      |  CAST(length(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  p_name LIKE '%red%' AS has_red,
+      |  p_type ILIKE '%BRUSHED%' AS is_brushed
+      |FROM part WHERE p_partkey % 50 = 0 ORDER BY p_partkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_frames" -> (qWindowFrames _),
+    "q_agg_extras" -> (qAggExtras _),
+    "q_date_suite" -> (qDateSuite _),
+    "q_regex_suite" -> (qRegexSuite _))
+
+  val oracles: Map[String, String] = Map(
+    "q_window_frames" -> qWindowFramesSql,
+    "q_agg_extras" -> qAggExtrasSql,
+    "q_date_suite" -> qDateSuiteSql,
+    "q_regex_suite" -> qRegexSuiteSql)
+}

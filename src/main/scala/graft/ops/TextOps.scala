@@ -228,13 +228,50 @@ object TextOps {
        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, word, tfidf
        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** Corpus Zipf profile: log-log regression of word frequency vs rank over
+    * the top-100 words — the standard "is this corpus natural-language-
+    * shaped" diagnostic (slope ≈ −1 for Zipfian text). Word counting is one
+    * partial agg; the regression runs on 100 rows. regr_* accumulate in
+    * parallel (order-nondeterministic doubles) → round(4), same rule as
+    * q_stats. */
+  def tZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .select(explode(split(norm(col("text")), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val ranked = freqs
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("word"))))
+      .where(col("rank") <= 100)
+    ranked.agg(
+      count(lit(1)).as("n_words"),
+      round(expr("regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 4).as("zipf_slope"),
+      round(expr("regr_intercept(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 4).as("zipf_intercept"),
+      round(expr("regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 4).as("fit_r2"))
+  }
+
+  val tZipfSlopeSql: String =
+    s"""WITH freqs AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |ranked AS (
+       |  SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank
+       |  FROM freqs QUALIFY rank <= 100)
+       |SELECT COUNT(*) AS n_words,
+       |  round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope,
+       |  round(regr_intercept(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_intercept,
+       |  round(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS fit_r2
+       |FROM ranked""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> (tTokenCount _),
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
     "t_fingerprint" -> (tFingerprintOracle _),
     "t_ngram_topk" -> (tNgramTopk _),
-    "t_tfidf" -> (tTfidf _))
+    "t_tfidf" -> (tTfidf _),
+    "t_zipf_slope" -> (tZipfSlope _))
 
   val oracles: Map[String, String] = Map(
     "t_token_count" -> tTokenCountSql,
@@ -242,5 +279,6 @@ object TextOps {
     "t_lang_id" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_ngram_topk" -> tNgramTopkSql,
-    "t_tfidf" -> tTfidfSql)
+    "t_tfidf" -> tTfidfSql,
+    "t_zipf_slope" -> tZipfSlopeSql)
 }
