@@ -77,10 +77,106 @@ object Multimodal {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** Modality routing: classify each payload by its "magic byte" (stub:
+    * first byte mod 3 → image/audio/video — a real pipeline reads actual
+    * container magics), write the blobs into a MODALITY-PARTITIONED lake
+    * layout, and read back one modality with a partition predicate. This is
+    * the binary-lake layout rule at 100 TB: route by modality/date at
+    * ingest so every downstream decoder scans only its own directories
+    * (PartitionFilters, zero foreign blobs read). */
+  def mModalityRoute(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    val cat = new graft.catalog.LakeCatalog(spark, scratch)
+    val routed = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        element_at(split(lit("image,audio,video"), ","),
+          (ascii(substring(col("text"), 1, 1)) % 3 + 1).cast("int")).as("modality"))
+    cat.dropTable("scratch", "media")
+    cat.createTable("scratch", "media", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("modality", org.apache.spark.sql.types.StringType))))
+    cat.appendPartitioned("scratch", "media", routed, Seq("modality"))
+    cat.load("scratch", "media")
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n"),
+        sum(octet_length(col("payload"))).as("total_bytes"))
+      .orderBy("modality")
+  }
+
+  val mModalityRouteSql: String =
+    """SELECT CASE (ascii(substr(text, 1, 1)) % 3) WHEN 0 THEN 'image'
+      |       WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin
+
+  /** Content-addressable chunk manifest: every payload split into 64-byte
+    * chunks, each with (offset, length, md5) — the structure that makes
+    * chunk-level dedup and ranged fetches work on a binary lake. Chunking
+    * is in-plan (sequence + substring inside the scan projection — no
+    * shuffle carries the payload; only the manifest rows move). */
+  def mChunkManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("n_chars"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, cast(ceil(n_chars / 64.0) AS INT) - 1), i -> substring(text, i * 64 + 1, 64))"))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * 64).cast("long").as("offset"),
+        octet_length(encode(col("chunk"), "UTF-8")).as("chunk_bytes"),
+        md5(encode(col("chunk"), "UTF-8")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  val mChunkManifestSql: String =
+    """SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+      |  CAST(i * 64 AS BIGINT) AS offset,
+      |  CAST(octet_length(encode(substr(text, i * 64 + 1, 64))) AS INTEGER) AS chunk_bytes,
+      |  md5(substr(text, i * 64 + 1, 64)) AS chunk_md5
+      |FROM documents,
+      |  LATERAL unnest(generate_series(0, CAST(ceil(length(text) / 64.0) AS INTEGER) - 1)) AS t(i)
+      |WHERE doc_id % 10 = 0
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Frame-embedding stub: decode frames (FakeCodec), emit one fixed-width
+    * feature vector per sampled frame — the mapPartitions batch shape a
+    * real vision encoder runs in (model loaded once per task, streamed over
+    * rows). Vector = 8 deterministic pseudo-lumas; downstream this column
+    * feeds the §2.5 ANN operators unchanged. Stub-decoded → rows-only;
+    * MultimodalSpec pins width/determinism and ANN-compatibility. */
+  def mFrameEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.table(spark, dir, "documents")
+      .where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { rows =>
+      // one "model" per partition, reused across rows (batch-iterator shape)
+      rows.flatMap { case (docId, payload) =>
+        payload.grouped(FakeCodec.FrameBytes).zipWithIndex.collect {
+          case (chunk, idx) if idx % 4 == 0 =>
+            val vec = Array.tabulate(8) { d =>
+              FakeCodec.frameLuma(chunk.drop(d * 8)) / 255.0f
+            }
+            (docId, idx, vec)
+        }
+      }
+    }.toDF("doc_id", "frame_id", "frame_vec")
+      .orderBy("doc_id", "frame_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> (mBinaryMeta _),
-    "m_frame_sample" -> (mFrameSample _))
+    "m_frame_sample" -> (mFrameSample _),
+    "m_modality_route" -> (mModalityRoute _),
+    "m_chunk_manifest" -> (mChunkManifest _),
+    "m_frame_embed" -> (mFrameEmbed _))
 
   val oracles: Map[String, String] = Map(
-    "m_binary_meta" -> mBinaryMetaSql)
+    "m_binary_meta" -> mBinaryMetaSql,
+    "m_modality_route" -> mModalityRouteSql,
+    "m_chunk_manifest" -> mChunkManifestSql)
 }

@@ -64,4 +64,22 @@ class CatalogSpec extends SparkSpec {
     val again = Multimodal.mFrameSample(spark, sfDir).collect()
     assert(frames.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "not deterministic")
   }
+
+  test("m_frame_embed: fixed-width deterministic vectors, ANN-compatible") {
+    val vecs = Multimodal.mFrameEmbed(spark, sfDir).collect()
+    assert(vecs.nonEmpty)
+    vecs.foreach { r =>
+      val v = r.getSeq[Float](2)
+      assert(v.length == 8, s"frame vec width ${v.length}")
+      assert(v.forall(x => x >= 0f && x <= 1f))
+    }
+    val again = Multimodal.mFrameEmbed(spark, sfDir).collect()
+    assert(vecs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "not deterministic")
+    // the vector column drives the same scoring path as §2.5 (vdot works)
+    val scored = Multimodal.mFrameEmbed(spark, sfDir)
+      .limit(10)
+      .select(graft.functions.Vec.vdot(col("frame_vec"), col("frame_vec")).as("d"))
+      .collect()
+    assert(scored.forall(_.getDouble(0) >= 0))
+  }
 }
