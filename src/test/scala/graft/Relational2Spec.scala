@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.{Relational2, Relational3}
+import org.apache.spark.sql.functions._
+
+/** Round-2 relational operators: smoke + plan-shape assertions (the plans
+  * that must hold at 100 TB, not just produce correct rows at sf0.001). */
+class Relational2Spec extends SparkSpec {
+
+  // sf0.001 events are ~2/hour: a ±2-min window legitimately matches nothing,
+  // so q_range_join's rows>0 and lossless checks run at sf0.01 instead.
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("every round-2 relational query runs and returns rows on sf0.001") {
+    (Relational2.queries ++ Relational3.queries).foreach { case (name, fn) =>
+      val dir = if (name == "q_range_join") sf01 else sfDir
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q_range_join is a bin equi-join — no nested-loop, no cartesian") {
+    val plan = planOf(Relational2.qRangeJoin(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the interval predicate runs INSIDE the hash/SMJ join on the bin key
+    assert(plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("q_range_join bin blocking is lossless vs the naive inequality join") {
+    val e = Tables.table(spark, sf01, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+    val naive = e.as("p").join(e.as("e"),
+        abs(col("e.ts") - col("p.ts")) <= 120_000_000_000L
+          && col("e.event_id") =!= col("p.event_id"))
+      .where(col("p.event_id") % 200 === 0)
+      .groupBy(col("p.event_id").as("p_id"))
+      .agg(count(lit(1)).as("n_near"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val banded = Relational2.qRangeJoin(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(banded.nonEmpty && banded == naive,
+      s"banded=${banded.size} naive=${naive.size}")
+  }
+
+  test("q_scalar_correlated broadcasts the per-nation aggregate") {
+    val plan = planOf(Relational2.qScalarCorrelated(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_grouping_sets computes all levels in one Expand pass") {
+    val plan = planOf(Relational2.qGroupingSets(spark, sfDir))
+    assert(plan.contains("Expand"), plan)
+  }
+
+  test("q_time_gapfill emits a dense day spine with zero-filled gaps") {
+    val rows = Relational2.qTimeGapfill(spark, sfDir).collect()
+    val days = rows.map(_.getLong(0))
+    assert(days.toSeq == (days.min to days.max).toSeq, "spine has holes")
+  }
+
+  test("q_intersect_except partitions: both + only_f = all F customers") {
+    val rows = Relational2.qIntersectExcept(spark, sfDir).collect()
+    val byTag = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    val f = Tables.table(spark, sfDir, "orders")
+      .where(col("o_orderstatus") === "F")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(byTag("both").intersect(byTag("only_f")).isEmpty)
+    assert(byTag("both") ++ byTag("only_f") == f)
+  }
+}
