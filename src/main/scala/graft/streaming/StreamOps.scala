@@ -198,6 +198,24 @@ object StreamOps {
       | AND epoch_ns(p.ts)//1000 - epoch_ns(v.ts)//1000 BETWEEN 0 AND 600000000
       |GROUP BY v.user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming ingest into the lake: every micro-batch commits one snapshot
+    * through [[graft.catalog.LakeCatalog.append]] — the Iceberg
+    * streaming-commit shape (immutable files + a new file-list per batch),
+    * which is what makes `SHOW SNAPSHOTS` / time travel meaningful on a
+    * continuously-ingested 100 TB table. foreachBatch is the right sink
+    * here because the commit is transactional per batch (exactly-once under
+    * checkpointing: batch id → idempotent re-commit). Spec-only (side-
+    * effecting): StreamingSpec drives chunks through MemoryStream and
+    * checks one snapshot per non-empty batch + content equality. */
+  def ingestToLake(events: DataFrame, cat: graft.catalog.LakeCatalog,
+                   ns: String, table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) cat.append(ns, table, batch)
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> (stWindowAgg _),
     "st_dedup" -> (stDedup _),

@@ -118,6 +118,34 @@ class StreamingSpec extends SparkSpec {
       s"batch ${batch.size} pairs vs stream ${stream.size}")
   }
 
+  test("ingestToLake: one snapshot per micro-batch, content equals input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val cat = new graft.catalog.LakeCatalog(spark, root)
+    cat.createTable("ns", "ingest", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+    val rows = eventsBatch.select(col("event_id"), col("value"))
+      .as[(Long, Double)].collect().toSeq
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamOps.ingestToLake(
+      mem.toDF().toDF("event_id", "value"), cat, "ns", "ingest")
+    rows.grouped((rows.size / 3) + 1).foreach { chunk =>
+      mem.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val snaps = cat.snapshots("ns", "ingest")
+    assert(snaps.length == 4, s"v0 + 3 batch commits, got ${snaps.length}")
+    assert(cat.load("ns", "ingest").count() == rows.size)
+    // each snapshot is a strict superset of the previous (append-only)
+    snaps.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(a.toSet.subsetOf(b.toSet))
+    }
+    // time travel to the first batch: strictly fewer rows
+    assert(cat.loadSnapshot("ns", "ingest", 1).count() < rows.size)
+  }
+
   test("sessionizeWithState agrees with the windowed sessionize operator") {
     import spark.implicits._
     val evs = eventsBatch.select(col("user_id"), col("ts").as("tsNs"), col("value"))
