@@ -135,11 +135,28 @@ object Relational3 {
       |  p_type ILIKE '%BRUSHED%' AS is_brushed
       |FROM part WHERE p_partkey % 50 = 0 ORDER BY p_partkey""".stripMargin
 
+  /** Approximate quantiles (Greenwald-Khanna sketch via percentile_approx)
+    * per return flag — the mergeable-quantile-sketch family (HLL's
+    * counterpart for order statistics). One partial-agg pass; sketches
+    * merge across partitions, so no global sort at any scale. Sketch
+    * output is Spark-specific → rows-only; Relational2Spec bounds the
+    * rank error against exact percentile_cont. */
+  def qApproxQuantile(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_frames" -> (qWindowFrames _),
     "q_agg_extras" -> (qAggExtras _),
     "q_date_suite" -> (qDateSuite _),
-    "q_regex_suite" -> (qRegexSuite _))
+    "q_regex_suite" -> (qRegexSuite _),
+    "q_approx_quantile" -> (qApproxQuantile _))
 
   val oracles: Map[String, String] = Map(
     "q_window_frames" -> qWindowFramesSql,

@@ -25,10 +25,14 @@ object Profile {
         time("shingles")(sh.count())
         val shc = sh.cache()
         time("shingles cached")(shc.count())
+        time("minhash agg only")(
+          shc.groupBy("doc_id")
+            .agg(graft.functions.Sketch.minhash(col("h"), 128).as("m")).count())
         time("full d_minhash_lsh")(graft.ops.Dedup.dMinhashLsh(spark, sfDir).count())
         spark.catalog.clearCache()
         time("full again (cold cache)")(graft.ops.Dedup.dMinhashLsh(spark, sfDir).count())
         spark.catalog.clearCache()
+        graft.ops.Dedup.dMinhashLsh(spark, sfDir).explain("formatted")
       case "clusters" =>
         time("d_ngram_jaccard")(graft.ops.Dedup.dNgramJaccard(spark, sfDir).count())
         spark.catalog.clearCache()

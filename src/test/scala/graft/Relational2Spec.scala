@@ -59,6 +59,21 @@ class Relational2Spec extends SparkSpec {
     assert(days.toSeq == (days.min to days.max).toSeq, "spine has holes")
   }
 
+  test("q_approx_quantile stays within 1% rank error of exact percentiles") {
+    val approx = Relational3.qApproxQuantile(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.table(spark, sf01, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    approx.foreach { case (flag, (a50, a90)) =>
+      val (e50, e90) = exact(flag)
+      assert(math.abs(a50 - e50) / e50 < 0.02, s"$flag p50 $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.02, s"$flag p90 $a90 vs $e90")
+    }
+  }
+
   test("q_intersect_except partitions: both + only_f = all F customers") {
     val rows = Relational2.qIntersectExcept(spark, sfDir).collect()
     val byTag = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
