@@ -53,14 +53,30 @@ object Dedup {
         explode(graft.functions.Sketch.ngramHashes(col("ws"), 5)).as("h"))
       .select("doc_id", "h").distinct()
 
+  /** Skew guard for the inverted-index joins: drop shingles whose document
+    * frequency exceeds `maxDf`. Ultra-common shingles carry no dedup signal
+    * (they connect unrelated docs) and ALL of the join skew — a shingle
+    * with df=d contributes d² candidate pairs. The blacklist (df > cap) is
+    * tiny by Zipf's law, so it broadcasts; the anti-join adds no shuffle of
+    * the shingle table. Jaccard stays EXACT over the filtered feature
+    * universe (sizes and intersections both computed post-filter). Cap rule
+    * at 100 TB: ~1e-5 × corpus; 1000 here (vacuous at test scale — every
+    * oracle still hash-matches — but the guard is in the plan). */
+  private[graft] def filteredShingles(spark: SparkSession, dir: String,
+                                      maxDf: Int = 1000): DataFrame = {
+    val sh = shingles(spark, dir)
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("h")
+    sh.join(broadcast(hot), Seq("h"), "left_anti")
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs (threshold 0.5) via the shingle
     * inverted index: pairs are generated ONLY for docs sharing a shingle —
     * the candidate count is Σ df(s)², bounded because word-5-grams are
-    * near-unique outside true near-dups. At 100 TB add a doc-frequency cap
-    * (drop shingles with df > 1e-5·corpus — they carry no dedup signal and
-    * all the skew; see SURVEY.md §5). */
+    * near-unique outside true near-dups. The [[filteredShingles]] df cap
+    * keeps hot shingles out of the join (see SURVEY.md §5). */
   def dNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = filteredShingles(spark, dir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shared = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -125,7 +141,9 @@ object Dedup {
     // rehash is a handful of instructions. (The classic a·h+b affine family
     // needs wrap-around multiply, which ANSI mode — Spark 4's default —
     // rejects; seeded rehash is equally uniform and ANSI-safe.)
-    val sh = shingles(spark, dir).cache()
+    // Same df-capped universe as dNgramJaccard: signatures, sizes and the
+    // verify join all agree on the filtered feature space.
+    val sh = filteredShingles(spark, dir).cache()
 
     // All 128 permutation minimums in ONE agg column (MinHashAgg: primitive
     // long[128] buffer, XXH64.hashLong(h, p) per permutation — byte-identical
@@ -273,6 +291,38 @@ object Dedup {
     val members = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
     members.map(d => (d, find(d))).toSeq
       .toDF("doc_id", "cluster_id")
+      .orderBy("doc_id")
+  }
+
+  /** Fully distributed connected components — the shape [[dDupClusters]]
+    * escalates to when the edge set outgrows the driver: iterative
+    * min-label propagation over the (undirected) edge list, each round one
+    * shuffle join, `localCheckpoint` every round to sever the growing
+    * lineage (without it round k replays rounds 1..k-1 and the DAG
+    * explodes). Converges in ≤ diameter rounds; dedup families are
+    * near-cliques so diameter is tiny. DedupSpec asserts exact agreement
+    * with the union-find labeling. */
+  def dupClustersDistributed(spark: SparkSession, dir: String,
+                             maxRounds: Int = 10): DataFrame = {
+    val pairs = dNgramJaccard(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("doc"), col("u").as("lbl")).distinct()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = edges.join(labels.withColumnRenamed("doc", "v2"), col("v") === col("v2"))
+        .select(col("u").as("doc"), col("lbl"))
+        .unionByName(labels)
+        .groupBy("doc").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint() // sever lineage: each round is one join, not k
+      converged = next.as("n").join(labels.as("p"), col("n.doc") === col("p.doc"))
+        .where(col("n.lbl") =!= col("p.lbl")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }
 

@@ -70,7 +70,7 @@ object Pipeline {
     * d_ngram_jaccard, restricted to cross-split pairs — at 100 TB the test
     * side is tiny, so the candidate join is effectively a semi-broadcast. */
   def pDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(spark, dir).cache()
+    val sh = Dedup.filteredShingles(spark, dir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val train = sh.where(col("doc_id") % 4 =!= 0)
     val test = sh.where(col("doc_id") % 4 === 0)

@@ -78,6 +78,21 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@5 $recall < 0.5 (${(ivf & exact).size}/${exact.size})")
   }
 
+  test("dupClustersDistributed (label propagation) == driver union-find labeling") {
+    val distributed = ops.Dedup.dupClustersDistributed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val unionFind = ops.Dedup.dDupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(distributed.nonEmpty && distributed == unionFind)
+  }
+
+  test("filteredShingles df cap is vacuous at test scale (max df under cap)") {
+    val maxDf = ops.Dedup.shingles(spark, sfDir)
+      .groupBy("h").count().agg(org.apache.spark.sql.functions.max("count"))
+      .head().getLong(0)
+    assert(maxDf <= 1000, s"df cap no longer vacuous at test scale: $maxDf")
+  }
+
   test("s_cosine_topk: each query has exactly 5 ranked neighbors, cosine non-increasing") {
     val df = Similarity.sCosineTopk(spark, sfDir).collect()
     val byQ = df.groupBy(_.getLong(0))
