@@ -175,7 +175,43 @@ object CatalogOps2 {
       |  (CAST(4 AS BIGINT), CAST(400 AS BIGINT), 'fresh')
       |) AS t(id, val, tag) ORDER BY id""".stripMargin
 
+  /** Multi-format sources: the same slice written as CSV (header) and
+    * JSON-lines, read back with EXPLICIT schemas (never inference — schema
+    * inference scans the whole dataset twice at 100 TB), unioned, agg'd.
+    * Doubles round-trip text formats exactly (shortest-repr printing).
+    * The lake stays parquet; CSV/JSON are the interchange edges. */
+  def cMultiFormat(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = s"$scratch/formats"
+    val slice = Tables.table(spark, dir, "customer")
+      .where(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    slice.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    slice.write.mode("overwrite").json(s"$base/json")
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    val csv = spark.read.schema(schema).option("header", "true").csv(s"$base/csv")
+    val json = spark.read.schema(schema).json(s"$base/json")
+    csv.select(lit("csv").as("fmt"), col("c_custkey"), col("c_acctbal"))
+      .unionByName(json.select(lit("json").as("fmt"), col("c_custkey"), col("c_acctbal")))
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("c_acctbal")).as("total_bal"),
+        max(col("c_custkey")).as("max_key"))
+      .orderBy("fmt")
+  }
+
+  val cMultiFormatSql: String =
+    """SELECT fmt, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal,
+      |  max(c_custkey) AS max_key
+      |FROM (SELECT 'csv' AS fmt, * FROM customer WHERE c_custkey <= 300
+      |      UNION ALL
+      |      SELECT 'json' AS fmt, * FROM customer WHERE c_custkey <= 300)
+      |GROUP BY fmt ORDER BY fmt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_multi_format" -> (cMultiFormat _),
     "c_merge_upsert" -> (cMergeUpsert _),
     "c_delete_update" -> (cDeleteUpdate _),
     "c_time_travel" -> (cTimeTravel _),
@@ -183,6 +219,7 @@ object CatalogOps2 {
     "c_schema_evolution" -> (cSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    "c_multi_format" -> cMultiFormatSql,
     "c_merge_upsert" -> cMergeUpsertSql,
     "c_delete_update" -> cDeleteUpdateSql,
     "c_time_travel" -> cTimeTravelSql,

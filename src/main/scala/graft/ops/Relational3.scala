@@ -151,7 +151,28 @@ object Relational3 {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** UNPIVOT (wide → long), the inverse of q_pivot: per-order price/tax/
+    * discount columns melted to (measure, value) rows via stack() — a
+    * Generate in the scan stage, no shuffle until the consumer. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .where(col("l_orderkey") % 1000 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("stack(3, 'price', l_extendedprice, 'discount', l_discount, 'tax', l_tax)")
+          .as(Seq("measure", "value")))
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  val qUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, measure, value
+      |FROM (
+      |  UNPIVOT (SELECT l_orderkey, l_linenumber,
+      |             l_extendedprice AS price, l_discount AS discount, l_tax AS tax
+      |           FROM lineitem WHERE l_orderkey % 1000 = 0)
+      |  ON price, discount, tax INTO NAME measure VALUE value)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (qUnpivot _),
     "q_window_frames" -> (qWindowFrames _),
     "q_agg_extras" -> (qAggExtras _),
     "q_date_suite" -> (qDateSuite _),
@@ -159,6 +180,7 @@ object Relational3 {
     "q_approx_quantile" -> (qApproxQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" -> qUnpivotSql,
     "q_window_frames" -> qWindowFramesSql,
     "q_agg_extras" -> qAggExtrasSql,
     "q_date_suite" -> qDateSuiteSql,
