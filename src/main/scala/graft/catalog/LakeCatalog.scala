@@ -121,6 +121,27 @@ class LakeCatalog(spark: SparkSession, root: String) {
     readFiles(ns, table, files)
   }
 
+  /** Change feed between two snapshots (Iceberg changelog analog): rows
+    * with `_change` ∈ {insert, delete}. Only files ADDED or REMOVED between
+    * the snapshots are read — untouched files can't contribute changes —
+    * and rows that merely moved through a COW rewrite (present in both a
+    * removed and an added file) cancel via exceptAll. An update therefore
+    * surfaces as delete(old row) + insert(new row). At 100 TB this reads
+    * the mutation's sliver, never the table. */
+  def changes(ns: String, table: String, vFrom: Int, vTo: Int): DataFrame = {
+    val snaps = snapshots(ns, table).toMap
+    def filesOf(v: Int): Seq[String] = snaps.getOrElse(v,
+      throw new IllegalArgumentException(s"no snapshot $v for $ns.$table"))
+    val from = filesOf(vFrom)
+    val to = filesOf(vTo)
+    val addedRows = readFiles(ns, table, to.diff(from))
+    val removedRows = readFiles(ns, table, from.diff(to))
+    addedRows.exceptAll(removedRows)
+      .withColumn("_change", org.apache.spark.sql.functions.lit("insert"))
+      .unionByName(removedRows.exceptAll(addedRows)
+        .withColumn("_change", org.apache.spark.sql.functions.lit("delete")))
+  }
+
   /** Write `df` as new immutable data files in the table dir, returning the
     * new files' names (directory-diff before/after — single-writer commit,
     * same assumption as the reference's catalog). */

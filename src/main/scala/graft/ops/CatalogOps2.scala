@@ -118,6 +118,37 @@ object CatalogOps2 {
       |  (3, CAST(2 AS BIGINT), CAST(40 AS BIGINT))
       |) AS t(snapshot, n, sum_v) ORDER BY snapshot""".stripMargin
 
+  /** Change feed (CDC) between snapshots: appends then a COW delete, read
+    * back as insert/delete change rows — only mutation-touched files are
+    * read (Iceberg changelog shape). Constant oracle. */
+  def cSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "cdc")
+    cat.createTable("scratch", "cdc", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    cat.append("scratch", "cdc", Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    cat.append("scratch", "cdc", Seq((3L, 30L), (4L, 40L)).toDF("id", "v"))
+    cat.deleteWhere("scratch", "cdc", col("id") % 2 === 0)
+    // v0→v2: pure inserts; v2→v3: pure deletes (survivors of the COW
+    // rewrite cancel between removed and added files)
+    cat.changes("scratch", "cdc", 0, 2)
+      .select(lit("v0_v2").as("span"), col("_change"), col("id"), col("v"))
+      .unionByName(cat.changes("scratch", "cdc", 2, 3)
+        .select(lit("v2_v3").as("span"), col("_change"), col("id"), col("v")))
+      .orderBy("span", "_change", "id")
+  }
+
+  val cSnapshotDiffSql: String =
+    """SELECT * FROM (VALUES
+      |  ('v0_v2', 'insert', CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+      |  ('v0_v2', 'insert', CAST(2 AS BIGINT), CAST(20 AS BIGINT)),
+      |  ('v0_v2', 'insert', CAST(3 AS BIGINT), CAST(30 AS BIGINT)),
+      |  ('v0_v2', 'insert', CAST(4 AS BIGINT), CAST(40 AS BIGINT)),
+      |  ('v2_v3', 'delete', CAST(2 AS BIGINT), CAST(20 AS BIGINT)),
+      |  ('v2_v3', 'delete', CAST(4 AS BIGINT), CAST(40 AS BIGINT))
+      |) AS t(span, "_change", id, v) ORDER BY span, "_change", id""".stripMargin
+
   /** Small-file compaction: 20 single-file appends (the streaming-ingest
     * pathology) compacted to 2 files; contents identical, snapshot history
     * intact. At 100 TB this is the maintenance pass that keeps scan task
@@ -211,6 +242,7 @@ object CatalogOps2 {
       |GROUP BY fmt ORDER BY fmt""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_snapshot_diff" -> (cSnapshotDiff _),
     "c_multi_format" -> (cMultiFormat _),
     "c_merge_upsert" -> (cMergeUpsert _),
     "c_delete_update" -> (cDeleteUpdate _),
@@ -219,6 +251,7 @@ object CatalogOps2 {
     "c_schema_evolution" -> (cSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    "c_snapshot_diff" -> cSnapshotDiffSql,
     "c_multi_format" -> cMultiFormatSql,
     "c_merge_upsert" -> cMergeUpsertSql,
     "c_delete_update" -> cDeleteUpdateSql,

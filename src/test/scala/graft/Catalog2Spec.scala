@@ -81,6 +81,19 @@ class Catalog2Spec extends SparkSpec {
     assert(cat.loadSnapshot("ns", "c", snaps(snaps.length - 2)._1).count() == 5)
   }
 
+  test("changes(): an update surfaces as delete(old) + insert(new); survivors cancel") {
+    import spark.implicits._
+    val (cat, _) = freshCat
+    cat.createTable("ns", "cdc", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    cat.append("ns", "cdc", Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1))
+    cat.updateWhere("ns", "cdc", col("id") === 2, Map("v" -> lit(99L)))
+    val ch = cat.changes("ns", "cdc", 1, 2)
+      .select("_change", "id", "v").as[(String, Long, Long)].collect().sorted.toSeq
+    // ids 1 and 3 passed through the rewrite unchanged → cancel entirely
+    assert(ch == Seq(("delete", 2L, 20L), ("insert", 2L, 99L)), ch.toString)
+  }
+
   test("schema evolution: defaults fill old rows; new appends carry values") {
     import spark.implicits._
     val (cat, _) = freshCat
