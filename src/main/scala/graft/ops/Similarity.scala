@@ -235,13 +235,103 @@ object Similarity {
       |                      for i in generate_series(1, len(q.embedding))]) / (q.nrm*c.nrm), 6) >= 0.25
       |ORDER BY q_id, vec_id""".stripMargin
 
+  /** Hybrid retrieval (keyword ⊕ vector), the RAG-pipeline flagship: for
+    * the query terms {spark, table}, score every document by
+    * 0.5·(tfidf/max_tfidf) + 0.5·cosine(doc_emb, query_emb), where
+    * query_emb is the centroid of the top-20 keyword hits (pseudo-relevance
+    * feedback — no query vector needed). Four stages, all in-plan:
+    * keyword partial-agg → top-20 (TakeOrderedAndProject) → centroid (one
+    * agg over 20·dims rows, decimal-exact per §4 so both engines see
+    * identical doubles) → full-corpus fused scoring (broadcast centroid).
+    * Every ranking uses ROUNDED scores + doc_id tie-breaks (§4 rule). */
+  def sHybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.table(spark, dir, "documents")
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toks = Tables.fanout(docs)
+      .select(col("doc_id"), explode(split(norm, " ")).as("word"))
+      .where(col("word").isin("spark", "table"))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val kw = tf.join(broadcast(df), Seq("word")).crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tf") * log(col("n_docs").cast("double") / col("df"))), 6).as("kw"))
+    val top20 = kw.orderBy(col("kw").desc, col("doc_id")).limit(20)
+    // query centroid: decimal-exact per-dim mean over the top-20 embeddings
+    // (a parallel double sum would be order-nondeterministic, §4 rule)
+    val qemb = Tables.table(spark, dir, "embeddings")
+      .join(top20.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg((Tables.dsum(col("v").cast("double")) / count(lit(1))).as("c"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("qe"))
+      .select(col("qe"),
+        sqrt(expr("aggregate(qe, 0d, (a, x) -> a + x * x)")).as("qn"))
+    val maxKw = kw.agg(max(col("kw")).as("max_kw"))
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        graft.functions.Vec.vnorm(col("embedding")).as("nrm"))
+    val scored = e
+      .join(kw, Seq("doc_id"), "left")
+      .crossJoin(broadcast(maxKw)).crossJoin(broadcast(qemb))
+      .select(col("doc_id"),
+        round(
+          coalesce(col("kw"), lit(0d)) / col("max_kw") * 0.5
+            + expr("aggregate(zip_with(embedding, qe, (a, b) -> CAST(a AS DOUBLE) * b), 0d, (s, x) -> s + x)")
+              / (col("nrm") * col("qn")) * 0.5, 6).as("hybrid"))
+    scored.orderBy(col("hybrid").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("hybrid"))
+  }
+
+  val sHybridSearchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      |  FROM documents),
+      |qt AS (SELECT doc_id, word FROM toks WHERE word IN ('spark', 'table')),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM qt) GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |kw AS (
+      |  SELECT doc_id, round(SUM(tf * ln(CAST(n_docs AS DOUBLE) / df)), 6) AS kw
+      |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n GROUP BY doc_id),
+      |top20 AS (SELECT doc_id FROM kw ORDER BY kw DESC, doc_id LIMIT 20),
+      |qdims AS (
+      |  SELECT dim, CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM (SELECT unnest(e.embedding) AS v,
+      |               generate_subscripts(e.embedding, 1) AS dim
+      |        FROM embeddings e JOIN top20 t ON e.vec_id = t.doc_id)
+      |  GROUP BY dim),
+      |q AS (
+      |  SELECT list(c ORDER BY dim) AS qe,
+      |    sqrt(list_sum([x * x for x in list(c ORDER BY dim)])) AS qn
+      |  FROM qdims),
+      |mk AS (SELECT max(kw) AS max_kw FROM kw),
+      |scored AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    round(COALESCE(kw.kw, 0) / mk.max_kw * 0.5
+      |      + list_sum([CAST(e.embedding[i] AS DOUBLE) * q.qe[i]
+      |                  for i in generate_series(1, len(e.embedding))])
+      |        / (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+      |                          for i in generate_series(1, len(e.embedding))])) * q.qn) * 0.5,
+      |      6) AS hybrid
+      |  FROM embeddings e
+      |  LEFT JOIN kw ON e.vec_id = kw.doc_id
+      |  CROSS JOIN mk CROSS JOIN q)
+      |SELECT doc_id, hybrid FROM scored ORDER BY hybrid DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_radius" -> (sRadius _),
     "s_cosine_topk" -> (sCosineTopk _),
     "s_lsh_ann" -> (sLshAnn _),
-    "s_ivf_topk" -> (sIvfTopk _))
+    "s_ivf_topk" -> (sIvfTopk _),
+    "s_hybrid_search" -> (sHybridSearch _))
 
   val oracles: Map[String, String] = Map(
     "s_radius" -> sRadiusSql,
-    "s_cosine_topk" -> sCosineTopkSql)
+    "s_cosine_topk" -> sCosineTopkSql,
+    "s_hybrid_search" -> sHybridSearchSql)
 }
