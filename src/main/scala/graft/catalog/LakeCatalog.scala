@@ -212,6 +212,26 @@ class LakeCatalog(spark: SparkSession, root: String) {
       java.util.List.of(Row.fromSeq(values)), schema))
   }
 
+  /** Expire history: keep the last `keep` snapshots, delete the log entries
+    * before them AND any data file no surviving snapshot references (the
+    * VACUUM/expire_snapshots maintenance pass that reclaims COW garbage).
+    * Versions keep their original numbers, so time travel to surviving
+    * snapshots is unaffected. */
+  def expireSnapshots(ns: String, table: String, keep: Int): Unit = {
+    val all = snapshots(ns, table)
+    if (all.length > keep) {
+      val survivors = all.takeRight(keep)
+      val referenced = survivors.flatMap(_._2).toSet
+      val dir = Paths.get(tablePath(ns, table))
+      listParquet(dir).filterNot(referenced).foreach(f =>
+        Files.deleteIfExists(dir.resolve(f)))
+      val lines = survivors.map { case (v, files) =>
+        files.sorted.map(f => s""""$f"""").mkString(s"""{"v":$v,"files":[""", ",", "]}")
+      }.mkString("", "\n", "\n")
+      Files.writeString(snapshotLogPath(ns, table), lines)
+    }
+  }
+
   def dropTable(ns: String, table: String): Unit = {
     val dir = Paths.get(s"$root/$ns/$table")
     if (Files.exists(dir)) {

@@ -35,6 +35,8 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*COMPACT\s+TABLE\s+(?:(\w+)\.)?(\w+)(?:\s+INTO\s+(\d+)\s+FILES?)?\s*;?\s*""".r
   private val showSnaps =
     """(?is)\s*SHOW\s+SNAPSHOTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  private val expireSnaps =
+    """(?is)\s*EXPIRE\s+SNAPSHOTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -131,6 +133,11 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.compact(nsName, table, Option(n).map(_.toInt).getOrElse(1))
         Seq("Compaction committed").toDF("status")
+
+      case expireSnaps(ns, table, n) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.expireSnapshots(nsName, table, Option(n).map(_.toInt).getOrElse(1))
+        Seq("Snapshots expired").toDF("status")
 
       case showSnaps(ns, table) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

@@ -165,13 +165,47 @@ object Pipeline {
        |SELECT source, doc_id, n_tok, cum_tok FROM c
        |WHERE cum_tok - n_tok <= 2000 ORDER BY source, doc_id""".stripMargin
 
+  /** Training-mix composition report — the dashboard row a data lead reads
+    * before a run: per (source, lang) docs, whitespace tokens, exact-dup
+    * rate, mean quality proxy (alpha ratio). One scan, one partial agg:
+    * the dup rate reuses the md5-fingerprint count-distinct inside the
+    * same aggregate (no second pass). */
+  def pMixReport(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(split(norm(col("text")), " ")).cast("long")
+    val nChars = length(col("text")).cast("double")
+    val nAlpha = size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))).cast("double")
+    Tables.table(spark, dir, "documents")
+      .select(col("source"), col("lang"), nTokens.as("n_tok"),
+        md5(norm(col("text"))).as("fp"), (nAlpha / nChars).as("alpha_ratio"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_unique"),
+        round((count(lit(1)) - countDistinct(col("fp"))).cast("double")
+          / count(lit(1)), 6).as("dup_rate"),
+        round(Tables.dsum(col("alpha_ratio")) / count(lit(1)), 6).as("mean_alpha"))
+      .orderBy("source", "lang")
+  }
+
+  val pMixReportSql: String =
+    s"""SELECT source, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(length(string_split($normSql, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT md5($normSql)) AS BIGINT) AS n_unique,
+       |  round((COUNT(*) - COUNT(DISTINCT md5($normSql))) * 1.0 / COUNT(*), 6) AS dup_rate,
+       |  round(CAST(SUM(CAST(
+       |      CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+       |    AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS mean_alpha
+       |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_mix_report" -> (pMixReport _),
     "p_curate" -> (pCurate _),
     "p_decontaminate" -> (pDecontaminate _),
     "p_sample_stratified" -> (pSampleStratified _),
     "p_token_budget" -> (pTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "p_mix_report" -> pMixReportSql,
     "p_curate" -> pCurateSql,
     "p_decontaminate" -> pDecontaminateSql,
     "p_sample_stratified" -> pSampleStratifiedSql,

@@ -171,7 +171,27 @@ object Relational3 {
       |  ON price, discount, tax INTO NAME measure VALUE value)
       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
 
+  /** Numeric histogram: fixed-width price buckets + per-bucket stats in one
+    * partial-agg pass (bucket arithmetic is portable across engines;
+    * width_bucket doesn't exist in DuckDB). */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = least(floor(col("o_totalprice") / 50000).cast("int"), lit(9))
+    Tables.table(spark, dir, "orders")
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
+  val qHistogramSql: String =
+    """SELECT least(CAST(floor(o_totalprice / 50000) AS INTEGER), 9) AS bucket,
+      |  COUNT(*) AS n, round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> (qHistogram _),
     "q_unpivot" -> (qUnpivot _),
     "q_window_frames" -> (qWindowFrames _),
     "q_agg_extras" -> (qAggExtras _),
@@ -180,6 +200,7 @@ object Relational3 {
     "q_approx_quantile" -> (qApproxQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" -> qHistogramSql,
     "q_unpivot" -> qUnpivotSql,
     "q_window_frames" -> qWindowFramesSql,
     "q_agg_extras" -> qAggExtrasSql,

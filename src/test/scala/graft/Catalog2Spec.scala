@@ -94,6 +94,29 @@ class Catalog2Spec extends SparkSpec {
     assert(ch == Seq(("delete", 2L, 20L), ("insert", 2L, 99L)), ch.toString)
   }
 
+  test("expireSnapshots reclaims unreferenced files; survivors still travel") {
+    import spark.implicits._
+    val (cat, root) = freshCat
+    cat.createTable("ns", "x", StructType(Seq(StructField("id", LongType))))
+    (1 to 4).foreach(i => cat.append("ns", "x", Seq(i.toLong).toDF("id").coalesce(1)))
+    cat.compact("ns", "x", 1) // orphans the 4 small files in snapshots 1-4
+    val beforeFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$root/ns/x")).count()
+    // keep=1: only the compacted snapshot survives, so every pre-compaction
+    // file (referenced only by expired snapshots) is reclaimable garbage
+    cat.expireSnapshots("ns", "x", keep = 1)
+    val afterFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$root/ns/x")).count()
+    assert(afterFiles < beforeFiles, s"no files reclaimed: $beforeFiles -> $afterFiles")
+    val snaps = cat.snapshots("ns", "x")
+    assert(snaps.length == 1)
+    // current content intact under its original version number
+    assert(cat.load("ns", "x").as[Long].collect().sorted.toSeq == (1L to 4L))
+    assert(cat.loadSnapshot("ns", "x", snaps.head._1).count() == 4)
+    // expired version is gone
+    intercept[IllegalArgumentException](cat.loadSnapshot("ns", "x", 1))
+  }
+
   test("schema evolution: defaults fill old rows; new appends carry values") {
     import spark.implicits._
     val (cat, _) = freshCat
