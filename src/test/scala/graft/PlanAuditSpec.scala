@@ -14,8 +14,9 @@ class PlanAuditSpec extends SparkSpec {
     * the spine-broadcast of a one-row min/max aggregate (gap fill). */
   private val boundedCross = Set(
     "s_cosine_topk", "s_radius", "d_embed_neardup", // capped probe batches
-    "t_tfidf",       // one-row corpus-size N broadcast
-    "q_time_gapfill" // one-row min/max spine source
+    "t_tfidf",        // one-row corpus-size N broadcast
+    "q_time_gapfill", // one-row min/max spine source
+    "s_hybrid_search" // one-row max-kw + query-centroid broadcasts
   )
 
   test("no unintended cartesian / nested-loop joins anywhere in the surface") {
