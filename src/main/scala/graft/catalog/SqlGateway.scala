@@ -37,6 +37,10 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*SHOW\s+SNAPSHOTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val expireSnaps =
     """(?is)\s*EXPIRE\s+SNAPSHOTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
+  // COPY (SELECT …) TO 'path' [FORMAT csv|json|parquet] — DuckDB's export
+  // verb, Spark-shaped (distributed write, any SELECT the engine runs)
+  private val copyTo =
+    """(?is)\s*COPY\s+\((.+)\)\s+TO\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -133,6 +137,17 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.compact(nsName, table, Option(n).map(_.toInt).getOrElse(1))
         Seq("Compaction committed").toDF("status")
+
+      case copyTo(select, path, fmt) =>
+        val df = execute(select) // full SELECT passthrough, then write
+        val writer = df.write.mode("overwrite")
+        Option(fmt).map(_.toLowerCase).getOrElse("parquet") match {
+          case "csv" => writer.option("header", "true").csv(path)
+          case "json" => writer.json(path)
+          case "parquet" => writer.parquet(path)
+          case other => throw new IllegalArgumentException(s"COPY format $other")
+        }
+        Seq(s"Copied to $path").toDF("status")
 
       case expireSnaps(ns, table, n) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

@@ -73,6 +73,20 @@ class GatewaySpec extends SparkSpec {
     assert(cat.loadSnapshot("scratch", "acct", 3).count() == 3)
   }
 
+  test("COPY (SELECT …) TO exports csv/parquet round-trip") {
+    val out = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    flatGw.execute(
+      s"COPY (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 100) TO '$out/o_csv' FORMAT csv")
+    flatGw.execute(
+      s"COPY (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 100) TO '$out/o_parq'")
+    val csv = spark.read.option("header", "true").csv(s"$out/o_csv")
+    val parq = spark.read.parquet(s"$out/o_parq")
+    assert(csv.count() == parq.count() && parq.count() > 0)
+    val expect = Tables.table(spark, sfDir, "orders")
+      .where(org.apache.spark.sql.functions.col("o_orderkey") <= 100).count()
+    assert(parq.count() == expect)
+  }
+
   test("SELECT passthrough runs full Spark SQL — including the multi-table join the reference rejects") {
     val n = flatGw.execute(
       """SELECT c_mktsegment, COUNT(*) AS n
