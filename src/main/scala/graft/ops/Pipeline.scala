@@ -197,7 +197,73 @@ object Pipeline {
        |    AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS mean_alpha
        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  /** Incremental-batch dedup — THE production ingest pattern: a new batch
+    * (doc_id % 10 == 7 stands in for today's crawl) checked against the
+    * existing corpus, never corpus × corpus. Exact dups via fingerprint
+    * join; near-dups via the shingle inverted index restricted to
+    * cross-side pairs (docs already exact-flagged are excluded from the
+    * near pass). At 100 TB the batch side is tiny relative to the corpus,
+    * so both probes are effectively semi-broadcasts; the corpus is never
+    * self-joined. */
+  def pIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val isNew = col("doc_id") % 10 === 7
+    val fps = docs.select(col("doc_id"), md5(norm(col("text"))).as("fp"))
+    val exact = fps.where(isNew).as("n")
+      .join(fps.where(!isNew).as("c"), col("n.fp") === col("c.fp"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("c.doc_id")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of"), lit("exact").as("kind"))
+    val sh = Dedup.filteredShingles(spark, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val near = sh.where(isNew).as("a")
+      .join(sh.where(!isNew).as("b"), col("a.h") === col("b.h"))
+      .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("corpus_id") === col("sb.doc_id"))
+      .where(round(col("shared").cast("double")
+        / (col("sa.n_sh") + col("sb.n_sh") - col("shared")), 6) >= 0.5)
+      .join(exact.select(col("doc_id").as("x_id")), col("new_id") === col("x_id"), "left_anti")
+      .groupBy("new_id")
+      .agg(min(col("corpus_id")).as("dup_of"))
+      .select(col("new_id").as("doc_id"), col("dup_of"), lit("near").as("kind"))
+    exact.unionByName(near).orderBy("doc_id")
+  }
+
+  val pIncrementalDedupSql: String =
+    s"""WITH fps AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+       |exact AS (
+       |  SELECT n.doc_id AS doc_id, min(c.doc_id) AS dup_of, 'exact' AS kind
+       |  FROM fps n JOIN fps c ON n.fp = c.fp
+       |  WHERE n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+       |  GROUP BY n.doc_id),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |near AS (
+       |  SELECT p.doc_id AS doc_id, min(p.corpus_id) AS dup_of, 'near' AS kind
+       |  FROM (SELECT a.doc_id AS doc_id, b.doc_id AS corpus_id, COUNT(*) AS shared
+       |        FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |        WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+       |        GROUP BY 1, 2) p
+       |  JOIN sizes sa ON p.doc_id = sa.doc_id
+       |  JOIN sizes sb ON p.corpus_id = sb.doc_id
+       |  WHERE round(p.shared*1.0/(sa.n_sh + sb.n_sh - p.shared), 6) >= 0.5
+       |    AND p.doc_id NOT IN (SELECT doc_id FROM exact)
+       |  GROUP BY p.doc_id)
+       |SELECT * FROM exact UNION ALL SELECT * FROM near ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_incremental_dedup" -> (pIncrementalDedup _),
     "p_mix_report" -> (pMixReport _),
     "p_curate" -> (pCurate _),
     "p_decontaminate" -> (pDecontaminate _),
@@ -205,6 +271,7 @@ object Pipeline {
     "p_token_budget" -> (pTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "p_incremental_dedup" -> pIncrementalDedupSql,
     "p_mix_report" -> pMixReportSql,
     "p_curate" -> pCurateSql,
     "p_decontaminate" -> pDecontaminateSql,

@@ -264,6 +264,58 @@ object TextOps {
        |  round(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS fit_r2
        |FROM ranked""".stripMargin
 
+  /** Full BM25 (Robertson k1/b length normalization, Lucene's +1 idf) for
+    * the query {spark, table}: one tokenizing scan carries the document
+    * length alongside the term counts (no second pass), df/N/avgdl are
+    * one-row-or-tiny broadcasts, and the score is a single projected
+    * expression — top-20 via TakeOrderedAndProject. avgdl uses the
+    * decimal-exact mean rule so both engines normalize by the identical
+    * double; ranking on the ROUNDED score (§4). */
+  def tBm25(spark: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.table(spark, dir, "documents")
+    val toks = Tables.fanout(docs)
+      .select(col("doc_id"), size(split(norm(col("text")), " ")).cast("long").as("dl"),
+        explode(split(norm(col("text")), " ")).as("word"))
+      .where(col("word").isin("spark", "table"))
+    val tf = toks.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = toks.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (Tables.dsum(size(split(norm(col("text")), " ")).cast("long"))
+        / count(lit(1))).as("avgdl"))
+    val scored = tf.join(broadcast(df), Seq("word")).crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * (col("tf") * (k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy("doc_id").agg(round(sum(col("s")), 6).as("bm25"))
+    scored.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
+  val tBm25Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(length(string_split($normSql, ' ')) AS BIGINT) AS dl,
+       |         unnest(string_split($normSql, ' ')) AS word
+       |  FROM documents),
+       |qt AS (SELECT * FROM toks WHERE word IN ('spark', 'table')),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf, max(dl) AS dl FROM qt GROUP BY 1, 2),
+       |df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM qt) GROUP BY 1),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(CAST(length(string_split($normSql, ' ')) AS BIGINT) AS DECIMAL(30,6))) AS DOUBLE)
+       |      / COUNT(*) AS avgdl
+       |  FROM documents)
+       |SELECT doc_id,
+       |  round(SUM(
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * (CAST(1.2 AS DOUBLE) + 1))
+       |      / (tf + CAST(1.2 AS DOUBLE) * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+       |FROM tf JOIN df ON tf.word = df.word CROSS JOIN stats
+       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> (tTokenCount _),
     "t_quality_score" -> (tQualityScore _),
@@ -271,7 +323,8 @@ object TextOps {
     "t_fingerprint" -> (tFingerprintOracle _),
     "t_ngram_topk" -> (tNgramTopk _),
     "t_tfidf" -> (tTfidf _),
-    "t_zipf_slope" -> (tZipfSlope _))
+    "t_zipf_slope" -> (tZipfSlope _),
+    "t_bm25" -> (tBm25 _))
 
   val oracles: Map[String, String] = Map(
     "t_token_count" -> tTokenCountSql,
@@ -280,5 +333,6 @@ object TextOps {
     "t_fingerprint" -> tFingerprintSql,
     "t_ngram_topk" -> tNgramTopkSql,
     "t_tfidf" -> tTfidfSql,
-    "t_zipf_slope" -> tZipfSlopeSql)
+    "t_zipf_slope" -> tZipfSlopeSql,
+    "t_bm25" -> tBm25Sql)
 }
