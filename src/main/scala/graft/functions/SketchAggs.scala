@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -305,6 +305,152 @@ case class NgramHashes(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Product-quantization encode: split the embedding into `m` subvectors,
+  * emit the index of the nearest codebook centroid per subvector
+  * (array<int> of m codes). Codebook shape: m × k × (dims/m) floats. One
+  * codegen loop; L2 argmin per subvector with first-wins tie-break. */
+case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Float]]])
+  extends UnaryExpression {
+
+  @transient private lazy val cb: Array[Array[Array[Float]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if codebook.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("pq_encode expects array<float>")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val emb = a.asInstanceOf[ArrayData]
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb(s).length) {
+        val cent = cb(s)(c)
+        var d = 0.0d
+        var i = 0
+        while (i < sub) {
+          val diff = emb.getFloat(s * sub + i).toDouble - cent(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", cb, "float[][][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cent = ctx.freshName("cent")
+      val sub = cb(0)(0).length
+      s"""
+         |int[] $codes = new int[${cb.length}];
+         |for (int $s = 0; $s < ${cb.length}; $s++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $cbRef[$s].length; $c++) {
+         |    float[] $cent = $cbRef[$s][$c];
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      double $diff = (double) $a.getFloat($s * $sub + $i) - (double) $cent[$i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $codes[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric distance computation: approximate inner product of a FULL
+  * query vector against a PQ-encoded corpus vector — Σ_s dot(q_sub[s],
+  * centroid[codes[s]]). The query side stays exact (that's the
+  * "asymmetric" in ADC); only the corpus is quantized. */
+case class PqAdc(query: Expression, codes: Expression,
+                 codebook: Seq[Seq[Seq[Float]]])
+  extends BinaryExpression {
+
+  @transient private lazy val cb: Array[Array[Array[Float]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+
+  override def left: Expression = query
+  override def right: Expression = codes
+  override def checkInputDataTypes(): TypeCheckResult =
+    (query.dataType, codes.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "pq_adc expects (array<float>, array<int>)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(q: Any, cAny: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val cd = cAny.asInstanceOf[ArrayData]
+    val sub = cb(0)(0).length
+    var s = 0
+    var acc = 0.0d
+    while (s < cb.length) {
+      val cent = cb(s)(cd.getInt(s))
+      var i = 0
+      while (i < sub) { acc += qv.getFloat(s * sub + i).toDouble * cent(i).toDouble; i += 1 }
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", cb, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (q, cd) => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val cent = ctx.freshName("cent")
+      val sub = cb(0)(0).length
+      s"""
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < ${cb.length}; $s++) {
+         |  float[] $cent = $cbRef[$s][$cd.getInt($s)];
+         |  for (int $i = 0; $i < $sub; $i++) {
+         |    $acc += (double) $q.getFloat($s * $sub + $i) * (double) $cent[$i];
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(query = newLeft, codes = newRight)
+}
+
 /** DataFrame-API entry points for the sketch aggregates. */
 object Sketch {
   import org.apache.spark.sql.{Column, GraftBridge}
@@ -322,4 +468,11 @@ object Sketch {
 
   def ngramHashes(ws: Column, k: Int): Column =
     GraftBridge.column(NgramHashes(GraftBridge.expression(ws), k))
+
+  def pqEncode(emb: Column, codebook: Seq[Seq[Seq[Float]]]): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(emb), codebook))
+
+  def pqAdc(query: Column, codes: Column, codebook: Seq[Seq[Seq[Float]]]): Column =
+    GraftBridge.column(PqAdc(GraftBridge.expression(query),
+      GraftBridge.expression(codes), codebook))
 }

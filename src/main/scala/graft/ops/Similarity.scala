@@ -323,12 +323,64 @@ object Similarity {
       |  CROSS JOIN mk CROSS JOIN q)
       |SELECT doc_id, hybrid FROM scored ORDER BY hybrid DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Product-quantization ANN (the fourth tier: brute / LSH / IVF / PQ):
+    * corpus vectors compressed to m=8 4-bit-ish codes (16 centroids per
+    * 8-dim subvector), queries score the WHOLE corpus by asymmetric
+    * distance (exact query × quantized corpus — one table lookup + 8 mults
+    * per subvector instead of 64), then the top-50 shortlist is exactly
+    * re-ranked. At 100 TB the win is memory-bandwidth: 8 bytes/vector
+    * scanned instead of 256 — the codes column is the index, vectors are
+    * only touched for the shortlist. Codebook = deterministic sample slice
+    * per subvector (production trains k-means per subvector — same driver
+    * pattern as IVF's centroids; the encode/ADC plumbing is identical).
+    * Approximate → rows-only; SimilaritySpec bounds recall vs exact. */
+  def sPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val m = 8
+    val kCent = 16
+    // deterministic codebook: 16 sample vectors (every N/16th), sliced into
+    // m sub-ranges — collected to the driver like IVF's centroids (tiny)
+    val sample = Tables.table(spark, dir, "embeddings")
+      .orderBy("vec_id")
+      .where(col("vec_id") % 31 === 0).limit(kCent)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = sample.head.length
+    val sub = dims / m
+    val codebook: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(s => sample.toSeq.map(v =>
+        v.slice(s * sub, (s + 1) * sub).toSeq))
+
+    val e = withNorm(spark, dir)
+    val coded = e.select(col("vec_id"),
+      graft.functions.Sketch.pqEncode(col("embedding"), codebook).as("codes"))
+    val q = queriesOf(e)
+    // ADC over the full corpus: cheap scan of (vec_id, 8 codes)
+    val shortlist = q.crossJoin(coded)
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("vec_id"),
+        graft.functions.Sketch.pqAdc(col("q_emb"), col("codes"), codebook).as("adc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))))
+      .where(col("rnk") <= 50)
+    // exact re-rank of the shortlist
+    val scored = shortlist
+      .join(e, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_radius" -> (sRadius _),
     "s_cosine_topk" -> (sCosineTopk _),
     "s_lsh_ann" -> (sLshAnn _),
     "s_ivf_topk" -> (sIvfTopk _),
-    "s_hybrid_search" -> (sHybridSearch _))
+    "s_hybrid_search" -> (sHybridSearch _),
+    "s_pq_topk" -> (sPqTopk _))
 
   val oracles: Map[String, String] = Map(
     "s_radius" -> sRadiusSql,

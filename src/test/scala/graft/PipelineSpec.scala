@@ -93,6 +93,15 @@ class PipelineSpec extends SparkSpec {
     assert(maxDf <= 1000, s"df cap no longer vacuous at test scale: $maxDf")
   }
 
+  test("s_pq_topk: recall@5 >= 0.5 vs exact top-k (measured 0.66)") {
+    val exact = ops.Similarity.sCosineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = ops.Similarity.sPqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@5 $recall")
+  }
+
   test("s_cosine_topk: each query has exactly 5 ranked neighbors, cosine non-increasing") {
     val df = Similarity.sCosineTopk(spark, sfDir).collect()
     val byQ = df.groupBy(_.getLong(0))

@@ -14,7 +14,9 @@ class PlanAuditSpec extends SparkSpec {
     * the spine-broadcast of a one-row min/max aggregate (gap fill). */
   private val boundedCross = Set(
     "s_cosine_topk", "s_radius", "d_embed_neardup", // capped probe batches
+    "s_pq_topk",      // capped probe batch × 8-byte code scan (the ADC design)
     "t_tfidf",        // one-row corpus-size N broadcast
+    "t_bm25",         // one-row N/avgdl stats broadcast
     "q_time_gapfill", // one-row min/max spine source
     "s_hybrid_search" // one-row max-kw + query-centroid broadcasts
   )
