@@ -363,7 +363,57 @@ object Dedup {
       "\nSELECT doc AS doc_id, lbl AS cluster_id FROM l8 ORDER BY doc_id"
   }
 
+  /** Substring-level duplication: doc pairs sharing a LONG ALIGNED RUN of
+    * word-5-gram shingles — the "copied paragraph inside an otherwise
+    * different document" case whole-doc Jaccard misses. Positional
+    * shingles join on the hash; every match lands on a DIAGONAL
+    * (pos_a − pos_b); ≥ `minRun` matches on one diagonal means a shared
+    * word-substring of ≥ minRun+4 words at that alignment (the standard
+    * alignment-count heuristic — gaps on a diagonal only under-claim
+    * contiguity, never invent overlap). Same inverted-index blocking as
+    * Jaccard, so no cross product; the diagonal aggregate is one extra
+    * shuffle over matched shingles only. */
+  def dSubstringSpan(spark: SparkSession, dir: String): DataFrame = {
+    val minRun = 10
+    val pos = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.Sketch.ngramHashes(col("ws"), 5)).as(Seq("pos", "h")))
+      .cache()
+    pos.as("a").join(pos.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+      .agg(count(lit(1)).as("run"))
+      .where(col("run") >= minRun)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("run")).as("max_run"), count(lit(1)).as("n_diags"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dSubstringSpanSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |diags AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos - b.pos AS diag,
+       |         COUNT(*) AS run
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, CAST(max(run) AS BIGINT) AS max_run,
+       |       COUNT(*) AS n_diags
+       |FROM diags WHERE run >= 10
+       |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_substring_span" -> (dSubstringSpan _),
     "d_dup_clusters" -> (dDupClusters _),
     "d_exact" -> (dExact _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -372,6 +422,7 @@ object Dedup {
     "d_embed_neardup" -> (dEmbedNeardup _))
 
   val oracles: Map[String, String] = Map(
+    "d_substring_span" -> dSubstringSpanSql,
     "d_dup_clusters" -> dDupClustersSql,
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
