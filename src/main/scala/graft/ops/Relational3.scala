@@ -190,7 +190,29 @@ object Relational3 {
       |  round(max(o_totalprice), 2) AS hi
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Typed JSON parsing: from_json with an explicit schema (the scale-safe
+    * path — schema-on-read with no inference pass), grouped stats over the
+    * extracted field. Complements q_json_extract's path-string API. */
+  def qJsonTyped(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val qJsonTypedSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+      |  min(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+      |  max(CAST(props->>'$.k' AS INTEGER)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_typed" -> (qJsonTyped _),
     "q_histogram" -> (qHistogram _),
     "q_unpivot" -> (qUnpivot _),
     "q_window_frames" -> (qWindowFrames _),
@@ -200,6 +222,7 @@ object Relational3 {
     "q_approx_quantile" -> (qApproxQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "q_json_typed" -> qJsonTypedSql,
     "q_histogram" -> qHistogramSql,
     "q_unpivot" -> qUnpivotSql,
     "q_window_frames" -> qWindowFramesSql,
