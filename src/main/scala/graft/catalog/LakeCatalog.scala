@@ -212,6 +212,21 @@ class LakeCatalog(spark: SparkSession, root: String) {
       java.util.List.of(Row.fromSeq(values)), schema))
   }
 
+  // Streaming-commit fencing: the last committed micro-batch id, stored
+  // beside the snapshot log so a foreachBatch REPLAY of the same id (Spark
+  // delivers at-least-once to sinks) is a no-op instead of a double commit.
+  private def batchStatePath(ns: String, table: String): Path =
+    Paths.get(s"$root/$ns/${table}_stream_state.json")
+
+  def lastCommittedBatch(ns: String, table: String): Option[Long] = {
+    val p = batchStatePath(ns, table)
+    if (!Files.exists(p)) None
+    else """"batch":(-?\d+)""".r.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+  }
+
+  def recordBatchCommit(ns: String, table: String, id: Long): Unit =
+    Files.writeString(batchStatePath(ns, table), s"""{"batch":$id}""")
+
   /** Expire history: keep the last `keep` snapshots, delete the log entries
     * before them AND any data file no surviving snapshot references (the
     * VACUUM/expire_snapshots maintenance pass that reclaims COW garbage).
@@ -245,6 +260,8 @@ class LakeCatalog(spark: SparkSession, root: String) {
     if (Files.exists(log)) Files.delete(log)
     val evo = Paths.get(s"$root/$ns/${table}_evolution.json")
     if (Files.exists(evo)) Files.delete(evo)
+    val st = batchStatePath(ns, table)
+    if (Files.exists(st)) Files.delete(st)
   }
 
   // ------------------------------------------------- copy-on-write mutations

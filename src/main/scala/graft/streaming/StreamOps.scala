@@ -202,19 +202,33 @@ object StreamOps {
     * through [[graft.catalog.LakeCatalog.append]] — the Iceberg
     * streaming-commit shape (immutable files + a new file-list per batch),
     * which is what makes `SHOW SNAPSHOTS` / time travel meaningful on a
-    * continuously-ingested 100 TB table. foreachBatch is the right sink
-    * here because the commit is transactional per batch (exactly-once under
-    * checkpointing: batch id → idempotent re-commit). Spec-only (side-
-    * effecting): StreamingSpec drives chunks through MemoryStream and
-    * checks one snapshot per non-empty batch + content equality. */
+    * continuously-ingested 100 TB table.
+    *
+    * Exactly-once: foreachBatch can REPLAY a batch id after a failure
+    * (Spark guarantees at-least-once delivery to the sink); the commit is
+    * made idempotent by recording the last committed batch id next to the
+    * snapshot log and skipping ids already committed — the same
+    * batch-id-fencing every transactional Spark sink (Delta/Iceberg) uses.
+    * StreamingSpec replays a batch id explicitly and asserts no double
+    * commit. */
   def ingestToLake(events: DataFrame, cat: graft.catalog.LakeCatalog,
                    ns: String, table: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) cat.append(ns, table, batch)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        commitBatch(batch, id, cat, ns, table)
       }
       .start()
+
+  /** The idempotent per-batch commit (exposed for the replay spec). */
+  def commitBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  id: Long, cat: graft.catalog.LakeCatalog,
+                  ns: String, table: String): Unit = {
+    if (cat.lastCommittedBatch(ns, table).forall(_ < id) && !batch.isEmpty) {
+      cat.append(ns, table, batch)
+      cat.recordBatchCommit(ns, table, id)
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> (stWindowAgg _),

@@ -146,6 +146,23 @@ class StreamingSpec extends SparkSpec {
     assert(cat.loadSnapshot("ns", "ingest", 1).count() < rows.size)
   }
 
+  test("ingest commit is idempotent: replaying a batch id does not double-commit") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val cat = new graft.catalog.LakeCatalog(spark, root)
+    cat.createTable("ns", "r", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+    val b0 = Seq(1L, 2L).toDF("id")
+    val b1 = Seq(3L).toDF("id")
+    StreamOps.commitBatch(b0, 0, cat, "ns", "r")
+    StreamOps.commitBatch(b0, 0, cat, "ns", "r") // failure replay of batch 0
+    StreamOps.commitBatch(b1, 1, cat, "ns", "r")
+    StreamOps.commitBatch(b1, 1, cat, "ns", "r") // replay of batch 1
+    assert(cat.load("ns", "r").count() == 3, "replays must not double-commit")
+    assert(cat.snapshots("ns", "r").length == 3) // v0 + two real commits
+    assert(cat.lastCommittedBatch("ns", "r").contains(1L))
+  }
+
   test("sessionizeWithState agrees with the windowed sessionize operator") {
     import spark.implicits._
     val evs = eventsBatch.select(col("user_id"), col("ts").as("tsNs"), col("value"))
