@@ -173,6 +173,16 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         Seq("Inserted 1 row successfully").toDF("status")
 
       case _ => // SELECT (and any other full SQL): Spark SQL over registered tables
+        // time-travel syntax: `FROM t VERSION AS OF n` registers the
+        // snapshot under an alias and rewrites the query to use it
+        val versionOf = """(?is)(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+        val rewritten = versionOf.replaceAllIn(sql, m => {
+          val (t, v) = (m.group(1), m.group(2).toInt)
+          val alias = s"${t}_v$v"
+          catalog.loadSnapshot(resolveNs(t, "main"), t, v)
+            .createOrReplaceTempView(alias)
+          alias
+        })
         val tables = catalog.listTables()
         tables.foreach { case (ns, t) =>
           // qualified view always; bare name only when unambiguous — two
@@ -181,7 +191,7 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
           if (tables.count(_._2 == t) == 1)
             catalog.load(ns, t).createOrReplaceTempView(t)
         }
-        spark.sql(sql)
+        spark.sql(rewritten)
     }
   }
 

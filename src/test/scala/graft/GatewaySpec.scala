@@ -73,6 +73,19 @@ class GatewaySpec extends SparkSpec {
     assert(cat.loadSnapshot("scratch", "acct", 3).count() == 3)
   }
 
+  test("SELECT … VERSION AS OF reads historical snapshots through SQL") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_tt").toString
+    val gw = new SqlGateway(spark, new LakeCatalog(spark, root))
+    gw.execute("CREATE TABLE scratch.v (id BIGINT)")
+    gw.execute("INSERT INTO scratch.v VALUES (1)")
+    gw.execute("INSERT INTO scratch.v VALUES (2)")
+    gw.execute("DELETE FROM scratch.v WHERE id = 1")
+    val now = gw.execute("SELECT COUNT(*) AS n FROM scratch_v").head().getLong(0)
+    val v2 = gw.execute("SELECT COUNT(*) AS n FROM v VERSION AS OF 2").head().getLong(0)
+    val v1 = gw.execute("SELECT COUNT(*) AS n FROM v VERSION AS OF 1").head().getLong(0)
+    assert(now == 1 && v2 == 2 && v1 == 1, s"now=$now v2=$v2 v1=$v1")
+  }
+
   test("COPY (SELECT …) TO exports csv/parquet round-trip") {
     val out = java.nio.file.Files.createTempDirectory("graft_copy").toString
     flatGw.execute(
