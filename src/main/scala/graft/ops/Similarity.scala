@@ -337,18 +337,56 @@ object Similarity {
   def sPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val m = 8
     val kCent = 16
-    // deterministic codebook: 16 sample vectors (every N/16th), sliced into
-    // m sub-ranges — collected to the driver like IVF's centroids (tiny)
-    val sample = Tables.table(spark, dir, "embeddings")
+    // Codebook: per-subvector k-means (Lloyd, 8 rounds) over a
+    // deterministic 256-vector training sample, seeded from every
+    // (N/16)th vector. The sample collects to the driver and training
+    // runs there — the classic PQ recipe (training is over a bounded
+    // sample regardless of corpus size; only encode/ADC touch the full
+    // data). Empty clusters keep their previous centroid, so training is
+    // deterministic end-to-end.
+    val train = Tables.table(spark, dir, "embeddings")
+      .orderBy("vec_id")
+      .where(col("vec_id") % 7 === 0).limit(256)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val seeds = Tables.table(spark, dir, "embeddings")
       .orderBy("vec_id")
       .where(col("vec_id") % 31 === 0).limit(kCent)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
-    val dims = sample.head.length
+    val dims = train.head.length
     val sub = dims / m
+
+    def kmeans(subIdx: Int): Array[Array[Float]] = {
+      val pts = train.map(_.slice(subIdx * sub, (subIdx + 1) * sub).map(_.toDouble))
+      var cents = seeds.map(_.slice(subIdx * sub, (subIdx + 1) * sub).map(_.toDouble))
+      for (_ <- 0 until 8) {
+        val assign = pts.map { p =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          best
+        }
+        cents = cents.indices.map { c =>
+          val members = pts.indices.filter(assign(_) == c)
+          if (members.isEmpty) cents(c) // keep previous — deterministic
+          else {
+            val s = new Array[Double](sub)
+            members.foreach(j => { var i = 0; while (i < sub) { s(i) += pts(j)(i); i += 1 } })
+            s.map(_ / members.length)
+          }
+        }.toArray
+      }
+      cents.map(_.map(_.toFloat))
+    }
+
     val codebook: Seq[Seq[Seq[Float]]] =
-      (0 until m).map(s => sample.toSeq.map(v =>
-        v.slice(s * sub, (s + 1) * sub).toSeq))
+      (0 until m).map(s => kmeans(s).toSeq.map(_.toSeq))
 
     val e = withNorm(spark, dir)
     val coded = e.select(col("vec_id"),
