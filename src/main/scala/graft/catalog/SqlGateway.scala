@@ -41,6 +41,9 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   // verb, Spark-shaped (distributed write, any SELECT the engine runs)
   private val copyTo =
     """(?is)\s*COPY\s+\((.+)\)\s+TO\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*;?\s*""".r
+  // MERGE INTO target USING source ON keycol — the table-source upsert form
+  private val mergeInto =
+    """(?is)\s*MERGE\s+INTO\s+(?:(\w+)\.)?(\w+)\s+USING\s+(?:(\w+)\.)?(\w+)\s+ON\s+(\w+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -137,6 +140,12 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.compact(nsName, table, Option(n).map(_.toInt).getOrElse(1))
         Seq("Compaction committed").toDF("status")
+
+      case mergeInto(tNs, target, sNs, source, key) =>
+        val targetNs = Option(tNs).getOrElse(resolveNs(target, "scratch"))
+        val sourceNs = Option(sNs).getOrElse(resolveNs(source, "scratch"))
+        catalog.merge(targetNs, target, catalog.load(sourceNs, source), key)
+        Seq("Merge committed").toDF("status")
 
       case copyTo(select, path, fmt) =>
         val df = execute(select) // full SELECT passthrough, then write

@@ -230,17 +230,62 @@ object StreamOps {
     }
   }
 
+  /** LEFT OUTER stream-stream interval join: every view emits, matched or
+    * not — the "which impressions converted" shape. In streaming, the
+    * unmatched-left row can only be emitted once the watermark passes the
+    * view's join window (Spark holds it in state until then); the
+    * watermark + time bound are REQUIRED for outer stream-stream joins,
+    * not just an optimization. Batch form: plain left join, same
+    * condition. */
+  def streamStreamJoinLeft(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = (if (views.isStreaming) withEventTime(views).withWatermark("event_time", "10 minutes")
+             else withEventTime(views))
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("event_time").as("view_time"))
+    val p = (if (purchases.isStreaming) withEventTime(purchases).withWatermark("event_time", "10 minutes")
+             else withEventTime(purchases))
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("event_time").as("purchase_time"))
+    v.join(p, col("user_id") === col("p_user_id")
+      && (unix_micros(col("purchase_time")) - unix_micros(col("view_time")))
+        .between(lit(0L), lit(600000000L)), "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
+  def stStreamJoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "events")
+    streamStreamJoinLeft(e.where(col("event_type") === "view"),
+      e.where(col("event_type") === "purchase"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_id")).as("n_matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_unconverted"))
+      .orderBy("user_id")
+  }
+
+  val stStreamJoinLeftSql: String =
+    """SELECT v.user_id AS user_id, COUNT(*) AS n_rows,
+      |  COUNT(p.event_id) AS n_matched,
+      |  CAST(SUM(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unconverted
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND epoch_ns(p.ts)//1000 - epoch_ns(v.ts)//1000 BETWEEN 0 AND 600000000
+      |GROUP BY v.user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> (stWindowAgg _),
     "st_dedup" -> (stDedup _),
     "st_session" -> (stSession _),
     "st_enrich_join" -> (stEnrichJoin _),
-    "st_stream_join" -> (stStreamJoin _))
+    "st_stream_join" -> (stStreamJoin _),
+    "st_stream_join_left" -> (stStreamJoinLeft _))
 
   val oracles: Map[String, String] = Map(
     "st_window_agg" -> stWindowAggSql,
     "st_dedup" -> stDedupSql,
     "st_session" -> stSessionSql,
     "st_enrich_join" -> stEnrichJoinSql,
-    "st_stream_join" -> stStreamJoinSql)
+    "st_stream_join" -> stStreamJoinSql,
+    "st_stream_join_left" -> stStreamJoinLeftSql)
 }

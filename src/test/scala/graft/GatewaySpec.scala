@@ -73,6 +73,22 @@ class GatewaySpec extends SparkSpec {
     assert(cat.loadSnapshot("scratch", "acct", 3).count() == 3)
   }
 
+  test("MERGE INTO target USING source ON key upserts through the dialect") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_merge").toString
+    val gw = new SqlGateway(spark, new LakeCatalog(spark, root))
+    gw.execute("CREATE TABLE scratch.tgt (k BIGINT, v STRING)")
+    gw.execute("INSERT INTO scratch.tgt VALUES (1, 'old1')")
+    gw.execute("INSERT INTO scratch.tgt VALUES (2, 'old2')")
+    gw.execute("CREATE TABLE scratch.src (k BIGINT, v STRING)")
+    gw.execute("INSERT INTO scratch.src VALUES (2, 'new2')")
+    gw.execute("INSERT INTO scratch.src VALUES (3, 'new3')")
+    assert(gw.execute("MERGE INTO scratch.tgt USING scratch.src ON k")
+      .head().getString(0).contains("Merge"))
+    val got = new LakeCatalog(spark, root).load("scratch", "tgt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "old1"), (2L, "new2"), (3L, "new3")), got.toString)
+  }
+
   test("SELECT … VERSION AS OF reads historical snapshots through SQL") {
     val root = java.nio.file.Files.createTempDirectory("graft_gw_tt").toString
     val gw = new SqlGateway(spark, new LakeCatalog(spark, root))
