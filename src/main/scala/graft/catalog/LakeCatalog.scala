@@ -326,12 +326,18 @@ class LakeCatalog(spark: SparkSession, root: String) {
         .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
       cur.filter(t.toSet)
     }
-    // rewritten touched files: unmatched rows survive, matched keys take the
-    // source row wholesale; inserts = source keys absent from the target
+    // Rewritten touched files: unmatched rows survive, matched keys take
+    // the source row wholesale; inserts = source keys absent from the
+    // target. Matched keys are derived from the TOUCHED FILES' rows, never
+    // a full-target key scan — every target row matching a source key
+    // lives in a touched file by construction, and the touched sliver
+    // (not the 100 TB table) is what's safe to broadcast.
+    val matchedKeys = broadcast(
+      readFiles(ns, table, touched).select(col(key)).distinct())
     val survivors = readFiles(ns, table, touched)
       .join(srcKeys, Seq(key), "left_anti")
-    val updates = source.join(broadcast(target.select(col(key)).distinct()), Seq(key), "left_semi")
-    val inserts = source.join(broadcast(target.select(col(key)).distinct()), Seq(key), "left_anti")
+    val updates = source.join(matchedKeys, Seq(key), "left_semi")
+    val inserts = source.join(matchedKeys, Seq(key), "left_anti")
     val newData = survivors.unionByName(updates).unionByName(inserts)
     val newFiles = writeNewFiles(ns, table, newData)
     commitSnapshot(ns, table, cur.diff(touched) ++ newFiles)
