@@ -252,12 +252,14 @@ object Similarity {
       .select(col("doc_id"), explode(split(norm, " ")).as("word"))
       .where(col("word").isin("spark", "table"))
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df")) // one tokenize pass
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // kw feeds THREE consumers (max, top-20 centroid seed, final scoring) —
+    // cache the tiny per-doc score table instead of re-tokenizing per use
     val kw = tf.join(broadcast(df), Seq("word")).crossJoin(broadcast(n))
       .groupBy("doc_id")
       .agg(round(sum(col("tf") * log(col("n_docs").cast("double") / col("df"))), 6).as("kw"))
+      .cache()
     val top20 = kw.orderBy(col("kw").desc, col("doc_id")).limit(20)
     // query centroid: decimal-exact per-dim mean over the top-20 embeddings
     // (a parallel double sum would be order-nondeterministic, §4 rule)

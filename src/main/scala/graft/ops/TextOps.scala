@@ -197,8 +197,9 @@ object TextOps {
     val tok = Tables.fanout(docs)
       .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("word"))
     val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = tok.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    // df derives from tf — (doc, word) is already distinct there — so the
+    // corpus is tokenized ONCE, not re-scanned for document frequencies
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df), Seq("word"))
       .crossJoin(broadcast(n))
@@ -281,8 +282,7 @@ object TextOps {
       .where(col("word").isin("spark", "table"))
     val tf = toks.groupBy("doc_id", "word")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val df = toks.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df")) // one tokenize pass
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       (Tables.dsum(size(split(norm(col("text")), " ")).cast("long"))
         / count(lit(1))).as("avgdl"))
