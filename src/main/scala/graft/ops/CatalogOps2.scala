@@ -206,11 +206,12 @@ object CatalogOps2 {
       |  (CAST(4 AS BIGINT), CAST(400 AS BIGINT), 'fresh')
       |) AS t(id, val, tag) ORDER BY id""".stripMargin
 
-  /** Multi-format sources: the same slice written as CSV (header) and
-    * JSON-lines, read back with EXPLICIT schemas (never inference — schema
-    * inference scans the whole dataset twice at 100 TB), unioned, agg'd.
-    * Doubles round-trip text formats exactly (shortest-repr printing).
-    * The lake stays parquet; CSV/JSON are the interchange edges. */
+  /** Multi-format sources: the same slice written as CSV (header),
+    * JSON-lines and ORC, read back with EXPLICIT schemas (never inference —
+    * schema inference scans the whole dataset twice at 100 TB), unioned,
+    * agg'd. Doubles round-trip text formats exactly (shortest-repr
+    * printing); ORC is the binary columnar alternative to parquet. The
+    * lake stays parquet; CSV/JSON/ORC are the interchange edges. */
   def cMultiFormat(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val base = s"$scratch/formats"
@@ -219,13 +220,16 @@ object CatalogOps2 {
       .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
     slice.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     slice.write.mode("overwrite").json(s"$base/json")
+    slice.write.mode("overwrite").orc(s"$base/orc")
     val schema = StructType(Seq(
       StructField("c_custkey", LongType), StructField("c_acctbal", DoubleType),
       StructField("c_mktsegment", StringType)))
     val csv = spark.read.schema(schema).option("header", "true").csv(s"$base/csv")
     val json = spark.read.schema(schema).json(s"$base/json")
+    val orc = spark.read.schema(schema).orc(s"$base/orc")
     csv.select(lit("csv").as("fmt"), col("c_custkey"), col("c_acctbal"))
       .unionByName(json.select(lit("json").as("fmt"), col("c_custkey"), col("c_acctbal")))
+      .unionByName(orc.select(lit("orc").as("fmt"), col("c_custkey"), col("c_acctbal")))
       .groupBy("fmt")
       .agg(count(lit(1)).as("n"), Tables.dsum(col("c_acctbal")).as("total_bal"),
         max(col("c_custkey")).as("max_key"))
@@ -238,7 +242,9 @@ object CatalogOps2 {
       |  max(c_custkey) AS max_key
       |FROM (SELECT 'csv' AS fmt, * FROM customer WHERE c_custkey <= 300
       |      UNION ALL
-      |      SELECT 'json' AS fmt, * FROM customer WHERE c_custkey <= 300)
+      |      SELECT 'json' AS fmt, * FROM customer WHERE c_custkey <= 300
+      |      UNION ALL
+      |      SELECT 'orc' AS fmt, * FROM customer WHERE c_custkey <= 300)
       |GROUP BY fmt ORDER BY fmt""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
