@@ -211,7 +211,36 @@ object Relational3 {
       |  max(CAST(props->>'$.k' AS INTEGER)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** WITH RECURSIVE (new in Spark 4): hierarchy walk over the implicit
+    * binary tree in customer keys (parent = key div 2), accumulating depth
+    * and path balance from the root. Recursion executes as iterative
+    * unions with AQE per step — each step is one distributed join, bounded
+    * by the hierarchy depth (log₂ n), never row-by-row. */
+  def qRecursive(spark: SparkSession, dir: String): DataFrame =
+    Tables.sql(spark, dir,
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS key, 1 AS depth, c_acctbal AS path_bal
+        |  FROM customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, chain.depth + 1, chain.path_bal + c.c_acctbal
+        |  FROM customer c JOIN chain ON c.c_custkey div 2 = chain.key
+        |  WHERE c.c_custkey <= 200 AND c.c_custkey > 1)
+        |SELECT key, CAST(depth AS INT) AS depth, round(path_bal, 2) AS path_bal
+        |FROM chain ORDER BY key""".stripMargin)
+
+  val qRecursiveSql: String =
+    """WITH RECURSIVE chain AS (
+      |  SELECT c_custkey AS key, 1 AS depth, c_acctbal AS path_bal
+      |  FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT c.c_custkey, chain.depth + 1, chain.path_bal + c.c_acctbal
+      |  FROM customer c JOIN chain ON c.c_custkey // 2 = chain.key
+      |  WHERE c.c_custkey <= 200 AND c.c_custkey > 1)
+      |SELECT key, CAST(depth AS INT) AS depth, round(path_bal, 2) AS path_bal
+      |FROM chain ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recursive" -> (qRecursive _),
     "q_json_typed" -> (qJsonTyped _),
     "q_histogram" -> (qHistogram _),
     "q_unpivot" -> (qUnpivot _),
@@ -222,6 +251,7 @@ object Relational3 {
     "q_approx_quantile" -> (qApproxQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "q_recursive" -> qRecursiveSql,
     "q_json_typed" -> qJsonTypedSql,
     "q_histogram" -> qHistogramSql,
     "q_unpivot" -> qUnpivotSql,
