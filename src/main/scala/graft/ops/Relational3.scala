@@ -239,7 +239,33 @@ object Relational3 {
       |SELECT key, CAST(depth AS INT) AS depth, round(path_bal, 2) AS path_bal
       |FROM chain ORDER BY key""".stripMargin
 
+  /** Correlated LATERAL subquery join — top-2 orders per customer in the
+    * join-operator form (vs q_window_rank's window form). Catalyst
+    * decorrelates the LATERAL into a ranked join (window over the order
+    * side + join), so execution is one shuffle on the correlation key —
+    * per-row subquery execution never happens. */
+  def qLateralCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.sql(spark, dir,
+      """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 500
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+
+  val qLateralCorrSql: String =
+    """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_custkey <= 500
+      |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateral_corr" -> (qLateralCorr _),
     "q_recursive" -> (qRecursive _),
     "q_json_typed" -> (qJsonTyped _),
     "q_histogram" -> (qHistogram _),
@@ -251,6 +277,7 @@ object Relational3 {
     "q_approx_quantile" -> (qApproxQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "q_lateral_corr" -> qLateralCorrSql,
     "q_recursive" -> qRecursiveSql,
     "q_json_typed" -> qJsonTypedSql,
     "q_histogram" -> qHistogramSql,
