@@ -19,12 +19,17 @@ import org.apache.spark.sql.types._
   */
 class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
 
-  private val listNs = """(?is)\s*LIST\s+NAMESPACES\s*;?\s*""".r
-  private val listTb = """(?is)\s*LIST\s+TABLES(?:\s+IN\s+(\w+))?\s*;?\s*""".r
+  // `IN ns` and bare-`ns` argument forms both appear in the reference's
+  // tests (test_parse_sql_list_parametrized); dotted sub-namespaces too
+  private val listNs = """(?is)\s*LIST\s+NAMESPACES(?:\s+(?:IN\s+)?([\w.]+))?\s*;?\s*""".r
+  private val listTb = """(?is)\s*LIST\s+TABLES(?:\s+(?:IN\s+)?([\w.]+))?\s*;?\s*""".r
   private val descTb = """(?is)\s*DESCRIBE\s+TABLE\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
-  private val createTb = """(?is)\s*CREATE\s+TABLE\s+(?:(\w+)\.)?(\w+)\s*\((.+)\)\s*;?\s*""".r
+  private val createTb =
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(?:(\w+)\.)?(\w+)\s*\((.+)\)\s*;?\s*""".r
+  // optional column list — the reference's own TODO ("INSERT with column
+  // spec", README.md:115) supported rather than inherited as a limitation
   private val insertTb =
-    """(?is)\s*INSERT\s+INTO\s+(?:(\w+)\.)?(\w+)\s+VALUES\s*\((.+)\)\s*;?\s*""".r
+    """(?is)\s*INSERT\s+INTO\s+(?:(\w+)\.)?(\w+)\s*(?:\(([\w\s,]+)\))?\s*VALUES\s*\((.+)\)\s*;?\s*""".r
   // round-2 mutation verbs (the operations the reference's Iceberg catalog
   // implies but its append-only MCP surface never exposed)
   private val deleteTb =
@@ -103,8 +108,11 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   def execute(sql: String): DataFrame = {
     import spark.implicits._
     sql match {
-      case listNs() =>
-        catalog.listNamespaces().toDF("namespace")
+      case listNs(parent) =>
+        val all = catalog.listNamespaces()
+        (if (parent == null) all
+         else all.filter(ns => ns == parent || ns.startsWith(parent + ".")))
+          .toDF("namespace")
 
       case listTb(ns) =>
         val all = catalog.listTables()
@@ -114,13 +122,18 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         catalog.describe(Option(ns).getOrElse(resolveNs(table, "main")), table)
           .toDF("col_name", "data_type", "nullable")
 
-      case createTb(ns, table, colsSpec) =>
-        val fields = splitTopLevel(colsSpec).map { c =>
-          val parts = c.trim.split("\\s+", 2)
-          StructField(parts(0), parseType(parts.lift(1).getOrElse("string")))
+      case createTb(ifNotExists, ns, table, colsSpec) =>
+        val nsName = Option(ns).getOrElse("scratch")
+        if (ifNotExists != null && catalog.listTables().contains((nsName, table)))
+          Seq("Table already exists").toDF("status")
+        else {
+          val fields = splitTopLevel(colsSpec).map { c =>
+            val parts = c.trim.split("\\s+", 2)
+            StructField(parts(0), parseType(parts.lift(1).getOrElse("string")))
+          }
+          catalog.createTable(nsName, table, StructType(fields))
+          Seq("Table created successfully").toDF("status")
         }
-        catalog.createTable(Option(ns).getOrElse("scratch"), table, StructType(fields))
-        Seq("Table created successfully").toDF("status")
 
       case deleteTb(ns, table, cond) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
@@ -169,14 +182,22 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
           .map { case (v, files) => (v, files.length) }
           .toDF("snapshot", "n_files")
 
-      case insertTb(ns, table, values) =>
+      case insertTb(ns, table, colSpec, values) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         val schema = catalog.load(nsName, table).schema
         val parsed = parseValues(values)
-        require(parsed.length == schema.fields.length,
-          s"INSERT arity mismatch: ${parsed.length} values for ${schema.fields.length} columns in $nsName.$table")
-        val typed = parsed.zip(schema.fields).map {
-          case (v, f) => coerce(v, f.dataType)
+        val typed: Seq[Any] = Option(colSpec) match {
+          case None =>
+            require(parsed.length == schema.fields.length,
+              s"INSERT arity mismatch: ${parsed.length} values for ${schema.fields.length} columns in $nsName.$table")
+            parsed.zip(schema.fields.toSeq).map { case (v, f) => coerce(v, f.dataType) }
+          case Some(spec) => // column-spec insert: unlisted columns → null
+            val names = spec.split(",").map(_.trim)
+            require(names.length == parsed.length,
+              s"INSERT arity mismatch: ${parsed.length} values for ${names.length} listed columns")
+            val byName = names.zip(parsed).toMap
+            schema.fields.toSeq.map(f =>
+              byName.get(f.name).map(coerce(_, f.dataType)).orNull)
         }
         catalog.insertRow(nsName, table, typed)
         Seq("Inserted 1 row successfully").toDF("status")
@@ -207,12 +228,17 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   private def coerce(v: Any, t: DataType): Any = (v, t) match {
     case (null, _) => null
     case (s: String, TimestampType) =>
-      // parse as UTC explicitly — Timestamp.valueOf would use the JVM
-      // default zone, shifting instants on non-UTC hosts
-      val txt = if (s.contains(" ")) s else s + " 00:00:00"
-      java.sql.Timestamp.from(
-        java.time.LocalDateTime.parse(txt.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC))
+      // offset-suffixed literals ('…+01:00', '…Z') are absolute instants
+      // (the reference's timestamptz path, IcebergConnection.py:165-170);
+      // bare literals parse as UTC explicitly — Timestamp.valueOf would
+      // use the JVM default zone, shifting instants on non-UTC hosts
+      val txt = (if (s.contains(" ") || s.contains("T")) s else s + " 00:00:00")
+        .replace(' ', 'T')
+      val instant =
+        if (txt.matches(".*(Z|[+-]\\d{2}:\\d{2})$"))
+          java.time.OffsetDateTime.parse(txt).toInstant
+        else java.time.LocalDateTime.parse(txt).toInstant(java.time.ZoneOffset.UTC)
+      java.sql.Timestamp.from(instant)
     case (i: Int, LongType) => i.toLong
     case (i: Int, DoubleType) => i.toDouble
     case (l: Long, DoubleType) => l.toDouble

@@ -73,6 +73,28 @@ class GatewaySpec extends SparkSpec {
     assert(cat.loadSnapshot("scratch", "acct", 3).count() == 3)
   }
 
+  test("reference dialect forms: IF NOT EXISTS, column-spec INSERT, bare LIST args, timestamptz") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_ref").toString
+    val gw = new SqlGateway(spark, new LakeCatalog(spark, root))
+    // CREATE TABLE IF NOT EXISTS (ref: test_QueryManager create forms)
+    gw.execute("CREATE TABLE IF NOT EXISTS test.users (id INT, name STRING, ts TIMESTAMP)")
+    assert(gw.execute("CREATE TABLE IF NOT EXISTS test.users (id INT, name STRING, ts TIMESTAMP)")
+      .head().getString(0).contains("already exists"))
+    // column-spec INSERT — the reference's own TODO (README.md:115),
+    // supported rather than inherited: unlisted columns land as NULL
+    gw.execute("INSERT INTO test.users (id, name) VALUES (1, 'John')")
+    // timestamptz literal (ref: IcebergConnection insert type dispatch)
+    gw.execute("INSERT INTO test.users VALUES (2, 'Amira', '2025-06-24 12:00:00+01:00')")
+    val rows = new LakeCatalog(spark, root).load("test", "users")
+      .orderBy("id").collect()
+    assert(rows(0).getInt(0) == 1 && rows(0).isNullAt(2), "unlisted col must be NULL")
+    assert(rows(1).getTimestamp(2).toInstant ==
+      java.time.Instant.parse("2025-06-24T11:00:00Z"), "offset must normalize to UTC")
+    // bare LIST argument forms (ref: LIST TABLES myNamespace, no IN)
+    assert(gw.execute("LIST TABLES test").count() == 1)
+    assert(gw.execute("LIST NAMESPACES test").count() == 1)
+  }
+
   test("MERGE INTO target USING source ON key upserts through the dialect") {
     val root = java.nio.file.Files.createTempDirectory("graft_gw_merge").toString
     val gw = new SqlGateway(spark, new LakeCatalog(spark, root))
