@@ -5,6 +5,7 @@ import graft.catalog.LakeCatalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** §2.1 continued — round-2 lake-mutation surface: MERGE (upsert),
   * DELETE/UPDATE WHERE (file-granular copy-on-write), snapshot time travel,
@@ -247,7 +248,52 @@ object CatalogOps2 {
       |      SELECT 'orc' AS fmt, * FROM customer WHERE c_custkey <= 300)
       |GROUP BY fmt ORDER BY fmt""".stripMargin
 
+  /** Bucketed co-located join — the §5 co-location story made concrete:
+    * both sides written bucketed (and sorted) on the join key, so the join
+    * runs with ZERO shuffle of either table (Catalog2Spec asserts no
+    * exchange on the key). At 100 TB this is the difference between
+    * shuffling two fact tables per join and shuffling them once at write
+    * time for every future join to reuse. Only the post-join aggregate
+    * (5 segments) exchanges. */
+  def cBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_b_customer")
+    // a previous SESSION's managed-table dirs survive its in-memory
+    // catalog — remove them or saveAsTable fails LOCATION_ALREADY_EXISTS
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+    Seq("graft_b_orders", "graft_b_customer").foreach { t =>
+      val p = java.nio.file.Paths.get(
+        (if (wh.getScheme == null) wh.getPath else java.nio.file.Paths.get(wh).toString) + s"/$t")
+      if (java.nio.file.Files.exists(p)) {
+        val w = java.nio.file.Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+    }
+    Tables.table(spark, dir, "orders")
+      .select("o_custkey", "o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("graft_b_orders")
+    Tables.table(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("graft_b_customer")
+    spark.table("graft_b_orders")
+      .join(spark.table("graft_b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  val cBucketedJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_bucketed_join" -> (cBucketedJoin _),
     "c_snapshot_diff" -> (cSnapshotDiff _),
     "c_multi_format" -> (cMultiFormat _),
     "c_merge_upsert" -> (cMergeUpsert _),
@@ -257,6 +303,7 @@ object CatalogOps2 {
     "c_schema_evolution" -> (cSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    "c_bucketed_join" -> cBucketedJoinSql,
     "c_snapshot_diff" -> cSnapshotDiffSql,
     "c_multi_format" -> cMultiFormatSql,
     "c_merge_upsert" -> cMergeUpsertSql,

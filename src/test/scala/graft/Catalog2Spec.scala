@@ -130,6 +130,15 @@ class Catalog2Spec extends SparkSpec {
     assert(got == Seq((1L, "legacy"), (2L, "fresh")))
   }
 
+  test("bucketed join shuffles NEITHER side on the join key") {
+    val df = graft.ops.CatalogOps2.cBucketedJoin(spark, sfDir)
+    val plan = planOf(df)
+    // the sole allowed exchange is the 5-segment post-join aggregate
+    assert(!plan.contains("hashpartitioning(o_custkey"), plan)
+    assert(!plan.contains("hashpartitioning(c_custkey"), plan)
+    assert(df.collect().length == 5)
+  }
+
   // reflectively read the private root — keeps LakeCatalog's API surface clean
   private def catRoot(cat: LakeCatalog): String = {
     val f = cat.getClass.getDeclaredField("root")
