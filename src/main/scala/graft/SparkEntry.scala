@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++
       ops.Relational3.queries ++
-      ops.TextOps.queries ++ ops.Dedup.queries ++
+      ops.TextOps.queries ++ ops.TextOps2.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.CatalogOps.queries ++
       ops.CatalogOps2.queries ++
       ops.Multimodal.queries ++ streaming.StreamOps.queries ++
@@ -29,7 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Relational2.oracles ++
       ops.Relational3.oracles ++
-      ops.TextOps.oracles ++ ops.Dedup.oracles ++
+      ops.TextOps.oracles ++ ops.TextOps2.oracles ++ ops.Dedup.oracles ++
       ops.Similarity.oracles ++ ops.CatalogOps.oracles ++
       ops.CatalogOps2.oracles ++
       ops.Multimodal.oracles ++ streaming.StreamOps.oracles ++

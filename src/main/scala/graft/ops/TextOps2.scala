@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.3 Text analysis, part 2: repetition quality signals and PII scrubbing
+  * — the two remaining per-document filters every LLM curation pipeline runs
+  * (reference scope: the training-data operators SURVEY.md §2.3 adds beyond
+  * the reference's own SQL surface).
+  *
+  * Both are narrow maps over the scan (column algebra + one map-side-combined
+  * aggregate for the word mode) — shuffle-free or one-shuffle at any corpus
+  * size, same scale shape as TextOps.
+  */
+object TextOps2 {
+
+  private def norm(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Gopher-style repetition signals: fraction of duplicate words / bigrams /
+    * trigrams, plus the top-word mass fraction. High values flag boilerplate
+    * and degenerate generations — the standard pre-training quality gate.
+    *
+    * n-gram duplicate fractions count DISTINCT n-grams over 64-bit
+    * [[graft.functions.Sketch.ngramHashes]] (native codegen, the n-gram
+    * string is never materialized) — distinct-hash count equals
+    * distinct-string count up to 2⁻⁶⁴ collisions, immaterial for a ratio.
+    * The top-word mode needs a per-(doc,word) count: one map-side-combined
+    * aggregate, re-joined on doc_id (both sides hash-partition on doc_id —
+    * a co-partitioned join at scale, never a broadcast of the corpus). */
+  def tRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.table(spark, dir, "documents"))
+
+  private[graft] def repetition(docs: DataFrame): DataFrame = {
+    def grams(n: Int) = graft.functions.Sketch.ngramHashes(col("ws"), n)
+    val base = Tables.fanout(docs)
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_uniq"),
+        size(grams(2)).as("n_bi"),
+        size(array_distinct(grams(2))).as("n_uniq_bi"),
+        size(grams(3)).as("n_tri"),
+        size(array_distinct(grams(3))).as("n_uniq_tri"))
+    val top = Tables.fanout(docs)
+      .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max(col("n")).as("top_n"))
+    base.join(top, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_uniq").cast("double") / col("n_words"), 6)
+          .as("rep_word_frac"),
+        round(when(col("n_bi") > 0,
+          lit(1.0) - col("n_uniq_bi").cast("double") / col("n_bi"))
+          .otherwise(0.0), 6).as("rep_bigram_frac"),
+        round(when(col("n_tri") > 0,
+          lit(1.0) - col("n_uniq_tri").cast("double") / col("n_tri"))
+          .otherwise(0.0), 6).as("rep_trigram_frac"),
+        round(col("top_n").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"))
+      .orderBy("doc_id")
+  }
+
+  val tRepetitionSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+       |stats AS (
+       |  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_uniq,
+       |    [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)] AS bi,
+       |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |     for i in generate_series(1, len(ws)-2)] AS tri
+       |  FROM base),
+       |tf AS (
+       |  SELECT doc_id, word, COUNT(*) AS n
+       |  FROM (SELECT doc_id, unnest(ws) AS word FROM base) GROUP BY 1, 2),
+       |top AS (SELECT doc_id, max(n) AS top_n FROM tf GROUP BY 1)
+       |SELECT s.doc_id AS doc_id,
+       |  round(1.0 - CAST(n_uniq AS DOUBLE) / n_words, 6) AS rep_word_frac,
+       |  round(CASE WHEN len(bi) > 0
+       |    THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+       |    ELSE 0.0 END, 6) AS rep_bigram_frac,
+       |  round(CASE WHEN len(tri) > 0
+       |    THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+       |    ELSE 0.0 END, 6) AS rep_trigram_frac,
+       |  round(CAST(top_n AS DOUBLE) / n_words, 6) AS top_word_frac
+       |FROM stats s JOIN top ON s.doc_id = top.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // PII patterns, written in the RE2 ∩ Java-regex dialect (same rule as
+  // q_regex_suite) so Spark and DuckDB match identically.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redacted text: email → phone → ipv4, applied in that fixed order in
+    * BOTH engines (order matters — dotted phone numbers overlap the ipv4
+    * pattern; a fixed order makes the composition deterministic). */
+  private[graft] def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(emailRe), lit("<EMAIL>")),
+        lit(phoneRe), lit("<PHONE>")),
+      lit(ipv4Re), lit("<IP>"))
+
+  /** PII detection + scrubbing: per-doc counts of email / phone / IPv4
+    * matches and the md5 of the redacted text (md5 rather than the text
+    * itself keeps the output row narrow — the full redacted corpus would be
+    * written back to the lake, not returned). Pure regex column algebra:
+    * zero shuffles at any scale. The synthetic corpus contains no PII (all
+    * counts 0, redacted_md5 = original md5) — the oracle still proves the
+    * pipeline end-to-end, and TextSpec plants real PII to prove detection
+    * and redaction semantics. */
+  private[graft] def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_email"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phone"),
+      size(regexp_extract_all(col("text"), lit(ipv4Re), lit(0))).as("n_ipv4"),
+      md5(redact(col("text"))).as("redacted_md5"))
+      .withColumn("has_pii",
+        (col("n_email") + col("n_phone") + col("n_ipv4")) > 0)
+      .orderBy("doc_id")
+
+  def tPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(Tables.table(spark, dir, "documents"))
+
+  val tPiiScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS INTEGER) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS INTEGER) AS n_phone,
+       |  CAST(len(regexp_extract_all(text, '$ipv4Re')) AS INTEGER) AS n_ipv4,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g'),
+       |    '$ipv4Re', '<IP>', 'g')) AS redacted_md5,
+       |  (len(regexp_extract_all(text, '$emailRe'))
+       |   + len(regexp_extract_all(text, '$phoneRe'))
+       |   + len(regexp_extract_all(text, '$ipv4Re'))) > 0 AS has_pii
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_repetition" -> (tRepetition _),
+    "t_pii_scrub" -> (tPiiScrub _))
+
+  val oracles: Map[String, String] = Map(
+    "t_repetition" -> tRepetitionSql,
+    "t_pii_scrub" -> tPiiScrubSql)
+}

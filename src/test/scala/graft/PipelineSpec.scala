@@ -102,6 +102,23 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@5 $recall")
   }
 
+  test("s_multiprobe: half the tables of s_lsh_ann, recall within 0.1 of it") {
+    val exact = Similarity.sCosineTopk(spark, sfDir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.sLshAnn(spark, sfDir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.sMultiprobe(spark, sfDir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rSingle = (single & exact).size.toDouble / exact.size
+    val rMulti = (multi & exact).size.toDouble / exact.size
+    info(f"recall@5: single-probe L=12 $rSingle%.3f, multiprobe L=6 $rMulti%.3f")
+    // measured at sf0.001: single-probe 0.408, multiprobe 0.792 — the
+    // distance-1 probes more than pay back the 6 dropped tables
+    assert(rMulti >= rSingle,
+      f"multiprobe recall $rMulti%.3f below single-probe $rSingle%.3f")
+    assert(rMulti >= 0.6, f"multiprobe recall@5 $rMulti%.3f < 0.6")
+  }
+
   test("s_cosine_topk: each query has exactly 5 ranked neighbors, cosine non-increasing") {
     val df = Similarity.sCosineTopk(spark, sfDir).collect()
     val byQ = df.groupBy(_.getLong(0))
