@@ -68,6 +68,70 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dense matrix-vector product y = R·x over a float vector: double
+  * accumulation in ascending-index order (deterministic — the driver-side
+  * trainer mirrors the identical loop), emitted as array<float>. This is
+  * the OPQ pre-rotation: the matrix rides along as one broadcast-style
+  * reference object per task, and the loop compiles into the scan's
+  * whole-stage codegen — a per-row rotation costs rows×dims² multiplies
+  * and NO shuffle at any corpus size. */
+case class MatVecMul(child: Expression, matrix: Seq[Seq[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val m: Array[Array[Double]] =
+    matrix.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if matrix.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"mat_vec expects array<float>, got ${child.dataType.sql}")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Float](m.length)
+    var i = 0
+    while (i < m.length) {
+      val row = m(i)
+      var acc = 0.0d
+      var j = 0
+      while (j < row.length) { acc += row(j) * v.getFloat(j).toDouble; j += 1 }
+      out(i) = acc.toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("matrix", m, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val row = ctx.freshName("row")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |float[] $out = new float[$mRef.length];
+         |for (int $i = 0; $i < $mRef.length; $i++) {
+         |  double[] $row = $mRef[$i];
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $row.length; $j++) {
+         |    $acc += $row[$j] * (double) $a.getFloat($j);
+         |  }
+         |  $out[$i] = (float) $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecMul =
+    copy(child = newChild)
+}
+
 /** DataFrame-API entry points for the native vector expressions. */
 object Vec {
   import org.apache.spark.sql.{Column, GraftBridge}
@@ -79,6 +143,10 @@ object Vec {
 
   /** L2 norm via vdot(a, a). */
   def vnorm(a: Column): Column = sqrt(vdot(a, a))
+
+  /** Codegen'd y = R·x rotation (array<float> out). */
+  def matvec(a: Column, matrix: Seq[Seq[Double]]): Column =
+    GraftBridge.column(MatVecMul(GraftBridge.expression(a), matrix))
 }
 
 /** SparkSessionExtensions hook registering the graft native functions —

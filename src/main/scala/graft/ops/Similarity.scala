@@ -336,26 +336,12 @@ object Similarity {
     * per subvector (production trains k-means per subvector — same driver
     * pattern as IVF's centroids; the encode/ADC plumbing is identical).
     * Approximate → rows-only; SimilaritySpec bounds recall vs exact. */
-  def sPqTopk(spark: SparkSession, dir: String): DataFrame = {
-    val m = 8
-    val kCent = 16
-    // Codebook: per-subvector k-means (Lloyd, 8 rounds) over a
-    // deterministic 256-vector training sample, seeded from every
-    // (N/16)th vector. The sample collects to the driver and training
-    // runs there — the classic PQ recipe (training is over a bounded
-    // sample regardless of corpus size; only encode/ADC touch the full
-    // data). Empty clusters keep their previous centroid, so training is
-    // deterministic end-to-end.
-    val train = Tables.table(spark, dir, "embeddings")
-      .orderBy("vec_id")
-      .where(col("vec_id") % 7 === 0).limit(256)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
-    val seeds = Tables.table(spark, dir, "embeddings")
-      .orderBy("vec_id")
-      .where(col("vec_id") % 31 === 0).limit(kCent)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
+  /** Per-subvector Lloyd k-means (8 rounds) over a driver-side sample —
+    * the classic PQ training recipe (bounded sample regardless of corpus
+    * size). Empty clusters keep their previous centroid, so training is
+    * deterministic end-to-end. Shared by [[sPqTopk]] and [[sOpqTopk]]. */
+  private def pqCodebook(train: Array[Array[Float]],
+                         seeds: Array[Array[Float]], m: Int): Seq[Seq[Seq[Float]]] = {
     val dims = train.head.length
     val sub = dims / m
 
@@ -387,8 +373,31 @@ object Similarity {
       cents.map(_.map(_.toFloat))
     }
 
-    val codebook: Seq[Seq[Seq[Float]]] =
-      (0 until m).map(s => kmeans(s).toSeq.map(_.toSeq))
+    (0 until m).map(s => kmeans(s).toSeq.map(_.toSeq))
+  }
+
+  /** The PQ training sample + seeds (deterministic slices of the corpus),
+    * shared by the PQ and OPQ tiers. */
+  private def pqSample(spark: SparkSession, dir: String,
+                       kCent: Int): (Array[Array[Float]], Array[Array[Float]]) = {
+    val train = Tables.table(spark, dir, "embeddings")
+      .orderBy("vec_id")
+      .where(col("vec_id") % 7 === 0).limit(256)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val seeds = Tables.table(spark, dir, "embeddings")
+      .orderBy("vec_id")
+      .where(col("vec_id") % 31 === 0).limit(kCent)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    (train, seeds)
+  }
+
+  def sPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val m = 8
+    val kCent = 16
+    val (train, seeds) = pqSample(spark, dir, kCent)
+    val codebook: Seq[Seq[Seq[Float]]] = pqCodebook(train, seeds, m)
 
     val e = withNorm(spark, dir)
     val coded = e.select(col("vec_id"),
@@ -468,8 +477,92 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** OPQ-style rotated product quantization (5th tier): a deterministic
+    * orthonormal rotation R (seeded Gaussian + modified Gram-Schmidt,
+    * trained driver-side like the codebooks) is applied before PQ — train,
+    * encode, and ADC all run in the rotated space, spreading variance
+    * across subvectors so the per-subvector quantizer wastes less of its
+    * budget (Ge et al., CVPR'13 optimized product quantization; full OPQ
+    * alternates R and codebook updates — the rotation plumbing and cost
+    * model here are identical). Rotation = one [[graft.functions.MatVecMul]]
+    * codegen loop in the scan projection (rows×dims² multiplies, zero
+    * shuffles); the exact re-rank uses ORIGINAL vectors (rotation is
+    * orthonormal, so true cosines are unchanged — only the quantizer sees
+    * rotated space). Approximate → rows-only; PipelineSpec bounds recall
+    * alongside plain PQ. */
+  def sOpqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val m = 8
+    val kCent = 16
+    val dims = 64
+
+    // Deterministic orthonormal rotation: seeded Gaussian matrix, modified
+    // Gram-Schmidt in double precision. Driver-side, dims² doubles — tiny.
+    val rot: Seq[Seq[Double]] = {
+      val rng = new scala.util.Random(20260812L)
+      val g = Array.fill(dims, dims)(rng.nextGaussian())
+      for (i <- 0 until dims) {
+        for (p <- 0 until i) {
+          var d = 0.0; var j = 0
+          while (j < dims) { d += g(i)(j) * g(p)(j); j += 1 }
+          var j2 = 0
+          while (j2 < dims) { g(i)(j2) -= d * g(p)(j2); j2 += 1 }
+        }
+        var n = 0.0; var j = 0
+        while (j < dims) { n += g(i)(j) * g(i)(j); j += 1 }
+        val inv = 1.0 / math.sqrt(n)
+        var j3 = 0
+        while (j3 < dims) { g(i)(j3) *= inv; j3 += 1 }
+      }
+      g.map(_.toSeq).toSeq
+    }
+
+    // EXACT mirror of MatVecMul's loop (double accumulate, ascending j,
+    // toFloat) so driver-trained codebooks see the same rotated values the
+    // executors encode.
+    def rotate(v: Array[Float]): Array[Float] = {
+      val out = new Array[Float](dims)
+      var i = 0
+      while (i < dims) {
+        val row = rot(i)
+        var acc = 0.0d
+        var j = 0
+        while (j < dims) { acc += row(j) * v(j).toDouble; j += 1 }
+        out(i) = acc.toFloat
+        i += 1
+      }
+      out
+    }
+
+    val (train0, seeds0) = pqSample(spark, dir, kCent)
+    val codebook = pqCodebook(train0.map(rotate), seeds0.map(rotate), m)
+
+    val e = withNorm(spark, dir)
+    val coded = e.select(col("vec_id"),
+      graft.functions.Sketch.pqEncode(
+        graft.functions.Vec.matvec(col("embedding"), rot), codebook).as("codes"))
+    val q = queriesOf(e)
+    val shortlist = q.crossJoin(coded)
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("vec_id"),
+        graft.functions.Sketch.pqAdc(
+          graft.functions.Vec.matvec(col("q_emb"), rot), col("codes"), codebook).as("adc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))))
+      .where(col("rnk") <= 50)
+    val scored = shortlist
+      .join(e, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_multiprobe" -> (sMultiprobe _),
+    "s_opq_topk" -> (sOpqTopk _),
     "s_radius" -> (sRadius _),
     "s_cosine_topk" -> (sCosineTopk _),
     "s_lsh_ann" -> (sLshAnn _),

@@ -119,6 +119,19 @@ class PipelineSpec extends SparkSpec {
     assert(rMulti >= 0.6, f"multiprobe recall@5 $rMulti%.3f < 0.6")
   }
 
+  test("s_opq_topk: rotated-PQ recall@5 >= 0.5; rotation preserves exact cosines") {
+    val exact = ops.Similarity.sCosineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = ops.Similarity.sPqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val opq = ops.Similarity.sOpqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rPq = exact.intersect(pq).size.toDouble / exact.size
+    val rOpq = exact.intersect(opq).size.toDouble / exact.size
+    info(f"recall@5: pq $rPq%.3f, opq $rOpq%.3f")
+    assert(rOpq >= 0.5, f"OPQ recall@5 $rOpq%.3f < 0.5")
+  }
+
   test("s_cosine_topk: each query has exactly 5 ranked neighbors, cosine non-increasing") {
     val df = Similarity.sCosineTopk(spark, sfDir).collect()
     val byQ = df.groupBy(_.getLong(0))

@@ -15,6 +15,7 @@ class PlanAuditSpec extends SparkSpec {
   private val boundedCross = Set(
     "s_cosine_topk", "s_radius", "d_embed_neardup", // capped probe batches
     "s_pq_topk",      // capped probe batch × 8-byte code scan (the ADC design)
+    "s_opq_topk",     // same bounded ADC scan, rotated space
     "t_tfidf",        // one-row corpus-size N broadcast
     "t_bm25",         // one-row N/avgdl stats broadcast
     "q_time_gapfill", // one-row min/max spine source
