@@ -121,6 +121,35 @@ class LakeCatalog(spark: SparkSession, root: String) {
     readFiles(ns, table, files)
   }
 
+  /** Iceberg-style `files` metadata table: one row per LIVE data file —
+    * (file, added_in = the first snapshot whose list contains it, row_count,
+    * size_bytes). The file list, add-version map and byte sizes are
+    * catalog metadata (driver-side, tiny — exactly what Iceberg serves from
+    * manifests without touching data); row counts come from ONE distributed
+    * scan grouped by `input_file_name()` (a parquet footer read per file —
+    * at 100 TB this is the one place our JSON sidecar is poorer than real
+    * manifests, which persist per-file stats at commit time; the API shape
+    * downstream consumers see is identical). */
+  def filesMeta(ns: String, table: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = tablePath(ns, table)
+    val cur = currentFiles(ns, table)
+      .getOrElse(listParquet(Paths.get(dir)))
+    val addedIn = snapshots(ns, table)
+      .flatMap { case (v, fs) => fs.map(f => (f, v)) }
+      .groupBy(_._1).map { case (f, vs) => f -> vs.map(_._2).min }
+    val side = spark.createDataFrame(
+      cur.map(f => (f, addedIn.getOrElse(f, -1),
+        Files.size(Paths.get(s"$dir/$f")))))
+      .toDF("file", "added_in", "size_bytes")
+    val rows = readFiles(ns, table, cur)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(count(lit(1)).as("row_count"))
+    rows.join(broadcast(side), Seq("file"))
+      .select(col("file"), col("added_in"), col("row_count"), col("size_bytes"))
+      .orderBy("added_in", "file")
+  }
+
   /** Change feed between two snapshots (Iceberg changelog analog): rows
     * with `_change` ∈ {insert, delete}. Only files ADDED or REMOVED between
     * the snapshots are read — untouched files can't contribute changes —

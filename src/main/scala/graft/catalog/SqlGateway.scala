@@ -40,6 +40,8 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*COMPACT\s+TABLE\s+(?:(\w+)\.)?(\w+)(?:\s+INTO\s+(\d+)\s+FILES?)?\s*;?\s*""".r
   private val showSnaps =
     """(?is)\s*SHOW\s+SNAPSHOTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  private val showFiles =
+    """(?is)\s*SHOW\s+FILES\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val expireSnaps =
     """(?is)\s*EXPIRE\s+SNAPSHOTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
   // COPY (SELECT …) TO 'path' [FORMAT csv|json|parquet] — DuckDB's export
@@ -175,6 +177,10 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.expireSnapshots(nsName, table, Option(n).map(_.toInt).getOrElse(1))
         Seq("Snapshots expired").toDF("status")
+
+      case showFiles(ns, table) => // Iceberg `files` metadata table
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.filesMeta(nsName, table)
 
       case showSnaps(ns, table) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

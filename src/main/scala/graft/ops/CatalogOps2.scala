@@ -292,7 +292,40 @@ object CatalogOps2 {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Iceberg `files` metadata-table analog: three single-file appends of
+    * known sizes, then a COW delete that rewrites ONLY the middle batch's
+    * file. The files table then reads: untouched files keep their original
+    * add-version (1 and 3), the rewrite lands as a new 39-row file added in
+    * the delete's snapshot (4) — per-file row counts and lineage served
+    * from catalog metadata + one footer-level count, no table scan logic in
+    * consumers. File names and byte sizes are environment-dependent →
+    * projected out here (Catalog2Spec asserts them); the (added_in,
+    * row_count) history is a structural constant. */
+  def cFilesMeta(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "fmeta")
+    cat.createTable("scratch", "fmeta", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    def batch(from: Long, n: Long): DataFrame =
+      spark.range(from, from + n).select(col("id"), (col("id") * 10).as("v"))
+        .coalesce(1)
+    cat.append("scratch", "fmeta", batch(1, 100)) // v1: one 100-row file
+    cat.append("scratch", "fmeta", batch(101, 50)) // v2: one 50-row file
+    cat.append("scratch", "fmeta", batch(151, 25)) // v3: one 25-row file
+    // rewrites ONLY the v2 file (ids 120–130 live there): 50 → 39 rows
+    cat.deleteWhere("scratch", "fmeta", col("id").between(120, 130))
+    cat.filesMeta("scratch", "fmeta")
+      .select(col("added_in"), col("row_count"))
+      .orderBy("added_in", "row_count")
+  }
+
+  val cFilesMetaSql: String =
+    """SELECT * FROM (VALUES
+      |  (1, CAST(100 AS BIGINT)), (3, CAST(25 AS BIGINT)), (4, CAST(39 AS BIGINT))
+      |) AS t(added_in, row_count) ORDER BY added_in, row_count""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_files_meta" -> (cFilesMeta _),
     "c_bucketed_join" -> (cBucketedJoin _),
     "c_snapshot_diff" -> (cSnapshotDiff _),
     "c_multi_format" -> (cMultiFormat _),
@@ -303,6 +336,7 @@ object CatalogOps2 {
     "c_schema_evolution" -> (cSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    "c_files_meta" -> cFilesMetaSql,
     "c_bucketed_join" -> cBucketedJoinSql,
     "c_snapshot_diff" -> cSnapshotDiffSql,
     "c_multi_format" -> cMultiFormatSql,

@@ -130,6 +130,27 @@ class Catalog2Spec extends SparkSpec {
     assert(got == Seq((1L, "legacy"), (2L, "fresh")))
   }
 
+  test("filesMeta: live files with add-version lineage, real sizes, gateway SHOW FILES") {
+    import spark.implicits._
+    val (cat, root) = freshCat
+    cat.createTable("ns", "fm", StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType))))
+    cat.append("ns", "fm", Seq((1L, "a"), (2L, "a")).toDF("id", "grp").coalesce(1))
+    cat.append("ns", "fm", Seq((3L, "b"), (4L, "b"), (5L, "b")).toDF("id", "grp").coalesce(1))
+    cat.deleteWhere("ns", "fm", col("id") === 5L) // rewrites only the 'b' file
+    val meta = cat.filesMeta("ns", "fm").collect()
+    assert(meta.length == 2) // one live file per surviving batch
+    assert(meta.map(_.getString(0)).distinct.length == 2) // distinct names
+    assert(meta.forall(_.getLong(3) > 0), "size_bytes must be real")
+    // untouched 'a' file keeps add-version 1; the rewrite was added by the
+    // delete's commit (version 3) and holds the 2 surviving 'b' rows
+    assert(meta.map(r => (r.getInt(1), r.getLong(2))).toSet == Set((1, 2L), (3, 2L)))
+    // the SQL gateway serves the same metadata table
+    val viaSql = new graft.catalog.SqlGateway(spark, cat).execute("SHOW FILES IN ns.fm")
+    assert(viaSql.collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+      == Set((1, 2L), (3, 2L)))
+  }
+
   test("bucketed join shuffles NEITHER side on the join key") {
     val df = graft.ops.CatalogOps2.cBucketedJoin(spark, sfDir)
     val plan = planOf(df)
