@@ -48,10 +48,14 @@ object Dedup {
       .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
       // native NgramHashes expression (one codegen loop) — the former
       // transform(sequence…, i -> xxhash64(…)) lambda is CodegenFallback
-      // and paid interpreted dispatch per shingle; hash values unchanged
+      // and paid interpreted dispatch per shingle; hash values unchanged.
+      // array_distinct BEFORE the explode: per-doc distinct == global
+      // distinct on (doc_id, h) because doc_id is part of the key — the
+      // in-projection hash-set dedup replaces what was a full shuffle of
+      // the shingle table (the largest intermediate in the dedup family).
       .select(col("doc_id"),
-        explode(graft.functions.Sketch.ngramHashes(col("ws"), 5)).as("h"))
-      .select("doc_id", "h").distinct()
+        explode(array_distinct(
+          graft.functions.Sketch.ngramHashes(col("ws"), 5))).as("h"))
 
   /** Skew guard for the inverted-index joins: drop shingles whose document
     * frequency exceeds `maxDf`. Ultra-common shingles carry no dedup signal
