@@ -159,8 +159,8 @@ object Pipeline {
        |  FROM documents),
        |c AS (
        |  SELECT source, doc_id, n_tok,
-       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-       |                     ROWS UNBOUNDED PRECEDING) AS cum_tok
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
        |  FROM t)
        |SELECT source, doc_id, n_tok, cum_tok FROM c
        |WHERE cum_tok - n_tok <= 2000 ORDER BY source, doc_id""".stripMargin
@@ -262,7 +262,125 @@ object Pipeline {
        |  GROUP BY p.doc_id)
        |SELECT * FROM exact UNION ALL SELECT * FROM near ORDER BY doc_id""".stripMargin
 
+  /** THE end-to-end curation flagship — every gate a 100 TB pre-training
+    * run chains, in ONE plan: language filter → quality score → PII gate →
+    * repetition gate (all fused into the scan projection) → exact-dup
+    * keep-min (one fp-window shuffle) → pairwise near-dup keep-earliest
+    * (shingle inverted-index join restricted to survivors) → per-source
+    * token budget (one window). Shuffle count stays at 4 regardless of
+    * corpus size: fp window, shingle index join, survivor anti-join,
+    * budget window — everything else is a narrow map. The PII gate is
+    * vacuous on the synthetic corpus (no PII) but sits in the plan;
+    * Text2Spec proves its semantics on planted data. */
+  def pCurateFull(spark: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(split(norm(col("text")), " ")).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val nAlpha = size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))).cast("double")
+    val nStop = size(regexp_extract_all(concat(lit(" "), norm(col("text")), lit(" ")),
+      lit(" (the|a|of|and|to|in|is|it) "), lit(0))).cast("double")
+    val quality = round(
+      least(nTokens / 50.0, lit(1.0)) * 0.25
+        + (lit(1.0) - least(nPunct / nChars * 5.0, lit(1.0))) * 0.25
+        + least(nStop / nTokens * 5.0, lit(1.0)) * 0.25
+        + nAlpha / nChars * 0.25, 6)
+    val ws = split(norm(col("text")), " ")
+    val rep = lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws)
+    val nPii =
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))) +
+        size(regexp_extract_all(col("text"), lit("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"), lit(0))) +
+        size(regexp_extract_all(col("text"), lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit(0)))
+
+    val gated = Tables.table(spark, dir, "documents")
+      .where(col("lang").isin("en", "fr"))
+      .select(col("doc_id"), col("source"), quality.as("quality"),
+        md5(norm(col("text"))).as("fp"),
+        size(split(norm(col("text")), " ")).cast("long").as("n_tok"),
+        rep.as("rep"), nPii.as("n_pii"))
+      .where(col("quality") >= 0.55 && col("n_pii") === 0 && col("rep") <= 0.6)
+    val keepExact = gated
+      .withColumn("keep", min("doc_id").over(Window.partitionBy("fp")))
+      .where(col("doc_id") === col("keep"))
+
+    // near-dup keep-earliest among survivors: inverted-index join on the
+    // survivor-restricted shingle table, drop the larger id of each pair
+    val ids = keepExact.select("doc_id")
+    val sh = Dedup.filteredShingles(spark, dir)
+      .join(ids, Seq("doc_id"), "left_semi").cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dropNear = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .where(round(col("shared").cast("double")
+        / (col("sa.n_sh") + col("sb.n_sh") - col("shared")), 6) >= 0.5)
+      .select(col("doc_b").as("drop_id")).distinct()
+    val kept = keepExact.join(dropNear, col("doc_id") === col("drop_id"), "left_anti")
+
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .where(col("cum_tok") - col("n_tok") <= 4000L)
+      .select(col("source"), col("doc_id"), col("quality"), col("n_tok"), col("cum_tok"))
+      .orderBy("source", "doc_id")
+  }
+
+  val pCurateFullSql: String = {
+    val nChars = "CAST(length(text) AS DOUBLE)"
+    val nTokens = s"CAST(length(string_split($normSql, ' ')) AS DOUBLE)"
+    val nPunct = "CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+    val nAlpha = "CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)"
+    val nStop = s"CAST(length(regexp_extract_all(' ' || $normSql || ' ', ' (the|a|of|and|to|in|is|it) ')) AS DOUBLE)"
+    val nPii = """(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 | + length(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+                 | + length(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')))""".stripMargin
+    s"""WITH q AS (
+       |  SELECT doc_id, source, md5($normSql) AS fp,
+       |    CAST(length(string_split($normSql, ' ')) AS BIGINT) AS n_tok,
+       |    round(least($nTokens / 50.0, 1.0) * 0.25
+       |      + (1.0 - least($nPunct / $nChars * 5.0, 1.0)) * 0.25
+       |      + least($nStop / $nTokens * 5.0, 1.0) * 0.25
+       |      + $nAlpha / $nChars * 0.25, 6) AS quality,
+       |    1.0 - CAST(len(list_distinct(string_split($normSql, ' '))) AS DOUBLE)
+       |        / len(string_split($normSql, ' ')) AS rep,
+       |    $nPii AS n_pii
+       |  FROM documents WHERE lang IN ('en', 'fr')),
+       |f AS (SELECT * FROM q WHERE quality >= 0.55 AND n_pii = 0 AND rep <= 0.6),
+       |g AS (SELECT f.*, min(doc_id) OVER (PARTITION BY fp) AS keep FROM f),
+       |ke AS (SELECT * FROM g WHERE doc_id = keep),
+       |tok AS (
+       |  SELECT d.doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents d JOIN ke ON d.doc_id = ke.doc_id),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |dropn AS (
+       |  SELECT DISTINCT doc_b FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) >= 0.5),
+       |kept AS (SELECT * FROM ke WHERE doc_id NOT IN (SELECT doc_b FROM dropn)),
+       |b AS (
+       |  SELECT source, doc_id, quality, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM kept)
+       |SELECT source, doc_id, quality, n_tok, cum_tok FROM b
+       |WHERE cum_tok - n_tok <= 4000 ORDER BY source, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_curate_full" -> (pCurateFull _),
     "p_incremental_dedup" -> (pIncrementalDedup _),
     "p_mix_report" -> (pMixReport _),
     "p_curate" -> (pCurate _),
@@ -271,6 +389,7 @@ object Pipeline {
     "p_token_budget" -> (pTokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "p_curate_full" -> pCurateFullSql,
     "p_incremental_dedup" -> pIncrementalDedupSql,
     "p_mix_report" -> pMixReportSql,
     "p_curate" -> pCurateSql,

@@ -73,7 +73,7 @@ object Relational3 {
 
   val qAggExtrasSql: String =
     """SELECT o_orderpriority,
-      |  count_if(o_totalprice > 150000) AS n_big,
+      |  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
       |  arg_max(o_orderkey, o_totalprice) AS priciest_order,
       |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
       |  bool_or(o_orderstatus = 'F') AS any_f,
@@ -185,7 +185,7 @@ object Relational3 {
   }
 
   val qHistogramSql: String =
-    """SELECT least(CAST(floor(o_totalprice / 50000) AS INTEGER), 9) AS bucket,
+    """SELECT CAST(least(CAST(floor(o_totalprice / 50000) AS INTEGER), 9) AS INTEGER) AS bucket,
       |  COUNT(*) AS n, round(min(o_totalprice), 2) AS lo,
       |  round(max(o_totalprice), 2) AS hi
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
