@@ -267,11 +267,13 @@ object Pipeline {
     * repetition gate (all fused into the scan projection) → exact-dup
     * keep-min (one fp-window shuffle) → pairwise near-dup keep-earliest
     * (shingle inverted-index join restricted to survivors) → per-source
-    * token budget (one window). Shuffle count stays at 4 regardless of
-    * corpus size: fp window, shingle index join, survivor anti-join,
-    * budget window — everything else is a narrow map. The PII gate is
-    * vacuous on the synthetic corpus (no PII) but sits in the plan;
-    * Text2Spec proves its semantics on planted data. */
+    * token budget (one window). Every per-doc gate rides the SAME scan
+    * projection — adding a gate costs zero extra passes — and the shuffles
+    * are the dedup family's own (fp window, shingle-index join and its
+    * aggregates, budget window): all linear in the corpus, nothing
+    * quadratic, small sides broadcast. The PII gate is vacuous on the
+    * synthetic corpus (no PII) but sits in the plan; Text2Spec proves its
+    * semantics on planted data. */
   def pCurateFull(spark: SparkSession, dir: String): DataFrame = {
     val nChars = length(col("text")).cast("double")
     val nTokens = size(split(norm(col("text")), " ")).cast("double")
