@@ -273,7 +273,87 @@ object StreamOps {
       | AND epoch_ns(p.ts)//1000 - epoch_ns(v.ts)//1000 BETWEEN 0 AND 600000000
       |GROUP BY v.user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming curation — the per-doc gates of Pipeline.pCurateFull applied
+    * AT INGEST: language, quality, PII and repetition gates are stateless
+    * column algebra (stream-safe by construction), exact dedup is
+    * dropDuplicatesWithinWatermark on the content fingerprint (state
+    * bounded by the watermark — the unbounded-state trap of plain
+    * dropDuplicates does not scale to an always-on ingest). Emits a
+    * curation summary over fingerprint-level values only (n_tok derives
+    * from the normalized text, i.e. from the fingerprint itself), so the
+    * result is independent of WHICH duplicate copy the stream kept —
+    * that's what makes batch ≡ stream hold exactly. */
+  def curateDocs(df: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(split(norm, " ")).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val nAlpha = size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))).cast("double")
+    val nStop = size(regexp_extract_all(concat(lit(" "), norm, lit(" ")),
+      lit(" (the|a|of|and|to|in|is|it) "), lit(0))).cast("double")
+    val quality = round(
+      least(nTokens / 50.0, lit(1.0)) * 0.25
+        + (lit(1.0) - least(nPunct / nChars * 5.0, lit(1.0))) * 0.25
+        + least(nStop / nTokens * 5.0, lit(1.0)) * 0.25
+        + nAlpha / nChars * 0.25, 6)
+    val ws = split(norm, " ")
+    val rep = lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws)
+    val nPii =
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))) +
+        size(regexp_extract_all(col("text"), lit("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"), lit(0))) +
+        size(regexp_extract_all(col("text"), lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit(0)))
+    val gated = df
+      .where(col("lang").isin("en", "fr"))
+      .withColumn("quality", quality)
+      .withColumn("rep", rep)
+      .withColumn("n_pii", nPii)
+      .where(col("quality") >= 0.55 && col("n_pii") === 0 && col("rep") <= 0.6)
+      .select(col("event_time"), md5(norm).as("fp"),
+        size(split(norm, " ")).cast("long").as("n_tok"))
+    if (gated.isStreaming)
+      gated.withWatermark("event_time", "10 minutes")
+        .dropDuplicatesWithinWatermark("fp")
+    else gated.dropDuplicates("fp")
+  }
+
+  /** Batch entry: documents get a synthetic arrival time (doc_id seconds —
+    * deterministic; a real ingest carries its own event time). */
+  def stCurate(spark: SparkSession, dir: String): DataFrame =
+    curateDocs(Tables.table(spark, dir, "documents")
+      .withColumn("event_time", timestamp_seconds(col("doc_id"))))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tok")).as("n_tokens"))
+
+  val stCurateSql: String = {
+    val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val nChars = "CAST(length(text) AS DOUBLE)"
+    val nTokens = s"CAST(length(string_split($normSql, ' ')) AS DOUBLE)"
+    val nPunct = "CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+    val nAlpha = "CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)"
+    val nStop = s"CAST(length(regexp_extract_all(' ' || $normSql || ' ', ' (the|a|of|and|to|in|is|it) ')) AS DOUBLE)"
+    val nPii = """(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 | + length(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+                 | + length(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')))""".stripMargin
+    s"""WITH q AS (
+       |  SELECT md5($normSql) AS fp,
+       |    CAST(length(string_split($normSql, ' ')) AS BIGINT) AS n_tok,
+       |    round(least($nTokens / 50.0, 1.0) * 0.25
+       |      + (1.0 - least($nPunct / $nChars * 5.0, 1.0)) * 0.25
+       |      + least($nStop / $nTokens * 5.0, 1.0) * 0.25
+       |      + $nAlpha / $nChars * 0.25, 6) AS quality,
+       |    1.0 - CAST(len(list_distinct(string_split($normSql, ' '))) AS DOUBLE)
+       |        / len(string_split($normSql, ' ')) AS rep,
+       |    $nPii AS n_pii
+       |  FROM documents WHERE lang IN ('en', 'fr')),
+       |d AS (SELECT DISTINCT fp, n_tok FROM q
+       |      WHERE quality >= 0.55 AND n_pii = 0 AND rep <= 0.6)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM d""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_curate" -> (stCurate _),
     "st_window_agg" -> (stWindowAgg _),
     "st_dedup" -> (stDedup _),
     "st_session" -> (stSession _),
@@ -282,6 +362,7 @@ object StreamOps {
     "st_stream_join_left" -> (stStreamJoinLeft _))
 
   val oracles: Map[String, String] = Map(
+    "st_curate" -> stCurateSql,
     "st_window_agg" -> stWindowAggSql,
     "st_dedup" -> stDedupSql,
     "st_session" -> stSessionSql,

@@ -163,6 +163,44 @@ class StreamingSpec extends SparkSpec {
     assert(cat.lastCommittedBatch("ns", "r").contains(1L))
   }
 
+  test("curateDocs: streaming curation (append, multi-batch) == batch summary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsBatch = Tables.table(spark, sfDir, "documents")
+      .withColumn("event_time", timestamp_seconds(col("doc_id")))
+    // streaming side: same docs in two micro-batches, plus a planted PII doc
+    // and an exact duplicate pair that must collapse to one fingerprint
+    val rows = docsBatch
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect().toSeq
+    val extra = Seq(
+      (900001L, "the quality of the data is it in the line and the table of the part and the row is it the key of the scan and the sort in the batch", "en"),
+      (900002L, "the quality of the data is it in the line and the table of the part and the row is it the key of the scan and the sort in the batch", "en"), // exact dup of 900001
+      (900003L, "the quality of the data is it in the line and the table of the part and the row is it the key mail me at a@b.co for the copy of the scan", "en")) // PII → gated out
+    val all = rows ++ extra
+    val mem = MemoryStream[(Long, String, String)]
+    val sdf = StreamOps.curateDocs(mem.toDF().toDF("doc_id", "text", "lang")
+      .withColumn("event_time", timestamp_seconds(col("doc_id"))))
+    val q = sdf.writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    all.grouped((all.size / 2) + 1).foreach { chunk =>
+      mem.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val stream = spark.table("cur_stream")
+      .agg(count(lit(1)), coalesce(sum("n_tok"), lit(0L))).collect().head
+    val batchIn = (docsBatch.select("doc_id", "text", "lang") unionByName
+      extra.toDF("doc_id", "text", "lang"))
+      .withColumn("event_time", timestamp_seconds(col("doc_id")))
+    val batch = StreamOps.curateDocs(batchIn)
+      .agg(count(lit(1)), coalesce(sum("n_tok"), lit(0L))).collect().head
+    assert(batch.getLong(0) > 0)
+    assert(stream == batch, s"stream $stream != batch $batch")
+    // the duplicate pair collapsed: planted fp appears exactly once
+    val plantedFp = spark.table("cur_stream").count()
+    assert(plantedFp == batch.getLong(0))
+  }
+
   test("sessionizeWithState agrees with the windowed sessionize operator") {
     import spark.implicits._
     val evs = eventsBatch.select(col("user_id"), col("ts").as("tsNs"), col("value"))
