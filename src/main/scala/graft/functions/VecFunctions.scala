@@ -151,13 +151,31 @@ object Vec {
 
 /** SparkSessionExtensions hook registering the graft native functions —
   * enable with `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
-  * After that, `expr("vdot(a, b)")` (or plain SQL) resolves to the codegen
-  * expression above. */
+  * After that, `expr("vdot(a, b)")` / `expr("ngram_hashes(ws, 5)")` (or
+  * plain SQL text through the gateway) resolve to the codegen expressions,
+  * so SQL-only users get the same hot loops the DataFrame API uses. The
+  * matrix/plane-parameterized expressions (MatVecMul, HyperplaneSigs, PQ)
+  * stay DataFrame-only — their model payload isn't expressible as a SQL
+  * literal argument. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vdot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vdot"),
       (args: Seq[Expression]) => FloatVecDot(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      (args: Seq[Expression]) => NgramHashes(args.head,
+        args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash"),
+      (args: Seq[Expression]) => MinHashAgg(args.head,
+        args(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash"),
+      (args: Seq[Expression]) => SimHashAgg(args.head).toAggregateExpression()))
   }
 }

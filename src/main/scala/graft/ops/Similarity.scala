@@ -147,8 +147,13 @@ object Similarity {
     * does each iteration — and embedded as array literals, so each corpus
     * row computes its argmax cell inside the scan projection. No crossJoin,
     * no window, no embedding-carrying shuffle anywhere in the assignment. */
-  def sIvfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val nprobe = 3
+  def sIvfTopk(spark: SparkSession, dir: String): DataFrame =
+    ivfTopk(spark, dir, nprobe = 3)
+
+  /** nprobe-parameterized IVF — PipelineSpec sweeps nprobe to assert the
+    * recall/cost curve behaves (more probed cells ⇒ recall non-decreasing,
+    * reaching 1.0 when every cell is probed). */
+  private[graft] def ivfTopk(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val e = withNorm(spark, dir)
     // centroid per label: elementwise mean — explode (dim, value), mean, regroup
     val cents = Tables.fanout(Tables.table(spark, dir, "embeddings"))

@@ -119,6 +119,21 @@ class PipelineSpec extends SparkSpec {
     assert(rMulti >= 0.6, f"multiprobe recall@5 $rMulti%.3f < 0.6")
   }
 
+  test("ivf recall curve: recall@5 non-decreasing in nprobe") {
+    val exact = Similarity.sCosineTopk(spark, sfDir)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(1, 3, 5).map { np =>
+      val got = Similarity.ivfTopk(spark, sfDir, np)
+        .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      np -> (got & exact).size.toDouble / exact.size
+    }
+    info(recalls.map { case (np, r) => f"nprobe=$np recall=$r%.3f" }.mkString(", "))
+    recalls.sliding(2).foreach { case Seq((_, a), (npB, b)) =>
+      assert(b >= a, f"recall decreased at nprobe=$npB: $a%.3f -> $b%.3f")
+    }
+    assert(recalls.last._2 >= 0.7, f"recall@nprobe=5 ${recalls.last._2}%.3f < 0.7")
+  }
+
   test("s_opq_topk: rotated-PQ recall@5 >= 0.5; rotation preserves exact cosines") {
     val exact = ops.Similarity.sCosineTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

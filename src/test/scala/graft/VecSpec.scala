@@ -40,4 +40,24 @@ class VecSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("vdot expects"), e.getMessage)
   }
+
+  test("ngram_hashes / minhash / simhash are callable from SQL text") {
+    Tables.registerAll(spark, sfDir)
+    // SQL path must produce the SAME hashes the DataFrame API produces
+    val viaSql = spark.sql(
+      """SELECT doc_id, ngram_hashes(split(lower(text), ' '), 5) AS h
+        |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin).collect()
+    val viaDf = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Sketch.ngramHashes(split(lower(col("text")), " "), 5).as("h"))
+      .orderBy("doc_id").limit(3).collect()
+    assert(viaSql.map(_.toString).toSeq == viaDf.map(_.toString).toSeq)
+
+    val agg = spark.sql(
+      """SELECT minhash(h, 8) AS m, simhash(h) AS s FROM (
+        |  SELECT explode(ngram_hashes(split(lower(text), ' '), 5)) AS h
+        |  FROM documents WHERE doc_id = 0)""".stripMargin).head()
+    assert(agg.getSeq[Long](0).length == 8)
+    assert(agg.getLong(1) != 0L)
+  }
 }
