@@ -137,16 +137,17 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** IVF-style ANN: centroids = the label centroids (k-means analog computed
-    * in one agg pass — deterministic), corpus assigned to nearest centroid,
-    * queries probe the nprobe=3 nearest cells then exact-rerank.
-    * SimilaritySpec asserts recall@5 ≥ 0.7 vs exact.
+  /** IVF ANN with k-means-TRAINED cells (k=16, Lloyd 8 rounds over the
+    * shared 256-vector driver-side sample — the same trainer the PQ
+    * codebooks use, with the whole embedding as the single "subvector"):
+    * corpus assigned to its nearest centroid, queries probe the nprobe
+    * nearest cells then exact-rerank. Training cost is bounded by the
+    * sample regardless of corpus size.
     *
     * Assignment is a genuine zero-shuffle map pass: the k centroid vectors
-    * (tiny, k=|labels|) are collected to the driver — exactly what k-means
-    * does each iteration — and embedded as array literals, so each corpus
-    * row computes its argmax cell inside the scan projection. No crossJoin,
-    * no window, no embedding-carrying shuffle anywhere in the assignment. */
+    * (tiny) are embedded as array literals, so each corpus row computes its
+    * argmax cell inside the scan projection. No crossJoin, no window, no
+    * embedding-carrying shuffle anywhere in the assignment. */
   def sIvfTopk(spark: SparkSession, dir: String): DataFrame =
     ivfTopk(spark, dir, nprobe = 3)
 
@@ -155,17 +156,13 @@ object Similarity {
     * reaching 1.0 when every cell is probed). */
   private[graft] def ivfTopk(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val e = withNorm(spark, dir)
-    // centroid per label: elementwise mean — explode (dim, value), mean, regroup
-    val cents = Tables.fanout(Tables.table(spark, dir, "embeddings"))
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("c"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x.getField("c")).cast("array<float>").as("centroid"))
-      .select(col("label").as("cell"), col("centroid"))
-      .collect() // k tiny rows → driver, like every k-means implementation
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
-      .sortBy(_._1)
+    val kCells = 8
+    // Lloyd-trained cells: pqCodebook with m=1 treats the full embedding
+    // as one subvector — identical trainer, full-dimensional centroids
+    val (train, seeds) = pqSample(spark, dir, kCells)
+    val cents: Array[(Int, Array[Float])] =
+      pqCodebook(train, seeds, 1).head.zipWithIndex
+        .map { case (c, i) => i -> c.toArray }.toArray
 
     // per-row cell similarities as literal-centroid vdots (codegen'd)
     def cellSims(emb: Column, nrm: Column): Seq[(Int, Column)] =
