@@ -264,7 +264,45 @@ object Relational3 {
       |WHERE c.c_custkey <= 500
       |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
 
+  /** NULL-semantics suite — the three-valued-logic corners every SQL
+    * engine must agree on, exercised on synthesized NULLs (the test data
+    * has none): a nullable GROUP BY key (the NULL group must survive
+    * hashing identically), COUNT(*) vs COUNT(col), IS NOT DISTINCT FROM
+    * (null-safe equality), SUM over an all/partially-NULL expression, and
+    * the classic `NOT IN (subquery with a NULL)` trap — three-valued logic
+    * makes it empty, and Spark plans it as a null-aware anti join (a
+    * broadcast, never a cartesian). Spark side runs the same SQL text via
+    * spark.sql, so the parser/analyzer path is exercised too. */
+  private val qNullSuiteText =
+    """WITH c AS (
+      |  SELECT nullif(c_mktsegment, 'BUILDING') AS seg, c_custkey, c_acctbal
+      |  FROM customer),
+      |ni AS (
+      |  SELECT COUNT(*) AS n_notin FROM c
+      |  WHERE c_custkey NOT IN (SELECT nullif(c_custkey, c_custkey) FROM c))
+      |SELECT seg,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(seg) AS n_nonnull,
+      |  CAST(COUNT(CASE WHEN seg IS NULL THEN 1 END) AS BIGINT) AS n_null,
+      |  coalesce(seg, 'NONE') AS seg_filled,
+      |  CAST(COUNT(CASE WHEN seg IS NOT DISTINCT FROM 'AUTOMOBILE' THEN 1 END) AS BIGINT) AS n_nullsafe_auto,
+      |  CAST(SUM(CASE WHEN seg IS NULL THEN c_custkey END) AS BIGINT) AS nullgrp_keysum,
+      |  max(n_notin) AS n_notin_with_null
+      |FROM c CROSS JOIN ni
+      |GROUP BY seg ORDER BY seg""".stripMargin
+
+  def qNullSuite(spark: SparkSession, dir: String): DataFrame =
+    Tables.sql(spark, dir,
+      // Spark's COUNT already returns BIGINT; the casts are harmless no-ops
+      qNullSuiteText)
+
+  val qNullSuiteSql: String = qNullSuiteText
+    .replace("COUNT(*) AS n_rows", "CAST(COUNT(*) AS BIGINT) AS n_rows")
+    .replace("COUNT(seg) AS n_nonnull", "CAST(COUNT(seg) AS BIGINT) AS n_nonnull")
+    .replace("COUNT(*) AS n_notin", "CAST(COUNT(*) AS BIGINT) AS n_notin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_suite" -> (qNullSuite _),
     "q_lateral_corr" -> (qLateralCorr _),
     "q_recursive" -> (qRecursive _),
     "q_json_typed" -> (qJsonTyped _),
@@ -277,6 +315,7 @@ object Relational3 {
     "q_approx_quantile" -> (qApproxQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "q_null_suite" -> qNullSuiteSql,
     "q_lateral_corr" -> qLateralCorrSql,
     "q_recursive" -> qRecursiveSql,
     "q_json_typed" -> qJsonTypedSql,
