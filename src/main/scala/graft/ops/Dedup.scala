@@ -416,7 +416,49 @@ object Dedup {
        |FROM diags WHERE run >= 10
        |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Fuzzy ENTITY dedup (names, not documents): part-name pairs within
+    * Levenshtein distance ≤ 2 — the "cold bolt" / "old bolt" catalog-merge
+    * case. Staged exactly like production entity resolution at 100 TB:
+    *  1. exact collapse first — one partial agg to distinct names with
+    *     representative key + cardinality (64 names from 2000 parts here;
+    *     the fuzzy stage never sees per-row volume);
+    *  2. blocked fuzzy join — block on the final token (the head noun), so
+    *     candidate pairs are per-block quadratic only in tiny blocks, never
+    *     corpus²;
+    *  3. Spark's 3-arg levenshtein(l, r, threshold) inside the block:
+    *     banded O(len·k) evaluation that abandons a pair the moment the
+    *     distance exceeds the threshold (returns -1) — the per-pair cost is
+    *     bounded by the threshold, not the string length².
+    * Oracle: DuckDB levenshtein (unbanded) filtered to the same range. */
+  def dFuzzyName(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.table(spark, dir, "part")
+      .groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("rep_key"), count(lit(1)).as("n_parts"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val d = levenshtein(col("a.p_name"), col("b.p_name"), 2)
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .where(d.between(1, 2))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        d.as("dist"),
+        col("a.n_parts").as("n_parts_a"), col("b.n_parts").as("n_parts_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val dFuzzyNameSql: String =
+    """WITH n AS (
+      |  SELECT p_name, min(p_partkey) AS rep_key, COUNT(*) AS n_parts,
+      |    (string_split(p_name, ' '))[-1] AS blk
+      |  FROM part GROUP BY p_name)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+      |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+      |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_fuzzy_name" -> (dFuzzyName _),
     "d_substring_span" -> (dSubstringSpan _),
     "d_dup_clusters" -> (dDupClusters _),
     "d_exact" -> (dExact _),
@@ -426,6 +468,7 @@ object Dedup {
     "d_embed_neardup" -> (dEmbedNeardup _))
 
   val oracles: Map[String, String] = Map(
+    "d_fuzzy_name" -> dFuzzyNameSql,
     "d_substring_span" -> dSubstringSpanSql,
     "d_dup_clusters" -> dDupClustersSql,
     "d_exact" -> dExactSql,
