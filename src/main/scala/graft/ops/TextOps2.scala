@@ -139,11 +139,54 @@ object TextOps2 {
        |   + len(regexp_extract_all(text, '$ipv4Re'))) > 0 AS has_pii
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Flesch reading-ease + FK grade level, the classic readability gate:
+    * sentences = [.!?]+ runs (min 1), syllables = vowel-group runs per
+    * word (the standard heuristic — exact syllabification needs a
+    * dictionary; vowel groups are deterministic and engine-portable).
+    * Pure regex/array column algebra — zero shuffles. The formulas'
+    * double arithmetic is identical text in both engines; round(4). */
+  def tReadability(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(split(norm(col("text")), " ")).cast("double")
+    val nSents = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+      .cast("double")
+    val nSyll = greatest(
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))), lit(1))
+      .cast("double")
+    val ease = (lit(206.835) - lit(1.015) * (nWords / nSents)
+      - lit(84.6) * (nSyll / nWords))
+    val grade = (lit(0.39) * (nWords / nSents)
+      + lit(11.8) * (nSyll / nWords) - lit(15.59))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        nSents.cast("long").as("n_sents"),
+        nSyll.cast("long").as("n_syllables"),
+        round(ease, 4).as("flesch_ease"),
+        round(grade, 4).as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
+  val tReadabilitySql: String = {
+    val nWords = s"CAST(length(string_split($normSql, ' ')) AS DOUBLE)"
+    val nSents = "CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)"
+    val nSyll = "CAST(greatest(length(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE)"
+    s"""SELECT doc_id,
+       |  CAST($nWords AS BIGINT) AS n_words,
+       |  CAST($nSents AS BIGINT) AS n_sents,
+       |  CAST($nSyll AS BIGINT) AS n_syllables,
+       |  round(206.835 - 1.015 * ($nWords / $nSents) - 84.6 * ($nSyll / $nWords), 4) AS flesch_ease,
+       |  round(0.39 * ($nWords / $nSents) + 11.8 * ($nSyll / $nWords) - 15.59, 4) AS fk_grade
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_repetition" -> (tRepetition _),
-    "t_pii_scrub" -> (tPiiScrub _))
+    "t_pii_scrub" -> (tPiiScrub _),
+    "t_readability" -> (tReadability _))
 
   val oracles: Map[String, String] = Map(
     "t_repetition" -> tRepetitionSql,
-    "t_pii_scrub" -> tPiiScrubSql)
+    "t_pii_scrub" -> tPiiScrubSql,
+    "t_readability" -> tReadabilitySql)
 }
