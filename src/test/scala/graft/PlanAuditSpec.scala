@@ -23,6 +23,27 @@ class PlanAuditSpec extends SparkSpec {
     "s_hybrid_search" // one-row max-kw + query-centroid broadcasts
   )
 
+  test("window top-k gets map-side WindowGroupLimit (Partial before the shuffle)") {
+    // The design reason graft has no custom top-k-per-key operator: Spark
+    // 4's InferWindowGroupLimit already turns `rank/row_number <= k` into a
+    // Partial (map-side) + Final group-limit pair, so each partition ships
+    // at most k rows per key into the window shuffle — the exact
+    // optimization a custom SparkPlan would exist to provide. This spec
+    // pins that property so a regression (or a future pattern the rule
+    // can't see) is caught here instead of at 100 TB.
+    val plan = SparkEntry.queries("q_window_rank")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "WindowGroupLimit missing")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
+      "map-side (Partial) WindowGroupLimit missing — top-k no longer pushed below the shuffle")
+    assert("WindowGroupLimit.*Final".r.findFirstIn(plan).isDefined)
+    // the same must hold for the tf-idf per-doc top-3
+    val tfidf = SparkEntry.queries("t_tfidf")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(tfidf).isDefined,
+      "t_tfidf window top-k lost its map-side group limit")
+  }
+
   test("no unintended cartesian / nested-loop joins anywhere in the surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // skip side-effecting catalog ops at audit time? no — audit them too;
