@@ -324,7 +324,38 @@ object CatalogOps2 {
       |  (1, CAST(100 AS BIGINT)), (3, CAST(25 AS BIGINT)), (4, CAST(39 AS BIGINT))
       |) AS t(added_in, row_count) ORDER BY added_in, row_count""".stripMargin
 
+  /** Write-side file sizing — the knob that keeps a 100 TB table's files
+    * scan-friendly at WRITE time (the complement of compaction, which
+    * repairs sizing after the fact): `spark.sql.files.maxRecordsPerFile`
+    * bounds every file a task emits. One 4000-row task writes exactly four
+    * 1000-row files, visible through the files metadata table. At scale
+    * the same conf bounds the worst-case file produced by any append or
+    * COW rewrite. */
+  def cFileSizing(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "fsz")
+    cat.createTable("scratch", "fsz", StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType))))
+    val slice = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_quantity").limit(4000).coalesce(1)
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1000")
+    try cat.append("scratch", "fsz", slice)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    cat.filesMeta("scratch", "fsz")
+      .select(col("row_count")).orderBy("row_count")
+  }
+
+  val cFileSizingSql: String =
+    """SELECT CAST(1000 AS BIGINT) AS row_count FROM range(4)
+      |ORDER BY row_count""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_file_sizing" -> (cFileSizing _),
     "c_files_meta" -> (cFilesMeta _),
     "c_bucketed_join" -> (cBucketedJoin _),
     "c_snapshot_diff" -> (cSnapshotDiff _),
@@ -336,6 +367,7 @@ object CatalogOps2 {
     "c_schema_evolution" -> (cSchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    "c_file_sizing" -> cFileSizingSql,
     "c_files_meta" -> cFilesMetaSql,
     "c_bucketed_join" -> cBucketedJoinSql,
     "c_snapshot_diff" -> cSnapshotDiffSql,
