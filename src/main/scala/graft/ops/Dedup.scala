@@ -44,15 +44,19 @@ object Dedup {
     * the 0.5 Jaccard threshold). The scan is fanned out first: shingling is
     * the per-row hot loop and must not be bound to the input split count. */
   private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanout(Tables.table(spark, dir, "documents"))
+    shinglesOf(Tables.fanout(Tables.table(spark, dir, "documents")))
+
+  /** The shingle pipeline over an arbitrary (doc_id, text) frame.
+    * Native NgramHashes expression (one codegen loop) — the former
+    * transform(sequence…, i -> xxhash64(…)) lambda is CodegenFallback
+    * and paid interpreted dispatch per shingle; hash values unchanged.
+    * array_distinct BEFORE the explode: per-doc distinct == global
+    * distinct on (doc_id, h) because doc_id is part of the key — the
+    * in-projection hash-set dedup replaces what was a full shuffle of
+    * the shingle table (the largest intermediate in the dedup family). */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
-      // native NgramHashes expression (one codegen loop) — the former
-      // transform(sequence…, i -> xxhash64(…)) lambda is CodegenFallback
-      // and paid interpreted dispatch per shingle; hash values unchanged.
-      // array_distinct BEFORE the explode: per-doc distinct == global
-      // distinct on (doc_id, h) because doc_id is part of the key — the
-      // in-projection hash-set dedup replaces what was a full shuffle of
-      // the shingle table (the largest intermediate in the dedup family).
       .select(col("doc_id"),
         explode(array_distinct(
           graft.functions.Sketch.ngramHashes(col("ws"), 5))).as("h"))
@@ -67,8 +71,17 @@ object Dedup {
     * at 100 TB: ~1e-5 × corpus; 1000 here (vacuous at test scale — every
     * oracle still hash-matches — but the guard is in the plan). */
   private[graft] def filteredShingles(spark: SparkSession, dir: String,
-                                      maxDf: Int = 1000): DataFrame = {
-    val sh = shingles(spark, dir)
+                                      maxDf: Int = 1000): DataFrame =
+    filteredShinglesOf(
+      Tables.fanout(Tables.table(spark, dir, "documents")), maxDf)
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame — callers that
+    * have already gated the corpus (p_curate_full) shingle ONLY the
+    * survivors instead of paying hash+explode for rows a scan-stage filter
+    * would drop anyway. */
+  private[graft] def filteredShinglesOf(docs: DataFrame,
+                                        maxDf: Int = 1000): DataFrame = {
+    val sh = shinglesOf(docs)
     val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("h")
     sh.join(broadcast(hot), Seq("h"), "left_anti")

@@ -304,11 +304,13 @@ object Pipeline {
       .withColumn("keep", min("doc_id").over(Window.partitionBy("fp")))
       .where(col("doc_id") === col("keep"))
 
-    // near-dup keep-earliest among survivors: inverted-index join on the
-    // survivor-restricted shingle table, drop the larger id of each pair
+    // near-dup keep-earliest among survivors: the shingle pipeline runs
+    // over ONLY the surviving docs (broadcast semi-join restricts the scan
+    // before any hashing) — dropped rows never pay the shingle cost
     val ids = keepExact.select("doc_id")
-    val sh = Dedup.filteredShingles(spark, dir)
-      .join(ids, Seq("doc_id"), "left_semi").cache()
+    val sh = Dedup.filteredShinglesOf(
+      Tables.fanout(Tables.table(spark, dir, "documents"))
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dropNear = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

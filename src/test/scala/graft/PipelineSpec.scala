@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
   * approximate ones the DuckDB oracle can't check (minhash, simhash, ANN). */
 class PipelineSpec extends SparkSpec {
 
+  test("driver contract: entry() returns rows; every oracle key has a query") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without a query: $missing")
+  }
+
   test("all text/dedup/similarity queries run and return rows on sf0.001") {
     (TextOps.queries ++ Dedup.queries ++ Similarity.queries).foreach {
       case (name, fn) =>
