@@ -180,13 +180,77 @@ object TextOps2 {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Char-trigram LM perplexity — the CCNet-style statistical-LM filter,
+    * self-trained on the corpus in the same job: P(c₃|c₁c₂) is the MLE
+    * conditional from corpus-wide trigram counts, each document scored by
+    * its mean negative log-likelihood (cross-entropy) and perplexity.
+    * Out-of-distribution docs (wrong language, binary soup, boilerplate)
+    * score high — the standard curation cut.
+    *
+    * Distribution shape: ONE pass builds per-position (trigram, prefix)
+    * hashes inside the scan projection (NgramHashes over the char array —
+    * the trigram string is never materialized); the two count tables are
+    * tiny (|distinct trigrams|) and broadcast back; per-doc scoring is one
+    * partial agg. At 100 TB: counts are linear map-side aggregates, the
+    * model "training" IS the aggregation — no driver-side anything.
+    * Rounded per §4: ln/exp last-ulp rules (decimal-sum the logps, rank on
+    * rounded values). */
+  def tCharLm(spark: SparkSession, dir: String): DataFrame = {
+    val chars = split(norm(col("text")), "")
+    val base = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .select(col("doc_id"),
+        graft.functions.Sketch.ngramHashes(chars, 3).as("tri"),
+        graft.functions.Sketch.ngramHashes(chars, 2).as("pre"))
+    // rows: (doc_id, tri_h, pre_h) per trigram position — pre is the
+    // aligned 2-char prefix of the trigram at the same position
+    val rows = base
+      .select(col("doc_id"), col("pre"), posexplode(col("tri")).as(Seq("pos", "tri_h")))
+      .select(col("doc_id"), col("tri_h"),
+        element_at(col("pre"), (col("pos") + 1).cast("int")).as("pre_h"))
+      .cache()
+    val triC = rows.groupBy("tri_h").agg(count(lit(1)).as("tri_n"))
+    val preC = rows.groupBy("pre_h").agg(count(lit(1)).as("pre_n"))
+    val logp = log(col("tri_n").cast("double") / col("pre_n"))
+    val scored = rows
+      .join(broadcast(triC), Seq("tri_h"))
+      .join(broadcast(preC), Seq("pre_h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        round(-(Tables.dsum(logp) / count(lit(1))), 4).as("xent"))
+    scored.withColumn("ppl", round(exp(col("xent")), 4))
+      .orderBy("doc_id")
+  }
+
+  val tCharLmSql: String =
+    s"""WITH d AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |pos AS (
+       |  SELECT doc_id, nt, unnest(generate_series(1, length(nt) - 2)) AS i
+       |  FROM d),
+       |t AS (
+       |  SELECT doc_id, substr(nt, CAST(i AS INTEGER), 3) AS tri,
+       |         substr(nt, CAST(i AS INTEGER), 2) AS pre
+       |  FROM pos),
+       |tc AS (SELECT tri, COUNT(*) AS tri_n FROM t GROUP BY 1),
+       |pc AS (SELECT pre, COUNT(*) AS pre_n FROM t GROUP BY 1),
+       |s AS (
+       |  SELECT doc_id, ln(CAST(tri_n AS DOUBLE) / pre_n) AS logp
+       |  FROM t JOIN tc USING (tri) JOIN pc USING (pre)),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+       |    round(-(CAST(SUM(CAST(logp AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)), 4) AS xent
+       |  FROM s GROUP BY doc_id)
+       |SELECT doc_id, n_tri, xent, round(exp(xent), 4) AS ppl
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_repetition" -> (tRepetition _),
     "t_pii_scrub" -> (tPiiScrub _),
-    "t_readability" -> (tReadability _))
+    "t_readability" -> (tReadability _),
+    "t_char_lm" -> (tCharLm _))
 
   val oracles: Map[String, String] = Map(
     "t_repetition" -> tRepetitionSql,
     "t_pii_scrub" -> tPiiScrubSql,
-    "t_readability" -> tReadabilitySql)
+    "t_readability" -> tReadabilitySql,
+    "t_char_lm" -> tCharLmSql)
 }
