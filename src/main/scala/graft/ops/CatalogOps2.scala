@@ -162,9 +162,14 @@ object CatalogOps2 {
     cat.dropTable("scratch", "cust_small")
     cat.createTable("scratch", "cust_small", StructType(Seq(
       StructField("c_custkey", LongType), StructField("c_acctbal", DoubleType))))
-    (0 until 20).foreach { i =>
+    // four sequential ingest commits, each landing 5 small files (round-
+    // robin repartition: even row spread, so every file is non-empty
+    // deterministically) — 20 small files + the v0 schema file, the
+    // streaming-ingest pathology compact() exists to repair, built with 4
+    // jobs instead of the former 20 one-file-per-job appends
+    (0 until 4).foreach { i =>
       cat.append("scratch", "cust_small",
-        c.where(col("c_custkey") % 20 === i).coalesce(1))
+        c.where(col("c_custkey") % 4 === i).repartition(5))
     }
     val before = cat.snapshots("scratch", "cust_small").last._2.length
     cat.compact("scratch", "cust_small", 2)
