@@ -123,13 +123,12 @@ class LakeCatalog(spark: SparkSession, root: String) {
 
   /** Iceberg-style `files` metadata table: one row per LIVE data file —
     * (file, added_in = the first snapshot whose list contains it, row_count,
-    * size_bytes). The file list, add-version map and byte sizes are
-    * catalog metadata (driver-side, tiny — exactly what Iceberg serves from
-    * manifests without touching data); row counts come from ONE distributed
-    * scan grouped by `input_file_name()` (a parquet footer read per file —
-    * at 100 TB this is the one place our JSON sidecar is poorer than real
-    * manifests, which persist per-file stats at commit time; the API shape
-    * downstream consumers see is identical). */
+    * size_bytes). Served ENTIRELY from catalog metadata: the file list and
+    * add-version map from the snapshot log, byte sizes from the filesystem,
+    * row counts from the manifest-stats sidecar written at commit time —
+    * exactly what Iceberg serves from manifests without touching data. A
+    * file with no recorded stats (written before the sidecar existed) gets
+    * its count from one parquet-footer read, still no data scan. */
   def filesMeta(ns: String, table: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val dir = tablePath(ns, table)
@@ -138,15 +137,14 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val addedIn = snapshots(ns, table)
       .flatMap { case (v, fs) => fs.map(f => (f, v)) }
       .groupBy(_._1).map { case (f, vs) => f -> vs.map(_._2).min }
-    val side = spark.createDataFrame(
-      cur.map(f => (f, addedIn.getOrElse(f, -1),
-        Files.size(Paths.get(s"$dir/$f")))))
-      .toDF("file", "added_in", "size_bytes")
-    val rows = readFiles(ns, table, cur)
-      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
-      .agg(count(lit(1)).as("row_count"))
-    rows.join(broadcast(side), Seq("file"))
-      .select(col("file"), col("added_in"), col("row_count"), col("size_bytes"))
+    val stats = fileStats(ns, table)
+    val rows = cur.map { f =>
+      (f, addedIn.getOrElse(f, -1),
+        stats.getOrElse(f, footerRowCount(Paths.get(dir).resolve(f))),
+        Files.size(Paths.get(s"$dir/$f")))
+    }.filter(_._3 > 0) // v0 schema placeholder carries no data — not a file entry
+    spark.createDataFrame(rows)
+      .toDF("file", "added_in", "row_count", "size_bytes")
       .orderBy("added_in", "file")
   }
 
@@ -173,12 +171,75 @@ class LakeCatalog(spark: SparkSession, root: String) {
 
   /** Write `df` as new immutable data files in the table dir, returning the
     * new files' names (directory-diff before/after — single-writer commit,
-    * same assumption as the reference's catalog). */
+    * same assumption as the reference's catalog). Each new file's row count
+    * is read from its parquet FOOTER (metadata IO only, no Spark job) and
+    * persisted to the manifest-stats sidecar at commit time — the Iceberg
+    * manifest property that lets filesMeta and COUNT(*) answer from
+    * metadata without ever scanning data. */
   private def writeNewFiles(ns: String, table: String, df: DataFrame): Seq[String] = {
     val dir = Paths.get(tablePath(ns, table))
     val before = listParquet(dir).toSet
     df.write.mode("append").parquet(dir.toString)
-    listParquet(dir).filterNot(before)
+    val added = listParquet(dir).filterNot(before)
+    recordFileStats(ns, table, added)
+    added
+  }
+
+  // ------------------------------------------------ manifest stats sidecar
+  // `<table>_filestats.json`: one line per data file ever written,
+  // {"file":"part-...","rows":N} — written at commit time from the parquet
+  // footer (the write-side analog of Iceberg manifest entries). Files from
+  // before this sidecar existed simply have no entry; readers fall back to
+  // a footer-level scan for those.
+
+  private def fileStatsPath(ns: String, table: String): Path =
+    Paths.get(s"$root/$ns/${table}_filestats.json")
+
+  /** Row count from the parquet footer — pure metadata IO, no Spark job. */
+  private def footerRowCount(file: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  private def recordFileStats(ns: String, table: String, files: Seq[String]): Unit =
+    if (files.nonEmpty) {
+      val dir = Paths.get(tablePath(ns, table))
+      val lines = files.map { f =>
+        s"""{"file":"$f","rows":${footerRowCount(dir.resolve(f))}}\n"""
+      }.mkString
+      Files.writeString(fileStatsPath(ns, table), lines,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
+  /** All recorded per-file row counts for this table. */
+  private def fileStats(ns: String, table: String): Map[String, Long] = {
+    val p = fileStatsPath(ns, table)
+    if (!Files.exists(p)) Map.empty
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+        val j = JsonMethods.parse(line)
+        val JString(f) = (j \ "file"): @unchecked
+        val JInt(n) = (j \ "rows"): @unchecked
+        f -> n.toLong
+      }.toMap
+    }
+  }
+
+  /** COUNT(*) served purely from manifest stats when every current file has
+    * a recorded count (always true for tables written through this catalog)
+    * — the metadata-only aggregate Iceberg answers without a scan. Returns
+    * None when any file predates the stats sidecar. */
+  def countStar(ns: String, table: String): Option[Long] = {
+    val cur = currentFiles(ns, table)
+      .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val stats = fileStats(ns, table)
+    if (cur.forall(stats.contains)) Some(cur.map(stats).sum) else None
   }
 
   def load(ns: String, table: String): DataFrame =
@@ -208,7 +269,9 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val props = properties.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     Files.writeString(dir.resolveSibling(s"${table}_meta.json"),
       s"""{"table":"$ns.$table","schema":$meta,"partition_spec":[],"properties":$props}""")
-    commitSnapshot(ns, table, listParquet(dir)) // v0: the empty table
+    val v0Files = listParquet(dir)
+    recordFileStats(ns, table, v0Files) // the v0 schema file: 0 rows
+    commitSnapshot(ns, table, v0Files) // v0: the empty table
   }
 
   /** Distributed append — any-size DataFrame, immutable-file commit.
@@ -291,6 +354,8 @@ class LakeCatalog(spark: SparkSession, root: String) {
     if (Files.exists(evo)) Files.delete(evo)
     val st = batchStatePath(ns, table)
     if (Files.exists(st)) Files.delete(st)
+    val fs = fileStatsPath(ns, table)
+    if (Files.exists(fs)) Files.delete(fs)
   }
 
   // ------------------------------------------------- copy-on-write mutations

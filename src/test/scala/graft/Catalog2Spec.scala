@@ -149,6 +149,27 @@ class Catalog2Spec extends SparkSpec {
     val viaSql = new graft.catalog.SqlGateway(spark, cat).execute("SHOW FILES IN ns.fm")
     assert(viaSql.collect().map(r => (r.getInt(1), r.getLong(2))).toSet
       == Set((1, 2L), (3, 2L)))
+    // manifest stats: every write (append + COW rewrite) recorded its
+    // per-file row count at commit time, so COUNT(*) is metadata-only
+    assert(cat.countStar("ns", "fm").contains(4L))
+    assert(cat.countStar("ns", "fm").get == cat.load("ns", "fm").count())
+  }
+
+  test("manifest stats survive compaction and track every mutation path") {
+    import spark.implicits._
+    val (cat, _) = freshCat
+    cat.createTable("ns", "ms", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    cat.append("ns", "ms", (1L to 10L).map(i => (i, i * 2)).toDF("id", "v").repartition(3))
+    cat.updateWhere("ns", "ms", col("id") <= 2, Map("v" -> lit(0L)))
+    cat.merge("ns", "ms", Seq((11L, 1L), (1L, 5L)).toDF("id", "v"), "id")
+    cat.compact("ns", "ms", 1)
+    assert(cat.countStar("ns", "ms").contains(11L)) // 10 + 1 inserted
+    assert(cat.countStar("ns", "ms").get == cat.load("ns", "ms").count())
+    // filesMeta row counts come from the sidecar and agree with the data
+    val total = cat.filesMeta("ns", "ms")
+      .agg(org.apache.spark.sql.functions.sum("row_count")).head.getLong(0)
+    assert(total == 11L)
   }
 
   test("bucketed join shuffles NEITHER side on the join key") {
