@@ -75,7 +75,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
     Paths.get(s"$root/$ns/${table}_snapshots.json")
 
   private def listParquet(dir: Path): Seq[String] =
-    if (!Files.exists(dir)) Seq.empty
+    if (!Files.exists(dir) || !Files.isDirectory(dir)) Seq.empty
     else listDir(dir).map(_.getFileName.toString)
       .filter(_.endsWith(".parquet")).sorted
 
@@ -239,7 +239,10 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val cur = currentFiles(ns, table)
       .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
     val stats = fileStats(ns, table)
-    if (cur.forall(stats.contains)) Some(cur.map(stats).sum) else None
+    // empty file list means "not a snapshot-logged catalog table here"
+    // (flat single-file warehouse, alias, or missing) — never claim it
+    if (cur.nonEmpty && cur.forall(stats.contains)) Some(cur.map(stats).sum)
+    else None
   }
 
   def load(ns: String, table: String): DataFrame =

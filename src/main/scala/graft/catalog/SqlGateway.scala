@@ -42,6 +42,8 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*SHOW\s+SNAPSHOTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val showFiles =
     """(?is)\s*SHOW\s+FILES\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  private val countStar =
+    """(?is)\s*SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?\s+FROM\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val expireSnaps =
     """(?is)\s*EXPIRE\s+SNAPSHOTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
   // COPY (SELECT …) TO 'path' [FORMAT csv|json|parquet] — DuckDB's export
@@ -207,6 +209,21 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         }
         catalog.insertRow(nsName, table, typed)
         Seq("Inserted 1 row successfully").toDF("status")
+
+      case countStar(alias, ns, table) if {
+        // bare COUNT(*) — answered from manifest stats when every current
+        // file has a recorded row count (metadata only, no scan: the exact
+        // query shape the reference's MCP server paid a full table scan
+        // for). Falls through to the Spark SQL path otherwise.
+        val nsName = Option(ns).getOrElse(resolveNs(table, "main"))
+        catalog.countStar(nsName, table).isDefined
+      } =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "main"))
+        import spark.implicits._
+        // column named as Spark SQL would name it, so the fast path is
+        // indistinguishable from the scan path to consumers
+        Seq(catalog.countStar(nsName, table).get)
+          .toDF(Option(alias).getOrElse("count(1)"))
 
       case _ => // SELECT (and any other full SQL): Spark SQL over registered tables
         // time-travel syntax: `FROM t VERSION AS OF n` registers the

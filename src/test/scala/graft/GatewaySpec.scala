@@ -147,4 +147,24 @@ class GatewaySpec extends SparkSpec {
     // single-table path (the reference's whole SELECT surface)
     assert(flatGw.execute("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity < 10").head().getLong(0) > 0)
   }
+
+  test("bare COUNT(*) on a catalog table is served from manifest stats") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_cnt").toString
+    val cat = new LakeCatalog(spark, root)
+    val gw = new SqlGateway(spark, cat)
+    cat.createTable("scratch", "cnt", StructType(Seq(StructField("id", LongType))))
+    cat.append("scratch", "cnt", (1L to 42L).toDF("id"))
+    assert(cat.countStar("scratch", "cnt").contains(42L)) // fast path eligible
+    val r = gw.execute("SELECT COUNT(*) FROM scratch.cnt")
+    assert(r.columns.toSeq == Seq("count(1)")) // named as the scan path would
+    assert(r.head().getLong(0) == 42L)
+    assert(gw.execute("SELECT COUNT(*) AS total FROM scratch.cnt")
+      .select("total").head().getLong(0) == 42L)
+    // flat-warehouse tables have no manifest stats → falls through to the
+    // Spark SQL scan path and still answers correctly
+    val scan = flatGw.execute("SELECT COUNT(*) FROM region")
+    assert(scan.head().getLong(0) == Tables.table(spark, sfDir, "region").count())
+  }
 }
