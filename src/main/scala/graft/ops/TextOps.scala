@@ -105,19 +105,53 @@ object TextOps {
     words.map(w => size(regexp_extract_all(c, lit(s" ${java.util.regex.Pattern.quote(w)} "), lit(0))))
       .reduce(_ + _)
 
-  def tLangId(spark: SparkSession, dir: String): DataFrame = {
+  /** Predicted language as a column expression (argmax of marker scores,
+    * deterministic first-in-order tie-break) — shared by tLangId and the
+    * lang-mismatch audit. */
+  private[graft] def predLang: Column = {
     val padded = concat(lit(" "), norm(col("text")), lit(" "))
     val scores = langMarkers.map { case (lang, ws) => lang -> markerCount(padded, ws) }
     val best = scores.map(_._2).reduce(greatest(_, _))
     // first language (in langMarkers order) achieving the max score
-    val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
       when(s === best && best > 0, lang).otherwise(acc)
     }
+  }
+
+  def tLangId(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), norm(col("text")), lit(" "))
+    val scores = langMarkers.map { case (lang, ws) => lang -> markerCount(padded, ws) }
     Tables.table(spark, dir, "documents")
       .select(col("doc_id"),
         scores.head._2.as("score_en"),
-        pred.as("pred_lang"))
+        predLang.as("pred_lang"))
       .orderBy("doc_id")
+  }
+
+  /** Language-metadata audit: the confusion matrix between the `lang`
+    * column a crawler claimed and the content-predicted language — the
+    * report that catches mislabeled corpora before they skew a training
+    * mix. One scan + one partial agg over ≤ |langs|² groups. */
+  def tLangMismatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("lang"), predLang.as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("agree", col("lang") === col("pred_lang"))
+      .orderBy("lang", "pred_lang")
+
+  val tLangMismatchSql: String = {
+    def mc(words: Seq[String]) =
+      words.map(w => s"length(regexp_extract_all(' ' || $normSql || ' ', ' ${w} '))")
+        .mkString("(", " + ", ")")
+    val scoreExprs = langMarkers.map { case (lang, ws) => lang -> mc(ws) }
+    val best = scoreExprs.map(_._2).mkString("greatest(", ", ", ")")
+    val caseExpr = scoreExprs
+      .map { case (lang, s) => s"WHEN $s = $best AND $best > 0 THEN '$lang'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH p AS (SELECT lang, $caseExpr AS pred_lang FROM documents)
+       |SELECT lang, pred_lang, COUNT(*) AS n, lang = pred_lang AS agree
+       |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
   }
 
   val tLangIdSql: String = {
@@ -320,6 +354,7 @@ object TextOps {
     "t_token_count" -> (tTokenCount _),
     "t_quality_score" -> (tQualityScore _),
     "t_lang_id" -> (tLangId _),
+    "t_lang_mismatch" -> (tLangMismatch _),
     "t_fingerprint" -> (tFingerprintOracle _),
     "t_ngram_topk" -> (tNgramTopk _),
     "t_tfidf" -> (tTfidf _),
@@ -330,6 +365,7 @@ object TextOps {
     "t_token_count" -> tTokenCountSql,
     "t_quality_score" -> tQualityScoreSql,
     "t_lang_id" -> tLangIdSql,
+    "t_lang_mismatch" -> tLangMismatchSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_ngram_topk" -> tNgramTopkSql,
     "t_tfidf" -> tTfidfSql,
