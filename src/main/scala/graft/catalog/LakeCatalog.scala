@@ -95,10 +95,17 @@ class LakeCatalog(spark: SparkSession, root: String) {
     }
   }
 
-  private def commitSnapshot(ns: String, table: String, files: Seq[String]): Int = {
+  private def commitSnapshot(ns: String, table: String, files: Seq[String],
+                             batch: Option[Long] = None): Int = {
     val prev = snapshots(ns, table)
     val v = prev.map(_._1).maxOption.map(_ + 1).getOrElse(0)
-    val line = files.sorted.map(f => s""""$f"""").mkString(s"""{"v":$v,"files":[""", ",", "]}\n")
+    // streaming commits carry their micro-batch id IN the snapshot line:
+    // data-commit and replay-fence are then one atomic append — a crash can
+    // never leave the batch committed but unfenced (the window a separate
+    // fence file would have).
+    val batchField = batch.map(b => s""""batch":$b,""").getOrElse("")
+    val line = files.sorted.map(f => s""""$f"""")
+      .mkString(s"""{"v":$v,$batchField"files":[""", ",", "]}\n")
     Files.writeString(snapshotLogPath(ns, table), line,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     v
@@ -236,12 +243,17 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * — the metadata-only aggregate Iceberg answers without a scan. Returns
     * None when any file predates the stats sidecar. */
   def countStar(ns: String, table: String): Option[Long] = {
-    val cur = currentFiles(ns, table)
-      .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val dir = Paths.get(tablePath(ns, table))
+    // hive-partitioned layouts keep rows in partition SUBDIRECTORIES the
+    // stats sidecar doesn't cover — metadata can't answer, fall to a scan
+    val hasPartitionDirs = Files.isDirectory(dir) &&
+      listDir(dir).exists(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+    val cur = currentFiles(ns, table).getOrElse(listParquet(dir))
     val stats = fileStats(ns, table)
     // empty file list means "not a snapshot-logged catalog table here"
     // (flat single-file warehouse, alias, or missing) — never claim it
-    if (cur.nonEmpty && cur.forall(stats.contains)) Some(cur.map(stats).sum)
+    if (!hasPartitionDirs && cur.nonEmpty && cur.forall(stats.contains))
+      Some(cur.map(stats).sum)
     else None
   }
 
@@ -279,10 +291,11 @@ class LakeCatalog(spark: SparkSession, root: String) {
 
   /** Distributed append — any-size DataFrame, immutable-file commit.
     * Snapshot = previous files + the new ones (pure add, nothing rewritten). */
-  def append(ns: String, table: String, df: DataFrame): Unit = {
+  def append(ns: String, table: String, df: DataFrame,
+             batch: Option[Long] = None): Unit = {
     val newFiles = writeNewFiles(ns, table, df)
     commitSnapshot(ns, table,
-      currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles)
+      currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles, batch)
   }
 
   /** Partitioned append (hive-style directories) — the Iceberg partition-spec
@@ -294,9 +307,14 @@ class LakeCatalog(spark: SparkSession, root: String) {
     df.write.mode("append").partitionBy(partitionCols: _*)
       .parquet(s"$root/$ns/$table")
     // partition-layout tables are served by directory listing + partition
-    // pruning, not the flat-file snapshot log — retire any v0 log entry
+    // pruning, not the flat-file snapshot log — retire any v0 log entry AND
+    // the manifest-stats sidecar: a stale v0 stats entry would otherwise let
+    // countStar answer Some(0) for a table whose rows live in partition
+    // subdirectories the sidecar never saw.
     val log = snapshotLogPath(ns, table)
     if (Files.exists(log)) Files.delete(log)
+    val stats = fileStatsPath(ns, table)
+    if (Files.exists(stats)) Files.delete(stats)
   }
 
   /** Single typed-row INSERT (the reference's whole INSERT surface,
@@ -307,20 +325,24 @@ class LakeCatalog(spark: SparkSession, root: String) {
       java.util.List.of(Row.fromSeq(values)), schema))
   }
 
-  // Streaming-commit fencing: the last committed micro-batch id, stored
-  // beside the snapshot log so a foreachBatch REPLAY of the same id (Spark
-  // delivers at-least-once to sinks) is a no-op instead of a double commit.
+  // Streaming-commit fencing: the last committed micro-batch id, derived
+  // from the `"batch":N` fields the streaming commits embed in their own
+  // snapshot-log lines (see commitSnapshot). Derived, not stored separately:
+  // a foreachBatch REPLAY of the same id (Spark delivers at-least-once to
+  // sinks) is fenced by the very write that committed the data, so there is
+  // no crash window where data is committed but the fence is not.
   private def batchStatePath(ns: String, table: String): Path =
-    Paths.get(s"$root/$ns/${table}_stream_state.json")
+    Paths.get(s"$root/$ns/${table}_stream_state.json") // legacy file, cleanup only
 
   def lastCommittedBatch(ns: String, table: String): Option[Long] = {
-    val p = batchStatePath(ns, table)
+    val p = snapshotLogPath(ns, table)
     if (!Files.exists(p)) None
-    else """"batch":(-?\d+)""".r.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+    else {
+      val ids = Files.readAllLines(p).asScala.flatMap(line =>
+        """"batch":(-?\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong))
+      ids.maxOption
+    }
   }
-
-  def recordBatchCommit(ns: String, table: String, id: Long): Unit =
-    Files.writeString(batchStatePath(ns, table), s"""{"batch":$id}""")
 
   /** Expire history: keep the last `keep` snapshots, delete the log entries
     * before them AND any data file no surviving snapshot references (the
@@ -333,12 +355,24 @@ class LakeCatalog(spark: SparkSession, root: String) {
       val survivors = all.takeRight(keep)
       val referenced = survivors.flatMap(_._2).toSet
       val dir = Paths.get(tablePath(ns, table))
+      // Commit ORDER matters for crash safety: atomically replace the
+      // truncated snapshot log FIRST (temp file + rename), THEN delete the
+      // now-unreferenced data files. The reverse order would leave, after a
+      // crash mid-way, log entries pointing at deleted files — a broken
+      // table. This order's worst case is merely orphaned files a re-run
+      // reclaims.
+      // keep the surviving RAW lines verbatim (they may carry extra fields —
+      // e.g. streaming batch ids — that regeneration would drop)
+      val logPath = snapshotLogPath(ns, table)
+      val lines = Files.readAllLines(logPath).asScala
+        .filter(_.nonEmpty).takeRight(keep).mkString("", "\n", "\n")
+      val tmp = logPath.resolveSibling(logPath.getFileName.toString + ".tmp")
+      Files.writeString(tmp, lines)
+      Files.move(tmp, logPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       listParquet(dir).filterNot(referenced).foreach(f =>
         Files.deleteIfExists(dir.resolve(f)))
-      val lines = survivors.map { case (v, files) =>
-        files.sorted.map(f => s""""$f"""").mkString(s"""{"v":$v,"files":[""", ",", "]}")
-      }.mkString("", "\n", "\n")
-      Files.writeString(snapshotLogPath(ns, table), lines)
     }
   }
 
@@ -383,7 +417,11 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val df = readFiles(ns, table, cur)
     val touched = touchedFiles(cur, df, cond)
     if (touched.nonEmpty) {
-      val kept = readFiles(ns, table, touched).where(!cond)
+      // SQL DELETE removes only rows where cond is TRUE; under three-valued
+      // logic `!cond` is NULL (not true) for NULL-valued predicates, so a
+      // bare where(!cond) would silently drop those rows too. Keep every
+      // row where the predicate is not TRUE.
+      val kept = readFiles(ns, table, touched).where(!coalesce(cond, lit(false)))
       val newFiles = writeNewFiles(ns, table, kept)
       commitSnapshot(ns, table, cur.diff(touched) ++ newFiles)
     }
@@ -410,7 +448,23 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * keys are rewritten; inserts land as fresh files. The source is
     * broadcast into both probe and rewrite joins (upsert batches are small
     * next to the table — the Iceberg MERGE assumption). */
-  def merge(ns: String, table: String, source: DataFrame, key: String): Unit = {
+  def merge(ns: String, table: String, rawSource: DataFrame, key: String): Unit = {
+    // A source batch with a repeated key would otherwise survive both the
+    // left_semi (updates) split twice and insert duplicate rows for that key.
+    // Collapse to ONE deterministic winner per key first: max over the
+    // remaining columns' ordering (last-writer-wins is the caller's job —
+    // upsert batches are expected key-unique; this makes the violation safe
+    // and deterministic instead of silently corrupting).
+    val source = {
+      val others = rawSource.columns.filterNot(_ == key)
+      if (others.isEmpty) rawSource.distinct()
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(key)).orderBy(others.map(c => col(c).desc_nulls_last): _*)
+        rawSource.withColumn("_graft_rn", org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("_graft_rn") === 1).drop("_graft_rn")
+      }
+    }
     val cur = currentFiles(ns, table).getOrElse(listParquet(Paths.get(tablePath(ns, table))))
     val target = readFiles(ns, table, cur)
     val srcKeys = broadcast(source.select(col(key)).distinct())

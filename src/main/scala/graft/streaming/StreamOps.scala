@@ -206,9 +206,10 @@ object StreamOps {
     *
     * Exactly-once: foreachBatch can REPLAY a batch id after a failure
     * (Spark guarantees at-least-once delivery to the sink); the commit is
-    * made idempotent by recording the last committed batch id next to the
-    * snapshot log and skipping ids already committed — the same
-    * batch-id-fencing every transactional Spark sink (Delta/Iceberg) uses.
+    * made idempotent by embedding the batch id in the commit's own
+    * snapshot-log line and skipping ids already committed — the same
+    * batch-id-fencing every transactional Spark sink (Delta/Iceberg) uses,
+    * and atomic because fence and commit are ONE log append.
     * StreamingSpec replays a batch id explicitly and asserts no double
     * commit. */
   def ingestToLake(events: DataFrame, cat: graft.catalog.LakeCatalog,
@@ -220,13 +221,16 @@ object StreamOps {
       }
       .start()
 
-  /** The idempotent per-batch commit (exposed for the replay spec). */
+  /** The idempotent per-batch commit (exposed for the replay spec). The
+    * batch id rides IN the snapshot-log line the append itself writes
+    * (LakeCatalog.commitSnapshot), so commit and replay-fence are one
+    * atomic log append — no crash window between "data committed" and
+    * "batch fenced" for a replay to double-commit through. */
   def commitBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                   id: Long, cat: graft.catalog.LakeCatalog,
                   ns: String, table: String): Unit = {
     if (cat.lastCommittedBatch(ns, table).forall(_ < id) && !batch.isEmpty) {
-      cat.append(ns, table, batch)
-      cat.recordBatchCommit(ns, table, id)
+      cat.append(ns, table, batch, batch = Some(id))
     }
   }
 

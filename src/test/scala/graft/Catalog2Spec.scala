@@ -181,6 +181,62 @@ class Catalog2Spec extends SparkSpec {
     assert(df.collect().length == 5)
   }
 
+  test("deleteWhere keeps rows where the predicate is NULL (3VL semantics)") {
+    import spark.implicits._
+    val (cat, _) = freshCat
+    cat.createTable("ns", "nul", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    cat.append("ns", "nul", Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("id", "v").coalesce(1))
+    // DELETE WHERE v > 10: only id=3 qualifies; id=2's predicate is NULL
+    // (neither true nor false) and per SQL the row must SURVIVE
+    cat.deleteWhere("ns", "nul", col("v") > 10)
+    val kept = cat.load("ns", "nul").select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L), s"NULL-predicate row was deleted: $kept")
+  }
+
+  test("countStar: partitioned tables fall to a scan, never a stale Some(0)") {
+    import spark.implicits._
+    val (cat, _) = freshCat
+    cat.createTable("ns", "part", StructType(Seq(
+      StructField("id", LongType), StructField("m", StringType))))
+    cat.appendPartitioned("ns", "part",
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "m"), Seq("m"))
+    // the v0 schema file + its stats entry must NOT let metadata claim 0 rows
+    assert(cat.countStar("ns", "part").isEmpty,
+      "countStar must decline on a partition-layout table")
+    assert(cat.load("ns", "part").count() == 3)
+  }
+
+  test("merge collapses duplicate source keys to one deterministic winner") {
+    import spark.implicits._
+    val (cat, _) = freshCat
+    cat.createTable("ns", "dup", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    cat.append("ns", "dup", Seq((1L, "old")).toDF("k", "v").coalesce(1))
+    // source repeats key 1 (update) and key 9 (insert): exactly one row per
+    // key may land, and the winner is the column-order max ("z..." > "a...")
+    val src = Seq((1L, "a_upd"), (1L, "z_upd"), (9L, "a_ins"), (9L, "z_ins"))
+      .toDF("k", "v")
+    cat.merge("ns", "dup", src, "k")
+    val got = cat.load("ns", "dup").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "z_upd"), (9L, "z_ins")), s"got $got")
+  }
+
+  test("streaming batch ids embedded in snapshot lines survive expire") {
+    import spark.implicits._
+    val (cat, _) = freshCat
+    cat.createTable("ns", "sb", StructType(Seq(StructField("id", LongType))))
+    cat.append("ns", "sb", Seq(1L).toDF("id").coalesce(1), batch = Some(0L))
+    cat.append("ns", "sb", Seq(2L).toDF("id").coalesce(1), batch = Some(1L))
+    cat.append("ns", "sb", Seq(3L).toDF("id").coalesce(1), batch = Some(2L))
+    assert(cat.lastCommittedBatch("ns", "sb").contains(2L))
+    // expire rewrites the log from raw lines — the fence must survive it
+    cat.expireSnapshots("ns", "sb", keep = 2)
+    assert(cat.lastCommittedBatch("ns", "sb").contains(2L),
+      "batch fence lost by expireSnapshots log rewrite")
+  }
+
   // reflectively read the private root — keeps LakeCatalog's API surface clean
   private def catRoot(cat: LakeCatalog): String = {
     val f = cat.getClass.getDeclaredField("root")

@@ -81,5 +81,13 @@ class CatalogSpec extends SparkSpec {
       .select(graft.functions.Vec.vdot(col("frame_vec"), col("frame_vec")).as("d"))
       .collect()
     assert(scored.forall(_.getDouble(0) >= 0))
+    // driver-facing render: scalar columns only, values round-trip at 4dp
+    val flat = Multimodal.mFrameEmbedFlat(spark, sfDir).collect()
+    assert(flat.length == vecs.length)
+    assert(flat.forall(r => r.schema.fields.forall(!_.dataType.typeName.startsWith("array"))))
+    val rendered = flat.head.getString(2).split(",").map(_.toDouble)
+    val raw = vecs.head.getSeq[Float](2)
+    assert(rendered.length == 8)
+    rendered.zip(raw).foreach { case (a, b) => assert(math.abs(a - b) < 1e-4) }
   }
 }
