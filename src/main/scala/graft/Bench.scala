@@ -8,22 +8,47 @@ object Bench {
     // session warmup: first job pays executor/codegen/memory-manager init
     // (~5 s) that would otherwise be charged to whichever query runs first
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally spark.catalog.clearCache() // release per-operator caches
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def jsonEscape(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").replace("\r", " ").replace("\t", " ")
+
+    // (times, errors): a query that throws records its error VERBATIM in the
+    // artifact — never a silent fast timing for a broken query
+    def pass(): (Seq[(String, Double)], Seq[(String, String)]) = {
+      val times = Seq.newBuilder[(String, Double)]
+      val errors = Seq.newBuilder[(String, String)]
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); () }
+        catch { case e: Throwable =>
+          errors += name -> (e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(300))
+        }
+        finally {
+          // release BOTH cache layers between queries: the SQL cache manager
+          // (operator .cache()s) AND rdd-level persists — localCheckpoint
+          // blocks (d_dup_clusters' iteration state) are invisible to
+          // clearCache and would otherwise accumulate across 216 query runs,
+          // pinning storage memory until later queries thrash under eviction
+          // (the measured warm>cold pathology of r2's bench).
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        }
+        times += name -> (System.nanoTime() - t0) / 1e9
+      }
+      (times.result(), errors.result())
     }
     // pass 1 = cold (includes one-time Janino/planning cost per plan shape);
     // pass 2 = warm steady state (codegen cached, data caches still cleared
     // between queries) — the per-query cost that amortizes at real scale.
-    val results = pass()
-    val warm = pass()
-    def render(m: Map[String, Double]) = m.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (results, errs) = pass()
+    val (warm, warmErrs) = pass()
+    def render(m: Seq[(String, Double)]) = m.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val totalWarm = if (warm.nonEmpty) warm.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${render(results)},"total_warm":$totalWarm,"queries_warm":${render(warm)},"sf":"$sfDir"}"""
+    def renderErr(m: Seq[(String, String)]) = m.map { case (k, v) =>
+      "\"" + k + "\":\"" + jsonEscape(v) + "\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val totalWarm = warm.map(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${render(results)},"total_warm":$totalWarm,"queries_warm":${render(warm)},"errors":${renderErr(errs)},"errors_warm":${renderErr(warmErrs)},"n_errors":${errs.size + warmErrs.size},"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: stdout may be interleaved with sbt/log4j noise —
     // leave the same line as a file artifact too

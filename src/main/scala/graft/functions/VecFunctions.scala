@@ -26,30 +26,45 @@ import org.apache.spark.sql.types._
 case class FloatVecDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"vdot expects (array<float>, array<float>), got (${left.dataType.sql}, ${right.dataType.sql})")
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vdot expects (array<float|double>, array<float|double>), got (${left.dataType.sql}, ${right.dataType.sql})")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vdot"
+
+  // per-side element accessor: double arrays (e.g. a centroid computed in
+  // double precision) dot float corpora without materializing a cast array
+  private def get(x: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => x.getFloat(i).toDouble
+    case _ => x.getDouble(i)
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lt = elemType(left.dataType).get
+    val rt = elemType(right.dataType).get
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0d
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) { s += get(x, lt, i) * get(y, rt, i); i += 1 }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      def getter(src: String, t: DataType, idx: String): String = t match {
+        case FloatType => s"(double) $src.getFloat($idx)"
+        case _ => s"$src.getDouble($idx)"
+      }
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
@@ -57,7 +72,7 @@ case class FloatVecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $s += ${getter(a, elemType(left.dataType).get, i)} * ${getter(b, elemType(right.dataType).get, i)};
          |}
          |${ev.value} = $s;
        """.stripMargin

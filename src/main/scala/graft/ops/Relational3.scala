@@ -245,12 +245,20 @@ object Relational3 {
     * side + join), so execution is one shuffle on the correlation key —
     * per-row subquery execution never happens. */
   def qLateralCorr(spark: SparkSession, dir: String): DataFrame =
+    // The explicit `o_custkey <= 500` inside the lateral is REDUNDANT
+    // (implied by o_custkey = c_custkey ∧ c_custkey <= 500) but
+    // plan-critical: Catalyst does not infer it through the decorrelated
+    // window, and without it the window ranks EVERY customer's orders
+    // before the join throws 99.5% of them away — at 100 TB that's ranking
+    // the whole orders table for a 500-key probe. With it, the predicate
+    // reaches the orders parquet scan (PushedFilters), pinned by
+    // Relational2Spec.
     Tables.sql(spark, dir,
       """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
         |FROM customer c
         |JOIN LATERAL (
         |  SELECT o_orderkey, o_totalprice FROM orders
-        |  WHERE o_custkey = c.c_custkey
+        |  WHERE o_custkey = c.c_custkey AND o_custkey <= 500
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         |WHERE c.c_custkey <= 500
         |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
@@ -259,7 +267,7 @@ object Relational3 {
     """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
       |FROM customer c, LATERAL (
       |  SELECT o_orderkey, o_totalprice FROM orders
-      |  WHERE o_custkey = c.c_custkey
+      |  WHERE o_custkey = c.c_custkey AND o_custkey <= 500
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
       |WHERE c.c_custkey <= 500
       |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin

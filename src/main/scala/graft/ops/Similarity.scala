@@ -285,7 +285,10 @@ object Similarity {
       .select(col("doc_id"),
         round(
           coalesce(col("kw"), lit(0d)) / col("max_kw") * 0.5
-            + expr("aggregate(zip_with(embedding, qe, (a, b) -> CAST(a AS DOUBLE) * b), 0d, (s, x) -> s + x)")
+            // codegen float×double dot (FloatVecDot): same strict
+            // left-to-right fold as the HOF form, but a tight compiled loop
+            // — the full-corpus hot path must never be interpreted
+            + graft.functions.Vec.vdot(col("embedding"), col("qe"))
               / (col("nrm") * col("qn")) * 0.5, 6).as("hybrid"))
     scored.orderBy(col("hybrid").desc, col("doc_id")).limit(20)
       .select(col("doc_id"), col("hybrid"))

@@ -270,14 +270,23 @@ object TextOps {
     * parallel (order-nondeterministic doubles) → round(4), same rule as
     * q_stats. */
   def tZipfSlope(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val freqs = Tables.fanout(Tables.table(spark, dir, "documents"))
       .select(explode(split(norm(col("text")), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    val ranked = freqs
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("freq").desc, col("word"))))
-      .where(col("rank") <= 100)
+    // top-100 FIRST via TakeOrderedAndProject — a global row_number window
+    // here would sort the ENTIRE vocabulary (billions of rows at 100 TB) on
+    // one partition. The 100 survivors are then ranked by sorting a single
+    // collected array (bounded at 100 by construction) — no WindowExec, no
+    // all-rows-to-one-partition plan at any corpus size.
+    val top100 = freqs.orderBy(col("freq").desc, col("word")).limit(100)
+    val ranked = top100
+      .agg(collect_list(struct(col("freq"), col("word"))).as("a"))
+      .select(posexplode(expr(
+        """array_sort(a, (l, r) -> CASE
+          |  WHEN l.freq > r.freq THEN -1 WHEN l.freq < r.freq THEN 1
+          |  WHEN l.word < r.word THEN -1 WHEN l.word > r.word THEN 1
+          |  ELSE 0 END)""".stripMargin)).as(Seq("rank0", "fw")))
+      .select((col("rank0") + 1).cast("int").as("rank"), col("fw.freq").as("freq"))
     ranked.agg(
       count(lit(1)).as("n_words"),
       round(expr("regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 4).as("zipf_slope"),

@@ -41,6 +41,8 @@ object Profile {
       case "cosine" =>
         time("s_cosine_topk")(graft.ops.Similarity.sCosineTopk(spark, sfDir).count())
         time("s_cosine_topk warm")(graft.ops.Similarity.sCosineTopk(spark, sfDir).count())
+      case "explain" =>
+        graft.SparkEntry.queries(args(1))(spark, sfDir).explain("formatted")
       case other =>
         time(other)(graft.SparkEntry.queries(other)(spark, sfDir).count())
         spark.catalog.clearCache()

@@ -44,6 +44,27 @@ class PlanAuditSpec extends SparkSpec {
       "t_tfidf window top-k lost its map-side group limit")
   }
 
+  test("no unpartitioned window (all-rows-to-one-partition) anywhere in the surface") {
+    // WindowExec with an empty partition spec moves EVERY row to a single
+    // partition — fine on 60k rows, fatal on a 100 TB vocabulary. Every
+    // global ranking in the surface must bound its input first (top-k via
+    // TakeOrderedAndProject) or partition the window. Pinned here so the
+    // pattern can never silently return.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val global = try {
+        fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      } catch { case e: Throwable =>
+        fail(s"$name failed to plan: ${e.getMessage}")
+      }
+      if (global.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows in: ${offenders.mkString(", ")}")
+  }
+
   test("no unintended cartesian / nested-loop joins anywhere in the surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // skip side-effecting catalog ops at audit time? no — audit them too;

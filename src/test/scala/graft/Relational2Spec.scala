@@ -48,6 +48,15 @@ class Relational2Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q_lateral_corr pushes the custkey bound into the orders scan") {
+    // without the explicit in-lateral predicate the decorrelated window
+    // ranks EVERY customer's orders before the 500-key join prunes them
+    val desc = graft.ops.Relational3.qLateralCorr(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(desc.contains("LessThanOrEqual(o_custkey,500)"),
+      s"o_custkey bound not pushed to the orders parquet scan:\n$desc")
+  }
+
   test("q_grouping_sets computes all levels in one Expand pass") {
     val plan = planOf(Relational2.qGroupingSets(spark, sfDir))
     assert(plan.contains("Expand"), plan)
