@@ -273,7 +273,9 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * TIMESTAMP, IcebergConnection.py:189-216 — Spark's full type system
     * applies here). Writes an empty parquet dataset + metadata sidecar. */
   def createTable(ns: String, table: String, schema: StructType,
-                  properties: Map[String, String] = Map.empty): Unit = {
+                  properties: Map[String, String] = Map.empty,
+                  partitionSpec: Seq[String] = Seq.empty,
+                  sortOrder: Seq[String] = Seq.empty): Unit = {
     val dir = Paths.get(s"$root/$ns/$table")
     Files.createDirectories(dir)
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -281,12 +283,54 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val meta = schema.fields.map(f =>
       s"""{"name":"${f.name}","type":"${f.dataType.sql.toLowerCase}","nullable":${f.nullable}}""")
       .mkString("[", ",", "]")
-    val props = properties.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
+    val props = properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     Files.writeString(dir.resolveSibling(s"${table}_meta.json"),
-      s"""{"table":"$ns.$table","schema":$meta,"partition_spec":[],"properties":$props}""")
+      s"""{"table":"$ns.$table","schema":$meta,"partition_spec":${arr(partitionSpec)},"sort_order":${arr(sortOrder)},"properties":$props}""")
     val v0Files = listParquet(dir)
     recordFileStats(ns, table, v0Files) // the v0 schema file: 0 rows
     commitSnapshot(ns, table, v0Files) // v0: the empty table
+  }
+
+  /** Declared table metadata from the `_meta.json` sidecar:
+    * (partition_spec, sort_order, properties). Empty for tables without a
+    * sidecar (flat test-data warehouse). */
+  def tableMeta(ns: String, table: String): (Seq[String], Seq[String], Map[String, String]) = {
+    val p = Paths.get(s"$root/$ns/${table}_meta.json")
+    if (!Files.exists(p)) (Seq.empty, Seq.empty, Map.empty)
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(Files.readString(p))
+      def arr(field: String): Seq[String] = (j \ field) match {
+        case JArray(a) => a.collect { case JString(s) => s }
+        case _ => Seq.empty
+      }
+      val props = (j \ "properties") match {
+        case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      }
+      (arr("partition_spec"), arr("sort_order"), props)
+    }
+  }
+
+  /** Full DESCRIBE parity with the reference (IcebergConnection.py:66-77
+    * returns schema + partition_spec + sort_order + properties): normalized
+    * (section, name, value) rows — schema columns with their types,
+    * identity partition fields, sort-order fields with direction, and table
+    * properties. */
+  def describeFull(ns: String, table: String): Seq[(String, String, String)] = {
+    val schemaRows = describe(ns, table).map { case (c, t, n) =>
+      ("schema", c, if (n) t else s"$t not null") }
+    val (spec, sort, props) = tableMeta(ns, table)
+    schemaRows ++
+      spec.map(c => ("partition_spec", c, "identity")) ++
+      sort.map { s =>
+        val parts = s.trim.split("\\s+", 2)
+        ("sort_order", parts(0), if (parts.length > 1) parts(1).toLowerCase else "asc")
+      } ++
+      props.toSeq.sortBy(_._1).map { case (k, v) => ("properties", k, v) }
   }
 
   /** Distributed append — any-size DataFrame, immutable-file commit.
@@ -315,6 +359,16 @@ class LakeCatalog(spark: SparkSession, root: String) {
     if (Files.exists(log)) Files.delete(log)
     val stats = fileStatsPath(ns, table)
     if (Files.exists(stats)) Files.delete(stats)
+    // record the physical layout as the declared partition spec so DESCRIBE
+    // surfaces it (Iceberg: the spec is table metadata, not a write option)
+    val metaPath = Paths.get(s"$root/$ns/${table}_meta.json")
+    if (Files.exists(metaPath)) {
+      val specJson = partitionCols.map(c => s""""$c"""").mkString("[", ",", "]")
+      val updated = Files.readString(metaPath)
+        .replaceFirst(""""partition_spec":\[[^\]]*\]""",
+          java.util.regex.Matcher.quoteReplacement(s""""partition_spec":$specJson"""))
+      Files.writeString(metaPath, updated)
+    }
   }
 
   /** Single typed-row INSERT (the reference's whole INSERT surface,

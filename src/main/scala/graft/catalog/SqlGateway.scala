@@ -123,8 +123,10 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         (if (ns == null) all else all.filter(_._1 == ns)).toDF("namespace", "table_name")
 
       case descTb(ns, table) =>
-        catalog.describe(Option(ns).getOrElse(resolveNs(table, "main")), table)
-          .toDF("col_name", "data_type", "nullable")
+        // full reference parity (IcebergConnection.py:66-77): schema AND
+        // partition_spec AND sort_order AND properties, as sectioned rows
+        catalog.describeFull(Option(ns).getOrElse(resolveNs(table, "main")), table)
+          .toDF("section", "name", "value")
 
       case createTb(ifNotExists, ns, table, colsSpec) =>
         val nsName = Option(ns).getOrElse("scratch")

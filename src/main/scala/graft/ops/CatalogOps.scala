@@ -37,22 +37,51 @@ object CatalogOps {
     .map(t => s"SELECT 'main' AS namespace, '$t' AS table_name")
     .mkString("", " UNION ALL ", " ORDER BY namespace, table_name")
 
-  /** DESCRIBE TABLE lineitem — normalized (column, type, nullable) rows
-    * (reference: IcebergConnection.py:64-77). */
+  /** DESCRIBE TABLE, full reference parity (IcebergConnection.py:64-77
+    * returns schema + partition_spec + sort_order + properties): the flat
+    * lineitem table contributes its schema section; a catalog-created
+    * scratch table with declared partition spec / sort order / properties
+    * exercises all four sections. Normalized (table, section, name, value)
+    * rows. */
   def cDescribeTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    new LakeCatalog(spark, dir).describe("main", "lineitem")
-      .toDF("col_name", "data_type", "nullable").orderBy("col_name")
+    import org.apache.spark.sql.types._
+    val cat = new LakeCatalog(spark, dir)
+    val scratchRoot = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    val c2 = new LakeCatalog(spark, scratchRoot)
+    c2.dropTable("scratch", "desc_demo")
+    c2.createTable("scratch", "desc_demo", StructType(Seq(
+      StructField("id", LongType), StructField("ds", StringType),
+      StructField("v", DoubleType))),
+      properties = Map("owner" -> "graft", "write.format" -> "parquet"),
+      partitionSpec = Seq("ds"), sortOrder = Seq("id asc"))
+    val li = cat.describe("main", "lineitem")
+      .map { case (c, t, _) => ("lineitem", "schema", c, t) }
+    val dd = c2.describeFull("scratch", "desc_demo")
+      .map { case (s, n, v) => ("desc_demo", s, n, v) }
+    (li ++ dd).toDF("table_name", "section", "name", "value")
+      .orderBy("table_name", "section", "name")
   }
 
-  val cDescribeTableSql: String = Seq(
-    ("l_orderkey", "bigint"), ("l_partkey", "bigint"), ("l_suppkey", "bigint"),
-    ("l_linenumber", "int"), ("l_quantity", "double"),
-    ("l_extendedprice", "double"), ("l_discount", "double"), ("l_tax", "double"),
-    ("l_returnflag", "string"), ("l_linestatus", "string"),
-    ("l_shipdate", "timestamp_ntz"))
-    .map { case (c, t) => s"SELECT '$c' AS col_name, '$t' AS data_type, true AS nullable" }
-    .mkString("", " UNION ALL ", " ORDER BY col_name")
+  val cDescribeTableSql: String = (
+    Seq(
+      ("desc_demo", "partition_spec", "ds", "identity"),
+      ("desc_demo", "properties", "owner", "graft"),
+      ("desc_demo", "properties", "write.format", "parquet"),
+      ("desc_demo", "schema", "id", "bigint"),
+      ("desc_demo", "schema", "ds", "string"),
+      ("desc_demo", "schema", "v", "double"),
+      ("desc_demo", "sort_order", "id", "asc")) ++
+    Seq(
+      ("l_orderkey", "bigint"), ("l_partkey", "bigint"), ("l_suppkey", "bigint"),
+      ("l_linenumber", "int"), ("l_quantity", "double"),
+      ("l_extendedprice", "double"), ("l_discount", "double"), ("l_tax", "double"),
+      ("l_returnflag", "string"), ("l_linestatus", "string"),
+      ("l_shipdate", "timestamp_ntz"))
+      .map { case (c, t) => ("lineitem", "schema", c, t) })
+    .map { case (tb, s, n, v) =>
+      s"SELECT '$tb' AS table_name, '$s' AS section, '$n' AS name, '$v' AS value" }
+    .mkString("", " UNION ALL ", " ORDER BY table_name, section, name")
 
   /** CREATE TABLE + typed single-row INSERT + read back — the reference's
     * whole DDL/DML surface (IcebergConnection.py:133-216) in one round trip

@@ -19,8 +19,32 @@ class GatewaySpec extends SparkSpec {
 
   test("DESCRIBE TABLE returns normalized schema rows") {
     val rows = flatGw.execute("DESCRIBE TABLE orders").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .filter(_.getString(0) == "schema")
+      .map(r => r.getString(1) -> r.getString(2)).toMap
     assert(rows("o_orderkey") == "bigint" && rows("o_totalprice") == "double")
+  }
+
+  test("DESCRIBE TABLE surfaces partition_spec / sort_order / properties (ref parity)") {
+    // mirrors test_IcebergConnection.test_query_catalog_describe_table:
+    // the describe result must carry all four sections, not schema alone
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_desc").toString
+    val cat = new LakeCatalog(spark, root)
+    cat.createTable("myschema", "users",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ds", org.apache.spark.sql.types.StringType))),
+      properties = Map("owner" -> "graft", "write.format" -> "parquet"),
+      partitionSpec = Seq("ds"),
+      sortOrder = Seq("id asc"))
+    val gw = new SqlGateway(spark, cat)
+    val rows = gw.execute("DESCRIBE TABLE myschema.users").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val sections = rows.map(_._1).toSet
+    assert(sections == Set("schema", "partition_spec", "sort_order", "properties"), sections)
+    assert(rows.contains(("partition_spec", "ds", "identity")))
+    assert(rows.contains(("sort_order", "id", "asc")))
+    assert(rows.contains(("properties", "owner", "graft")))
+    assert(rows.contains(("schema", "id", "bigint")))
   }
 
   test("CREATE TABLE + INSERT VALUES round trip (ref: INSERT INTO orders VALUES (1, 100))") {
@@ -41,7 +65,8 @@ class GatewaySpec extends SparkSpec {
     val gw = new SqlGateway(spark, new LakeCatalog(spark, root))
     gw.execute("CREATE TABLE t (a DECIMAL(10,2), b INT)")
     // paren-aware split: two columns, not three garbage ones
-    val desc = gw.execute("DESCRIBE TABLE t").collect().map(_.getString(0)).toSet
+    val desc = gw.execute("DESCRIBE TABLE t").collect()
+      .filter(_.getString(0) == "schema").map(_.getString(1)).toSet
     assert(desc == Set("a", "b"), s"got columns $desc")
     // arity mismatch is an error, not silent truncation
     val e = intercept[IllegalArgumentException] {

@@ -1,0 +1,71 @@
+package graft
+
+import graft.server.McpServer
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Protocol-level spec for the MCP endpoint — drives the same frames the
+  * reference's tests exercise (test_IcebergConnection list/describe, the
+  * tool registration in server.py:40-68) through handleLine, no pipes. */
+class McpServerSpec extends SparkSpec {
+
+  private lazy val srv = new McpServer(spark, sfDir)
+
+  private def call(line: String): JValue =
+    JsonMethods.parse(srv.handleLine(line).getOrElse(fail(s"no reply for: $line")))
+
+  private def toolText(j: JValue): String =
+    (j \ "result" \ "content") (0) \ "text" match {
+      case JString(t) => t
+      case other => fail(s"no text content: $other")
+    }
+
+  test("initialize / tools-list handshake matches the reference's surface") {
+    val init = call("""{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"protocolVersion":"2024-11-05"}}""")
+    assert(init \ "id" == JInt(1))
+    assert(init \ "result" \ "serverInfo" \ "name" == JString("graft-lake-server"))
+    // notifications get no reply (JSON-RPC forbids answering them)
+    assert(srv.handleLine("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
+    val tools = call("""{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")
+    val names = (tools \ "result" \ "tools" \ "name").children.collect { case JString(s) => s }
+    assert(names == List("query_catalog", "query_table"),
+      s"reference registers exactly query_catalog + query_table, got $names")
+  }
+
+  test("query_catalog tool: LIST TABLES round trips through the gateway") {
+    val resp = call("""{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"query_catalog","arguments":{"query":"LIST TABLES IN main"}}}""")
+    val text = toolText(resp)
+    assert(text.startsWith("Results (execution time:"), text.take(80))
+    Tables.names.foreach(t => assert(text.contains(t), s"missing table $t"))
+  }
+
+  test("query_table tool: SELECT with aggregation over the lake") {
+    val resp = call("""{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"query_table","arguments":{"query":"SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"}}}""")
+    val text = toolText(resp)
+    assert(text.contains("l_returnflag") && text.contains("\"A\""), text.take(200))
+    assert(resp \ "result" \ "isError" == JBool(false))
+  }
+
+  test("errors: unknown tool, unknown method, bad query, parse failure") {
+    val badTool = call("""{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"nope","arguments":{"query":"x"}}}""")
+    assert((badTool \ "error" \ "code") == JInt(-32602))
+    val badMethod = call("""{"jsonrpc":"2.0","id":6,"method":"resources/list"}""")
+    assert((badMethod \ "error" \ "code") == JInt(-32601))
+    // a failing query is a RESULT with isError=true (MCP tool contract),
+    // mirroring the reference's error TextContent path (server.py:104-110)
+    val badQuery = call("""{"jsonrpc":"2.0","id":7,"method":"tools/call","params":{"name":"query_table","arguments":{"query":"SELECT * FROM no_such_table_xyz"}}}""")
+    assert(badQuery \ "result" \ "isError" == JBool(true))
+    assert(toolText(badQuery).startsWith("Error executing query:"))
+    val parseErr = call("""{this is not json""")
+    assert((parseErr \ "error" \ "code") == JInt(-32700))
+  }
+
+  test("row cap: payload truncation is explicit, never silent") {
+    val small = new McpServer(spark, sfDir, maxRows = 5)
+    val resp = JsonMethods.parse(small.handleLine(
+      """{"jsonrpc":"2.0","id":8,"method":"tools/call","params":{"name":"query_table","arguments":{"query":"SELECT doc_id FROM documents"}}}""").get)
+    val text = (resp \ "result" \ "content") (0) \ "text" match { case JString(t) => t; case _ => "" }
+    assert(text.contains("(truncated to 5 rows)"), text.take(120))
+    assert(text.linesIterator.count(_.contains("doc_id")) == 5)
+  }
+}
