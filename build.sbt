@@ -34,5 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pin the JVM zone too: java.sql.Timestamp literals must not shift on
   // non-UTC hosts
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver+executors in THIS one JVM: 8g forced old-gen
+  // GC churn that inflated late-bench queries 3-10x over their isolated
+  // times (r3: s_hybrid_search 10s in-bench vs 1.6s isolated). The box
+  // has 125 GiB; give the single JVM a real share of it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

@@ -43,6 +43,17 @@ object Profile {
         time("s_cosine_topk warm")(graft.ops.Similarity.sCosineTopk(spark, sfDir).count())
       case "explain" =>
         graft.SparkEntry.queries(args(1))(spark, sfDir).explain("formatted")
+      case l if l.startsWith("list:") =>
+        // cold+warm for a comma-separated query list, Bench-style cache
+        // hygiene between runs
+        l.stripPrefix("list:").split(',').foreach { q =>
+          time(q)(graft.SparkEntry.queries(q)(spark, sfDir).count())
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          time(q + " warm")(graft.SparkEntry.queries(q)(spark, sfDir).count())
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        }
       case other =>
         time(other)(graft.SparkEntry.queries(other)(spark, sfDir).count())
         spark.catalog.clearCache()
