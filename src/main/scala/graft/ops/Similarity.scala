@@ -154,39 +154,41 @@ object Similarity {
   /** nprobe-parameterized IVF — PipelineSpec sweeps nprobe to assert the
     * recall/cost curve behaves (more probed cells ⇒ recall non-decreasing,
     * reaching 1.0 when every cell is probed). */
-  private[graft] def ivfTopk(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val e = withNorm(spark, dir)
-    val kCells = 8
-    // Lloyd-trained cells: pqCodebook with m=1 treats the full embedding
-    // as one subvector — identical trainer, full-dimensional centroids
+  /** Lloyd-trained IVF cells: pqCodebook with m=1 treats the full embedding
+    * as one subvector — identical trainer, full-dimensional centroids.
+    * Shared by [[ivfTopk]] and [[ivfPqTopk]]. */
+  private def ivfCells(spark: SparkSession, dir: String,
+                       kCells: Int): Array[(Int, Array[Float])] = {
     val (train, seeds) = pqSample(spark, dir, kCells)
-    val cents: Array[(Int, Array[Float])] =
-      pqCodebook(train, seeds, 1).head.zipWithIndex
-        .map { case (c, i) => i -> c.toArray }.toArray
+    pqCodebook(train, seeds, 1).head.zipWithIndex
+      .map { case (c, i) => i -> c.toArray }.toArray
+  }
 
-    // per-row cell similarities as literal-centroid vdots (codegen'd)
-    def cellSims(emb: Column, nrm: Column): Seq[(Int, Column)] =
-      cents.map { case (cell, cvec) =>
-        val cn = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
-        cell -> (dot(emb, typedlit(cvec)) / (nrm * lit(cn)))
-      }
-
-    // argmax cell: sims packed into an array (cell order), argmax =
-    // 1-based position of the max — first occurrence, so ties break to the
-    // lowest cell deterministically
-    val cellIds = cents.map(_._1)
-    def argmaxCell(emb: Column, nrm: Column): Column = {
-      val simArr = array(cellSims(emb, nrm).map(_._2): _*)
-      element_at(typedlit(cellIds), array_position(simArr, array_max(simArr)).cast("int"))
+  /** per-row cell similarities as literal-centroid vdots (codegen'd) */
+  private def cellSims(cents: Array[(Int, Array[Float])])(
+      emb: Column, nrm: Column): Seq[(Int, Column)] =
+    cents.toSeq.map { case (cell, cvec) =>
+      val cn = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
+      cell -> (dot(emb, typedlit(cvec.toSeq)) / (nrm * lit(cn)))
     }
 
-    val assigned = e.withColumn("cell", argmaxCell(col("embedding"), col("nrm")))
+  /** argmax cell: sims packed into an array (cell order), argmax = 1-based
+    * position of the max — first occurrence, so ties break to the lowest
+    * cell deterministically */
+  private def argmaxCell(cents: Array[(Int, Array[Float])])(
+      emb: Column, nrm: Column): Column = {
+    val simArr = array(cellSims(cents)(emb, nrm).map(_._2): _*)
+    element_at(typedlit(cents.map(_._1).toSeq),
+      array_position(simArr, array_max(simArr)).cast("int"))
+  }
 
-    // queries probe their nprobe nearest cells (query side is tiny — the
-    // explode+window here is over |queries|×k rows, not the corpus)
-    val qProbes = e.where(col("vec_id") % 20 === 0)
+  /** queries probe their nprobe nearest cells (query side is tiny — the
+    * explode+window here is over |queries|×k rows, not the corpus) */
+  private def probeCells(e: DataFrame, cents: Array[(Int, Array[Float])],
+                         nprobe: Int): DataFrame =
+    e.where(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
-        explode(array(cellSims(col("embedding"), col("nrm")).map { case (cell, sim) =>
+        explode(array(cellSims(cents)(col("embedding"), col("nrm")).map { case (cell, sim) =>
           struct(lit(cell).as("cell"), sim.as("sim"))
         }: _*)).as("cs"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
@@ -195,6 +197,12 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))))
       .where(col("r") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
+
+  private[graft] def ivfTopk(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val e = withNorm(spark, dir)
+    val cents = ivfCells(spark, dir, kCells = 8)
+    val assigned = e.withColumn("cell", argmaxCell(cents)(col("embedding"), col("nrm")))
+    val qProbes = probeCells(e, cents, nprobe)
 
     val scored = qProbes.join(assigned, Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
@@ -428,6 +436,67 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF×PQ composed ANN (the 100 TB endgame tier, Jégou et al. TPAMI'11
+    * IVFADC): corpus rows carry (cell, 8-byte PQ code); queries probe their
+    * nprobe nearest IVF cells and ADC-score ONLY the rows in those cells —
+    * the full-corpus code scan [[sPqTopk]] pays becomes a bucketed scan of
+    * ~nprobe/kCells of the corpus. Memory per scanned row is still 8 bytes
+    * (codes), and candidates are exactly re-ranked in original space. At
+    * 100 TB this is the standard shape: coarse quantizer prunes the corpus,
+    * product quantizer makes the surviving scan memory-bandwidth-bound,
+    * exact re-rank restores precision on the shortlist.
+    * Approximate → rows-only; PipelineSpec asserts recall within 0.05 of
+    * plain PQ at a fraction of the scored rows. */
+  def sIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopk(spark, dir, nprobe = 6)
+
+  private[graft] def ivfPqTopk(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val m = 8
+    val kCent = 16
+    val e = withNorm(spark, dir)
+    val cents = ivfCells(spark, dir, kCells = 16)
+    val (train, seeds) = pqSample(spark, dir, kCent)
+    val codebook = pqCodebook(train, seeds, m)
+
+    // one linear index-build pass: every corpus row gets its coarse cell
+    // (argmax over literal centroids, in the scan projection) + PQ codes
+    val coded = e.select(col("vec_id"),
+      argmaxCell(cents)(col("embedding"), col("nrm")).as("cell"),
+      graft.functions.Sketch.pqEncode(col("embedding"), codebook).as("codes"))
+
+    // ADC only inside the probed cells (the equi-join on cell IS the prune)
+    val shortlist = probeCells(e, cents, nprobe)
+      .join(coded, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("vec_id"),
+        graft.functions.Sketch.pqAdc(col("q_emb"), col("codes"), codebook).as("adc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))))
+      .where(col("rnk") <= 50)
+    // exact re-rank of the shortlist in original space
+    val scored = shortlist
+      .join(e, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The candidate mass ivfPqTopk actually ADC-scores (rows reaching the
+    * ADC expression) — PipelineSpec uses this to prove the IVF prune is
+    * real (< 1/2 of |queries|×|corpus| at nprobe=4, kCells=8). */
+  private[graft] def ivfPqScoredRows(spark: SparkSession, dir: String, nprobe: Int): Long = {
+    val e = withNorm(spark, dir)
+    val cents = ivfCells(spark, dir, kCells = 16)
+    val coded = e.select(col("vec_id"),
+      argmaxCell(cents)(col("embedding"), col("nrm")).as("cell"))
+    probeCells(e, cents, nprobe).join(coded, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id")).count()
+  }
+
   /** Multiprobe LSH — the round-3 refinement of [[sLshAnn]]: HALF the hash
     * tables (L=6 vs 12), with each query additionally probing the k buckets
     * at Hamming distance 1 from its signature (flip one of the k sig bits).
@@ -566,6 +635,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_ivfpq_topk" -> (sIvfPqTopk _),
     "s_multiprobe" -> (sMultiprobe _),
     "s_opq_topk" -> (sOpqTopk _),
     "s_radius" -> (sRadius _),

@@ -140,6 +140,29 @@ class PipelineSpec extends SparkSpec {
     assert(recalls.last._2 >= 0.7, f"recall@nprobe=5 ${recalls.last._2}%.3f < 0.7")
   }
 
+  test("s_ivfpq_topk: recall within 0.05 of plain PQ at a fraction of the scored rows") {
+    val exact = ops.Similarity.sCosineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = ops.Similarity.sPqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = ops.Similarity.ivfPqTopk(spark, sfDir, nprobe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rPq = exact.intersect(pq).size.toDouble / exact.size
+    val rIvfPq = exact.intersect(ivfpq).size.toDouble / exact.size
+    // the prune must be real: rows reaching the ADC expression vs the
+    // full-scan PQ's |queries|x(|corpus|-1)
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val corpus = emb.count()
+    val nQueries = emb.where(col("vec_id") % 20 === 0).count()
+    val fullScan = nQueries * (corpus - 1)
+    val scanned = ops.Similarity.ivfPqScoredRows(spark, sfDir, nprobe = 6)
+    info(f"recall@5: pq $rPq%.3f, ivfpq $rIvfPq%.3f; ADC rows $scanned%d vs full scan $fullScan%d")
+    assert(rIvfPq >= rPq - 0.05,
+      f"IVF-PQ recall $rIvfPq%.3f more than 0.05 below plain PQ $rPq%.3f")
+    assert(scanned <= fullScan / 2,
+      s"IVF prune not real: scored $scanned of $fullScan candidate rows")
+  }
+
   test("s_opq_topk: rotated-PQ recall@5 >= 0.5; rotation preserves exact cosines") {
     val exact = ops.Similarity.sCosineTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
