@@ -470,7 +470,46 @@ object Dedup {
       |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * embedding-space near-duplicate removal made tractable by clustering —
+    * pairwise cosine is computed ONLY within k-means cells, never across
+    * the corpus. A vector is dropped iff some smaller-id vector in its cell
+    * has cosine ≥ τ; keep-min-id makes the result deterministic and gives
+    * the kept set a provable invariant (no two kept vectors in one cell are
+    * ≥ τ — PipelineSpec brute-force checks both directions).
+    *
+    * 100 TB shape: the cell assignment is the same zero-shuffle argmax scan
+    * projection IVF uses (Similarity.argmaxCell); the only shuffle is the
+    * equi-join on cell, and the quadratic term is bounded by cell size —
+    * kCells is THE dial (SemDeDup uses 50k cells for LAION; cost =
+    * Σ|cell|², tuned so cells fit a task). Cells come from driver-trained
+    * k-means (not SQL-expressible) → rows-only + spec. */
+  val SemDedupTau = 0.4 // synthetic embeddings top out at cosine ~0.5 — τ chosen to exercise drops
+
+  def dSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Vec.vnorm(col("embedding")).as("nrm"))
+    val cents = Similarity.ivfCells(spark, dir, kCells = 8)
+    val assigned = e.withColumn("cell",
+      Similarity.argmaxCell(cents)(col("embedding"), col("nrm")))
+    // blocked pairwise: same cell only, smaller id on the left
+    val near = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("smaller"),
+        round(graft.functions.Vec.vdot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .where(col("cosine") >= SemDedupTau)
+    val dropped = near.groupBy("vec_id")
+      .agg(min(col("smaller")).as("dup_of"), max(col("cosine")).as("dup_cos"))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("kept"), col("dup_of"), col("dup_cos"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_semantic_dedup" -> (dSemanticDedup _),
     "d_fuzzy_name" -> (dFuzzyName _),
     "d_substring_span" -> (dSubstringSpan _),
     "d_dup_clusters" -> (dDupClusters _),

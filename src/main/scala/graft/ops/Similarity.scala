@@ -157,7 +157,7 @@ object Similarity {
   /** Lloyd-trained IVF cells: pqCodebook with m=1 treats the full embedding
     * as one subvector — identical trainer, full-dimensional centroids.
     * Shared by [[ivfTopk]] and [[ivfPqTopk]]. */
-  private def ivfCells(spark: SparkSession, dir: String,
+  private[ops] def ivfCells(spark: SparkSession, dir: String,
                        kCells: Int): Array[(Int, Array[Float])] = {
     val (train, seeds) = pqSample(spark, dir, kCells)
     pqCodebook(train, seeds, 1).head.zipWithIndex
@@ -175,7 +175,7 @@ object Similarity {
   /** argmax cell: sims packed into an array (cell order), argmax = 1-based
     * position of the max — first occurrence, so ties break to the lowest
     * cell deterministically */
-  private def argmaxCell(cents: Array[(Int, Array[Float])])(
+  private[ops] def argmaxCell(cents: Array[(Int, Array[Float])])(
       emb: Column, nrm: Column): Column = {
     val simArr = array(cellSims(cents)(emb, nrm).map(_._2): _*)
     element_at(typedlit(cents.map(_._1).toSeq),

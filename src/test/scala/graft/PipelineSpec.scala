@@ -140,6 +140,39 @@ class PipelineSpec extends SparkSpec {
     assert(recalls.last._2 >= 0.7, f"recall@nprobe=5 ${recalls.last._2}%.3f < 0.7")
   }
 
+  test("d_semantic_dedup: kept set pairwise < tau per cell; every drop justified") {
+    val tau = Dedup.SemDedupTau
+    val emb = Tables.table(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // same left-fold float->double dot as FloatVecDot
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = Dedup.dSemanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.length == emb.size, "one row per vector")
+    assert(out.exists(!_._3), "no drops at test scale — tau too high for the data?")
+    out.groupBy(_._2).foreach { case (cell, members) =>
+      val kept = members.filter(_._3).map(_._1)
+      for (u <- kept; v <- kept if u < v)
+        assert(cos(emb(u), emb(v)) < tau,
+          s"kept pair ($u,$v) in cell $cell has cosine >= $tau")
+      members.filterNot(_._3).foreach { case (v, _, _, dupOf) =>
+        val smallerNear = members.map(_._1).filter(u => u < v && cos(emb(u), emb(v)) >= tau)
+        assert(smallerNear.nonEmpty, s"vec $v dropped with no near smaller-id cellmate")
+        assert(dupOf == smallerNear.min, s"vec $v dup_of $dupOf != min ${smallerNear.min}")
+      }
+    }
+  }
+
   test("s_ivfpq_topk: recall within 0.05 of plain PQ at a fraction of the scored rows") {
     val exact = ops.Similarity.sCosineTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
