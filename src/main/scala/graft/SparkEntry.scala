@@ -22,7 +22,8 @@ object SparkEntry {
       ops.Similarity.queries ++ ops.CatalogOps.queries ++
       ops.CatalogOps2.queries ++
       ops.Multimodal.queries ++ streaming.StreamOps.queries ++
-      ops.Pipeline.queries
+      ops.Pipeline.queries ++ ops.ChunkOps.queries ++ ops.Events.queries ++
+      ops.Pipeline2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
       ops.Similarity.oracles ++ ops.CatalogOps.oracles ++
       ops.CatalogOps2.oracles ++
       ops.Multimodal.oracles ++ streaming.StreamOps.oracles ++
-      ops.Pipeline.oracles
+      ops.Pipeline.oracles ++ ops.ChunkOps.oracles ++ ops.Events.oracles ++
+      ops.Pipeline2.oracles
 }

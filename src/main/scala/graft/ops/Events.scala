@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.2 addition (round 4): ordered event-funnel analysis — the classic
+  * product-analytics query (view → click-after-view → purchase-after-click)
+  * the reference's SQL surface serves via DuckDB (reference
+  * IcebergConnection.py:113-120 arbitrary-SELECT path).
+  *
+  * Semantics: stage 1 = user has a view; stage 2 = a click STRICTLY after
+  * the first view; stage 3 = a purchase strictly after the first qualifying
+  * click. Earliest-qualifying-event semantics make the result deterministic
+  * and SQL-oracle-able.
+  *
+  * Plan shape: three min-aggregates + three joins, every one keyed on
+  * user_id — all six operators share ONE hash partitioning, so at scale the
+  * exchange happens once and the rest is co-partitioned (Spark reuses the
+  * child distribution; no broadcast of anything corpus-sized). `ts` stays
+  * integer nanoseconds end-to-end (see SURVEY.md §4 ns-timestamp rule).
+  */
+object Events {
+
+  /** Per-user funnel depth (0–3) plus the stage timestamps (µs, nullable).
+    * Users enter from the events table itself — depth 0 means "active but
+    * never viewed". */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("tv"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .where(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min(col("ts")).as("tc"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .where(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min(col("ts")).as("tp"))
+    ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("tp").isNotNull, 3)
+          .when(col("tc").isNotNull, 2)
+          .when(col("tv").isNotNull, 1).otherwise(0).as("stage"),
+        expr("tv div 1000").as("tv_us"),
+        expr("tc div 1000").as("tc_us"),
+        expr("tp div 1000").as("tp_us"))
+      .orderBy("user_id")
+  }
+
+  val qFunnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),
+      |v AS (SELECT user_id, MIN(ns) AS tv FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT ev.user_id, MIN(ns) AS tc FROM ev JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ns > tv GROUP BY 1),
+      |p AS (SELECT ev.user_id, MIN(ns) AS tp FROM ev JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ns > tc GROUP BY 1)
+      |SELECT u.user_id,
+      |  CASE WHEN tp IS NOT NULL THEN 3 WHEN tc IS NOT NULL THEN 2
+      |       WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS stage,
+      |  tv // 1000 AS tv_us, tc // 1000 AS tc_us, tp // 1000 AS tp_us
+      |FROM (SELECT DISTINCT user_id FROM ev) u
+      |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (qFunnel _))
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" -> qFunnelSql)
+}

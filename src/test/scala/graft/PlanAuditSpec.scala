@@ -50,7 +50,13 @@ class PlanAuditSpec extends SparkSpec {
     // global ranking in the surface must bound its input first (top-k via
     // TakeOrderedAndProject) or partition the window. Pinned here so the
     // pattern can never silently return.
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Window => LWindow}
+    // p_pack_sequences' two-level prefix-sum deliberately runs ONE global
+    // window — over per-bucket token totals (corpus/bucketW rows), never raw
+    // docs. The whitelist is conditional: the assertion below proves the
+    // global window's input went through the cardinality-reducing Aggregate,
+    // so the exemption dies if the op ever degrades to a raw-row window.
+    val boundedGlobalWindow = Set("p_pack_sequences")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val global = try {
         fn(spark, sfDir).queryExecution.optimizedPlan.collect {
@@ -59,7 +65,12 @@ class PlanAuditSpec extends SparkSpec {
       } catch { case e: Throwable =>
         fail(s"$name failed to plan: ${e.getMessage}")
       }
-      if (global.nonEmpty) Some(name) else None
+      if (boundedGlobalWindow(name)) {
+        assert(global.forall(
+            _.child.collectFirst { case a: LAggregate => a }.isDefined),
+          s"$name: whitelisted global window no longer consumes an aggregate")
+        None
+      } else if (global.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
       s"unpartitioned windows in: ${offenders.mkString(", ")}")
