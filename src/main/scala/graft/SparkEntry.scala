@@ -23,7 +23,7 @@ object SparkEntry {
       ops.CatalogOps2.queries ++
       ops.Multimodal.queries ++ streaming.StreamOps.queries ++
       ops.Pipeline.queries ++ ops.ChunkOps.queries ++ ops.Events.queries ++
-      ops.Pipeline2.queries
+      ops.Pipeline2.queries ++ ops.Cluster.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -35,5 +35,5 @@ object SparkEntry {
       ops.CatalogOps2.oracles ++
       ops.Multimodal.oracles ++ streaming.StreamOps.oracles ++
       ops.Pipeline.oracles ++ ops.ChunkOps.oracles ++ ops.Events.oracles ++
-      ops.Pipeline2.oracles
+      ops.Pipeline2.oracles ++ ops.Cluster.oracles
 }

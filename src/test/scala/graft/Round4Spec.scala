@@ -82,6 +82,23 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("s_kmeans_train: Lloyd inertia non-increasing; partition is total and deterministic") {
+    val hist = (0 to 3).map(r =>
+      ops.Cluster.inertia(spark, sfDir, ops.Cluster.train(spark, sfDir, 8, r)))
+    hist.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-12, s"inertia rose: $hist")
+      case _ => ()
+    }
+    assert(hist.last < hist.head, s"training did nothing: $hist")
+    val out = ops.Cluster.sKmeansTrain(spark, sfDir).collect()
+    assert(out.map(_.getLong(1)).sum ==
+      Tables.table(spark, sfDir, "embeddings").count(),
+      "cluster populations do not partition the corpus")
+    val again = ops.Cluster.sKmeansTrain(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "k-means output not deterministic across runs")
+  }
+
   test("s_knn_join: recall@5 >= 0.6 vs brute-force all-pairs exact top-k") {
     val e = Tables.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"),
