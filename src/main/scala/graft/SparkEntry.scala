@@ -23,7 +23,9 @@ object SparkEntry {
       ops.CatalogOps2.queries ++
       ops.Multimodal.queries ++ streaming.StreamOps.queries ++
       ops.Pipeline.queries ++ ops.ChunkOps.queries ++ ops.Events.queries ++
-      ops.Pipeline2.queries ++ ops.Cluster.queries
+      ops.Pipeline2.queries ++ ops.Cluster.queries ++
+      ops.CatalogOps3.queries ++ ops.Dedup2.queries ++
+      ops.ClassifyOps.queries ++ streaming.StreamOps2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -35,5 +37,7 @@ object SparkEntry {
       ops.CatalogOps2.oracles ++
       ops.Multimodal.oracles ++ streaming.StreamOps.oracles ++
       ops.Pipeline.oracles ++ ops.ChunkOps.oracles ++ ops.Events.oracles ++
-      ops.Pipeline2.oracles ++ ops.Cluster.oracles
+      ops.Pipeline2.oracles ++ ops.Cluster.oracles ++
+      ops.CatalogOps3.oracles ++ ops.Dedup2.oracles ++
+      ops.ClassifyOps.oracles ++ streaming.StreamOps2.oracles
 }

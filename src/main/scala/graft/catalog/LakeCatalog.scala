@@ -211,11 +211,54 @@ class LakeCatalog(spark: SparkSession, root: String) {
     try r.getRecordCount finally r.close()
   }
 
+  /** (row count, per-column [min,max] zone map) from the parquet footer —
+    * one metadata read serves both. Bounds cover NUMERIC top-level columns
+    * (the zone-map sweet spot: keys, timestamps, prices); a column whose
+    * statistics are absent in any block simply gets no bounds, and readers
+    * treat bound-less files as must-read. This is Iceberg's manifest
+    * lower_bounds/upper_bounds, sourced from the same place Iceberg writers
+    * source them (the file footer the writer just produced). */
+  private def footerInfo(file: Path): (Long, Map[String, (Double, Double)]) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val perCol = blocks.flatMap(_.getColumns.asScala).flatMap { cc =>
+        val st = cc.getStatistics
+        if (st == null || st.isEmpty || !st.hasNonNullValue) Seq.empty
+        else {
+          def num(v: Any): Option[Double] = v match {
+            case l: java.lang.Long => Some(l.toDouble)
+            case i: java.lang.Integer => Some(i.toDouble)
+            case d: java.lang.Double => Some(d)
+            case f: java.lang.Float => Some(f.toDouble)
+            case _ => None // binary/bool columns: no numeric zone map
+          }
+          (num(st.genericGetMin), num(st.genericGetMax)) match {
+            case (Some(lo), Some(hi)) => Seq(cc.getPath.toDotString -> (lo, hi))
+            case _ => Seq.empty
+          }
+        }
+      }
+      val bounds = perCol.groupBy(_._1)
+        // a column must have stats in EVERY block to claim file-level bounds
+        .filter { case (_, vs) => vs.length == blocks.length }
+        .map { case (c, vs) => c -> (vs.map(_._2._1).min, vs.map(_._2._2).max) }
+      (r.getRecordCount, bounds)
+    } finally r.close()
+  }
+
   private def recordFileStats(ns: String, table: String, files: Seq[String]): Unit =
     if (files.nonEmpty) {
       val dir = Paths.get(tablePath(ns, table))
       val lines = files.map { f =>
-        s"""{"file":"$f","rows":${footerRowCount(dir.resolve(f))}}\n"""
+        val (rows, bounds) = footerInfo(dir.resolve(f))
+        val b = bounds.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s""""$c":[$lo,$hi]""" }
+          .mkString("{", ",", "}")
+        s"""{"file":"$f","rows":$rows,"bounds":$b}\n"""
       }.mkString
       Files.writeString(fileStatsPath(ns, table), lines,
         java.nio.file.StandardOpenOption.CREATE,
@@ -236,6 +279,67 @@ class LakeCatalog(spark: SparkSession, root: String) {
         f -> n.toLong
       }.toMap
     }
+  }
+
+  /** Per-file numeric zone maps (column → [min,max]) recorded at commit
+    * time — empty map for files written before bounds existed. */
+  def fileBounds(ns: String, table: String): Map[String, Map[String, (Double, Double)]] = {
+    val p = fileStatsPath(ns, table)
+    if (!Files.exists(p)) Map.empty
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+        val j = JsonMethods.parse(line)
+        val JString(f) = (j \ "file"): @unchecked
+        val bounds = (j \ "bounds") match {
+          case JObject(fields) => fields.collect {
+            case (c, JArray(List(lo, hi))) =>
+              def d(v: JValue): Double = v match {
+                case JDouble(x) => x
+                case JInt(x) => x.toDouble
+                case JLong(x) => x.toDouble
+                case _ => Double.NaN
+              }
+              c -> (d(lo), d(hi))
+          }.toMap
+          case _ => Map.empty[String, (Double, Double)]
+        }
+        f -> bounds
+      }.toMap
+    }
+  }
+
+  /** Scan planning with zone-map skipping (Iceberg's manifest-bounds file
+    * pruning): partition the CURRENT snapshot's files into (must-read,
+    * skipped) for the predicate `column BETWEEN lo AND hi`. A file is
+    * skipped only when its recorded bounds PROVE no row can match
+    * ([min,max] disjoint from [lo,hi]); files without bounds for the column
+    * are conservatively read. Metadata-only — no data IO here. */
+  def pruneFiles(ns: String, table: String, column: String,
+                 lo: Double, hi: Double): (Seq[String], Seq[String]) = {
+    val cur = currentFiles(ns, table)
+      .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val bounds = fileBounds(ns, table)
+    val stats = fileStats(ns, table)
+    // DATA files only: the v0 schema placeholder (0 recorded rows) is
+    // metadata, not a scan target — same exclusion filesMeta applies
+    cur.filter(f => stats.get(f).forall(_ > 0)).partition { f =>
+      bounds.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi // ranges intersect
+        case None => true // no bounds recorded → must read
+      }
+    }
+  }
+
+  /** The table restricted to files surviving zone-map pruning for
+    * `column BETWEEN lo AND hi`. The row-level predicate must still be
+    * applied by the caller — pruning only removes whole files that cannot
+    * contain matches; surviving files may hold non-matching rows. */
+  def loadPruned(ns: String, table: String, column: String,
+                 lo: Double, hi: Double): DataFrame = {
+    val (read, _) = pruneFiles(ns, table, column, lo, hi)
+    readFiles(ns, table, read)
   }
 
   /** COUNT(*) served purely from manifest stats when every current file has
@@ -546,6 +650,57 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val newData = survivors.unionByName(updates).unionByName(inserts)
     val newFiles = writeNewFiles(ns, table, newData)
     commitSnapshot(ns, table, cur.diff(touched) ++ newFiles)
+  }
+
+  /** Apply a CDC change batch — upserts (`op` = "u") and deletes ("d") by
+    * key — as ONE atomic snapshot commit, optionally carrying a streaming
+    * batch id for replay fencing. This is the primitive a change-data-feed
+    * consumer needs: applying a batch's upserts and deletes as separate
+    * commits would open a crash window where the same batch id fences a
+    * half-applied batch; here the rewrite (touched-file COW, like [[merge]])
+    * and the fence land in the same snapshot-log line.
+    *
+    * Duplicate keys within a batch collapse to one winner like [[merge]];
+    * a key appearing as both upsert and delete resolves to DELETE (the
+    * change feed's terminal state for the key — matching Iceberg/Delta CDC
+    * apply semantics where the batch is a keyed snapshot of final states). */
+  def applyCdc(ns: String, table: String, changes: DataFrame, key: String,
+               opCol: String, batch: Option[Long] = None): Unit = {
+    // fence replays: a batch id at-or-below the last committed one is a
+    // foreachBatch redelivery — drop it (the data is already in)
+    if (batch.exists(b => lastCommittedBatch(ns, table).exists(_ >= b))) return
+    val deleteKeys = changes.where(col(opCol) === "d").select(col(key)).distinct()
+    val upserts = {
+      // delete wins over upsert for the same key; duplicates collapse
+      val u = changes.where(col(opCol) === "u").drop(opCol)
+        .join(broadcast(deleteKeys), Seq(key), "left_anti")
+      val others = u.columns.filterNot(_ == key)
+      if (others.isEmpty) u.distinct()
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(key))
+          .orderBy(others.map(c => col(c).desc_nulls_last): _*)
+        u.withColumn("_graft_rn", org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("_graft_rn") === 1).drop("_graft_rn")
+      }
+    }
+    val cur = currentFiles(ns, table).getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val target = readFiles(ns, table, cur)
+    val allKeys = broadcast(changes.select(col(key)).distinct())
+    val touched = {
+      val t = target.withColumn("_graft_file", input_file_name())
+        .join(allKeys, Seq(key), "left_semi")
+        .select(col("_graft_file")).distinct().collect()
+        .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
+      cur.filter(t.toSet)
+    }
+    // survivors: touched-file rows whose key is not in the change batch;
+    // then every upsert row (updates + inserts alike) lands fresh
+    val survivors = readFiles(ns, table, touched)
+      .join(allKeys, Seq(key), "left_anti")
+    val newData = survivors.unionByName(upserts.select(survivors.columns.map(col): _*))
+    val newFiles = writeNewFiles(ns, table, newData)
+    commitSnapshot(ns, table, cur.diff(touched) ++ newFiles, batch)
   }
 
   /** Small-file compaction: rewrite the CURRENT snapshot into `target`

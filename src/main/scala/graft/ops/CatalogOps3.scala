@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.Tables
+import graft.catalog.LakeCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.1 continued (round 4): zone-map file skipping — the scan-planning
+  * half of Iceberg's manifest design (manifest lower_bounds/upper_bounds;
+  * the reference's pyiceberg scan relies on exactly these,
+  * IcebergConnection.py:99-110 `table.scan()`), now recorded and served by
+  * [[LakeCatalog]]: every commit stores per-file numeric [min,max] bounds
+  * read from the parquet footer the writer just produced, and a range scan
+  * consults ONLY that metadata to drop whole files before any data IO.
+  *
+  * This is the mechanism that makes clustered layouts pay at 100 TB: with
+  * data range-clustered on a key (sort-order/Z-order writes), a selective
+  * range predicate reads bounds-intersecting files only — metadata scales
+  * with file COUNT, data IO with result size, never with table size.
+  */
+object CatalogOps3 {
+
+  private def scratch: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+
+  /** Range-clustered write (8 key-band commits — the sort-order layout) then
+    * a band-aligned range query served from the zone maps: 6 of the 8 files
+    * are proven row-free for the predicate and never opened. Output carries
+    * the query aggregate PLUS the (files_read, files_skipped, files_total)
+    * plan facts; band edges derive from max(o_orderkey) so the structure —
+    * and therefore the oracle's literals — holds at every SF.
+    * CatalogSpec (round 4) asserts the skipped files are genuinely absent
+    * from the pruned scan's plan and that pruned ≡ full-scan results. */
+  def cZoneSkip(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val maxKey = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val w = maxKey / 8 + 1 // band width: 8 bands cover [0, maxKey]
+    cat.dropTable("scratch", "ord_zones")
+    cat.createTable("scratch", "ord_zones", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType))),
+      sortOrder = Seq("o_orderkey asc"))
+    // one commit per key band → 8 files with disjoint recorded key ranges
+    // (the layout a sorted/clustered writer produces at scale)
+    (0 until 8).foreach { b =>
+      cat.append("scratch", "ord_zones",
+        o.where(col("o_orderkey") >= b * w && col("o_orderkey") < (b + 1) * w)
+          .coalesce(1))
+    }
+    val lo = 2.0 * w
+    val hi = 4.0 * w - 1
+    val (read, skipped) = cat.pruneFiles("scratch", "ord_zones", "o_orderkey", lo, hi)
+    val pruned = cat.loadPruned("scratch", "ord_zones", "o_orderkey", lo, hi)
+      .where(col("o_orderkey").between(lo, hi)) // row-level predicate still applies
+    pruned.agg(
+      count(lit(1)).as("n"),
+      Tables.dsum(col("o_totalprice")).as("total"),
+      lit(read.size).as("files_read"),
+      lit(skipped.size).as("files_skipped"))
+  }
+
+  val cZoneSkipSql: String =
+    """WITH wdt AS (SELECT max(o_orderkey) // 8 + 1 AS w FROM orders)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+      |  2 AS files_read, 6 AS files_skipped
+      |FROM orders, wdt
+      |WHERE o_orderkey BETWEEN 2.0 * w AND 4.0 * w - 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_zone_skip" -> (cZoneSkip _))
+
+  val oracles: Map[String, String] = Map(
+    "c_zone_skip" -> cZoneSkipSql)
+}

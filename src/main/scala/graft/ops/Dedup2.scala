@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.4 continued (round 4): bloom-filter membership pre-filtering for
+  * ingest-time dedup — the constant-space complement to
+  * [[Pipeline.pIncrementalDedup]]'s join-based exact check.
+  *
+  * Why a bloom filter at 100 TB: when the INGEST BATCH itself is large
+  * (billions of rows/day), the exact batch⋈corpus fingerprint join is a
+  * full shuffle of both sides. A bloom filter over the corpus fingerprints
+  * is a fixed-size bitset (m bits, sized for the target FPR) that each
+  * executor probes locally — the exact confirm join then runs only on the
+  * surviving sliver (true dups + FPR-bounded false positives), small enough
+  * to broadcast. No-match rows (the vast majority of a healthy ingest)
+  * never shuffle at all. False negatives are impossible, so the final
+  * result stays EXACT — the oracle is the plain text-equality join.
+  *
+  * The filter is built and probed as DataFrame algebra — no custom agg, no
+  * driver-side bitset:
+  *  - build: each corpus fp emits its k=5 bit positions (double hashing:
+  *    pos_i = (h1 + i·h2) mod m over xxhash64) → groupBy(word) bit_or —
+  *    one map-side-combined aggregate producing ≤ m/64 longs;
+  *  - the ≤ m/64-entry word→bits map (32 KB at m=2¹⁸) broadcasts to every
+  *    probe task — model-parameter scale, like a centroid matrix;
+  *  - probe: k unrolled bit tests (plain codegen'd column algebra, no HOF).
+  */
+object Dedup2 {
+
+  private val mBits = 1L << 18 // 262144 bits ⇒ FPR ≈ 3e-4 at 4.5k keys, k=5
+  private val kHashes = 5
+
+  private def norm(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Bag-of-words fingerprint: the sorted distinct word set. Catches
+    * reordering/repetition variants of the same content (the corpus has no
+    * byte-exact dups but plenty of shuffled near-dups) while staying an
+    * EXACT equality key — exactly what membership filtering needs. */
+  private[graft] def fingerprint(c: Column): Column =
+    concat_ws(" ", array_sort(array_distinct(split(norm(c), " "))))
+  private val fingerprintSql =
+    s"array_to_string(list_sort(list_distinct(string_split($normSql, ' '))), ' ')"
+
+  /** the k bloom bit positions for a text column (double hashing).
+    * Both hashes are reduced mod m BEFORE the combine so the arithmetic
+    * stays far from Long range (ANSI overflow checking is on). */
+  private def positions(t: Column): Seq[Column] = {
+    val h1 = pmod(xxhash64(t), lit(mBits))
+    val h2 = pmod(xxhash64(t, lit("graft-bloom")), lit(mBits))
+    (0 until kHashes).map(i => pmod(h1 + lit(i.toLong) * h2, lit(mBits)))
+  }
+
+  /** single-row DataFrame: the corpus bloom bitset as a word→bits map */
+  private def bloomOf(corpus: DataFrame): DataFrame =
+    corpus.select(explode(array(positions(fingerprint(col("text"))): _*)).as("pos"))
+      .select((col("pos") / lit(64L)).cast("long").as("word"),
+        call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64L)).cast("int"))
+          .as("bit"))
+      .groupBy("word").agg(call_function("bit_or", col("bit")).as("bits"))
+      .groupBy()
+      .agg(map_from_entries(array_sort(collect_list(struct(col("word"), col("bits")))))
+        .as("bloom"))
+
+  /** k unrolled bit tests against the broadcast word→bits map */
+  private def mightContain(t: Column, bloom: Column): Column =
+    positions(t).map { p =>
+      val word = (p / lit(64L)).cast("long")
+      val mask = call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+      coalesce(element_at(bloom, word), lit(0L)).bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+
+  /** batch rows surviving the bloom probe (true dups + bounded FPs) —
+    * exposed for the spec's FPR assertion. */
+  private[graft] def bloomSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanout(Tables.table(spark, dir, "documents"))
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    batch.crossJoin(broadcast(bloomOf(corpus)))
+      .where(mightContain(fingerprint(col("text")), col("bloom")))
+      .select(col("doc_id"), fingerprint(col("text")).as("t"))
+  }
+
+  /** Ingest-batch exact dedup with bloom pre-filter: batch docs (doc_id %
+    * 10 = 0) whose normalized text already exists in the corpus (doc_id %
+    * 10 ≠ 0), each with its smallest matching corpus doc. The bloom probe
+    * eliminates non-duplicates before the exact confirm join; the result is
+    * identical to the plain join (no false negatives), which IS the oracle. */
+  def dBloomIngest(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = bloomSurvivors(spark, dir)
+    val corpus = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("corpus_doc"), fingerprint(col("text")).as("t"))
+    survivors.join(corpus, Seq("t")) // exact confirm: text equality
+      .groupBy("doc_id").agg(min(col("corpus_doc")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  val dBloomIngestSql: String =
+    s"""WITH n AS (SELECT doc_id, $fingerprintSql AS t FROM documents)
+       |SELECT b.doc_id, min(c.doc_id) AS dup_of
+       |FROM n b JOIN n c ON b.t = c.t
+       |WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_bloom_ingest" -> (dBloomIngest _))
+
+  val oracles: Map[String, String] = Map(
+    "d_bloom_ingest" -> dBloomIngestSql)
+}

@@ -20,7 +20,10 @@ class PlanAuditSpec extends SparkSpec {
     "t_bm25",         // one-row N/avgdl stats broadcast
     "q_time_gapfill", // one-row min/max spine source
     "q_null_suite",   // one-row NOT-IN-count broadcast + null-aware anti join
-    "s_hybrid_search" // one-row max-kw + query-centroid broadcasts
+    "s_hybrid_search", // one-row max-kw + query-centroid broadcasts
+    "d_bloom_ingest", // one-row bloom-bitset-map broadcast
+    "t_nb_classify",  // one-row vocab-size/doc-total + |langs|-row broadcasts
+    "s_label_probe"   // |labels|-row centroid-matrix broadcast
   )
 
   test("window top-k gets map-side WindowGroupLimit (Partial before the shuffle)") {
