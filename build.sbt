@@ -16,6 +16,9 @@ run / fork := true
 // "[info] ") so the driver can parse it from the captured stdout.
 run / connectInput := true
 outputStrategy := Some(StdoutOutput)
+// the forked JVMs' java.io.tmpdir must exist before they start
+val ensureTmp: Unit =
+  java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -39,4 +42,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // times (r3: s_hybrid_search 10s in-bench vs 1.6s isolated). The box
   // has 125 GiB; give the single JVM a real share of it.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // scratch warehouse + misc temp files on tmpfs too — the virtual disk
+  // intermittently stalls writes for minutes (see Sessions.scala note)
+  "-Djava.io.tmpdir=/dev/shm/graft-tmp",
 )

@@ -23,6 +23,23 @@ object Sessions {
       // 512k groups/task ≈ 0.5 GB — sized for the local 128 GiB heap.
       // Cluster rule: threshold × bufferBytes ≤ ~25% executor heap.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 19).toString)
+      // Shuffle/spill files on tmpfs: the container's virtual disk shows
+      // multi-second (sometimes multi-minute) write stalls under load,
+      // which serialized every shuffle-heavy operator through a sick
+      // device. The box has 126 GiB of tmpfs; local-mode shuffle volumes
+      // at bench scale are MBs. On a real cluster this maps to the
+      // standard practice of NVMe/ramdisk scratch volumes for shuffle.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      // Straggler defense: the host hypervisor intermittently starves
+      // single vCPUs for seconds (kernel logs delayed timer interrupts),
+      // and one starved task holds the whole 32-task stage — measured as
+      // 5-30x wall-time inflation on shuffle-heavy ops. Speculative
+      // re-launch of the slowest tasks sidesteps a stalled thread the
+      // same way it sidesteps a sick node on a real cluster.
+      .config("spark.speculation", "true")
+      .config("spark.speculation.multiplier", "3")
+      .config("spark.speculation.quantile", "0.75")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
