@@ -25,7 +25,8 @@ object SparkEntry {
       ops.Pipeline.queries ++ ops.ChunkOps.queries ++ ops.Events.queries ++
       ops.Pipeline2.queries ++ ops.Cluster.queries ++
       ops.CatalogOps3.queries ++ ops.Dedup2.queries ++
-      ops.ClassifyOps.queries ++ streaming.StreamOps2.queries
+      ops.ClassifyOps.queries ++ streaming.StreamOps2.queries ++
+      ops.Multimodal2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -39,5 +40,6 @@ object SparkEntry {
       ops.Pipeline.oracles ++ ops.ChunkOps.oracles ++ ops.Events.oracles ++
       ops.Pipeline2.oracles ++ ops.Cluster.oracles ++
       ops.CatalogOps3.oracles ++ ops.Dedup2.oracles ++
-      ops.ClassifyOps.oracles ++ streaming.StreamOps2.oracles
+      ops.ClassifyOps.oracles ++ streaming.StreamOps2.oracles ++
+      ops.Multimodal2.oracles
 }

@@ -68,9 +68,40 @@ object Events {
       |LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Event path mining: the top-20 3-step event-type sequences users
+    * actually take (clickstream path analysis — the other classic
+    * product-analytics query besides the funnel). Consecutive triples come
+    * from lead() windows partitioned BY USER (hash-partitioned, bounded
+    * per-user state — never a global ordering), then one map-side-combined
+    * count. Ties rank by path text so the top-k is deterministic. */
+  def qEventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(20)
+  }
+
+  val qEventPathsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      |  FROM events)
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+      |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_funnel" -> (qFunnel _))
+    "q_funnel" -> (qFunnel _),
+    "q_event_paths" -> (qEventPaths _))
 
   val oracles: Map[String, String] = Map(
-    "q_funnel" -> qFunnelSql)
+    "q_funnel" -> qFunnelSql,
+    "q_event_paths" -> qEventPathsSql)
 }

@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.6 continued (round 4): the two multimodal-lake operators that run on
+  * MANIFESTS instead of payloads — at 100 TB the blobs are the bytes, and
+  * these show the pattern: chunk/frame metadata (tiny) shuffles, payloads
+  * never do.
+  *
+  *  - [[mCasDedup]]: content-addressable-store dedup accounting — the
+  *    storage question every binary lake answers before enabling CAS
+  *    (chunk-level sharing = dedup ratio). One chunking scan projection +
+  *    one md5-grouped aggregate.
+  *  - [[mAvSync]]: audio/video stream alignment — each container's video
+  *    frames (25 fps ⇒ 40 ms pts steps) matched to the latest audio chunk
+  *    (1024 samples @ 44.1 kHz ⇒ 23 219 954 ns steps) at-or-before the
+  *    frame's pts. The as-of join runs in the union + running-window form
+  *    (q_asof_join's O(n) shape — one shuffle on doc_id, NO range join),
+  *    with all pts math in integer nanoseconds (§4 ns rule).
+  */
+object Multimodal2 {
+
+  /** CAS dedup accounting over 64-byte content chunks: total vs unique
+    * chunk counts and bytes, and the dedup savings the CAS layout would
+    * realize. Chunking is a zero-shuffle scan projection; the only shuffle
+    * is the md5-grouped aggregate (map-side combined), and the output is
+    * one row. */
+  def mCasDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"), length(col("text")).as("n_chars"))
+      .select(posexplode(expr(
+        "transform(sequence(0, cast(ceil(n_chars / 64.0) AS INT) - 1), i -> substring(text, i * 64 + 1, 64))"))
+        .as(Seq("chunk_id", "chunk")))
+      .select(md5(encode(col("chunk"), "UTF-8")).as("m"),
+        octet_length(encode(col("chunk"), "UTF-8")).cast("long").as("b"))
+    chunks.groupBy("m")
+      .agg(count(lit(1)).as("cnt"), sum(col("b")).as("sum_b"), min(col("b")).as("min_b"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_unique"),
+        sum(col("sum_b")).as("bytes_total"),
+        sum(col("min_b")).as("bytes_unique"))
+      .select(col("n_chunks"), col("n_unique"), col("bytes_total"), col("bytes_unique"),
+        round((lit(1.0) - col("bytes_unique").cast("double") / col("bytes_total").cast("double")) * 100, 4)
+          .as("savings_pct"))
+  }
+
+  val mCasDedupSql: String =
+    """WITH ch AS (
+      |  SELECT md5(substr(text, i * 64 + 1, 64)) AS m,
+      |    CAST(octet_length(encode(substr(text, i * 64 + 1, 64))) AS BIGINT) AS b
+      |  FROM documents,
+      |    LATERAL unnest(generate_series(0, CAST(ceil(length(text) / 64.0) AS INTEGER) - 1)) AS t(i)),
+      |g AS (SELECT m, COUNT(*) AS cnt, SUM(b) AS sum_b, MIN(b) AS min_b FROM ch GROUP BY m)
+      |SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+      |  COUNT(*) AS n_unique,
+      |  CAST(SUM(sum_b) AS BIGINT) AS bytes_total,
+      |  CAST(SUM(min_b) AS BIGINT) AS bytes_unique,
+      |  round((1.0 - CAST(SUM(min_b) AS DOUBLE) / CAST(SUM(sum_b) AS DOUBLE)) * 100, 4) AS savings_pct
+      |FROM g""".stripMargin
+
+  private val framePtsNs = 40000000L    // 25 fps video
+  private val audioPtsNs = 23219954L    // 1024 samples @ 44.1 kHz
+
+  /** A/V alignment for every 10th container: per video frame, the latest
+    * audio chunk at-or-before its pts plus the sync lag in µs. Streams are
+    * synthesized from the payload manifest (frames = 64-byte chunks, audio
+    * = 32-byte chunks — the codec boundary is [[Multimodal.FakeCodec]]'s
+    * stub); the alignment machinery is the real thing. */
+  def mAvSync(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .where(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("bytes"))
+    val frames = docs.select(col("doc_id"),
+      explode(expr("sequence(0, cast(ceil(bytes / 64.0) AS INT) - 1)")).as("frame_id"))
+      .select(col("doc_id"), col("frame_id"),
+        (col("frame_id") * framePtsNs).as("pts"), lit(1).as("kind"),
+        lit(null).cast("int").as("audio_id"))
+    val audio = docs.select(col("doc_id"),
+      explode(expr("sequence(0, cast(ceil(bytes / 32.0) AS INT) - 1)")).as("audio_id"))
+      .select(col("doc_id"), lit(null).cast("int").as("frame_id"),
+        (col("audio_id") * audioPtsNs).as("pts"), lit(0).as("kind"),
+        col("audio_id"))
+    val w = Window.partitionBy("doc_id").orderBy(col("pts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames.unionByName(audio.select(frames.columns.map(col): _*))
+      .withColumn("a_id", last(col("audio_id"), ignoreNulls = true).over(w))
+      .withColumn("a_pts", last(when(col("kind") === 0, col("pts")), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("doc_id"), col("frame_id"),
+        expr("pts div 1000").as("pts_us"), col("a_id").as("audio_id"),
+        expr("(pts - a_pts) div 1000").as("lag_us"))
+      .orderBy("doc_id", "frame_id")
+  }
+
+  val mAvSyncSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS bytes FROM documents
+       |  WHERE doc_id % 10 = 3),
+       |fr AS (
+       |  SELECT doc_id, i AS frame_id, CAST(i * 40000000 AS BIGINT) AS pts,
+       |    1 AS kind, CAST(NULL AS INTEGER) AS audio_id
+       |  FROM d, LATERAL unnest(generate_series(0, CAST(ceil(bytes / 64.0) AS INTEGER) - 1)) AS t(i)),
+       |au AS (
+       |  SELECT doc_id, CAST(NULL AS INTEGER) AS frame_id,
+       |    CAST(i * 23219954 AS BIGINT) AS pts, 0 AS kind, i AS audio_id
+       |  FROM d, LATERAL unnest(generate_series(0, CAST(ceil(bytes / 32.0) AS INTEGER) - 1)) AS t(i)),
+       |u AS (SELECT * FROM fr UNION ALL SELECT * FROM au),
+       |r AS (
+       |  SELECT doc_id, frame_id, pts, kind,
+       |    last_value(audio_id IGNORE NULLS) OVER
+       |      (PARTITION BY doc_id ORDER BY pts, kind
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_id,
+       |    last_value(CASE WHEN kind = 0 THEN pts END IGNORE NULLS) OVER
+       |      (PARTITION BY doc_id ORDER BY pts, kind
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_pts
+       |  FROM u)
+       |SELECT doc_id, CAST(frame_id AS INTEGER) AS frame_id, pts // 1000 AS pts_us,
+       |  CAST(a_id AS INTEGER) AS audio_id, (pts - a_pts) // 1000 AS lag_us
+       |FROM r WHERE kind = 1 ORDER BY doc_id, frame_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_cas_dedup" -> (mCasDedup _),
+    "m_av_sync" -> (mAvSync _))
+
+  val oracles: Map[String, String] = Map(
+    "m_cas_dedup" -> mCasDedupSql,
+    "m_av_sync" -> mAvSyncSql)
+}

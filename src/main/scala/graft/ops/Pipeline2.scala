@@ -75,9 +75,52 @@ object Pipeline2 {
        |  (cum - 1) // $budget AS end_seq
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Domain-mix rebalancing (DoReMi/data-mixture shape): downsample every
+    * source to the SMALLEST source's size — deterministically, via the
+    * same multiplicative-hash admit rule p_sample_stratified uses (rerun-
+    * and retry-stable; never rand()). Per-source keep thresholds are
+    * computed IN-PLAN (counts → broadcast min → integer thresholds), so
+    * the whole rebalance is two aggregates and one broadcast join — no
+    * driver round trip, no second pass over the corpus at 100 TB. Output:
+    * per-source totals, admit threshold (bp = basis points), kept count
+    * and kept-id checksum. */
+  def pDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val minN = counts.agg(min(col("n_total")).as("min_n"))
+    val thresholds = counts.crossJoin(broadcast(minN))
+      .select(col("source"), col("n_total"),
+        expr("min_n * 10000 div n_total").as("thresh_bp"))
+    docs.join(broadcast(thresholds), Seq("source"))
+      .withColumn("keep",
+        (col("doc_id") * lit(2654435761L) + lit(40503L)) % 10000 < col("thresh_bp"))
+      .groupBy("source")
+      .agg(first(col("n_total")).as("n_total"),
+        first(col("thresh_bp")).as("thresh_bp"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id"))).as("kept_idsum"))
+      .orderBy("source")
+  }
+
+  val pDomainMixSql: String =
+    """WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_total) AS min_n FROM c),
+      |t AS (SELECT source, n_total, min_n * 10000 // n_total AS thresh_bp
+      |      FROM c CROSS JOIN m)
+      |SELECT t.source, t.n_total, t.thresh_bp,
+      |  CAST(COUNT(CASE WHEN (d.doc_id * 2654435761 + 40503) % 10000 < t.thresh_bp
+      |             THEN 1 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN (d.doc_id * 2654435761 + 40503) % 10000 < t.thresh_bp
+      |           THEN d.doc_id END) AS BIGINT) AS kept_idsum
+      |FROM documents d JOIN t ON d.source = t.source
+      |GROUP BY 1, 2, 3 ORDER BY t.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p_pack_sequences" -> (pPackSequences _))
+    "p_pack_sequences" -> (pPackSequences _),
+    "p_domain_mix" -> (pDomainMix _))
 
   val oracles: Map[String, String] = Map(
-    "p_pack_sequences" -> pPackSequencesSql)
+    "p_pack_sequences" -> pPackSequencesSql,
+    "p_domain_mix" -> pDomainMixSql)
 }

@@ -217,12 +217,17 @@ object Relational3 {
     * unions with AQE per step — each step is one distributed join, bounded
     * by the hierarchy depth (log₂ n), never row-by-row. */
   def qRecursive(spark: SparkSession, dir: String): DataFrame =
+    // BROADCAST(chain): the recursive side is at most one tree level
+    // (≤ depth·fanout rows) — broadcasting it makes every iteration a
+    // single scan+BHJ stage instead of a per-level 32-partition shuffle
+    // join; at depth d the recursion costs d broadcast joins total.
     Tables.sql(spark, dir,
       """WITH RECURSIVE chain AS (
         |  SELECT c_custkey AS key, 1 AS depth, c_acctbal AS path_bal
         |  FROM customer WHERE c_custkey = 1
         |  UNION ALL
-        |  SELECT c.c_custkey, chain.depth + 1, chain.path_bal + c.c_acctbal
+        |  SELECT /*+ BROADCAST(chain) */
+        |    c.c_custkey, chain.depth + 1, chain.path_bal + c.c_acctbal
         |  FROM customer c JOIN chain ON c.c_custkey div 2 = chain.key
         |  WHERE c.c_custkey <= 200 AND c.c_custkey > 1)
         |SELECT key, CAST(depth AS INT) AS depth, round(path_bal, 2) AS path_bal

@@ -6,12 +6,16 @@ package graft
   * scoring, where the probe side is capped by construction and the op's
   * Scaladoc documents the bound). A new operator that accidentally
   * introduces an unbounded cross product fails here before it ever ships.
+  *
+  * The audit PLANS EVERY QUERY EXACTLY ONCE (several ops build scratch
+  * catalog state during DataFrame construction — planning them per-test
+  * would triple that cost) and runs all assertions over the cached plans.
   */
 class PlanAuditSpec extends SparkSpec {
 
   /** Ops whose cross product is the documented, bounded baseline:
     * brute-force similarity scoring (|queries| capped at |corpus|/20) and
-    * the spine-broadcast of a one-row min/max aggregate (gap fill). */
+    * one-row/model-row broadcasts. */
   private val boundedCross = Set(
     "s_cosine_topk", "s_radius", "d_embed_neardup", // capped probe batches
     "s_pq_topk",      // capped probe batch × 8-byte code scan (the ADC design)
@@ -23,25 +27,47 @@ class PlanAuditSpec extends SparkSpec {
     "s_hybrid_search", // one-row max-kw + query-centroid broadcasts
     "d_bloom_ingest", // one-row bloom-bitset-map broadcast
     "t_nb_classify",  // one-row vocab-size/doc-total + |langs|-row broadcasts
-    "s_label_probe"   // |labels|-row centroid-matrix broadcast
+    "s_label_probe",  // |labels|-row centroid-matrix broadcast
+    "p_domain_mix"    // one-row min-count broadcast
   )
+
+  /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
+    * window — over per-bucket token totals (corpus/bucketW rows), never raw
+    * docs. The whitelist is conditional: the audit proves the global
+    * window's input went through the cardinality-reducing Aggregate, so
+    * the exemption dies if the op ever degrades to a raw-row window. */
+  private val boundedGlobalWindow = Set("p_pack_sequences")
+
+  // one planning pass over the whole surface, shared by every assertion
+  private lazy val plans: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try name -> fn(spark, sfDir)
+      catch { case e: Throwable => fail(s"$name failed to build: ${e.getMessage}") }
+    }
+  private lazy val optimized = plans.map { case (n, df) =>
+    try n -> df.queryExecution.optimizedPlan
+    catch { case e: Throwable => fail(s"$n failed to optimize: ${e.getMessage}") }
+  }
+  private lazy val physical = plans.map { case (n, df) =>
+    try n -> planOf(df)
+    catch { case e: Throwable => fail(s"$n failed to plan: ${e.getMessage}") }
+  }.toMap
 
   test("window top-k gets map-side WindowGroupLimit (Partial before the shuffle)") {
     // The design reason graft has no custom top-k-per-key operator: Spark
     // 4's InferWindowGroupLimit already turns `rank/row_number <= k` into a
     // Partial (map-side) + Final group-limit pair, so each partition ships
     // at most k rows per key into the window shuffle — the exact
-    // optimization a custom SparkPlan would exist to provide. This spec
-    // pins that property so a regression (or a future pattern the rule
-    // can't see) is caught here instead of at 100 TB.
-    val plan = SparkEntry.queries("q_window_rank")(spark, sfDir)
+    // optimization a custom SparkPlan would exist to provide. Pinned so a
+    // regression is caught here instead of at 100 TB.
+    val plan = plans.toMap.apply("q_window_rank")
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), "WindowGroupLimit missing")
     assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
       "map-side (Partial) WindowGroupLimit missing — top-k no longer pushed below the shuffle")
     assert("WindowGroupLimit.*Final".r.findFirstIn(plan).isDefined)
     // the same must hold for the tf-idf per-doc top-3
-    val tfidf = SparkEntry.queries("t_tfidf")(spark, sfDir)
+    val tfidf = plans.toMap.apply("t_tfidf")
       .queryExecution.executedPlan.toString
     assert("WindowGroupLimit.*Partial".r.findFirstIn(tfidf).isDefined,
       "t_tfidf window top-k lost its map-side group limit")
@@ -51,23 +77,10 @@ class PlanAuditSpec extends SparkSpec {
     // WindowExec with an empty partition spec moves EVERY row to a single
     // partition — fine on 60k rows, fatal on a 100 TB vocabulary. Every
     // global ranking in the surface must bound its input first (top-k via
-    // TakeOrderedAndProject) or partition the window. Pinned here so the
-    // pattern can never silently return.
+    // TakeOrderedAndProject) or partition the window.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Window => LWindow}
-    // p_pack_sequences' two-level prefix-sum deliberately runs ONE global
-    // window — over per-bucket token totals (corpus/bucketW rows), never raw
-    // docs. The whitelist is conditional: the assertion below proves the
-    // global window's input went through the cardinality-reducing Aggregate,
-    // so the exemption dies if the op ever degrades to a raw-row window.
-    val boundedGlobalWindow = Set("p_pack_sequences")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val global = try {
-        fn(spark, sfDir).queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.isEmpty => w
-        }
-      } catch { case e: Throwable =>
-        fail(s"$name failed to plan: ${e.getMessage}")
-      }
+    val offenders = optimized.flatMap { case (name, plan) =>
+      val global = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
       if (boundedGlobalWindow(name)) {
         assert(global.forall(
             _.child.collectFirst { case a: LAggregate => a }.isDefined),
@@ -80,12 +93,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no unintended cartesian / nested-loop joins anywhere in the surface") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      // skip side-effecting catalog ops at audit time? no — audit them too;
-      // they build scratch tables on sfDir and their plans matter equally
-      val plan = try planOf(fn(spark, sfDir)) catch { case e: Throwable =>
-        fail(s"$name failed to plan: ${e.getMessage}")
-      }
+    val offenders = physical.toSeq.sortBy(_._1).flatMap { case (name, plan) =>
       val bad = plan.contains("CartesianProduct") ||
         plan.contains("BroadcastNestedLoopJoin")
       if (bad && !boundedCross(name)) Some(name) else None
