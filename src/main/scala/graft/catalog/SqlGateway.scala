@@ -42,6 +42,10 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*SHOW\s+SNAPSHOTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val showFiles =
     """(?is)\s*SHOW\s+FILES\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  // zone-map inspection: the per-file [min,max] bounds recorded at commit
+  // time (the metadata SHOW FILES doesn't surface)
+  private val showBounds =
+    """(?is)\s*SHOW\s+BOUNDS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val countStar =
     """(?is)\s*SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?\s+FROM\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val expireSnaps =
@@ -185,6 +189,14 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
       case showFiles(ns, table) => // Iceberg `files` metadata table
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.filesMeta(nsName, table)
+
+      case showBounds(ns, table) => // per-file zone maps, metadata only
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.fileBounds(nsName, table).toSeq
+          .flatMap { case (f, cols) =>
+            cols.toSeq.map { case (c, (lo, hi)) => (f, c, lo, hi) } }
+          .sortBy(r => (r._1, r._2))
+          .toDF("file", "column", "min_value", "max_value")
 
       case showSnaps(ns, table) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

@@ -97,11 +97,40 @@ object Events {
       |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** Cohort retention triangle: users grouped by first-activity week,
+    * counted in each subsequent week they return — THE product-analytics
+    * retention query. Every stage is keyed on user_id (distinct → min →
+    * join all share one hash partitioning; Spark reuses the exchange), and
+    * the final (cohort, offset) rollup is |weeks|² rows. Weeks are integer
+    * day-bucket math over ns timestamps (§4 rule — no timezone drift). */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.table(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000 div 7").as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    uw.join(cohort, Seq("user_id")) // co-partitioned: both sides keyed on user_id
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val qRetentionSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 // 7 AS week
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+      |SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM uw JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
-    "q_event_paths" -> (qEventPaths _))
+    "q_event_paths" -> (qEventPaths _),
+    "q_retention" -> (qRetention _))
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
-    "q_event_paths" -> qEventPathsSql)
+    "q_event_paths" -> qEventPathsSql,
+    "q_retention" -> qRetentionSql)
 }

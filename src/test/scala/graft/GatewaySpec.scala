@@ -192,4 +192,22 @@ class GatewaySpec extends SparkSpec {
     val scan = flatGw.execute("SELECT COUNT(*) FROM region")
     assert(scan.head().getLong(0) == Tables.table(spark, sfDir, "region").count())
   }
+
+  test("SHOW BOUNDS surfaces per-file zone maps recorded at commit time") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_zb").toString
+    val cat = new LakeCatalog(spark, root)
+    val gw = new SqlGateway(spark, cat)
+    cat.createTable("scratch", "zb", StructType(Seq(StructField("id", LongType))))
+    cat.append("scratch", "zb", (1L to 10L).toDF("id").coalesce(1))
+    cat.append("scratch", "zb", (100L to 110L).toDF("id").coalesce(1))
+    val b = gw.execute("SHOW BOUNDS IN scratch.zb")
+    assert(b.columns.toSeq == Seq("file", "column", "min_value", "max_value"))
+    val idRows = b.where(org.apache.spark.sql.functions.col("column") === "id")
+      .select("min_value", "max_value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(idRows == Set((1.0, 10.0), (100.0, 110.0)),
+      s"zone maps wrong: $idRows")
+  }
 }
