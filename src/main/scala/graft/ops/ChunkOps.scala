@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.4/§2.3 additions (round 4): sub-document chunk operators — paragraph-
@@ -20,9 +19,10 @@ import org.apache.spark.sql.functions._
   * and RE2, so chunk k covers words 5k+1..5k+5; a <5-word tail is dropped).
   * On real data the same operators run with `split(text, '\n\n')`.
   *
-  * Scale shape: chunking is a zero-shuffle scan projection; the dedup rank
-  * hash-partitions on chunk TEXT (not a global window), and boilerplate df
-  * is one map-side-combined aggregate — both linear at 100 TB.
+  * Scale shape: chunking is a zero-shuffle scan projection; paragraph dedup
+  * is pure map-side-combined aggregates (no window at all — see
+  * [[dParagraphDedup]]); boilerplate df is one map-side-combined aggregate —
+  * all linear and skew-immune at 100 TB.
   */
 object ChunkOps {
 
@@ -48,18 +48,39 @@ object ChunkOps {
     * as [[Dedup.dExact]] but sub-document. Emits per-doc duplication stats
     * for every doc carrying at least one duplicate chunk.
     *
-    * Plan: the rank is a window PARTITIONED BY chunk text — hash-partitioned
-    * across the cluster, no global ordering anywhere; the per-doc rollup
-    * re-shuffles on doc_id. Two shuffles total, both on high-cardinality
-    * keys. */
+    * Plan (r5 de-skew rewrite — VERDICT r4 "What's wrong" #2): keep-first
+    * needs only the MINIMUM occurrence per chunk, never a rank — so there is
+    * no window anywhere. A `row_number() OVER (PARTITION BY chunk)` would
+    * ship EVERY occurrence of one chunk text into one task; chunk frequency
+    * is Zipfian (t_boilerplate's premise), so at 100 TB a boilerplate chunk
+    * in 10% of documents makes one straggler process 10% of the corpus.
+    * Instead:
+    *  1. pre-aggregate to (chunk, doc_id) granularity — keyed on BOTH
+    *     columns, so hot chunks spread across tasks, and map-side combine
+    *     collapses within-doc repeats before the shuffle;
+    *  2. the global first occurrence per chunk is `min(struct(doc_id,
+    *     min_idx))` — a map-side-combined aggregate (hot chunks reduce to
+    *     one candidate per partition before shuffling);
+    *  3. a doc's duplicate count = its total occurrences − the number of
+    *     chunks whose global first occurrence it owns, so the only join is
+    *     doc_id ⋈ doc_id — no content key ever partitions a window or a
+    *     skewed join probe.
+    * The (chunk, doc) pre-aggregate is cached because two branches consume
+    * it (occurrence totals + first-occurrence winners) — one corpus scan,
+    * not two. */
   def dParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ch = chunksOf(Tables.table(spark, dir, "documents"))
-    val ranked = ch.withColumn("occ",
-      row_number().over(
-        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")))
-    ranked.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+    val g = chunksOf(Tables.table(spark, dir, "documents"))
+      .groupBy("chunk", "doc_id")
+      .agg(count(lit(1)).as("n_occ"), min(col("chunk_idx")).as("min_idx"))
+      .cache()
+    val perDoc = g.groupBy("doc_id").agg(sum(col("n_occ")).as("n_chunks"))
+    val wins = g.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("min_idx"))).as("f"))
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_first"))
+    perDoc.join(wins, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_first"), lit(0L))).as("n_dup_chunks"))
       .where(col("n_dup_chunks") > 0)
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)

@@ -17,10 +17,28 @@ object Pipeline {
     trim(regexp_replace(lower(c), "\\s+", " "))
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** Deterministic multiplicative admit hash, ANSI-overflow-safe: the
+    * multiply runs in DECIMAL(20,0)×DECIMAL(10,0) → DECIMAL(31,0) — exact
+    * in both Spark and DuckDB for EVERY possible BIGINT doc_id (19 digits
+    * + 10 ≪ 38). The previous LONG multiply threw ARITHMETIC_OVERFLOW
+    * under ANSI mode (the repo default) once doc_id ≥ 2⁶³/2654435761
+    * ≈ 3.47e9 — i.e. the query ABORTED on a corpus with more documents
+    * than that; a 100 TB corpus qualifies. Same Knuth multiplier, same
+    * bucket values, no overflow at any id. PipelineSpec pushes
+    * doc_id ≥ 2⁴⁰ through this expression as the regression gate. */
+  private[graft] def admitHashSql(modulus: Int): String =
+    s"(CAST(doc_id AS DECIMAL(20,0)) * CAST(2654435761 AS DECIMAL(10,0)) + 40503) % $modulus"
+  private[graft] def admitHash(modulus: Int): org.apache.spark.sql.Column =
+    expr(admitHashSql(modulus))
+
   /** Curation: quality ≥ 0.55, metadata lang ∈ {en, fr}, exact-dup collapsed
-    * (keep min doc_id per md5 fingerprint). The dedup "keeper" check is a
-    * window min over the fingerprint — same single shuffle as the dedup
-    * aggregate, but keeps full rows flowing. */
+    * (keep min doc_id per md5 fingerprint). The dedup "keeper" is a
+    * `min(struct(doc_id, <row>))` aggregate keyed on the fingerprint — the
+    * struct carries the whole surviving row, so keep-first needs NO window
+    * and NO join-back. Unlike a fingerprint-partitioned window (which ships
+    * every occurrence of a hot fingerprint into one task), the aggregate is
+    * map-side combined: a document duplicated across 10% of a 100 TB corpus
+    * collapses to one row per partition before the shuffle. */
   def pCurate(spark: SparkSession, dir: String): DataFrame = {
     val nChars = length(col("text")).cast("double")
     val nTokens = size(split(norm(col("text")), " ")).cast("double")
@@ -33,15 +51,15 @@ object Pipeline {
         + (lit(1.0) - least(nPunct / nChars * 5.0, lit(1.0))) * 0.25
         + least(nStop / nTokens * 5.0, lit(1.0)) * 0.25
         + nAlpha / nChars * 0.25, 6)
-    val wFp = Window.partitionBy("fp")
     Tables.table(spark, dir, "documents")
       .where(col("lang").isin("en", "fr"))
       .select(col("doc_id"), col("lang"), quality.as("quality"),
         md5(norm(col("text"))).as("fp"))
       .where(col("quality") >= 0.55)
-      .withColumn("keep", min("doc_id").over(wFp))
-      .where(col("doc_id") === col("keep"))
-      .select("doc_id", "lang", "quality")
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("lang"), col("quality"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.quality").as("quality"))
       .orderBy("doc_id")
   }
 
@@ -113,11 +131,10 @@ object Pipeline {
     * a multiplicative hash-mod on doc_id — reproducible across runs/engines
     * (never rand(): a resumable 100 TB pipeline needs the same sample on
     * retry). One partial-agg pass computes per-stratum totals, sample
-    * counts and a sample checksum. Knuth's 2654435761 multiplier is fine
-    * at BIGINT range (doc_id·2.6e9 ≪ 2⁶³); the 100 TB variant swaps in
-    * xxhash64(doc_id) with identical structure. */
+    * counts and a sample checksum. The admit hash is [[admitHash]] —
+    * decimal-exact and overflow-free for every BIGINT doc_id. */
   def pSampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * 2654435761L + 40503L, lit(100L))
+    val bucket = admitHash(100)
     Tables.table(spark, dir, "documents")
       .select(col("source"), col("lang"), col("doc_id"), bucket.as("bucket"))
       .groupBy("source", "lang")
@@ -128,10 +145,10 @@ object Pipeline {
   }
 
   val pSampleStratifiedSql: String =
-    """SELECT source, lang, COUNT(*) AS n_total,
-      |  COUNT(CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 10 THEN 1 END) AS n_sampled,
-      |  CAST(SUM(CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 10 THEN doc_id END) AS BIGINT) AS sample_idsum
-      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+    s"""SELECT source, lang, COUNT(*) AS n_total,
+       |  COUNT(CASE WHEN ${admitHashSql(100)} < 10 THEN 1 END) AS n_sampled,
+       |  CAST(SUM(CASE WHEN ${admitHashSql(100)} < 10 THEN doc_id END) AS BIGINT) AS sample_idsum
+       |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
   /** Token-budget selection: per source, admit documents in doc_id order
     * until the cumulative whitespace-token count crosses 2000 — the "fill
@@ -300,9 +317,14 @@ object Pipeline {
         size(split(norm(col("text")), " ")).cast("long").as("n_tok"),
         rep.as("rep"), nPii.as("n_pii"))
       .where(col("quality") >= 0.55 && col("n_pii") === 0 && col("rep") <= 0.6)
+    // exact-dup keep-first: min(struct) aggregate on fp — map-side combined,
+    // skew-immune (see pCurate scaladoc); the struct carries the full row
     val keepExact = gated
-      .withColumn("keep", min("doc_id").over(Window.partitionBy("fp")))
-      .where(col("doc_id") === col("keep"))
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("source"), col("quality"),
+        col("n_tok"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+        col("r.quality").as("quality"), col("r.n_tok").as("n_tok"))
 
     // near-dup keep-earliest among survivors: the shingle pipeline runs
     // over ONLY the surviving docs (broadcast semi-join restricts the scan

@@ -93,8 +93,7 @@ object Pipeline2 {
       .select(col("source"), col("n_total"),
         expr("min_n * 10000 div n_total").as("thresh_bp"))
     docs.join(broadcast(thresholds), Seq("source"))
-      .withColumn("keep",
-        (col("doc_id") * lit(2654435761L) + lit(40503L)) % 10000 < col("thresh_bp"))
+      .withColumn("keep", Pipeline.admitHash(10000) < col("thresh_bp"))
       .groupBy("source")
       .agg(first(col("n_total")).as("n_total"),
         first(col("thresh_bp")).as("thresh_bp"),
@@ -103,18 +102,20 @@ object Pipeline2 {
       .orderBy("source")
   }
 
-  val pDomainMixSql: String =
-    """WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY 1),
-      |m AS (SELECT min(n_total) AS min_n FROM c),
-      |t AS (SELECT source, n_total, min_n * 10000 // n_total AS thresh_bp
-      |      FROM c CROSS JOIN m)
-      |SELECT t.source, t.n_total, t.thresh_bp,
-      |  CAST(COUNT(CASE WHEN (d.doc_id * 2654435761 + 40503) % 10000 < t.thresh_bp
-      |             THEN 1 END) AS BIGINT) AS n_kept,
-      |  CAST(SUM(CASE WHEN (d.doc_id * 2654435761 + 40503) % 10000 < t.thresh_bp
-      |           THEN d.doc_id END) AS BIGINT) AS kept_idsum
-      |FROM documents d JOIN t ON d.source = t.source
-      |GROUP BY 1, 2, 3 ORDER BY t.source""".stripMargin
+  val pDomainMixSql: String = {
+    val admit = Pipeline.admitHashSql(10000).replace("doc_id", "d.doc_id")
+    s"""WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY 1),
+       |m AS (SELECT min(n_total) AS min_n FROM c),
+       |t AS (SELECT source, n_total, min_n * 10000 // n_total AS thresh_bp
+       |      FROM c CROSS JOIN m)
+       |SELECT t.source, t.n_total, t.thresh_bp,
+       |  CAST(COUNT(CASE WHEN $admit < t.thresh_bp
+       |             THEN 1 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN $admit < t.thresh_bp
+       |           THEN d.doc_id END) AS BIGINT) AS kept_idsum
+       |FROM documents d JOIN t ON d.source = t.source
+       |GROUP BY 1, 2, 3 ORDER BY t.source""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_pack_sequences" -> (pPackSequences _),

@@ -92,6 +92,33 @@ class PlanAuditSpec extends SparkSpec {
       s"unpartitioned windows in: ${offenders.mkString(", ")}")
   }
 
+  test("no window partitions on a content-derived key anywhere in the surface") {
+    // VERDICT r4 "What's wrong" #2: a window PARTITIONED BY a text-derived
+    // key (chunk text, md5 fingerprint) ships every occurrence of one hot
+    // value into a single task — and content frequency is Zipfian, so at
+    // 100 TB one boilerplate chunk = one straggler holding 10% of the
+    // corpus. Keep-first semantics only ever need min(struct(...)) — a
+    // map-side-combined aggregate — so NO query may window over a string
+    // key except bounded-cardinality METADATA strings (source/lang/kind:
+    // cardinality = number of domains/languages, fixed by the corpus
+    // design, not by its size).
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.types.StringType
+    val metadataKeys = Set("source", "lang", "kind", "side", "event", "modality")
+    val offenders = optimized.flatMap { case (name, plan) =>
+      val bad = plan.collect { case w: LWindow =>
+        w.partitionSpec.filter(_.dataType == StringType).filter {
+          case a: Attribute => !metadataKeys(a.name)
+          case _ => true // computed string partition key: always content-derived
+        }
+      }.flatten
+      if (bad.nonEmpty) Some(s"$name[${bad.map(_.sql).mkString(",")}]") else None
+    }
+    assert(offenders.isEmpty,
+      s"content-keyed (string) window partitions in: ${offenders.mkString(", ")}")
+  }
+
   test("no unintended cartesian / nested-loop joins anywhere in the surface") {
     val offenders = physical.toSeq.sortBy(_._1).flatMap { case (name, plan) =>
       val bad = plan.contains("CartesianProduct") ||
