@@ -16,9 +16,19 @@ run / fork := true
 // "[info] ") so the driver can parse it from the captured stdout.
 run / connectInput := true
 outputStrategy := Some(StdoutOutput)
-// the forked JVMs' java.io.tmpdir must exist before they start
-val ensureTmp: Unit =
-  java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft-tmp"))
+// Scratch dir for the forked JVMs: tmpfs when the host has it (the virtual
+// disk intermittently stalls writes — see Sessions.scala), GRAFT_TMPDIR to
+// override, and the stock java.io.tmpdir anywhere /dev/shm doesn't exist
+// (macOS/Windows) so the build still loads there. Created before fork.
+val graftTmp: Option[String] = {
+  val pick = sys.env.get("GRAFT_TMPDIR").orElse {
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      Some("/dev/shm/graft-tmp")
+    else None
+  }
+  pick.foreach(p => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
+  pick
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -42,7 +52,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // times (r3: s_hybrid_search 10s in-bench vs 1.6s isolated). The box
   // has 125 GiB; give the single JVM a real share of it.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
-  // scratch warehouse + misc temp files on tmpfs too — the virtual disk
-  // intermittently stalls writes for minutes (see Sessions.scala note)
-  "-Djava.io.tmpdir=/dev/shm/graft-tmp",
-)
+) ++ graftTmp.map(p => s"-Djava.io.tmpdir=$p").toSeq

@@ -29,8 +29,13 @@ object Sessions {
       // device. The box has 126 GiB of tmpfs; local-mode shuffle volumes
       // at bench scale are MBs. On a real cluster this maps to the
       // standard practice of NVMe/ramdisk scratch volumes for shuffle.
+      // default to tmpfs only where it exists (Linux); elsewhere fall back
+      // to the JVM tmpdir so the session still starts (ADVICE r4)
       .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+        sys.env.getOrElse("SPARK_LOCAL_DIRS",
+          if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get("/dev/shm"))) "/dev/shm/graft-spark"
+          else System.getProperty("java.io.tmpdir") + "/graft-spark"))
       // Straggler defense: the host hypervisor intermittently starves
       // single vCPUs for seconds (kernel logs delayed timer interrupts),
       // and one starved task holds the whole 32-task stage — measured as

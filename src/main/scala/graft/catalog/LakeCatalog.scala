@@ -229,15 +229,31 @@ class LakeCatalog(spark: SparkSession, root: String) {
         val st = cc.getStatistics
         if (st == null || st.isEmpty || !st.hasNonNullValue) Seq.empty
         else {
-          def num(v: Any): Option[Double] = v match {
-            case l: java.lang.Long => Some(l.toDouble)
+          // roundUp steers the widening direction for BIGINT values beyond
+          // 2^53 (not double-representable): rounding may only LOOSEN a
+          // bound, never tighten it — a tightened bound would let
+          // pruneFiles "prove" disjointness for a file that has matches
+          // (ADVICE r4). Iceberg keeps exact typed bounds; the double
+          // sidecar keeps conservative ones.
+          def num(v: Any, roundUp: Boolean): Option[Double] = v match {
+            case l: java.lang.Long =>
+              val d = l.toDouble
+              Some(if (math.abs(l) < (1L << 53)) d
+                   else if (roundUp) Math.nextUp(d) else Math.nextDown(d))
             case i: java.lang.Integer => Some(i.toDouble)
             case d: java.lang.Double => Some(d)
             case f: java.lang.Float => Some(f.toDouble)
             case _ => None // binary/bool columns: no numeric zone map
           }
-          (num(st.genericGetMin), num(st.genericGetMax)) match {
-            case (Some(lo), Some(hi)) => Seq(cc.getPath.toDotString -> (lo, hi))
+          (num(st.genericGetMin, roundUp = false),
+            num(st.genericGetMax, roundUp = true)) match {
+            // non-finite bounds (±Inf legitimately stored in parquet stats,
+            // NaN from older writers) would serialize as 'Infinity'/'NaN'
+            // tokens Jackson rejects — poisoning EVERY sidecar read for the
+            // table (ADVICE r4). Such columns simply get no bounds, the
+            // existing absent-stats path: readers treat the file must-read.
+            case (Some(lo), Some(hi)) if lo.isFinite && hi.isFinite =>
+              Seq(cc.getPath.toDotString -> (lo, hi))
             case _ => Seq.empty
           }
         }
@@ -660,19 +676,27 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * half-applied batch; here the rewrite (touched-file COW, like [[merge]])
     * and the fence land in the same snapshot-log line.
     *
-    * Duplicate keys within a batch collapse to one winner like [[merge]];
-    * a key appearing as both upsert and delete resolves to DELETE (the
+    * Duplicate keys within a batch collapse to ONE deterministic winner —
+    * the max-by-value-columns row (NOT arrival order; a feed that needs
+    * last-writer-wins must carry an explicit sequence column and order by
+    * it). A key appearing as both upsert and delete resolves to DELETE (the
     * change feed's terminal state for the key — matching Iceberg/Delta CDC
-    * apply semantics where the batch is a keyed snapshot of final states). */
+    * apply semantics where the batch is a keyed snapshot of final states).
+    *
+    * Only op values "u" and "d" participate. Rows with any other op (e.g.
+    * a Debezium-style "c"/"r") are ignored entirely — before this guard
+    * they contributed their key to the touched-key set without being
+    * re-inserted, i.e. an unknown op SILENTLY DELETED its key (ADVICE r4). */
   def applyCdc(ns: String, table: String, changes: DataFrame, key: String,
                opCol: String, batch: Option[Long] = None): Unit = {
     // fence replays: a batch id at-or-below the last committed one is a
     // foreachBatch redelivery — drop it (the data is already in)
     if (batch.exists(b => lastCommittedBatch(ns, table).exists(_ >= b))) return
-    val deleteKeys = changes.where(col(opCol) === "d").select(col(key)).distinct()
+    val known = changes.where(col(opCol).isin("u", "d"))
+    val deleteKeys = known.where(col(opCol) === "d").select(col(key)).distinct()
     val upserts = {
       // delete wins over upsert for the same key; duplicates collapse
-      val u = changes.where(col(opCol) === "u").drop(opCol)
+      val u = known.where(col(opCol) === "u").drop(opCol)
         .join(broadcast(deleteKeys), Seq(key), "left_anti")
       val others = u.columns.filterNot(_ == key)
       if (others.isEmpty) u.distinct()
@@ -686,7 +710,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
     }
     val cur = currentFiles(ns, table).getOrElse(listParquet(Paths.get(tablePath(ns, table))))
     val target = readFiles(ns, table, cur)
-    val allKeys = broadcast(changes.select(col(key)).distinct())
+    val allKeys = broadcast(known.select(col(key)).distinct())
     val touched = {
       val t = target.withColumn("_graft_file", input_file_name())
         .join(allKeys, Seq(key), "left_semi")

@@ -121,6 +121,11 @@ object Multimodal {
       .where(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"),
         length(col("text")).as("n_chars"))
+      // empty payloads yield NO chunks: Spark's two-arg sequence infers
+      // step -1 when start > stop, so sequence(0, -1) = [0, -1] — two
+      // phantom chunks the DuckDB oracle's (empty) generate_series(0, -1)
+      // would never emit (ADVICE r4)
+      .where(col("n_chars") > 0)
       .select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, cast(ceil(n_chars / 64.0) AS INT) - 1), i -> substring(text, i * 64 + 1, 64))"))

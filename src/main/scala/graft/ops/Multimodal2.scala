@@ -31,6 +31,10 @@ object Multimodal2 {
   def mCasDedup(spark: SparkSession, dir: String): DataFrame = {
     val chunks = Tables.fanout(Tables.table(spark, dir, "documents"))
       .select(col("doc_id"), col("text"), length(col("text")).as("n_chars"))
+      // guard: sequence(0, -1) infers step -1 → two phantom chunks for an
+      // empty payload, silently diverging from the oracle's empty
+      // generate_series (ADVICE r4)
+      .where(col("n_chars") > 0)
       .select(posexplode(expr(
         "transform(sequence(0, cast(ceil(n_chars / 64.0) AS INT) - 1), i -> substring(text, i * 64 + 1, 64))"))
         .as(Seq("chunk_id", "chunk")))
@@ -73,6 +77,8 @@ object Multimodal2 {
     val docs = Tables.table(spark, dir, "documents")
       .where(col("doc_id") % 10 === 3)
       .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("bytes"))
+      // same phantom-chunk guard as mCasDedup (ADVICE r4)
+      .where(col("bytes") > 0)
     val frames = docs.select(col("doc_id"),
       explode(expr("sequence(0, cast(ceil(bytes / 64.0) AS INT) - 1)")).as("frame_id"))
       .select(col("doc_id"), col("frame_id"),
