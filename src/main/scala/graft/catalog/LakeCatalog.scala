@@ -183,10 +183,13 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * persisted to the manifest-stats sidecar at commit time — the Iceberg
     * manifest property that lets filesMeta and COUNT(*) answer from
     * metadata without ever scanning data. */
-  private def writeNewFiles(ns: String, table: String, df: DataFrame): Seq[String] = {
+  private def writeNewFiles(ns: String, table: String, df: DataFrame,
+                            maxRecordsPerFile: Long = 0L): Seq[String] = {
     val dir = Paths.get(tablePath(ns, table))
     val before = listParquet(dir).toSet
-    df.write.mode("append").parquet(dir.toString)
+    val w = df.write.mode("append")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(dir.toString)
     val added = listParquet(dir).filterNot(before)
     recordFileStats(ns, table, added)
     added
@@ -460,6 +463,28 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val newFiles = writeNewFiles(ns, table, df)
     commitSnapshot(ns, table,
       currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles, batch)
+  }
+
+  /** Clustered append — the write path that makes zone maps EMERGE FROM THE
+    * WRITER (Iceberg `write.sort-order` analog; the declared `sortOrder` in
+    * createTable metadata is what this acts on): rows are range-partitioned
+    * on `sortCols` into `numFiles` contiguous key bands
+    * (`repartitionByRange` — the same sampled-boundary mechanism a
+    * distributed sort uses at 100 TB; deterministic for a fixed input),
+    * sorted within each band, and optionally split into files of at most
+    * `maxRecordsPerFile` rows. Every resulting file covers a narrow key
+    * range, so the per-file [min,max] bounds [[recordFileStats]] reads from
+    * the freshly-written footers form (near-)disjoint bands — the layout
+    * that lets [[pruneFiles]] drop whole files from metadata alone. */
+  def appendClustered(ns: String, table: String, df: DataFrame,
+                      sortCols: Seq[String], numFiles: Int,
+                      maxRecordsPerFile: Long = 0L): Unit = {
+    val keys = sortCols.map(col)
+    val clustered = df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val newFiles = writeNewFiles(ns, table, clustered, maxRecordsPerFile)
+    commitSnapshot(ns, table,
+      currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles)
   }
 
   /** Partitioned append (hive-style directories) — the Iceberg partition-spec
