@@ -84,12 +84,18 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@5 $recall < 0.5 (${(ivf & exact).size}/${exact.size})")
   }
 
-  test("dupClustersDistributed (label propagation) == driver union-find labeling") {
-    val distributed = ops.Dedup.dupClustersDistributed(spark, sfDir).collect()
+  test("dupClustersDistributed (label propagation) == driver union-find; fixpoint detection fires") {
+    val (df, rounds, converged) = ops.Dedup.dupClustersWithRounds(spark, sfDir)
+    val distributed = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     val unionFind = ops.Dedup.dDupClusters(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(distributed.nonEmpty && distributed == unionFind)
+    // r5: the loop must STOP because labels stabilized, not because it hit
+    // the round cap — convergence detection is what bounds cost at scale
+    assert(converged, s"label propagation hit maxRounds without converging")
+    assert(rounds < 10, s"no early fixpoint: ran all $rounds rounds")
+    info(s"converged after $rounds rounds")
   }
 
   test("filteredShingles df cap is vacuous at test scale (max df under cap)") {
