@@ -382,17 +382,35 @@ object Relational {
       |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** HLL approx distinct next to the exact count — rows-only driver check;
-    * RelationalSpec asserts relative error < 5%. At 100 TB the HLL sketch
+  /** HLL approx distinct next to the exact count. At 100 TB the HLL sketch
     * (fixed KB per group) replaces an exact distinct whose hash table would
-    * not fit anywhere. */
-  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    * not fit anywhere. RelationalSpec asserts relative error < 5% on the
+    * raw estimates. */
+  private[graft] def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+
+  /** Driver-facing, SQL-HASH-GATED since r5 (VERDICT r4 task 8): the
+    * Spark-specific HLL estimate can't be an output column (no engine
+    * reproduces it), so the query emits the EXACT count (oracle-matched)
+    * plus `within_bound` — the in-plan |approx−exact|/exact ≤ 5% check.
+    * A drifting sketch flips the boolean and fails the hash compare, so
+    * the approximation is oracle-gated, not merely spec-gated. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctRaw(spark, dir)
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")).cast("double")
+          / col("exact_orders") <= 0.05).as("within_bound"))
       .orderBy("l_returnflag")
+
+  val qApproxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  true AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** JSON field extraction from events.props — get_json_object is codegen'd;
     * at scale prefer parsing once (from_json to a struct column) over
@@ -546,6 +564,7 @@ object Relational {
     "q_sessionize" -> (qSessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q_approx_distinct" -> qApproxDistinctSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_skew_salted" -> qSkewSaltedSql,
     "q_cube" -> qCubeSql,

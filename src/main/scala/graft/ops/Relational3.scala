@@ -138,10 +138,10 @@ object Relational3 {
   /** Approximate quantiles (Greenwald-Khanna sketch via percentile_approx)
     * per return flag — the mergeable-quantile-sketch family (HLL's
     * counterpart for order statistics). One partial-agg pass; sketches
-    * merge across partitions, so no global sort at any scale. Sketch
-    * output is Spark-specific → rows-only; Relational2Spec bounds the
-    * rank error against exact percentile_cont. */
-  def qApproxQuantile(spark: SparkSession, dir: String): DataFrame =
+    * merge across partitions, so no global sort at any scale.
+    * Relational2Spec bounds the raw estimates against exact
+    * percentile_cont. */
+  private[graft] def approxQuantileRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
@@ -149,7 +149,37 @@ object Relational3 {
         percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"),
         count(lit(1)).as("n"))
+
+  /** Driver-facing, SQL-HASH-GATED since r5 (VERDICT r4 task 8): the sketch
+    * values are Spark-specific, so the query verifies them IN-PLAN by rank —
+    * the estimates broadcast back onto the table and a second partial agg
+    * counts rows ≤ each estimate; `ok_pXX` asserts the estimate's true rank
+    * is within 1% of its target (GK guarantees 0.01% at accuracy 10⁴, so
+    * the 1% gate only fails on a genuinely broken sketch — and then the
+    * boolean flips and the hash compare fails). Output = exact group counts
+    * + the three booleans, all oracle-reproducible. */
+  def qApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val est = approxQuantileRaw(spark, dir)
+      .select("l_returnflag", "p50", "p90", "p99")
+    li.join(broadcast(est), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("l_extendedprice") <= col("p90"), 1L).otherwise(0L)).as("r90"),
+        sum(when(col("l_extendedprice") <= col("p99"), 1L).otherwise(0L)).as("r99"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("r50").cast("double") / col("n") - 0.5) <= 0.01).as("ok_p50"),
+        (abs(col("r90").cast("double") / col("n") - 0.9) <= 0.01).as("ok_p90"),
+        (abs(col("r99").cast("double") / col("n") - 0.99) <= 0.01).as("ok_p99"))
       .orderBy("l_returnflag")
+  }
+
+  val qApproxQuantileSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  true AS ok_p50, true AS ok_p90, true AS ok_p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** UNPIVOT (wide → long), the inverse of q_pivot: per-order price/tax/
     * discount columns melted to (measure, value) rows via stack() — a
@@ -337,5 +367,6 @@ object Relational3 {
     "q_window_frames" -> qWindowFramesSql,
     "q_agg_extras" -> qAggExtrasSql,
     "q_date_suite" -> qDateSuiteSql,
-    "q_regex_suite" -> qRegexSuiteSql)
+    "q_regex_suite" -> qRegexSuiteSql,
+    "q_approx_quantile" -> qApproxQuantileSql)
 }

@@ -69,8 +69,13 @@ class Relational2Spec extends SparkSpec {
   }
 
   test("q_approx_quantile stays within 1% rank error of exact percentiles") {
-    val approx = Relational3.qApproxQuantile(spark, sf01).collect()
+    val approx = Relational3.approxQuantileRaw(spark, sf01).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // and the driver-facing hash-gated query reports every bound as held
+    val gated = Relational3.qApproxQuantile(spark, sf01).collect()
+    assert(gated.nonEmpty && gated.forall(r =>
+      r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)),
+      "in-plan rank-bound check failed for some group")
     val exact = Tables.table(spark, sf01, "lineitem")
       .groupBy("l_returnflag")
       .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),

@@ -44,7 +44,7 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("q_approx_distinct HLL stays within 5% of exact") {
-    Relational.qApproxDistinct(spark, sfDir).collect().foreach { r =>
+    Relational.approxDistinctRaw(spark, sfDir).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_orders").toDouble
       val exact = r.getAs[Long]("exact_orders").toDouble
       assert(math.abs(approx - exact) / exact < 0.05,
