@@ -13,6 +13,24 @@ class PipelineSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle entries without a query: $missing")
   }
 
+  test("SURVEY.md registry counts are generated from SparkEntry, not typed") {
+    // VERDICT r4 task 6: the prose undercounted its own registry. The
+    // canonical counts line in SURVEY §6 must match the code registry;
+    // editing one without the other fails here.
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")))
+    val m = "REGISTRY: (\\d+) driver queries, (\\d+) oracle-gated, (\\d+) rows-only"
+      .r.findFirstMatchIn(text)
+    assert(m.isDefined, "SURVEY.md canonical 'REGISTRY: ...' line missing")
+    val (q, o, r) = (m.get.group(1).toInt, m.get.group(2).toInt, m.get.group(3).toInt)
+    assert(q == SparkEntry.queries.size,
+      s"SURVEY says $q queries, registry has ${SparkEntry.queries.size}")
+    assert(o == SparkEntry.oracleSql.size,
+      s"SURVEY says $o oracle-gated, registry has ${SparkEntry.oracleSql.size}")
+    assert(r == SparkEntry.queries.size - SparkEntry.oracleSql.size,
+      s"SURVEY says $r rows-only, registry has ${SparkEntry.queries.size - SparkEntry.oracleSql.size}")
+  }
+
   test("all text/dedup/similarity queries run and return rows on sf0.001") {
     (TextOps.queries ++ Dedup.queries ++ Similarity.queries).foreach {
       case (name, fn) =>
