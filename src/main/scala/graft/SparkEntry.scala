@@ -18,13 +18,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++
       ops.Relational3.queries ++
-      ops.TextOps.queries ++ ops.TextOps2.queries ++ ops.Dedup.queries ++
+      ops.TextOps.queries ++ ops.TextOps2.queries ++
+      ops.TextOps3.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.CatalogOps.queries ++
       ops.CatalogOps2.queries ++
       ops.Multimodal.queries ++ streaming.StreamOps.queries ++
       ops.Pipeline.queries ++ ops.ChunkOps.queries ++ ops.Events.queries ++
       ops.Pipeline2.queries ++ ops.Cluster.queries ++
-      ops.CatalogOps3.queries ++ ops.Dedup2.queries ++
+      ops.CatalogOps3.queries ++ ops.CatalogOps4.queries ++
+      ops.Dedup2.queries ++
       ops.ClassifyOps.queries ++ streaming.StreamOps2.queries ++
       ops.Multimodal2.queries
 
@@ -33,13 +35,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Relational2.oracles ++
       ops.Relational3.oracles ++
-      ops.TextOps.oracles ++ ops.TextOps2.oracles ++ ops.Dedup.oracles ++
+      ops.TextOps.oracles ++ ops.TextOps2.oracles ++
+      ops.TextOps3.oracles ++ ops.Dedup.oracles ++
       ops.Similarity.oracles ++ ops.CatalogOps.oracles ++
       ops.CatalogOps2.oracles ++
       ops.Multimodal.oracles ++ streaming.StreamOps.oracles ++
       ops.Pipeline.oracles ++ ops.ChunkOps.oracles ++ ops.Events.oracles ++
       ops.Pipeline2.oracles ++ ops.Cluster.oracles ++
-      ops.CatalogOps3.oracles ++ ops.Dedup2.oracles ++
+      ops.CatalogOps3.oracles ++ ops.CatalogOps4.oracles ++
+      ops.Dedup2.oracles ++
       ops.ClassifyOps.oracles ++ streaming.StreamOps2.oracles ++
       ops.Multimodal2.oracles
 }

@@ -96,7 +96,8 @@ class LakeCatalog(spark: SparkSession, root: String) {
   }
 
   private def commitSnapshot(ns: String, table: String, files: Seq[String],
-                             batch: Option[Long] = None): Int = {
+                             batch: Option[Long] = None,
+                             ref: String = "main"): Int = {
     val prev = snapshots(ns, table)
     val v = prev.map(_._1).maxOption.map(_ + 1).getOrElse(0)
     // streaming commits carry their micro-batch id IN the snapshot line:
@@ -108,11 +109,189 @@ class LakeCatalog(spark: SparkSession, root: String) {
       .mkString(s"""{"v":$v,$batchField"files":[""", ",", "]}\n")
     Files.writeString(snapshotLogPath(ns, table), line,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    // ref bookkeeping (branches — see the "branch refs" section): a branch
+    // commit adds its snapshot to the SAME immutable log but moves only its
+    // own ref, pinning main where it was; a main commit advances the main
+    // ref iff a refs sidecar already exists (no sidecar = main is implicitly
+    // the newest snapshot, the pre-branch layout every other path reads).
+    val r = refs(ns, table)
+    if (ref != "main") {
+      val mainPinned = r.getOrElse("main", prev.map(_._1).maxOption.getOrElse(0))
+      writeRefs(ns, table, r + ("main" -> mainPinned, ref -> v))
+    } else if (r.nonEmpty) writeRefs(ns, table, r + ("main" -> v))
     v
   }
 
-  private def currentFiles(ns: String, table: String): Option[Seq[String]] =
-    snapshots(ns, table).lastOption.map(_._2)
+  private def currentFiles(ns: String, table: String): Option[Seq[String]] = {
+    val snaps = snapshots(ns, table)
+    refs(ns, table).get("main") match {
+      case Some(v) => snaps.find(_._1 == v).map(_._2)
+      case None => snaps.lastOption.map(_._2)
+    }
+  }
+
+  // --------------------------------------------------------- branch refs
+  // `<table>_refs.json`: {"main": v, "<branch>": v'} — the Iceberg
+  // branch/tag surface (SnapshotRef) that enables WAP (write-audit-publish):
+  // stage a commit on a branch, audit it in isolation, fast-forward main
+  // when it passes. Absent sidecar = main is the newest snapshot (the
+  // backward-compatible default every pre-branch table uses).
+
+  private def refsPath(ns: String, table: String): Path =
+    Paths.get(s"$root/$ns/${table}_refs.json")
+
+  /** All named refs (branch → snapshot version). Includes "main" once any
+    * branch has existed. */
+  def refs(ns: String, table: String): Map[String, Int] = {
+    val p = refsPath(ns, table)
+    if (!Files.exists(p)) Map.empty
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(Files.readString(p)) match {
+        case JObject(fs) => fs.collect { case (k, JInt(v)) => k -> v.toInt }.toMap
+        case _ => Map.empty
+      }
+    }
+  }
+
+  private def writeRefs(ns: String, table: String, m: Map[String, Int]): Unit = {
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val p = refsPath(ns, table)
+    // atomic replace: readers never observe a torn refs file
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Stage an append on `branch` (created at main's head if new): the
+    * snapshot is committed to the log but main does not move — main readers
+    * are isolated from it until [[fastForward]]. */
+  def appendToBranch(ns: String, table: String, df: DataFrame,
+                     branch: String): Unit = {
+    require(branch != "main", "use append() for main")
+    val base = refs(ns, table).get(branch)
+      .map(v => snapshots(ns, table).find(_._1 == v)
+        .getOrElse(throw new IllegalStateException(
+          s"branch $branch points at missing snapshot $v"))._2)
+      .orElse(currentFiles(ns, table)).getOrElse(Seq.empty)
+    val newFiles = writeNewFiles(ns, table, df)
+    commitSnapshot(ns, table, base ++ newFiles, ref = branch)
+  }
+
+  /** The table as of `branch`'s head (the audit read of WAP). */
+  def loadBranch(ns: String, table: String, branch: String): DataFrame =
+    refs(ns, table).get(branch) match {
+      case Some(v) => loadSnapshot(ns, table, v)
+      case None => throw new IllegalArgumentException(
+        s"no branch $branch on $ns.$table")
+    }
+
+  /** Publish: fast-forward main to `branch`'s head and retire the branch —
+    * an atomic refs-file replace, no data movement (the staged files were in
+    * place since the branch commit). */
+  def fastForward(ns: String, table: String, branch: String): Unit = {
+    val r = refs(ns, table)
+    val v = r.getOrElse(branch, throw new IllegalArgumentException(
+      s"no branch $branch on $ns.$table"))
+    writeRefs(ns, table, (r - branch) + ("main" -> v))
+  }
+
+  /** Abandon a staged branch: drop the ref. The branch's snapshot stays in
+    * the immutable log until [[expireSnapshots]] ages it out, after which
+    * its files are unreferenced and [[removeOrphans]] reclaims them — the
+    * same two-step retirement Iceberg uses (expire_snapshots →
+    * remove_orphan_files). */
+  def dropBranch(ns: String, table: String, branch: String): Unit =
+    writeRefs(ns, table, refs(ns, table) - branch)
+
+  // ------------------------------------------------------ orphan cleanup
+  // Iceberg `remove_orphan_files` analog: a data file is an orphan iff it
+  // sits in the table directory but no snapshot in the log references it —
+  // the debris a failed write leaves behind (tasks wrote files; the commit
+  // never appended). Only valid for snapshot-log-backed tables (partitioned
+  // layouts are served by directory listing, where every file is live).
+
+  /** Data files present in the table directory but referenced by no
+    * snapshot. In production this carries an age threshold so in-flight
+    * writes (files on disk, commit not yet appended) are never swept;
+    * `olderThanMs` mirrors that contract. */
+  def orphanFiles(ns: String, table: String,
+                  olderThanMs: Long = 0L): Seq[String] = {
+    val referenced = snapshots(ns, table).flatMap(_._2).toSet
+    val dir = Paths.get(tablePath(ns, table))
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    listParquet(dir).filterNot(referenced)
+      .filter(f => Files.getLastModifiedTime(dir.resolve(f)).toMillis <= cutoff)
+  }
+
+  /** Delete orphans and report what was removed. Safe by construction: a
+    * file referenced by ANY snapshot (any branch, any historical version)
+    * is never touched, so time travel and branch reads survive cleanup. */
+  def removeOrphans(ns: String, table: String,
+                    olderThanMs: Long = 0L): Seq[String] = {
+    val dir = Paths.get(tablePath(ns, table))
+    val os = orphanFiles(ns, table, olderThanMs)
+    os.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    os
+  }
+
+  // ------------------------------------------------------- column stats
+  // `<table>_colstats.json`: per-column (n_rows, n_nulls, ndv, min, max) —
+  // the ANALYZE TABLE surface (Iceberg puffin/Theta analog). Stats are
+  // computed in ONE distributed aggregate pass and only the |cols|-row
+  // result crosses to the driver. Exact NDV here (countDistinct) because
+  // the oracle needs exactness at test scale; at 100 TB the same pass runs
+  // approx_count_distinct — mergeable HLL, one Expand-free scan — and
+  // nothing downstream changes shape.
+
+  private def colStatsPath(ns: String, table: String): Path =
+    Paths.get(s"$root/$ns/${table}_colstats.json")
+
+  /** Compute and persist per-column stats for `cols`. min/max are stored as
+    * strings (typed rendering is the caller's contract — integral and
+    * decimal types render identically everywhere; avoid raw doubles). */
+  def analyzeTable(ns: String, table: String, cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val df = load(ns, table)
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__ndv"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def s(v: Any): String = Option(v).map(_.toString).getOrElse("")
+    val n = row.getAs[Long]("__n")
+    val lines = cols.map { c =>
+      s"""{"col":"$c","n_rows":$n,"n_nulls":${row.getAs[Long](s"${c}__nulls")},"ndv":${row.getAs[Long](s"${c}__ndv")},"min":"${s(row.getAs[Any](s"${c}__min"))}","max":"${s(row.getAs[Any](s"${c}__max"))}"}"""
+    }.mkString("", "\n", "\n")
+    Files.writeString(colStatsPath(ns, table), lines)
+  }
+
+  /** The persisted stats as a DataFrame (SHOW STATS surface): one row per
+    * analyzed column. Served from the sidecar — no data scan. */
+  def showStats(ns: String, table: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = colStatsPath(ns, table)
+    require(Files.exists(p), s"no stats for $ns.$table — run analyzeTable")
+    val rows = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val j = JsonMethods.parse(l)
+      def str(f: String) = (j \ f) match { case JString(x) => x; case _ => "" }
+      def num(f: String) = (j \ f) match { case JInt(x) => x.toLong; case _ => 0L }
+      Row(str("col"), num("n_rows"), num("n_nulls"), num("ndv"),
+        str("min"), str("max"))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_nulls", LongType, nullable = false),
+      StructField("ndv", LongType, nullable = false),
+      StructField("min_v", StringType, nullable = false),
+      StructField("max_v", StringType, nullable = false))))
+  }
 
   private def readFiles(ns: String, table: String, files: Seq[String]): DataFrame = {
     val dir = tablePath(ns, table)
@@ -550,9 +729,13 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * snapshots is unaffected. */
   def expireSnapshots(ns: String, table: String, keep: Int): Unit = {
     val all = snapshots(ns, table)
-    if (all.length > keep) {
-      val survivors = all.takeRight(keep)
-      val referenced = survivors.flatMap(_._2).toSet
+    // every named ref's target survives expiry regardless of age — aging
+    // out a live branch head would break its audit reads (Iceberg refuses
+    // the same way: refs retain their snapshots)
+    val refVs = refs(ns, table).values.toSet
+    val survivorVs = all.takeRight(keep).map(_._1).toSet ++ refVs
+    if (all.exists(s => !survivorVs.contains(s._1))) {
+      val referenced = all.filter(s => survivorVs(s._1)).flatMap(_._2).toSet
       val dir = Paths.get(tablePath(ns, table))
       // Commit ORDER matters for crash safety: atomically replace the
       // truncated snapshot log FIRST (temp file + rename), THEN delete the
@@ -561,10 +744,13 @@ class LakeCatalog(spark: SparkSession, root: String) {
       // table. This order's worst case is merely orphaned files a re-run
       // reclaims.
       // keep the surviving RAW lines verbatim (they may carry extra fields —
-      // e.g. streaming batch ids — that regeneration would drop)
+      // e.g. streaming batch ids — that regeneration would drop), matched
+      // to their parsed version by position (snapshots() reads these lines)
       val logPath = snapshotLogPath(ns, table)
-      val lines = Files.readAllLines(logPath).asScala
-        .filter(_.nonEmpty).takeRight(keep).mkString("", "\n", "\n")
+      val raw = Files.readAllLines(logPath).asScala.filter(_.nonEmpty)
+      val lines = raw.zip(all).collect {
+        case (line, (v, _)) if survivorVs(v) => line
+      }.mkString("", "\n", "\n")
       val tmp = logPath.resolveSibling(logPath.getFileName.toString + ".tmp")
       Files.writeString(tmp, lines)
       Files.move(tmp, logPath,
@@ -592,6 +778,10 @@ class LakeCatalog(spark: SparkSession, root: String) {
     if (Files.exists(st)) Files.delete(st)
     val fs = fileStatsPath(ns, table)
     if (Files.exists(fs)) Files.delete(fs)
+    val rf = refsPath(ns, table)
+    if (Files.exists(rf)) Files.delete(rf)
+    val cs = colStatsPath(ns, table)
+    if (Files.exists(cs)) Files.delete(cs)
   }
 
   // ------------------------------------------------- copy-on-write mutations

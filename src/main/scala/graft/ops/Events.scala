@@ -124,13 +124,78 @@ object Events {
       |FROM uw JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** Gaps-and-islands: per-user runs of consecutive active DAYS (an island =
+    * a maximal streak). The classic pattern: distinct active days → day −
+    * row_number() is constant within a consecutive run → group on it. Both
+    * windows partition on user_id (a numeric, bounded-fan key — never
+    * content-derived; per-user state is days, not events), and every stage
+    * shares the one user_id hash partitioning. Day buckets are integer
+    * ns-arithmetic (§4 rule). */
+  def qGapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val days = Tables.table(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("run")).as("longest_run"),
+        sum(col("run")).cast("long").as("active_days"))
+      .orderBy("user_id")
+  }
+
+  val qGapsIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |runs AS (SELECT user_id, grp, COUNT(*) AS run FROM isl GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_islands, MAX(run) AS longest_run,
+      |  CAST(SUM(run) AS BIGINT) AS active_days
+      |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** EXACT distinct-user counts per event type via bitmap aggregation (the
+    * ClickHouse/Doris bitmap trick): user_id maps to (word = id div 64,
+    * bit = id mod 64); bit_or collapses each 64-id block to one long, and
+    * the distinct count is the popcount sum. Why it matters at 100 TB:
+    * COUNT(DISTINCT) shuffles every raw (group, id) pair once per query,
+    * while the bitmap shuffle is bounded by |id-space|/64 rows per group —
+    * and the per-group bitmap words are REUSABLE partial states (mergeable
+    * across partitions, days, or incremental refreshes by further bit_or).
+    * Both aggregates map-side combine; shiftleft is pure bit math (no ANSI
+    * overflow — wrap is the point). Oracle = plain COUNT(DISTINCT), proving
+    * the bitmap path exact, not approximate. */
+  def qBitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .select(col("event_type"), expr("user_id div 64").as("word"),
+        expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
+      .groupBy("event_type", "word")
+      .agg(expr("bit_or(bit)").as("bm"))
+      .groupBy("event_type")
+      .agg(expr("cast(sum(bit_count(bm)) as bigint)").as("n_distinct"))
+      .orderBy("event_type")
+
+  val qBitmapDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
     "q_event_paths" -> (qEventPaths _),
-    "q_retention" -> (qRetention _))
+    "q_retention" -> (qRetention _),
+    "q_gaps_islands" -> (qGapsIslands _),
+    "q_bitmap_distinct" -> (qBitmapDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
     "q_event_paths" -> qEventPathsSql,
-    "q_retention" -> qRetentionSql)
+    "q_retention" -> qRetentionSql,
+    "q_gaps_islands" -> qGapsIslandsSql,
+    "q_bitmap_distinct" -> qBitmapDistinctSql)
 }
