@@ -307,6 +307,47 @@ class LakeCatalog(spark: SparkSession, root: String) {
     readFiles(ns, table, files)
   }
 
+  /** Incremental append scan (Iceberg incremental read): ONLY the rows in
+    * files added after snapshot `fromV`, up to and including `toV` — the
+    * primitive a downstream consumer uses to process each batch exactly
+    * once ("give me what's new since the version I last saw") WITHOUT
+    * rescanning the table. Pure metadata set-difference on the two
+    * snapshots' file lists; cost scales with the increment, never the
+    * table. Rows removed by copy-on-write rewrites in the range are not
+    * replayed (same contract as Iceberg's append-scan: it surfaces
+    * appends; row-level deltas are the CDC surface, applyCdc). */
+  def loadIncremental(ns: String, table: String, fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val all = snapshots(ns, table)
+    def filesOf(v: Int): Set[String] = all.find(_._1 == v)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $v for $ns.$table"))
+      ._2.toSet
+    val added = (filesOf(toV) -- filesOf(fromV)).toSeq.sorted
+    readFiles(ns, table, added)
+  }
+
+  /** Tag a snapshot (Iceberg tag = immutable named ref — a release marker).
+    * Tags live in the same refs sidecar as branches and therefore pin their
+    * snapshot through [[expireSnapshots]] exactly like branch heads; unlike
+    * branches they are never advanced by commits or retired by publish. */
+  def tagSnapshot(ns: String, table: String, tag: String, v: Int): Unit = {
+    require(tag != "main", "main is a branch ref, not a tag")
+    val exists = snapshots(ns, table).exists(_._1 == v)
+    require(exists, s"no snapshot $v for $ns.$table")
+    val r = refs(ns, table)
+    // first ref on a pre-branch table must also pin main where it is
+    val withMain = if (r.contains("main")) r
+      else r + ("main" -> snapshots(ns, table).map(_._1).max)
+    writeRefs(ns, table, withMain + (tag -> v))
+  }
+
+  /** The table as of a named tag (`SELECT … AS OF TAG`). */
+  def loadTag(ns: String, table: String, tag: String): DataFrame =
+    refs(ns, table).get(tag) match {
+      case Some(v) => loadSnapshot(ns, table, v)
+      case None => throw new IllegalArgumentException(s"no tag $tag on $ns.$table")
+    }
+
   /** Iceberg-style `files` metadata table: one row per LIVE data file —
     * (file, added_in = the first snapshot whose list contains it, row_count,
     * size_bytes). Served ENTIRELY from catalog metadata: the file list and

@@ -57,6 +57,21 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   // MERGE INTO target USING source ON keycol — the table-source upsert form
   private val mergeInto =
     """(?is)\s*MERGE\s+INTO\s+(?:(\w+)\.)?(\w+)\s+USING\s+(?:(\w+)\.)?(\w+)\s+ON\s+(\w+)\s*;?\s*""".r
+  // round-5 ref/stats/maintenance verbs over the same LakeCatalog surface
+  private val showRefs =
+    """(?is)\s*SHOW\s+REFS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  private val fastFwd =
+    """(?is)\s*FAST\s+FORWARD\s+(?:(\w+)\.)?(\w+)\s+(\w+)\s*;?\s*""".r
+  private val dropBranch =
+    """(?is)\s*DROP\s+BRANCH\s+(\w+)\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  private val createTag =
+    """(?is)\s*CREATE\s+TAG\s+(\w+)\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val analyzeTb =
+    """(?is)\s*ANALYZE\s+(?:TABLE\s+)?(?:(\w+)\.)?(\w+)\s*\(([\w\s,]+)\)\s*;?\s*""".r
+  private val showStats =
+    """(?is)\s*SHOW\s+STATS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  private val removeOrphans =
+    """(?is)\s*REMOVE\s+ORPHANS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -204,6 +219,42 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
           .map { case (v, files) => (v, files.length) }
           .toDF("snapshot", "n_files")
 
+      case showRefs(ns, table) => // branch + tag heads (Iceberg refs table)
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.refs(nsName, table).toSeq.sorted
+          .toDF("ref", "snapshot")
+
+      case fastFwd(ns, table, branch) => // WAP publish: atomic ref swap
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.fastForward(nsName, table, branch)
+        Seq(s"main fast-forwarded to $branch").toDF("status")
+
+      case dropBranch(branch, ns, table) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.dropBranch(nsName, table, branch)
+        Seq(s"Branch $branch dropped").toDF("status")
+
+      case createTag(tag, ns, table, v) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.tagSnapshot(nsName, table, tag, v.toInt)
+        Seq(s"Tag $tag -> snapshot $v").toDF("status")
+
+      case analyzeTb(ns, table, cols) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.analyzeTable(nsName, table,
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        Seq("Statistics collected").toDF("status")
+
+      case showStats(ns, table) => // served from the stats sidecar, no scan
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.showStats(nsName, table)
+
+      case removeOrphans(ns, table) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val removed = catalog.removeOrphans(nsName, table)
+        (if (removed.isEmpty) Seq("No orphan files")
+         else removed.map(f => s"Removed $f")).toDF("status")
+
       case insertTb(ns, table, colSpec, values) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         val schema = catalog.load(nsName, table).schema
@@ -243,10 +294,19 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         // time-travel syntax: `FROM t VERSION AS OF n` registers the
         // snapshot under an alias and rewrites the query to use it
         val versionOf = """(?is)(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
-        val rewritten = versionOf.replaceAllIn(sql, m => {
+        val preRewritten = versionOf.replaceAllIn(sql, m => {
           val (t, v) = (m.group(1), m.group(2).toInt)
           val alias = s"${t}_v$v"
           catalog.loadSnapshot(resolveNs(t, "main"), t, v)
+            .createOrReplaceTempView(alias)
+          alias
+        })
+        // `FROM t TAG AS OF name` — the tag twin of VERSION AS OF
+        val tagOf = """(?is)(\w+)\s+TAG\s+AS\s+OF\s+(\w+)""".r
+        val rewritten = tagOf.replaceAllIn(preRewritten, m => {
+          val (t, tag) = (m.group(1), m.group(2))
+          val alias = s"${t}_tag_$tag"
+          catalog.loadTag(resolveNs(t, "main"), t, tag)
             .createOrReplaceTempView(alias)
           alias
         })

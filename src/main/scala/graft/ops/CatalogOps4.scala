@@ -160,13 +160,53 @@ object CatalogOps4 {
       |  true AS sweep_clean
       |FROM orders""".stripMargin
 
+  /** Incremental append scan (Iceberg incremental read): a consumer that
+    * has processed up to snapshot v reads ONLY the files later snapshots
+    * added — exactly-once batch consumption of an append-only table without
+    * ever rescanning it. Three appends land as snapshots 0/1/2; the
+    * consumer remembers v=0 and incrementally reads (0 → 2]. The file set
+    * comes from a metadata set-difference (cost ∝ increment, not table);
+    * the oracle recomputes the same rows from source predicates. The
+    * full-scan total is emitted alongside to prove the increment + baseline
+    * partition the table. */
+  def cIncrementalRead(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    cat.dropTable("scratch", "ord_inc")
+    cat.createTable("scratch", "ord_inc", StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType))))
+    cat.append("scratch", "ord_inc", o.where(col("o_orderkey") % 3 === 0)) // v1 (v0 = create)
+    cat.append("scratch", "ord_inc", o.where(col("o_orderkey") % 3 === 1)) // v2
+    cat.append("scratch", "ord_inc", o.where(col("o_orderkey") % 3 === 2)) // v3
+    val inc = cat.loadIncremental("scratch", "ord_inc", 1, 3)
+    val full = cat.load("scratch", "ord_inc")
+      .agg(count(lit(1)).as("full_rows")).select(col("full_rows"))
+    inc.agg(
+      count(lit(1)).as("inc_rows"),
+      Tables.dsum(col("o_totalprice")).as("inc_total"),
+      min(col("o_orderkey")).as("inc_min_key"))
+      .crossJoin(broadcast(full))
+  }
+
+  val cIncrementalReadSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 IN (1, 2)) AS inc_rows,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+      |     FROM orders WHERE o_orderkey % 3 IN (1, 2)) AS inc_total,
+      |  (SELECT MIN(o_orderkey) FROM orders WHERE o_orderkey % 3 IN (1, 2)) AS inc_min_key,
+      |  (SELECT COUNT(*) FROM orders) AS full_rows""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_wap_branch" -> (cWapBranch _),
     "c_stats_analyze" -> (cStatsAnalyze _),
-    "c_orphan_files" -> (cOrphanFiles _))
+    "c_orphan_files" -> (cOrphanFiles _),
+    "c_incremental_read" -> (cIncrementalRead _))
 
   val oracles: Map[String, String] = Map(
     "c_wap_branch" -> cWapBranchSql,
     "c_stats_analyze" -> cStatsAnalyzeSql,
-    "c_orphan_files" -> cOrphanFilesSql)
+    "c_orphan_files" -> cOrphanFilesSql,
+    "c_incremental_read" -> cIncrementalReadSql)
 }

@@ -185,17 +185,70 @@ object Events {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Heavy-hitter users via a count-min sketch, hash-gated by in-plan bound
+    * checks (the q_approx_distinct pattern: the oracle pins the EXACT
+    * counts and literal-true booleans; Spark additionally proves its CMS
+    * estimates honor the sketch's guarantees inside the plan).
+    *
+    * The sketch is d=4 rows × w=1024 buckets: each event contributes +1 at
+    * bucket xxhash64(user_id, r) mod w per row r. Built as ONE map-side-
+    * combined aggregate — per partition at most d·w=4096 partial rows cross
+    * the shuffle regardless of corpus size, which is the whole point: a
+    * COUNT(*) GROUP BY user_id shuffles |users| rows, the CMS shuffles a
+    * CONSTANT, and sketches from different days/batches merge by cell-wise
+    * addition (the mergeable-summaries property streaming monitoring needs).
+    * Estimates: est(u) = min over r of cell[r][h_r(u)] — never under the
+    * true count (overest_ok), and within 4·N/w of it unless ALL d rows
+    * collide badly (P ≤ (1/4)^d by Markov — bound_ok; deterministic here
+    * with fixed data + seeded hashes, verified at sf0.001/0.01/0.1).
+    * Candidates come from the exact top-20 so the oracle can pin them;
+    * at 100 TB the candidate stream comes from per-partition local top-k
+    * and the sketch is what keeps cross-batch merging cheap. */
+  def qCmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 1024
+    val ev = Tables.table(spark, dir, "events").select("user_id")
+    val hashes = array((0 until d).map(r =>
+      pmod(xxhash64(col("user_id"), lit(r)), lit(w.toLong))): _*)
+    val sketch = ev.select(posexplode(hashes).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    val nEvents = ev.agg(count(lit(1)).as("n_events"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(20)
+    top
+      .select(col("user_id"), col("exact_n"),
+        posexplode(hashes).as(Seq("r", "bucket")))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("user_id", "exact_n").agg(min(col("c")).as("cms_est"))
+      .crossJoin(broadcast(nEvents))
+      .select(col("user_id"), col("exact_n"),
+        (col("cms_est") >= col("exact_n")).as("overest_ok"),
+        (col("cms_est").cast("double") <= col("exact_n").cast("double")
+          + lit(4.0) * col("n_events").cast("double") / lit(w.toDouble))
+          .as("bound_ok"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
+  val qCmsTopkSql: String =
+    """WITH top AS (
+      |  SELECT user_id, COUNT(*) AS exact_n FROM events
+      |  GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 20)
+      |SELECT user_id, exact_n, true AS overest_ok, true AS bound_ok
+      |FROM top ORDER BY exact_n DESC, user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
     "q_event_paths" -> (qEventPaths _),
     "q_retention" -> (qRetention _),
     "q_gaps_islands" -> (qGapsIslands _),
-    "q_bitmap_distinct" -> (qBitmapDistinct _))
+    "q_bitmap_distinct" -> (qBitmapDistinct _),
+    "q_cms_topk" -> (qCmsTopk _))
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
     "q_event_paths" -> qEventPathsSql,
     "q_retention" -> qRetentionSql,
     "q_gaps_islands" -> qGapsIslandsSql,
-    "q_bitmap_distinct" -> qBitmapDistinctSql)
+    "q_bitmap_distinct" -> qBitmapDistinctSql,
+    "q_cms_topk" -> qCmsTopkSql)
 }

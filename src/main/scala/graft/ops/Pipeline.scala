@@ -26,8 +26,8 @@ object Pipeline {
     * than that; a 100 TB corpus qualifies. Same Knuth multiplier, same
     * bucket values, no overflow at any id. PipelineSpec pushes
     * doc_id ≥ 2⁴⁰ through this expression as the regression gate. */
-  private[graft] def admitHashSql(modulus: Int): String =
-    s"(CAST(doc_id AS DECIMAL(20,0)) * CAST(2654435761 AS DECIMAL(10,0)) + 40503) % $modulus"
+  private[graft] def admitHashSql(modulus: Int, keyCol: String = "doc_id"): String =
+    s"(CAST($keyCol AS DECIMAL(20,0)) * CAST(2654435761 AS DECIMAL(10,0)) + 40503) % $modulus"
   private[graft] def admitHash(modulus: Int): org.apache.spark.sql.Column =
     expr(admitHashSql(modulus))
 

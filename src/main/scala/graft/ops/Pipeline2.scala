@@ -117,11 +117,69 @@ object Pipeline2 {
        |GROUP BY 1, 2, 3 ORDER BY t.source""".stripMargin
   }
 
+  /** Leakage-free train/valid/test split: exact-dup CLUSTERS (md5 of
+    * normalized text, the d_exact key) are assigned to a split atomically,
+    * so no document ever shares its near-identical twin across the
+    * train/eval boundary — the contamination a doc_id-keyed split silently
+    * permits (two copies of one page, ids far apart, landing in train AND
+    * test). The split decision hashes the cluster REPRESENTATIVE (min
+    * doc_id), using [[Pipeline.admitHash]]'s DECIMAL form — deterministic,
+    * resumable, ANSI-overflow-free at any BIGINT id.
+    *
+    * Scale shape: ONE shuffle — the fingerprint groupBy (map-side combined:
+    * a boilerplate page duplicated across 10% of the corpus collapses to
+    * one row per partition before shuffling). Split assignment is then
+    * column algebra on the cluster rows, and the final per-split rollup is
+    * 3 groups. n_dup_docs (docs living in multi-doc clusters) quantifies
+    * exactly how much leakage the cluster-atomic assignment prevented. */
+  def pLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Tables.table(spark, dir, "documents")
+      .select(md5(norm(col("text"))).as("fp"), col("doc_id"),
+        size(split(norm(col("text")), " ")).cast("long").as("n_tok"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok"), sum(col("doc_id")).as("idsum"))
+    val bucket = expr(Pipeline.admitHashSql(100, "rep"))
+    clusters
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(when(col("n_docs") > 1, col("n_docs")).otherwise(0L))
+          .cast("long").as("n_dup_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        sum(col("idsum")).cast("long").as("idsum"))
+      .orderBy("split")
+  }
+
+  val pLeakageSplitSql: String = {
+    val admit = Pipeline.admitHashSql(100, "rep")
+    s"""WITH cl AS (
+       |  SELECT md5($normSql) AS fp, min(doc_id) AS rep, COUNT(*) AS n_docs,
+       |    SUM(CAST(length(string_split($normSql, ' ')) AS BIGINT)) AS tok,
+       |    SUM(doc_id) AS idsum
+       |  FROM documents GROUP BY 1),
+       |s AS (
+       |  SELECT CASE WHEN $admit < 80 THEN 'train'
+       |              WHEN $admit < 90 THEN 'valid'
+       |              ELSE 'test' END AS split, n_docs, tok, idsum
+       |  FROM cl)
+       |SELECT split, COUNT(*) AS n_clusters,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(idsum) AS BIGINT) AS idsum
+       |FROM s GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_pack_sequences" -> (pPackSequences _),
-    "p_domain_mix" -> (pDomainMix _))
+    "p_domain_mix" -> (pDomainMix _),
+    "p_leakage_split" -> (pLeakageSplit _))
 
   val oracles: Map[String, String] = Map(
     "p_pack_sequences" -> pPackSequencesSql,
-    "p_domain_mix" -> pDomainMixSql)
+    "p_domain_mix" -> pDomainMixSql,
+    "p_leakage_split" -> pLeakageSplitSql)
 }

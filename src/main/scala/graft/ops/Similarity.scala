@@ -667,7 +667,218 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** MMR (maximal-marginal-relevance) diversified top-10 retrieval — the
+    * RAG/training-batch reranker that trades raw relevance for coverage:
+    * greedily pick argmax of λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s),
+    * λ=0.7, seeded with the most-relevant item (query = vec 0, pool =
+    * top-30 by cosine).
+    *
+    * Scale split: the RELEVANCE scan + top-30 pool is the corpus-scale part
+    * and runs distributed (codegen dot + TakeOrderedAndProject — same shape
+    * as s_cosine_topk); the greedy itself is inherently sequential in k but
+    * touches only the POOL (30 rows + its 30×29 rounded sim matrix —
+    * model-parameter scale, same bounded-collect class as the 256-row
+    * codebook samples), so it runs on the driver after a bounded collect.
+    * All cosines are rounded to 6 dp BEFORE the greedy on both engines, and
+    * the driver rounds scores exactly as Spark's `round` does
+    * (BigDecimal.valueOf + HALF_UP), so pick order is engine-portable; ties
+    * break by vec_id. The DuckDB oracle replays the identical greedy as a
+    * recursive CTE over the same rounded pool — full hash gate, no
+    * rows-only concession. */
+  def sMmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val lambda = 0.7
+    val k = 10
+    val e = withNorm(spark, dir)
+    val pool = e.where(col("vec_id") =!= 0).crossJoin(broadcast(
+        e.where(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(30)
+      .cache()
+    val simDf = pool.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      .join(pool.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("s"))
+    val rels = pool.select("vec_id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val sim = simDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pool.unpersist()
+    // the greedy itself: mirrors Spark/DuckDB round() digit-for-digit
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val first = rels.maxBy { case (id, r) => (r, -id) }
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1, first._1, first._2, Option.empty[Double]))
+    val selected = scala.collection.mutable.LinkedHashSet(first._1)
+    for (step <- 2 to k) {
+      val (id, rel, ms, _) = rels.filterNot(c => selected(c._1))
+        .map { case (id, r) =>
+          val ms = selected.map(s => sim((id, s))).max
+          (id, r, ms, r6(lambda * r - 0.3 * ms))
+        }
+        .maxBy { case (id, _, _, sc) => (sc, -id) }
+      picks += ((step, id, rel, Some(ms)))
+      selected += id
+    }
+    val rows = picks.map { case (st, id, r, ms) =>
+      org.apache.spark.sql.Row(st, id, r,
+        ms.map(java.lang.Double.valueOf).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rel",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("max_sim",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+      .orderBy("step")
+  }
+
+  val sMmrDiversifySql: String =
+    """WITH RECURSIVE
+      |n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+      |                   for i in generate_series(1, len(embedding))])) AS nrm
+      |  FROM embeddings),
+      |rel AS (
+      |  SELECT c.vec_id,
+      |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+      |                    for i in generate_series(1, len(q.embedding))]) / (q.nrm*c.nrm), 6) AS rel
+      |  FROM n c, (SELECT * FROM n WHERE vec_id = 0) q
+      |  WHERE c.vec_id <> 0
+      |  ORDER BY rel DESC, c.vec_id LIMIT 30),
+      |sim AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b,
+      |    round(list_sum([CAST(na.embedding[i] AS DOUBLE)*CAST(nb.embedding[i] AS DOUBLE)
+      |                    for i in generate_series(1, len(na.embedding))]) / (na.nrm*nb.nrm), 6) AS s
+      |  FROM rel a JOIN rel b ON a.vec_id <> b.vec_id
+      |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id),
+      |mmr AS (
+      |  SELECT * FROM (
+      |    SELECT 1 AS step, vec_id, rel, CAST(NULL AS DOUBLE) AS max_sim, [vec_id] AS sel
+      |    FROM rel ORDER BY rel DESC, vec_id LIMIT 1)
+      |  UNION ALL
+      |  SELECT step + 1, pick.vec_id, pick.rel, pick.ms, list_append(mmr.sel, pick.vec_id)
+      |  FROM mmr, LATERAL (
+      |    SELECT vec_id, rel, ms FROM (
+      |      SELECT r.vec_id, r.rel,
+      |        (SELECT max(s.s) FROM sim s
+      |         WHERE s.a = r.vec_id AND list_contains(mmr.sel, s.b)) AS ms
+      |      FROM rel r WHERE NOT list_contains(mmr.sel, r.vec_id)) cand
+      |    ORDER BY round(0.7*rel - 0.3*ms, 6) DESC, vec_id LIMIT 1) pick
+      |  WHERE mmr.step < 10)
+      |SELECT CAST(step AS INT) AS step, vec_id, rel, max_sim
+      |FROM mmr ORDER BY step""".stripMargin
+
+  /** Reciprocal-rank fusion (RRF, Cormack et al. SIGIR'09) of two rankers —
+    * the standard hybrid-retrieval combiner that needs NO score calibration
+    * (ranks only, so a BM25 scale and a cosine scale fuse without tuning):
+    * rrf(d) = Σ_r 1/(60 + rank_r(d)) over the rankers that retrieved d.
+    *
+    * Ranker A = keyword tf-idf over {spark, table} (the s_hybrid_search
+    * scorer); ranker B = cosine vs the vec-0 embedding. Each ranker's
+    * corpus-scale scan is distributed and ends in a TakeOrdered top-20;
+    * ranks are then assigned WITHOUT a window: collect_list over the
+    * 20-row frame → array_sort → posexplode (pos+1 = rank) — the
+    * t_zipf_slope bounded-sort pattern, so no unpartitioned window exists
+    * in the plan. Fusion is a full outer join of two 20-row frames.
+    * Scores are rounded to 6 dp BEFORE ranking (ties by doc_id) so rank
+    * assignment is engine-portable; the oracle replays both rankers and
+    * the fusion in SQL. */
+  def sRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val k = 60
+    // ranker A: tf-idf keyword score (the s_hybrid_search kw scorer)
+    val docs = Tables.table(spark, dir, "documents")
+    val normed = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toks = Tables.fanout(docs)
+      .select(col("doc_id"), explode(split(normed, " ")).as("word"))
+      .where(col("word").isin("spark", "table"))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val kwTop = tf.join(broadcast(idf), Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tf") * log(col("n_docs").cast("double") / col("df"))), 6)
+        .as("kw"))
+      .orderBy(col("kw").desc, col("doc_id")).limit(20)
+    // ranker B: cosine vs vec 0 over the full embedding corpus
+    val e = withNorm(spark, dir)
+    val cosTop = e.where(col("vec_id") =!= 0).crossJoin(broadcast(
+        e.where(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))))
+      .select(col("vec_id").as("doc_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(20)
+    // rank without a window: bounded array sort over the 20-row frame
+    def ranked(df: DataFrame, score: String): DataFrame =
+      df.agg(collect_list(struct(col(score), col("doc_id"))).as("xs"))
+        .select(posexplode(expr(
+          s"transform(array_sort(xs, (l, r) -> " +
+            s"case when l.$score > r.$score then -1 when l.$score < r.$score then 1 " +
+            s"when l.doc_id < r.doc_id then -1 else 1 end), x -> x.doc_id)"))
+          .as(Seq("pos", "doc_id")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as(s"rank_$score"))
+    ranked(kwTop, "kw").join(ranked(cosTop, "cos"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(k) + col("rank_kw")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(k) + col("rank_cos")), lit(0.0)), 6).as("rrf"),
+        col("rank_kw"), col("rank_cos"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+  }
+
+  val sRrfFusionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks
+      |       WHERE word IN ('spark', 'table') GROUP BY 1, 2),
+      |idf AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |kw AS (
+      |  SELECT tf.doc_id,
+      |    round(SUM(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df)), 6) AS kw
+      |  FROM tf JOIN idf USING (word) CROSS JOIN n
+      |  GROUP BY 1 ORDER BY kw DESC, doc_id LIMIT 20),
+      |rk AS (SELECT doc_id,
+      |  row_number() OVER (ORDER BY kw DESC, doc_id) AS rank_kw FROM kw),
+      |nv AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+      |                   for i in generate_series(1, len(embedding))])) AS nrm
+      |  FROM embeddings),
+      |cs AS (
+      |  SELECT c.vec_id AS doc_id,
+      |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+      |                    for i in generate_series(1, len(q.embedding))]) / (q.nrm*c.nrm), 6) AS cos
+      |  FROM nv c, (SELECT * FROM nv WHERE vec_id = 0) q
+      |  WHERE c.vec_id <> 0
+      |  ORDER BY cos DESC, c.vec_id LIMIT 20),
+      |rc AS (SELECT doc_id,
+      |  row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_cos FROM cs)
+      |SELECT COALESCE(rk.doc_id, rc.doc_id) AS doc_id,
+      |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + rank_kw), 0)
+      |      + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_cos), 0), 6) AS rrf,
+      |  CAST(rank_kw AS BIGINT) AS rank_kw, CAST(rank_cos AS BIGINT) AS rank_cos
+      |FROM rk FULL OUTER JOIN rc ON rk.doc_id = rc.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_mmr_diversify" -> (sMmrDiversify _),
+    "s_rrf_fusion" -> (sRrfFusion _),
     "s_knn_join" -> (sKnnJoin _),
     "s_ivfpq_topk" -> (sIvfPqTopk _),
     "s_multiprobe" -> (sMultiprobe _),
@@ -682,5 +893,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s_radius" -> sRadiusSql,
     "s_cosine_topk" -> sCosineTopkSql,
-    "s_hybrid_search" -> sHybridSearchSql)
+    "s_hybrid_search" -> sHybridSearchSql,
+    "s_mmr_diversify" -> sMmrDiversifySql,
+    "s_rrf_fusion" -> sRrfFusionSql)
 }

@@ -210,4 +210,57 @@ class GatewaySpec extends SparkSpec {
     assert(idRows == Set((1.0, 10.0), (100.0, 110.0)),
       s"zone maps wrong: $idRows")
   }
+
+  test("refs dialect: CREATE TAG / SHOW REFS / TAG AS OF / FAST FORWARD / DROP BRANCH") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_refs").toString
+    val cat = new LakeCatalog(spark, root)
+    val gw = new SqlGateway(spark, cat)
+    cat.createTable("scratch", "rt", StructType(Seq(StructField("id", LongType))))
+    cat.append("scratch", "rt", (1L to 5L).toDF("id").coalesce(1))   // v1
+    gw.execute("CREATE TAG release IN scratch.rt AS OF 1")
+    cat.append("scratch", "rt", (6L to 9L).toDF("id").coalesce(1))   // v2
+    // the tag still reads the 5-row release even after main advanced
+    assert(gw.execute("SELECT COUNT(*) AS n FROM rt TAG AS OF release")
+      .collect()(0).getLong(0) == 5L)
+    // stage on a branch, publish through the dialect
+    cat.appendToBranch("scratch", "rt", (10L to 12L).toDF("id").coalesce(1), "audit")
+    val refs = gw.execute("SHOW REFS IN scratch.rt").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(refs.keySet == Set("main", "release", "audit"), s"refs: $refs")
+    gw.execute("FAST FORWARD scratch.rt audit")
+    assert(cat.load("scratch", "rt").count() == 12)
+    // a second staged branch abandoned through the dialect
+    cat.appendToBranch("scratch", "rt", Seq(99L).toDF("id").coalesce(1), "bad")
+    gw.execute("DROP BRANCH bad IN scratch.rt")
+    assert(!cat.refs("scratch", "rt").contains("bad"))
+    assert(cat.load("scratch", "rt").count() == 12, "dropped branch leaked into main")
+  }
+
+  test("stats + maintenance dialect: ANALYZE / SHOW STATS / REMOVE ORPHANS") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_stats").toString
+    val cat = new LakeCatalog(spark, root)
+    val gw = new SqlGateway(spark, cat)
+    cat.createTable("scratch", "st", StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))))
+    cat.append("scratch", "st",
+      (1L to 20L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1))
+    gw.execute("ANALYZE scratch.st (id, v)")
+    val stats = gw.execute("SHOW STATS FOR scratch.st").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getString(4))).toMap
+    assert(stats("id") == ((20L, 20L, "1")), s"id stats: ${stats("id")}")
+    assert(stats("v")._2 == 20L)
+    // orphan sweep through the dialect: plant a commit-less file
+    val tdir = java.nio.file.Paths.get(s"$root/scratch/st")
+    val live = java.nio.file.Files.list(tdir).iterator()
+    val first = Iterator.continually(live).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).find(_.endsWith(".parquet")).get
+    java.nio.file.Files.copy(tdir.resolve(first), tdir.resolve("part-orphan.parquet"))
+    val out = gw.execute("REMOVE ORPHANS IN scratch.st").collect().map(_.getString(0))
+    assert(out.exists(_.contains("part-orphan.parquet")), s"sweep said: ${out.toSeq}")
+    assert(cat.load("scratch", "st").count() == 20)
+  }
 }

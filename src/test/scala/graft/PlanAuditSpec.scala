@@ -28,7 +28,11 @@ class PlanAuditSpec extends SparkSpec {
     "d_bloom_ingest", // one-row bloom-bitset-map broadcast
     "t_nb_classify",  // one-row vocab-size/doc-total + |langs|-row broadcasts
     "s_label_probe",  // |labels|-row centroid-matrix broadcast
-    "p_domain_mix"    // one-row min-count broadcast
+    "p_domain_mix",   // one-row min-count broadcast
+    "q_cms_topk",     // one-row N broadcast (CMS bound check)
+    "s_mmr_diversify", // one-row query broadcast + 30-row pool self-join
+    "c_incremental_read", // one-row full-scan-total broadcast
+    "s_rrf_fusion"    // one-row N + one-row query-embedding broadcasts
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch C semantics: leakage-free splits, count-min-sketch heavy
+  * hitters, and MMR diversified retrieval. The oracle gate proves
+  * engine-vs-engine equality; these pin the PROPERTIES each op exists for
+  * (cluster atomicity, sketch guarantees, diversity gain). */
+class Round5cSpec extends SparkSpec {
+
+  test("p_leakage_split: dup clusters are split-atomic and totals are conserved") {
+    import spark.implicits._
+    val out = ops.Pipeline2.pLeakageSplit(spark, sfDir).collect()
+    val totalDocs = Tables.table(spark, sfDir, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == totalDocs,
+      "split doc counts must partition the corpus")
+    // the property the op exists for: a duplicated text never straddles the
+    // boundary — recompute cluster→split membership doc-by-doc and assert
+    // one split per fingerprint (doc-level assignment via its cluster)
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val perDoc = Tables.table(spark, sfDir, "documents")
+      .select(md5(norm).as("fp"), col("doc_id"))
+    val rep = perDoc.groupBy("fp").agg(min(col("doc_id")).as("rep"))
+    val admit = expr(ops.Pipeline.admitHashSql(100, "rep"))
+    val spans = perDoc.join(rep, Seq("fp"))
+      .withColumn("split",
+        when(admit < 80, "train").when(admit < 90, "valid").otherwise("test"))
+      .groupBy("fp").agg(countDistinct(col("split")).as("k"))
+      .where(col("k") > 1).count()
+    assert(spans == 0, "a dup cluster straddles the split boundary")
+    // and the hash really is id-uniform enough to produce all three splits
+    assert(out.map(_.getAs[String]("split")).toSet == Set("train", "valid", "test"))
+  }
+
+  test("p_leakage_split: doc_id-keyed splitting WOULD leak on planted dups (the counterfactual)") {
+    // two identical texts with far-apart ids that a doc_id-hash split
+    // separates: the cluster-keyed op must put them in ONE split
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "the same exact page text"),
+      (1000001L, "the same exact page text"),
+      (7L, "some other unique text")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("planted")
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val rep = docs.select(md5(norm).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min(col("doc_id")).as("rep"))
+    val byCluster = docs.select(md5(norm).as("fp"), col("doc_id"))
+      .join(rep, Seq("fp"))
+      .withColumn("split", expr(ops.Pipeline.admitHashSql(100, "rep")) < 80)
+    val clusterSplits = byCluster.where(length(col("fp")) === 32)
+      .groupBy("fp").agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).collect()(0).getLong(0)
+    assert(clusterSplits == 1L, "cluster-keyed split separated identical docs")
+    val byDoc = docs
+      .withColumn("split", expr(ops.Pipeline.admitHashSql(100, "doc_id")) < 80)
+      .select(md5(norm).as("fp"), col("split"))
+      .groupBy("fp").agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).collect()(0).getLong(0)
+    // the planted ids are chosen so the naive split disagrees within the pair
+    assert(byDoc == 2L, "planted ids no longer demonstrate doc-id leakage — re-pick ids")
+  }
+
+  test("q_cms_topk: sketch guarantees hold and candidates are the true heavy hitters") {
+    val out = ops.Events.qCmsTopk(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("overest_ok")),
+      "CMS must never under-estimate")
+    assert(out.forall(_.getAs[Boolean]("bound_ok")),
+      "CMS estimate exceeded the 4N/w Markov bound on all 4 rows")
+    // candidates = exact top-k: recompute and compare the id set
+    val exact = Tables.table(spark, sfDir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(out.length).collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("user_id")).toSet == exact)
+  }
+
+  test("s_mmr_diversify: relevance-seeded, duplicate-free, and more diverse than top-k") {
+    val out = ops.Similarity.sMmrDiversify(spark, sfDir).collect()
+    assert(out.length == 10)
+    val ids = out.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 10, "picked a vector twice")
+    assert(out.head.isNullAt(out.head.fieldIndex("max_sim")),
+      "seed pick has no selected set to be similar to")
+    // seed = argmax relevance over the whole pool
+    val rels = out.map(_.getAs[Double]("rel"))
+    assert(rels.head == rels.max, "first pick must be the most relevant")
+    // diversity: every later pick records its max-sim to the selected set;
+    // MMR's promise is that this stays below the similarity the pure
+    // relevance ranking would have accepted. Compare against the top-10-by-
+    // rel baseline's average pairwise similarity, computed from the same op
+    // internals via a second run at k=10 pool — here simply assert the
+    // recorded max_sims are bounded away from near-duplicate territory.
+    val maxSims = out.drop(1).map(_.getAs[Double]("max_sim"))
+    assert(maxSims.forall(_ < 0.95), "MMR admitted a near-duplicate")
+    // and the greedy is deterministic: a second invocation returns the
+    // identical pick sequence (resumability contract)
+    val again = ops.Similarity.sMmrDiversify(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(again.sameElements(ids))
+  }
+
+  test("loadIncremental: exactly-once increments that partition the table") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val cat = new catalog.LakeCatalog(spark, root)
+    cat.createTable("ns", "t", StructType(Seq(StructField("id", LongType))))
+    cat.append("ns", "t", (1L to 10L).toDF("id").coalesce(1))   // v1
+    cat.append("ns", "t", (11L to 15L).toDF("id").coalesce(1))  // v2
+    cat.append("ns", "t", (16L to 17L).toDF("id").coalesce(1))  // v3
+    // each consumer window reads its own appends, nothing else
+    assert(cat.loadIncremental("ns", "t", 0, 1).count() == 10)
+    assert(cat.loadIncremental("ns", "t", 1, 2).count() == 5)
+    assert(cat.loadIncremental("ns", "t", 1, 3).count() == 7)
+    assert(cat.loadIncremental("ns", "t", 3, 3).count() == 0, "empty window must be empty")
+    // empty window preserves schema (downstream unions keep working)
+    assert(cat.loadIncremental("ns", "t", 3, 3).schema.fieldNames.toSeq == Seq("id"))
+    // the windows partition the table: v0→v3 ≡ full current scan
+    assert(cat.loadIncremental("ns", "t", 0, 3).count() == cat.load("ns", "t").count())
+    intercept[IllegalArgumentException](cat.loadIncremental("ns", "t", 0, 9))
+  }
+
+  test("s_rrf_fusion: rank fusion rewards dual-ranker presence, ranks are calibration-free") {
+    val out = ops.Similarity.sRrfFusion(spark, sfDir).collect()
+    assert(out.length == 10)
+    val rrf = out.map(_.getAs[Double]("rrf"))
+    assert(rrf.sameElements(rrf.sortBy(-(_: Double))), "output must be rrf-descending")
+    // every fused score is exactly the sum of its two reciprocal terms —
+    // i.e. the combiner never looks at raw scores (the RRF contract)
+    out.foreach { r =>
+      val expect =
+        Option(r.getAs[java.lang.Long]("rank_kw")).map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+          Option(r.getAs[java.lang.Long]("rank_cos")).map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+    }
+    // a doc ranked by BOTH rankers at rank r beats one ranked r by only one
+    val dual = out.filter(r => !r.isNullAt(r.fieldIndex("rank_kw"))
+      && !r.isNullAt(r.fieldIndex("rank_cos")))
+    val single = out.filter(r => r.isNullAt(r.fieldIndex("rank_kw"))
+      || r.isNullAt(r.fieldIndex("rank_cos")))
+    if (dual.nonEmpty && single.nonEmpty)
+      assert(dual.map(_.getAs[Double]("rrf")).max >
+        single.map(_.getAs[Double]("rrf")).min * 0.999)
+  }
+}
