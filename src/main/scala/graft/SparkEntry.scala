@@ -24,6 +24,7 @@ object SparkEntry {
       ops.CatalogOps2.queries ++
       ops.Multimodal.queries ++ streaming.StreamOps.queries ++
       ops.Pipeline.queries ++ ops.ChunkOps.queries ++ ops.Events.queries ++
+      ops.Graph.queries ++
       ops.Pipeline2.queries ++ ops.Cluster.queries ++
       ops.CatalogOps3.queries ++ ops.CatalogOps4.queries ++
       ops.Dedup2.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       ops.CatalogOps2.oracles ++
       ops.Multimodal.oracles ++ streaming.StreamOps.oracles ++
       ops.Pipeline.oracles ++ ops.ChunkOps.oracles ++ ops.Events.oracles ++
+      ops.Graph.oracles ++
       ops.Pipeline2.oracles ++ ops.Cluster.oracles ++
       ops.CatalogOps3.oracles ++ ops.CatalogOps4.oracles ++
       ops.Dedup2.oracles ++

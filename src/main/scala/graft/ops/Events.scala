@@ -236,7 +236,70 @@ object Events {
       |SELECT user_id, exact_n, true AS overest_ok, true AS bound_ok
       |FROM top ORDER BY exact_n DESC, user_id""".stripMargin
 
+  /** Experiment readout: Welch's two-sample t-test on `value` between the
+    * two arms of a deterministic assignment (variant = user_id % 2 — in
+    * production the admit-hash on user_id, same contract). Everything
+    * derives from THREE mergeable sufficient statistics per arm (n, Σx,
+    * Σx²) computed in ONE map-side-combined aggregate pass — the textbook
+    * "statistics at 100 TB" shape: no sort, no window, two rows cross the
+    * final exchange. Sums are decimal-accumulated (§4 rule: partition order
+    * must not move the fp result), and mean/var/t/df are scalar arithmetic
+    * on the two finished rows. Welch (unequal variances) rather than pooled
+    * Student: arm sizes and variances are never equal in practice. */
+  def qAbTtest(spark: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.table(spark, dir, "events")
+      .select((col("user_id") % 2).cast("int").as("variant"), col("value"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(value as decimal(30,6))) as double)").as("sx"),
+        expr("cast(sum(cast(round(value * value, 6) as decimal(30,7))) as double)")
+          .as("sxx"))
+      .select(col("variant"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        // sample variance from sufficient stats: (Σx² − (Σx)²/n) / (n−1)
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("variance"))
+    val a = arms.where(col("variant") === 0)
+      .select(col("n").as("n0"), col("mean").as("m0"), col("variance").as("v0"))
+    val b = arms.where(col("variant") === 1)
+      .select(col("n").as("n1"), col("mean").as("m1"), col("variance").as("v1"))
+    a.crossJoin(broadcast(b))
+      .select(col("n0"), col("n1"),
+        round(col("m0"), 6).as("mean_a"), round(col("m1"), 6).as("mean_b"),
+        round((col("m0") - col("m1"))
+          / sqrt(col("v0") / col("n0") + col("v1") / col("n1")), 6).as("t_stat"),
+        // Welch–Satterthwaite degrees of freedom
+        round(pow(col("v0") / col("n0") + col("v1") / col("n1"), 2)
+          / (pow(col("v0") / col("n0"), 2) / (col("n0") - 1)
+            + pow(col("v1") / col("n1"), 2) / (col("n1") - 1)), 2).as("df"),
+        (abs((col("m0") - col("m1"))
+          / sqrt(col("v0") / col("n0") + col("v1") / col("n1"))) > 1.96)
+          .as("significant_95"))
+  }
+
+  val qAbTtestSql: String =
+    """WITH arms AS (
+      |  SELECT CAST(user_id % 2 AS INT) AS variant, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(30,7))) AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1),
+      |st AS (
+      |  SELECT variant, n, sx / n AS mean,
+      |    (sxx - sx * sx / n) / (n - 1) AS variance
+      |  FROM arms),
+      |j AS (
+      |  SELECT a.n AS n0, b.n AS n1, a.mean AS m0, b.mean AS m1,
+      |    a.variance AS v0, b.variance AS v1
+      |  FROM st a, st b WHERE a.variant = 0 AND b.variant = 1)
+      |SELECT n0, n1, round(m0, 6) AS mean_a, round(m1, 6) AS mean_b,
+      |  round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 6) AS t_stat,
+      |  round(pow(v0 / n0 + v1 / n1, 2)
+      |    / (pow(v0 / n0, 2) / (n0 - 1) + pow(v1 / n1, 2) / (n1 - 1)), 2) AS df,
+      |  abs((m0 - m1) / sqrt(v0 / n0 + v1 / n1)) > 1.96 AS significant_95
+      |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_ttest" -> (qAbTtest _),
     "q_funnel" -> (qFunnel _),
     "q_event_paths" -> (qEventPaths _),
     "q_retention" -> (qRetention _),
@@ -250,5 +313,6 @@ object Events {
     "q_retention" -> qRetentionSql,
     "q_gaps_islands" -> qGapsIslandsSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
-    "q_cms_topk" -> qCmsTopkSql)
+    "q_cms_topk" -> qCmsTopkSql,
+    "q_ab_ttest" -> qAbTtestSql)
 }

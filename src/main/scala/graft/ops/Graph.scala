@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.2 addition (round 5): graph analytics as iterated relational algebra —
+  * PageRank by power iteration, the canonical "big graph on a relational
+  * engine" workload (the same join-aggregate per superstep that Pregel/
+  * GraphX schedule, expressed as DataFrame ops so Catalyst plans it).
+  *
+  * Scale shape per iteration: ONE shuffle keyed on edge dst (the
+  * contribution aggregate, map-side combined), a broadcast of two scalars
+  * (node count, dangling mass), and a broadcast-joined rank update — no
+  * global window, no driver-side graph state; ranks live in the cluster.
+  * The iteration count is fixed (power iteration converges geometrically at
+  * rate d≈0.85; 5 rounds is the demo dial, production runs ~30 or an L1
+  * convergence check — the per-round plan is identical).
+  *
+  * Determinism across engines (SURVEY §4): every per-node contribution sum
+  * is rounded then DECIMAL-accumulated, every rank is re-rounded to 12 dp
+  * per round, and all literals are explicit doubles on both sides — so the
+  * DuckDB oracle (the same 5 iterations unrolled as chained CTEs) matches
+  * bit-for-bit at 6 dp output rounding.
+  */
+object Graph {
+
+  private val damping = 0.85
+  private val iters = 5
+
+  /** Decimal-exact sum of 12-dp-rounded terms (finer-scaled sibling of
+    * Tables.dsum — pageranks are O(1/N) and need the extra digits). */
+  private def dsum12(c: Column): Column =
+    sum(round(c, 12).cast("decimal(30,13)")).cast("double")
+
+  /** PageRank over the customer→supplier trade graph (distinct
+    * (o_custkey → l_suppkey) pairs via the orders⋈lineitem equi-join):
+    * top-20 nodes by rank. Suppliers have no out-edges (bipartite), so the
+    * dangling-mass redistribution path is genuinely exercised. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.table(spark, dir, "orders")
+      .join(Tables.table(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct().cache()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    // one scalar to the driver (metadata scale — the CatalogOps3 precedent);
+    // the SQL oracle carries the same value as a cross-joined 1-row CTE
+    val n = nodes.count()
+    var pr = nodes.select(col("id"), (lit(1.0) / lit(n)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(deg, "src")
+        .join(pr, pr("id") === edges("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(dsum12(col("pr") / col("deg")).as("cin"))
+      val dang = pr.join(deg, pr("id") === deg("src"), "left_anti")
+        .agg(coalesce(dsum12(col("pr")), lit(0.0)).as("dm"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          round(lit(0.15) / lit(n)
+            + lit(damping) * (coalesce(col("cin"), lit(0.0))
+              + col("dm") / lit(n)), 12).as("pr"))
+        .localCheckpoint() // bound plan depth across supersteps (d_dup_clusters pattern)
+    }
+    pr.select(col("id"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("id")).limit(20)
+  }
+
+  /** The identical 5 iterations unrolled as chained CTEs (no aggregation
+    * inside a recursive term — portable SQL), every literal an explicit
+    * DOUBLE so DuckDB's decimal literals never change the arithmetic. */
+  val qPagerankSql: String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (
+        |  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |pr0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes, nn)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""in$k AS (
+         |  SELECT e.dst AS id,
+         |    CAST(SUM(CAST(round(p.pr / d.deg, 12) AS DECIMAL(30,13))) AS DOUBLE) AS cin
+         |  FROM edges e JOIN pr$p p ON p.id = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY 1),
+         |dang$k AS (
+         |  SELECT COALESCE(CAST(SUM(CAST(round(p.pr, 12) AS DECIMAL(30,13))) AS DOUBLE),
+         |                  CAST(0 AS DOUBLE)) AS dm
+         |  FROM pr$p p LEFT JOIN deg d ON d.src = p.id WHERE d.src IS NULL),
+         |pr$k AS (
+         |  SELECT nd.id,
+         |    round(CAST(0.15 AS DOUBLE) / nn.n
+         |      + CAST(0.85 AS DOUBLE) * (COALESCE(i.cin, CAST(0 AS DOUBLE))
+         |        + g.dm / nn.n), 12) AS pr
+         |  FROM nodes nd LEFT JOIN in$k i ON i.id = nd.id, nn, dang$k g)""".stripMargin
+    }
+    (base +: rounds).mkString("", ",\n", "\n") +
+      s"""SELECT id, round(pr, 6) AS pagerank FROM pr$iters
+         |ORDER BY pagerank DESC, id LIMIT 20""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPagerank _))
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> qPagerankSql)
+}

@@ -32,7 +32,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_cms_topk",     // one-row N broadcast (CMS bound check)
     "s_mmr_diversify", // one-row query broadcast + 30-row pool self-join
     "c_incremental_read", // one-row full-scan-total broadcast
-    "s_rrf_fusion"    // one-row N + one-row query-embedding broadcasts
+    "s_rrf_fusion",   // one-row N + one-row query-embedding broadcasts
+    "q_ab_ttest",     // one-row arm-stats broadcast (2-arm scalar join)
+    "q_pagerank"      // one-row dangling-mass broadcast per iteration
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global

@@ -143,4 +143,34 @@ class Round5cSpec extends SparkSpec {
       assert(dual.map(_.getAs[Double]("rrf")).max >
         single.map(_.getAs[Double]("rrf")).min * 0.999)
   }
+
+  test("q_ab_ttest: arms partition the events; Welch df lies in its theoretical range") {
+    val r = ops.Events.qAbTtest(spark, sfDir).collect()(0)
+    val n0 = r.getAs[Long]("n0")
+    val n1 = r.getAs[Long]("n1")
+    assert(n0 + n1 == Tables.table(spark, sfDir, "events").count())
+    val df = r.getAs[Double]("df")
+    // Welch–Satterthwaite df is bounded by min(n−1) below and n0+n1−2 above
+    assert(df >= math.min(n0, n1) - 1 && df <= n0 + n1 - 2, s"df $df out of range")
+    assert(!r.getAs[Double]("t_stat").isNaN)
+    // user_id % 2 arms on symmetric synthetic data must NOT be significant —
+    // a significant readout here would mean the assignment itself biases
+    assert(!r.getAs[Boolean]("significant_95"),
+      "null A/B split came out significant — assignment is biased")
+  }
+
+  test("q_pagerank: mass conserved, dangling handled, hubs outrank leaves") {
+    val out = ops.Graph.qPagerank(spark, sfDir).collect()
+    assert(out.length == 20)
+    val ranks = out.map(_.getAs[Double]("pagerank"))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.sameElements(ranks.sortBy(-(_: Double))))
+    // top of a bipartite cust→supp graph must be suppliers (all in-links
+    // point at them; customers only receive the teleport + dangling share)
+    assert(out.take(5).forall(_.getAs[String]("id").startsWith("s")),
+      "a no-inlink customer outranked the supplier hubs")
+    // determinism: the iteration is a pure function of the data
+    val again = ops.Graph.qPagerank(spark, sfDir).collect().map(_.getAs[String]("id"))
+    assert(again.sameElements(out.map(_.getAs[String]("id"))))
+  }
 }
