@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, input_file_name, lit, substring_index, when}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -300,11 +300,12 @@ class LakeCatalog(spark: SparkSession, root: String) {
     else spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
-  /** Time travel: the table as of snapshot `v`. */
+  /** Time travel: the table as of snapshot `v` (deletion vectors committed
+    * at or before `v` applied — see the merge-on-read section). */
   def loadSnapshot(ns: String, table: String, v: Int): DataFrame = {
     val files = snapshots(ns, table).find(_._1 == v)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $v for $ns.$table"))._2
-    readFiles(ns, table, files)
+    readFilesDv(ns, table, files, v)
   }
 
   /** Incremental append scan (Iceberg incremental read): ONLY the rows in
@@ -347,6 +348,108 @@ class LakeCatalog(spark: SparkSession, root: String) {
       case Some(v) => loadSnapshot(ns, table, v)
       case None => throw new IllegalArgumentException(s"no tag $tag on $ns.$table")
     }
+
+  // ---------------------------------------------- merge-on-read deletes
+  // `<table>_dv.json`: one line per MOR delete commit —
+  // {"v":V,"file":F,"pos":[...]} (Iceberg v3 deletion vectors, simplified:
+  // per-file row-position lists keyed by the snapshot that wrote them). A
+  // MOR delete commits a snapshot whose FILE LIST IS UNCHANGED; readers at
+  // version R subtract every (file, pos) pair with v ≤ R via a broadcast
+  // anti-join on (_metadata.file_path, _metadata.row_index). COW
+  // (deleteWhere) pays a rewrite at write time; MOR defers it to reads —
+  // the right trade for SPARSE deletes over huge tables (GDPR point
+  // deletes, correction patches), the wrong one once most of a file is
+  // dead (then compact() — which materializes the deletes — or COW wins).
+  // DV lines referencing files a later rewrite replaced are inert for
+  // current reads (their filenames never match the scan) but keep
+  // historical snapshots exact — time travel needs no special casing.
+
+  private def dvPath(ns: String, table: String): Path =
+    Paths.get(s"$root/$ns/${table}_dv.json")
+
+  /** Parsed DV lines: (commit version, file, positions). */
+  private def dvEntries(ns: String, table: String): Seq[(Int, String, Seq[Long])] = {
+    val p = dvPath(ns, table)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+        val j = JsonMethods.parse(l)
+        val v = (j \ "v") match { case JInt(x) => x.toInt; case _ => Int.MaxValue }
+        val f = (j \ "file") match { case JString(x) => x; case _ => "" }
+        val ps = (j \ "pos") match {
+          case JArray(a) => a.collect { case JInt(x) => x.toLong }
+          case _ => Seq.empty[Long]
+        }
+        (v, f, ps)
+      }
+    }
+  }
+
+  private def currentVersion(ns: String, table: String): Int =
+    refs(ns, table).get("main")
+      .orElse(snapshots(ns, table).map(_._1).maxOption).getOrElse(0)
+
+  /** `files` scanned with the file name + row position the DV path keys on. */
+  private def readFilesWithPos(dir: String, files: Seq[String]): DataFrame =
+    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+      .select(col("*"),
+        substring_index(col("_metadata.file_path"), "/", -1).as("__dv_file"),
+        col("_metadata.row_index").as("__dv_pos"))
+
+  /** Read `files` minus every deletion vector visible at version `atV`.
+    * No DV sidecar (or none matching these files) ⇒ the plain read —
+    * existing tables pay nothing. */
+  private def readFilesDv(ns: String, table: String, files: Seq[String],
+                          atV: Int): DataFrame = {
+    val inScan = files.toSet
+    val pairs = dvEntries(ns, table)
+      .filter { case (v, f, _) => v <= atV && inScan(f) }
+      .flatMap { case (_, f, ps) => ps.map(p => (f, p)) }.distinct
+    if (pairs.isEmpty) readFiles(ns, table, files)
+    else {
+      val dvDf = spark.createDataFrame(pairs).toDF("__dv_file", "__dv_pos")
+      readFilesWithPos(tablePath(ns, table), files)
+        .join(broadcast(dvDf), Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    }
+  }
+
+  /** DELETE WHERE cond, merge-on-read: mark row positions instead of
+    * rewriting files. Returns the number of rows marked. Only the (file,
+    * pos) pairs cross to the driver — deleted-row scale, the payload an
+    * Iceberg commit carries as delete files. Crash order: the DV line is
+    * written FIRST with the pre-allocated next version, the snapshot commit
+    * second — a crash between them leaves an inert line readers ignore
+    * (its version never committed), never a silently lost delete. */
+  def deleteWhereMor(ns: String, table: String, cond: Column): Long = {
+    val cur = currentFiles(ns, table)
+      .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    if (cur.isEmpty) return 0L
+    val v = currentVersion(ns, table)
+    val already = dvEntries(ns, table).filter(_._1 <= v)
+      .flatMap { case (_, f, ps) => ps.map(p => (f, p)) }.toSet
+    val hits = readFilesWithPos(tablePath(ns, table), cur)
+      .where(coalesce(cond, lit(false))) // 3VL: NULL predicate deletes nothing
+      .groupBy(col("__dv_file"))
+      .agg(collect_list(col("__dv_pos")).as("ps"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](1).filterNot(p => already((r.getString(0), p))).sorted)
+      .filter(_._2.nonEmpty)
+    if (hits.isEmpty) return 0L
+    val nextV = snapshots(ns, table).map(_._1).maxOption.getOrElse(-1) + 1
+    val lines = hits.sortBy(_._1).map { case (f, ps) =>
+      s"""{"v":$nextV,"file":"$f","pos":[${ps.mkString(",")}]}"""
+    }.mkString("", "\n", "\n")
+    Files.writeString(dvPath(ns, table), lines,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    val committed = commitSnapshot(ns, table, cur)
+    require(committed == nextV,
+      s"concurrent commit: DV written for v$nextV but log advanced to v$committed")
+    hits.map(_._2.length.toLong).sum
+  }
 
   /** Iceberg-style `files` metadata table: one row per LIVE data file —
     * (file, added_in = the first snapshot whose list contains it, row_count,
@@ -578,7 +681,9 @@ class LakeCatalog(spark: SparkSession, root: String) {
   def loadPruned(ns: String, table: String, column: String,
                  lo: Double, hi: Double): DataFrame = {
     val (read, _) = pruneFiles(ns, table, column, lo, hi)
-    readFiles(ns, table, read)
+    // DV-aware: zone-map pruning narrows the FILE set; merge-on-read
+    // deletion vectors still subtract rows within the survivors
+    readFilesDv(ns, table, read, currentVersion(ns, table))
   }
 
   /** COUNT(*) served purely from manifest stats when every current file has
@@ -595,14 +700,23 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val stats = fileStats(ns, table)
     // empty file list means "not a snapshot-logged catalog table here"
     // (flat single-file warehouse, alias, or missing) — never claim it
-    if (!hasPartitionDirs && cur.nonEmpty && cur.forall(stats.contains))
-      Some(cur.map(stats).sum)
-    else None
+    if (!hasPartitionDirs && cur.nonEmpty && cur.forall(stats.contains)) {
+      // merge-on-read deletes: manifest counts are PHYSICAL rows; subtract
+      // the deletion-vector positions visible at the current version for
+      // files in the current snapshot (still metadata-only — DV lines are
+      // exact row sets by construction)
+      val inScan = cur.toSet
+      val v = currentVersion(ns, table)
+      val dvDeleted = dvEntries(ns, table)
+        .filter { case (dvV, f, _) => dvV <= v && inScan(f) }
+        .flatMap { case (_, f, ps) => ps.map(p => (f, p)) }.distinct.size
+      Some(cur.map(stats).sum - dvDeleted)
+    } else None
   }
 
   def load(ns: String, table: String): DataFrame =
     currentFiles(ns, table) match {
-      case Some(files) => readFiles(ns, table, files)
+      case Some(files) => readFilesDv(ns, table, files, currentVersion(ns, table))
       case None => spark.read.parquet(tablePath(ns, table))
     }
 
@@ -823,6 +937,8 @@ class LakeCatalog(spark: SparkSession, root: String) {
     if (Files.exists(rf)) Files.delete(rf)
     val cs = colStatsPath(ns, table)
     if (Files.exists(cs)) Files.delete(cs)
+    val dv = dvPath(ns, table)
+    if (Files.exists(dv)) Files.delete(dv)
   }
 
   // ------------------------------------------------- copy-on-write mutations
@@ -851,7 +967,12 @@ class LakeCatalog(spark: SparkSession, root: String) {
       // logic `!cond` is NULL (not true) for NULL-valued predicates, so a
       // bare where(!cond) would silently drop those rows too. Keep every
       // row where the predicate is not TRUE.
-      val kept = readFiles(ns, table, touched).where(!coalesce(cond, lit(false)))
+      // DV-aware rewrite read: a touched file may carry merge-on-read
+      // deletion vectors — a raw read would RESURRECT those rows into the
+      // rewritten file (the vectors key on the old filename and go inert).
+      // Same guard on every COW rewrite path below.
+      val kept = readFilesDv(ns, table, touched, currentVersion(ns, table))
+        .where(!coalesce(cond, lit(false)))
       val newFiles = writeNewFiles(ns, table, kept)
       commitSnapshot(ns, table, cur.diff(touched) ++ newFiles)
     }
@@ -864,7 +985,9 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val df = readFiles(ns, table, cur)
     val touched = touchedFiles(cur, df, cond)
     if (touched.nonEmpty) {
-      val updated = set.foldLeft(readFiles(ns, table, touched)) {
+      // DV-aware (see deleteWhere): never resurrect MOR-deleted rows
+      val updated = set.foldLeft(
+        readFilesDv(ns, table, touched, currentVersion(ns, table))) {
         case (d, (name, value)) =>
           d.withColumn(name, when(cond, value).otherwise(col(name)))
       }
@@ -913,9 +1036,10 @@ class LakeCatalog(spark: SparkSession, root: String) {
     // a full-target key scan — every target row matching a source key
     // lives in a touched file by construction, and the touched sliver
     // (not the 100 TB table) is what's safe to broadcast.
-    val matchedKeys = broadcast(
-      readFiles(ns, table, touched).select(col(key)).distinct())
-    val survivors = readFiles(ns, table, touched)
+    // DV-aware (see deleteWhere): never resurrect MOR-deleted rows
+    val touchedDf = readFilesDv(ns, table, touched, currentVersion(ns, table))
+    val matchedKeys = broadcast(touchedDf.select(col(key)).distinct())
+    val survivors = touchedDf
       .join(srcKeys, Seq(key), "left_anti")
     val updates = source.join(matchedKeys, Seq(key), "left_semi")
     val inserts = source.join(matchedKeys, Seq(key), "left_anti")
@@ -976,7 +1100,8 @@ class LakeCatalog(spark: SparkSession, root: String) {
     }
     // survivors: touched-file rows whose key is not in the change batch;
     // then every upsert row (updates + inserts alike) lands fresh
-    val survivors = readFiles(ns, table, touched)
+    // DV-aware (see deleteWhere): never resurrect MOR-deleted rows
+    val survivors = readFilesDv(ns, table, touched, currentVersion(ns, table))
       .join(allKeys, Seq(key), "left_anti")
     val newData = survivors.unionByName(upserts.select(survivors.columns.map(col): _*))
     val newFiles = writeNewFiles(ns, table, newData)
@@ -989,7 +1114,11 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * expire/vacuum pass would reclaim them once history is aged out. */
   def compact(ns: String, table: String, target: Int): Unit = {
     val cur = currentFiles(ns, table).getOrElse(listParquet(Paths.get(tablePath(ns, table))))
-    val compacted = readFiles(ns, table, cur).repartition(target)
+    // DV-aware read: compaction MATERIALIZES merge-on-read deletes (the
+    // rewritten files simply lack the marked rows; the old DV lines go
+    // inert for current reads but keep historical snapshots exact)
+    val compacted = readFilesDv(ns, table, cur, currentVersion(ns, table))
+      .repartition(target)
     val newFiles = writeNewFiles(ns, table, compacted)
     commitSnapshot(ns, table, newFiles)
   }

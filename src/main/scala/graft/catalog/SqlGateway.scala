@@ -34,6 +34,9 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   // implies but its append-only MCP surface never exposed)
   private val deleteTb =
     """(?is)\s*DELETE\s+FROM\s+(?:(\w+)\.)?(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  // merge-on-read variant: mark positions (deletion vectors), rewrite nothing
+  private val deleteMor =
+    """(?is)\s*DELETE\s+MOR\s+FROM\s+(?:(\w+)\.)?(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val updateTb =
     """(?is)\s*UPDATE\s+(?:(\w+)\.)?(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val compactTb =
@@ -159,6 +162,12 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
           catalog.createTable(nsName, table, StructType(fields))
           Seq("Table created successfully").toDF("status")
         }
+
+      case deleteMor(ns, table, cond) => // must precede the COW DELETE form
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val n = catalog.deleteWhereMor(nsName, table,
+          org.apache.spark.sql.functions.expr(cond))
+        Seq(s"Marked $n rows deleted (merge-on-read)").toDF("status")
 
       case deleteTb(ns, table, cond) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

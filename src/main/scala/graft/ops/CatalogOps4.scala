@@ -198,15 +198,62 @@ object CatalogOps4 {
       |  (SELECT MIN(o_orderkey) FROM orders WHERE o_orderkey % 3 IN (1, 2)) AS inc_min_key,
       |  (SELECT COUNT(*) FROM orders) AS full_rows""".stripMargin
 
+  /** Merge-on-read DELETE via deletion vectors (Iceberg v3 DVs): marking
+    * row positions instead of rewriting files. The query proves the whole
+    * contract in one pass: (a) the MOR delete rewrote NOTHING — the file
+    * list is byte-identical before and after (the property that makes a
+    * sparse delete on a 100 TB table a metadata-sized commit); (b) readers
+    * subtract the marked rows exactly; (c) time travel to the pre-delete
+    * snapshot still sees every row (DVs are version-keyed); (d) the
+    * metadata-only COUNT(*) stays DV-correct without a scan; (e) compact()
+    * MATERIALIZES the deletes — rewritten files simply lack the rows and
+    * the vectors go inert. Counts derive from orders so the oracle
+    * recomputes everything from source predicates. */
+  def cMorDelete(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    cat.dropTable("scratch", "ord_mor")
+    cat.createTable("scratch", "ord_mor", StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType))))
+    cat.append("scratch", "ord_mor", o.repartition(4)) // v1, 4 files
+    val filesBefore = cat.filesMeta("scratch", "ord_mor").count()
+    val fullRows = cat.load("scratch", "ord_mor").count()
+    val marked = cat.deleteWhereMor("scratch", "ord_mor",
+      col("o_orderkey") % 7 === 3) // v2: DV-only commit
+    val filesAfter = cat.filesMeta("scratch", "ord_mor").count()
+    val metaCount = cat.countStar("scratch", "ord_mor")
+    val travelRows = cat.loadSnapshot("scratch", "ord_mor", 1).count()
+    cat.compact("scratch", "ord_mor", 2) // v3: deletes materialized
+    val dfAfter = cat.load("scratch", "ord_mor")
+    dfAfter.agg(
+      count(lit(1)).as("rows_after_compact"),
+      Tables.dsum(col("o_totalprice")).as("total_after"),
+      lit(marked).as("rows_marked"),
+      lit(filesBefore == filesAfter && travelRows == fullRows
+        && metaCount.contains(fullRows - marked)).as("mor_contract_held"))
+  }
+
+  val cMorDeleteSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 <> 3) AS rows_after_compact,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+      |     FROM orders WHERE o_orderkey % 7 <> 3) AS total_after,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 3) AS rows_marked,
+      |  true AS mor_contract_held""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_wap_branch" -> (cWapBranch _),
     "c_stats_analyze" -> (cStatsAnalyze _),
     "c_orphan_files" -> (cOrphanFiles _),
-    "c_incremental_read" -> (cIncrementalRead _))
+    "c_incremental_read" -> (cIncrementalRead _),
+    "c_mor_delete" -> (cMorDelete _))
 
   val oracles: Map[String, String] = Map(
     "c_wap_branch" -> cWapBranchSql,
     "c_stats_analyze" -> cStatsAnalyzeSql,
     "c_orphan_files" -> cOrphanFilesSql,
-    "c_incremental_read" -> cIncrementalReadSql)
+    "c_incremental_read" -> cIncrementalReadSql,
+    "c_mor_delete" -> cMorDeleteSql)
 }
