@@ -173,4 +173,22 @@ class Round5cSpec extends SparkSpec {
     val again = ops.Graph.qPagerank(spark, sfDir).collect().map(_.getAs[String]("id"))
     assert(again.sameElements(out.map(_.getAs[String]("id"))))
   }
+
+  test("t_bpe_train: merge counts are non-increasing, rules well-formed and distinct") {
+    val out = ops.TextOps3.tBpeTrain(spark, sfDir).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Int]("round")).toSeq == (1 to 5))
+    out.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("lhs") + r.getAs[String]("rhs"))
+    }
+    // merging the argmax pair can only create pairs bounded by its own
+    // count and shrink others — the max pair count never rises round over
+    // round (the property that makes greedy BPE well-defined)
+    val counts = out.map(_.getAs[Long]("pair_count"))
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
+      s"merge counts rose: ${counts.toSeq}")
+    val rules = out.map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    assert(rules.distinct.length == 5, "a merge rule repeated")
+  }
 }
