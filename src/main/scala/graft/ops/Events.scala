@@ -247,23 +247,24 @@ object Events {
     * on the two finished rows. Welch (unequal variances) rather than pooled
     * Student: arm sizes and variances are never equal in practice. */
   def qAbTtest(spark: SparkSession, dir: String): DataFrame = {
-    val arms = Tables.table(spark, dir, "events")
-      .select((col("user_id") % 2).cast("int").as("variant"), col("value"))
-      .groupBy("variant")
-      .agg(count(lit(1)).as("n"),
-        expr("cast(sum(cast(value as decimal(30,6))) as double)").as("sx"),
-        expr("cast(sum(cast(round(value * value, 6) as decimal(30,7))) as double)")
-          .as("sxx"))
-      .select(col("variant"), col("n"),
-        (col("sx") / col("n")).as("mean"),
+    // BOTH arms' sufficient stats in ONE aggregate over ONE scan
+    // (conditional aggregates, no per-arm branch-and-join — a two-branch
+    // plan would scan events twice for a 1-row result)
+    def armAggs(v: Int): Seq[org.apache.spark.sql.Column] = {
+      val in = (col("user_id") % 2).cast("int") === v
+      Seq(
+        count(when(in, 1)).as(s"n$v"),
+        expr(s"cast(sum(case when user_id % 2 = $v then cast(value as decimal(30,6)) end) as double)").as(s"sx$v"),
+        expr(s"cast(sum(case when user_id % 2 = $v then cast(round(value * value, 6) as decimal(30,7)) end) as double)").as(s"sxx$v"))
+    }
+    val aggs: Seq[org.apache.spark.sql.Column] = armAggs(0) ++ armAggs(1)
+    Tables.table(spark, dir, "events")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n0"), col("n1"),
+        (col("sx0") / col("n0")).as("m0"), (col("sx1") / col("n1")).as("m1"),
         // sample variance from sufficient stats: (Σx² − (Σx)²/n) / (n−1)
-        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-          .as("variance"))
-    val a = arms.where(col("variant") === 0)
-      .select(col("n").as("n0"), col("mean").as("m0"), col("variance").as("v0"))
-    val b = arms.where(col("variant") === 1)
-      .select(col("n").as("n1"), col("mean").as("m1"), col("variance").as("v1"))
-    a.crossJoin(broadcast(b))
+        ((col("sxx0") - col("sx0") * col("sx0") / col("n0")) / (col("n0") - 1)).as("v0"),
+        ((col("sxx1") - col("sx1") * col("sx1") / col("n1")) / (col("n1") - 1)).as("v1"))
       .select(col("n0"), col("n1"),
         round(col("m0"), 6).as("mean_a"), round(col("m1"), 6).as("mean_b"),
         round((col("m0") - col("m1"))

@@ -33,7 +33,6 @@ class PlanAuditSpec extends SparkSpec {
     "s_mmr_diversify", // one-row query broadcast + 30-row pool self-join
     "c_incremental_read", // one-row full-scan-total broadcast
     "s_rrf_fusion",   // one-row N + one-row query-embedding broadcasts
-    "q_ab_ttest",     // one-row arm-stats broadcast (2-arm scalar join)
     "q_pagerank"      // one-row dangling-mass broadcast per iteration
   )
 
