@@ -299,8 +299,87 @@ object Events {
       |  abs((m0 - m1) / sqrt(v0 / n0 + v1 / n1)) > 1.96 AS significant_95
       |FROM j""".stripMargin
 
+  /** Theta/KMV sketches with SET ALGEBRA — the capability HLL lacks:
+    * intersect two distinct-count sketches (Dasgupta et al., the DataSketches
+    * theta model, simplified to k-minimum-values). Members are (user_id,
+    * active-day) pairs; sets are event types; the query estimates each
+    * set's cardinality AND their intersection from k=128-value sketches,
+    * then proves the estimates in-plan against exact counts (the
+    * q_approx_distinct gating pattern — the oracle pins the exact numbers
+    * and literal-true bound booleans).
+    *
+    * Scale shape: the sketch is the k smallest hash-values per set — a
+    * rank ≤ k window on a bounded-fan key (event_type), which Spark turns
+    * into a map-side Partial WindowGroupLimit: each partition ships AT MOST
+    * k rows per set, so the shuffle is k·|sets| regardless of corpus size,
+    * and sketches merge by k-min union (mergeable-summaries, same contract
+    * as the CMS). θ = k-th minimum as a fraction of hash space;
+    * est = (k−1)/θ; intersection: common sketch hashes below θ∩ = min(θᵢ)
+    * scaled by 1/θ∩ — pure column algebra over two 128-row frames. */
+  def qThetaSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 128
+    val members = Tables.table(spark, dir, "events")
+      .where(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    // u = hash mapped to (0,1): signed-long / 2^64 + 0.5 — order-isomorphic
+    // to the unsigned hash order
+    val hashed = members.select(col("event_type"),
+      xxhash64(col("user_id"), col("day")).as("h"))
+      .withColumn("u", col("h").cast("double") / lit(math.pow(2, 64)) + lit(0.5))
+    val w = Window.partitionBy("event_type").orderBy("u")
+    val sketch = hashed.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k).cache()
+    val stats = sketch.groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), max(col("u")).as("theta"))
+      .withColumn("est",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(k - 1) / col("theta")))
+    val exact = members.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+    val perSet = stats.join(exact, Seq("event_type"))
+      .select(col("event_type").as("set_name"), col("exact_n"),
+        (when(col("exact_n") < k, col("est") === col("exact_n").cast("double"))
+          .otherwise(abs(col("est") - col("exact_n")) / col("exact_n") <= 0.35))
+          .as("within_bound"))
+    // intersection: common hashes below the combined θ, scaled back
+    val s1 = sketch.where(col("event_type") === "click")
+      .select(col("h"), col("u"))
+    val s2 = sketch.where(col("event_type") === "view").select(col("h"))
+    val thetas = stats.agg(min(
+      when(col("n_kept") < k, lit(1.0)).otherwise(col("theta"))).as("theta_c"))
+    val interEst = s1.join(s2, "h").crossJoin(broadcast(thetas))
+      .where(col("u") < col("theta_c"))
+      .groupBy(col("theta_c"))
+      .agg(count(lit(1)).as("n_common"))
+      .select((col("n_common") / col("theta_c")).as("est"))
+    val interExact = members.groupBy("user_id", "day")
+      .agg(countDistinct(col("event_type")).as("nt"))
+      .where(col("nt") === 2)
+      .agg(count(lit(1)).as("exact_n"))
+    val inter = interExact.crossJoin(broadcast(interEst))
+      .select(lit("click&view").as("set_name"), col("exact_n"),
+        (abs(col("est") - col("exact_n")) / col("exact_n") <= 0.5)
+          .as("within_bound"))
+    perSet.unionByName(inter).orderBy("set_name")
+  }
+
+  val qThetaSketchSql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT event_type, user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |e AS (SELECT event_type AS set_name, COUNT(*) AS exact_n FROM p GROUP BY 1),
+      |i AS (SELECT 'click&view' AS set_name, COUNT(*) AS exact_n FROM (
+      |  SELECT user_id, day FROM p GROUP BY user_id, day
+      |  HAVING COUNT(DISTINCT event_type) = 2))
+      |SELECT set_name, exact_n, true AS within_bound
+      |FROM (SELECT * FROM e UNION ALL SELECT * FROM i)
+      |ORDER BY set_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ab_ttest" -> (qAbTtest _),
+    "q_theta_sketch" -> (qThetaSketch _),
     "q_funnel" -> (qFunnel _),
     "q_event_paths" -> (qEventPaths _),
     "q_retention" -> (qRetention _),
@@ -315,5 +394,6 @@ object Events {
     "q_gaps_islands" -> qGapsIslandsSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_cms_topk" -> qCmsTopkSql,
-    "q_ab_ttest" -> qAbTtestSql)
+    "q_ab_ttest" -> qAbTtestSql,
+    "q_theta_sketch" -> qThetaSketchSql)
 }

@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     "s_mmr_diversify", // one-row query broadcast + 30-row pool self-join
     "c_incremental_read", // one-row full-scan-total broadcast
     "s_rrf_fusion",   // one-row N + one-row query-embedding broadcasts
-    "q_pagerank"      // one-row dangling-mass broadcast per iteration
+    "q_pagerank",     // one-row dangling-mass broadcast per iteration
+    "q_theta_sketch"  // one-row θ∩ / intersection-estimate broadcasts
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global

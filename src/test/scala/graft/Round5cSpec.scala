@@ -191,4 +191,15 @@ class Round5cSpec extends SparkSpec {
     val rules = out.map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
     assert(rules.distinct.length == 5, "a merge rule repeated")
   }
+
+  test("q_theta_sketch: KMV bounds hold and the intersection respects set algebra") {
+    val out = ops.Events.qThetaSketch(spark, sfDir).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Boolean]("within_bound")),
+      "a KMV estimate fell outside its error bound")
+    val byName = out.map(r => r.getAs[String]("set_name") -> r.getAs[Long]("exact_n")).toMap
+    // |A ∩ B| ≤ min(|A|, |B|) — and with shared users the overlap is non-empty
+    assert(byName("click&view") <= math.min(byName("click"), byName("view")))
+    assert(byName("click&view") > 0)
+  }
 }
