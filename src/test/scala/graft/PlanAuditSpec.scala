@@ -77,6 +77,12 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("WindowGroupLimit.*Partial".r.findFirstIn(tfidf).isDefined,
       "t_tfidf window top-k lost its map-side group limit")
+    // and for the KMV sketch's rank ≤ k selection — the property that makes
+    // the theta-sketch shuffle k·|sets| rows instead of corpus-sized
+    val theta = plans.toMap.apply("q_theta_sketch")
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(theta).isDefined,
+      "q_theta_sketch k-min selection lost its map-side group limit")
   }
 
   test("no unpartitioned window (all-rows-to-one-partition) anywhere in the surface") {
