@@ -319,11 +319,14 @@ object Events {
   def qThetaSketch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 128
+    // members feeds THREE consumers (sketch build, exact per-set counts,
+    // exact intersection) — cache the distinct member table instead of
+    // rescanning events per consumer (verified: 6 scans without it)
     val members = Tables.table(spark, dir, "events")
       .where(col("event_type").isin("click", "view"))
       .select(col("event_type"),
         col("user_id"), expr("ts div 86400000000000").as("day"))
-      .distinct()
+      .distinct().cache()
     // u = hash mapped to (0,1): signed-long / 2^64 + 0.5 — order-isomorphic
     // to the unsigned hash order
     val hashed = members.select(col("event_type"),
@@ -377,9 +380,70 @@ object Events {
       |FROM (SELECT * FROM e UNION ALL SELECT * FROM i)
       |ORDER BY set_name""".stripMargin
 
+  /** Windowed funnel (ClickHouse `windowFunnel` semantics): conversion
+    * depth per user where every step must land within ONE HOUR of the
+    * user's first view AND strictly after the previous step — the
+    * time-bounded variant of q_funnel ("did they convert", vs "did they
+    * convert while the session was hot"). Output is the funnel histogram
+    * (users per depth) plus per-depth earliest-conversion medians... kept
+    * simple: counts + decimal-exact mean time-to-convert in µs.
+    *
+    * Same scale shape as q_funnel: three min-aggregates + joins ALL keyed
+    * on user_id — one exchange, everything else co-partitioned; the window
+    * constraint is pure column algebra on integer-ns timestamps (§4 rule,
+    * no timestamp arithmetic drift). */
+  def qWindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val windowNs = 3600000000000L // 1 hour
+    val ev = Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("tv"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .where(col("ts") > col("tv") && col("ts") <= col("tv") + windowNs)
+      .groupBy("user_id").agg(min(col("ts")).as("tc"), min(col("tv")).as("tv2"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .where(col("ts") > col("tc") && col("ts") <= col("tv2") + windowNs)
+      .groupBy("user_id").agg(min(col("ts")).as("tp"))
+    ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c.select("user_id", "tc"), Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        when(col("tp").isNotNull, 3)
+          .when(col("tc").isNotNull, 2)
+          .when(col("tv").isNotNull, 1).otherwise(0).as("depth"),
+        col("tv"), col("tp"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_users"),
+        expr("cast(avg((tp - tv) div 1000) as bigint)").as("mean_convert_us"))
+      .orderBy("depth")
+  }
+
+  val qWindowFunnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),
+      |v AS (SELECT user_id, MIN(ns) AS tv FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT ev.user_id, MIN(ns) AS tc, MIN(tv) AS tv2 FROM ev JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ns > tv AND ns <= tv + 3600000000000 GROUP BY 1),
+      |p AS (SELECT ev.user_id, MIN(ns) AS tp FROM ev JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ns > tc AND ns <= tv2 + 3600000000000 GROUP BY 1),
+      |d AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN tp IS NOT NULL THEN 3 WHEN tc IS NOT NULL THEN 2
+      |         WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS depth,
+      |    tv, tp
+      |  FROM (SELECT DISTINCT user_id FROM ev) u
+      |  LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |  LEFT JOIN p USING (user_id))
+      |SELECT depth, COUNT(*) AS n_users,
+      |  CAST(AVG((tp - tv) // 1000) AS BIGINT) AS mean_convert_us
+      |FROM d GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ab_ttest" -> (qAbTtest _),
     "q_theta_sketch" -> (qThetaSketch _),
+    "q_window_funnel" -> (qWindowFunnel _),
     "q_funnel" -> (qFunnel _),
     "q_event_paths" -> (qEventPaths _),
     "q_retention" -> (qRetention _),
@@ -395,5 +459,6 @@ object Events {
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_cms_topk" -> qCmsTopkSql,
     "q_ab_ttest" -> qAbTtestSql,
-    "q_theta_sketch" -> qThetaSketchSql)
+    "q_theta_sketch" -> qThetaSketchSql,
+    "q_window_funnel" -> qWindowFunnelSql)
 }

@@ -202,4 +202,19 @@ class Round5cSpec extends SparkSpec {
     assert(byName("click&view") <= math.min(byName("click"), byName("view")))
     assert(byName("click&view") > 0)
   }
+
+  test("q_window_funnel: histogram partitions the user base; deeper is never larger than q_funnel") {
+    val out = ops.Events.qWindowFunnel(spark, sfDir).collect()
+    val users = Tables.table(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum == users,
+      "funnel depths must partition the users")
+    // the time window only removes conversions: windowed depth-3 count ≤
+    // the unconstrained funnel's stage-3 count
+    val unbounded = ops.Events.qFunnel(spark, sfDir).collect()
+      .count(_.getAs[Int]("stage") == 3)
+    val windowed = out.find(_.getAs[Int]("depth") == 3)
+      .map(_.getAs[Long]("n_users")).getOrElse(0L)
+    assert(windowed <= unbounded)
+  }
 }
