@@ -243,7 +243,65 @@ object CatalogOps4 {
       |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 3) AS rows_marked,
       |  true AS mor_contract_held""".stripMargin
 
+  /** Incremental materialized-view maintenance — the composition the
+    * round-5 primitives exist for: a pre-aggregated rollup is kept current
+    * by merging the PARTIAL AGGREGATE STATES of each append increment,
+    * never recomputing from the full table. The algebra: sum and count are
+    * mergeable states (merge = add), so
+    * `MV(v2) = mergeStates(MV(v1), agg(increment(v1 → v2)))` — the
+    * count/sum/avg maintenance rule every warehouse MV engine implements.
+    * At 100 TB: refresh cost ∝ increment (loadIncremental's file
+    * set-difference), merge cost ∝ |MV| (group-key cardinality, not
+    * table size). avg is NOT merged as avg — it derives from the merged
+    * (sum, count) states, the classic non-distributive-aggregate rule.
+    * The query proves merged-MV ≡ full recompute inside the plan and the
+    * oracle recomputes the final rollup from source.
+    *
+    * Scope: append-only maintenance (loadIncremental's contract). A COW
+    * rewrite or MOR delete in the refresh window invalidates pure
+    * state-addition — production engines either retract via the CDC feed
+    * (applyCdc is the hook here) or fall back to recompute; callers must
+    * pick one, never silently merge across a delete. */
+  def cIncrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey") % 100, col("o_totalprice"))
+      .toDF("cust_bucket", "price")
+    cat.dropTable("scratch", "ord_mv_src")
+    cat.createTable("scratch", "ord_mv_src", StructType(Seq(
+      StructField("cust_bucket", LongType), StructField("price", DoubleType))))
+    def aggOf(df: DataFrame): DataFrame = df.groupBy("cust_bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast("decimal(30,6)")).as("sum_state"))
+    cat.append("scratch", "ord_mv_src", o.where(col("cust_bucket") % 2 === 0)) // v1
+    val mv1 = aggOf(cat.load("scratch", "ord_mv_src"))                          // MV at v1
+    cat.append("scratch", "ord_mv_src", o.where(col("cust_bucket") % 2 === 1)) // v2
+    val incAgg = aggOf(cat.loadIncremental("scratch", "ord_mv_src", 1, 2))
+    // state merge: add counts, add decimal sums — group keys union
+    val mv2 = mv1.unionByName(incAgg).groupBy("cust_bucket")
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sum_state")).as("sum_state"))
+    val full = aggOf(cat.load("scratch", "ord_mv_src"))
+      .select(col("cust_bucket"), col("n").as("n_full"),
+        col("sum_state").as("sum_full"))
+    mv2.join(full, Seq("cust_bucket"))
+      .select(col("cust_bucket"), col("n"),
+        col("sum_state").cast("double").as("total"),
+        round(col("sum_state").cast("double") / col("n"), 6).as("avg_price"),
+        (col("n") === col("n_full")
+          && col("sum_state") === col("sum_full")).as("matches_full_recompute"))
+      .orderBy("cust_bucket")
+  }
+
+  val cIncrementalMvSql: String =
+    """SELECT o_custkey % 100 AS cust_bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+      |  true AS matches_full_recompute
+      |FROM orders GROUP BY 1 ORDER BY cust_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_incremental_mv" -> (cIncrementalMv _),
     "c_wap_branch" -> (cWapBranch _),
     "c_stats_analyze" -> (cStatsAnalyze _),
     "c_orphan_files" -> (cOrphanFiles _),
@@ -255,5 +313,6 @@ object CatalogOps4 {
     "c_stats_analyze" -> cStatsAnalyzeSql,
     "c_orphan_files" -> cOrphanFilesSql,
     "c_incremental_read" -> cIncrementalReadSql,
-    "c_mor_delete" -> cMorDeleteSql)
+    "c_mor_delete" -> cMorDeleteSql,
+    "c_incremental_mv" -> cIncrementalMvSql)
 }

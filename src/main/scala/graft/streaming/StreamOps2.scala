@@ -43,11 +43,20 @@ object StreamOps2 {
       b.select(col("k"), v.as("v"), lit("u").as("op"))
     def d(b: DataFrame): DataFrame =
       b.select(col("k"), lit(null).cast("double").as("v"), lit("d").as("op"))
+    // all price math in DECIMAL (§4 rule): round(double/2) diverges between
+    // engines on representation ties (…/2 = 65800.2749999… printing as
+    // .275 went .28 vs .27 at sf0.1). Decimal cast recovers the intended
+    // 2-dp cents; the halving MULTIPLIES by decimal 0.5 rather than
+    // dividing — DuckDB promotes every DECIMAL division to DOUBLE (back to
+    // the binary tie), but decimal × decimal stays exact in both engines.
+    def dmath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(30,6)")
+    val half = expr("cast(0.5 as decimal(2,1))")
     Seq(
-      u(o.where(col("k") <= 40), round(col("p"), 2)),
-      u(o.where(col("k").between(20, 50)), round(col("p") * 2, 2))
+      u(o.where(col("k") <= 40), round(dmath(col("p")), 2).cast("double")),
+      u(o.where(col("k").between(20, 50)), round(dmath(col("p")) * 2, 2).cast("double"))
         .unionByName(d(o.where(col("k") <= 10))),
-      u(o.where(col("k").between(5, 15)), round(col("p") / 2, 2)))
+      u(o.where(col("k").between(5, 15)), round(dmath(col("p")) * half, 2).cast("double")))
   }
 
   private[graft] def freshCdcTable(cat: LakeCatalog, table: String): Unit = {
@@ -80,9 +89,11 @@ object StreamOps2 {
 
   val stCdcApplySql: String =
     """SELECT o_orderkey AS k,
-      |  CASE WHEN o_orderkey BETWEEN 5 AND 15 THEN round(o_totalprice / 2, 2)
-      |       WHEN o_orderkey BETWEEN 16 AND 19 THEN round(o_totalprice, 2)
-      |       ELSE round(o_totalprice * 2, 2) END AS v
+      |  CAST(CASE WHEN o_orderkey BETWEEN 5 AND 15
+      |         THEN round(CAST(o_totalprice AS DECIMAL(30,6)) * CAST(0.5 AS DECIMAL(2,1)), 2)
+      |       WHEN o_orderkey BETWEEN 16 AND 19
+      |         THEN round(CAST(o_totalprice AS DECIMAL(30,6)), 2)
+      |       ELSE round(CAST(o_totalprice AS DECIMAL(30,6)) * 2, 2) END AS DOUBLE) AS v
       |FROM orders WHERE o_orderkey BETWEEN 5 AND 50
       |ORDER BY k""".stripMargin
 
