@@ -25,9 +25,10 @@ object SparkEntry {
       ops.Multimodal.queries ++ streaming.StreamOps.queries ++
       ops.Pipeline.queries ++ ops.ChunkOps.queries ++ ops.Events.queries ++
       ops.Graph.queries ++
-      ops.Pipeline2.queries ++ ops.Cluster.queries ++
+      ops.Pipeline2.queries ++ ops.Pipeline3.queries ++ ops.Cluster.queries ++
       ops.CatalogOps3.queries ++ ops.CatalogOps4.queries ++
-      ops.Dedup2.queries ++
+      ops.CatalogOps5.queries ++ ops.Dedup2.queries ++
+      ops.Similarity2.queries ++
       ops.ClassifyOps.queries ++ streaming.StreamOps2.queries ++
       ops.Multimodal2.queries
 
@@ -43,9 +44,10 @@ object SparkEntry {
       ops.Multimodal.oracles ++ streaming.StreamOps.oracles ++
       ops.Pipeline.oracles ++ ops.ChunkOps.oracles ++ ops.Events.oracles ++
       ops.Graph.oracles ++
-      ops.Pipeline2.oracles ++ ops.Cluster.oracles ++
+      ops.Pipeline2.oracles ++ ops.Pipeline3.oracles ++ ops.Cluster.oracles ++
       ops.CatalogOps3.oracles ++ ops.CatalogOps4.oracles ++
-      ops.Dedup2.oracles ++
+      ops.CatalogOps5.oracles ++ ops.Dedup2.oracles ++
+      ops.Similarity2.oracles ++
       ops.ClassifyOps.oracles ++ streaming.StreamOps2.oracles ++
       ops.Multimodal2.oracles
 }

@@ -349,6 +349,21 @@ class LakeCatalog(spark: SparkSession, root: String) {
       case None => throw new IllegalArgumentException(s"no tag $tag on $ns.$table")
     }
 
+  /** Rollback (Iceberg `rollback_to_snapshot`): move the main ref back to
+    * snapshot `v`. Pure metadata — one atomic refs write, zero data
+    * movement, table-size-independent (the property that makes "undo the
+    * bad ingest" instant at 100 TB). The rolled-past snapshots stay in the
+    * immutable log — still time-travelable, still auditable — until
+    * [[expireSnapshots]] ages them out. The NEXT commit bases its file list
+    * on `v` but takes a fresh monotone version number (the log is
+    * append-only; history is never rewritten), exactly Iceberg's
+    * rollback-then-continue lineage. */
+  def rollbackTo(ns: String, table: String, v: Int): Unit = {
+    require(snapshots(ns, table).exists(_._1 == v),
+      s"no snapshot $v for $ns.$table")
+    writeRefs(ns, table, refs(ns, table) + ("main" -> v))
+  }
+
   // ---------------------------------------------- merge-on-read deletes
   // `<table>_dv.json`: one line per MOR delete commit —
   // {"v":V,"file":F,"pos":[...]} (Iceberg v3 deletion vectors, simplified:

@@ -75,6 +75,8 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*SHOW\s+STATS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val removeOrphans =
     """(?is)\s*REMOVE\s+ORPHANS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  private val rollbackTb =
+    """(?is)\s*ROLLBACK\s+(?:TABLE\s+)?(?:(\w+)\.)?(\w+)\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -263,6 +265,11 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val removed = catalog.removeOrphans(nsName, table)
         (if (removed.isEmpty) Seq("No orphan files")
          else removed.map(f => s"Removed $f")).toDF("status")
+
+      case rollbackTb(ns, table, v) => // Iceberg rollback_to_snapshot
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.rollbackTo(nsName, table, v.toInt)
+        Seq(s"Rolled back $nsName.$table to version $v").toDF("status")
 
       case insertTb(ns, table, colSpec, values) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.Tables
+import graft.catalog.LakeCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.1 continued (round 5): snapshot rollback — the "undo the bad ingest"
+  * verb (Iceberg `rollback_to_snapshot`; the reference's pyiceberg catalog
+  * carries the same snapshot lineage this rides on,
+  * IcebergConnection.py:41-77). Rollback is the operational complement of
+  * time travel: time travel READS an old version, rollback makes an old
+  * version CURRENT again — and at 100 TB it must cost zero data movement,
+  * which the refs design delivers (one atomic sidecar write; the bad
+  * snapshot's files simply stop being referenced by main and age out via
+  * expire + orphan sweep).
+  */
+object CatalogOps5 {
+
+  private def scratch: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+
+  /** Rollback lineage proof, on a 4-commit table:
+    *   v1 append A (o_orderkey % 4 = 0)
+    *   v2 append B (% 4 = 1)
+    *   v3 append BAD (% 4 = 2)      ← the ingest to undo
+    *   rollback main → v2            (pure metadata)
+    *   v4 append D (% 4 = 3)         (bases on v2's files, NOT v3's)
+    * Emits the final row/sum state (A∪B∪D — provably no BAD rows), plus the
+    * BAD snapshot's row count via time travel (history survives rollback:
+    * the log is append-only, audits still read v3). `no_bad_rows` is
+    * computed IN-PLAN from the final table, so the oracle's literal `true`
+    * hash-gates the isolation property itself. */
+  def cRollback(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    cat.dropTable("scratch", "ord_rb")
+    cat.createTable("scratch", "ord_rb", StructType(Seq(
+      StructField("k", LongType), StructField("p", DoubleType))))
+    cat.append("scratch", "ord_rb", o.where(col("k") % 4 === 0)) // v1
+    cat.append("scratch", "ord_rb", o.where(col("k") % 4 === 1)) // v2
+    cat.append("scratch", "ord_rb", o.where(col("k") % 4 === 2)) // v3: bad
+    cat.rollbackTo("scratch", "ord_rb", 2)
+    cat.append("scratch", "ord_rb", o.where(col("k") % 4 === 3)) // v4
+    val fin = cat.load("scratch", "ord_rb")
+    val atBad = cat.loadSnapshot("scratch", "ord_rb", 3)
+    fin.agg(
+      count(lit(1)).as("n_final"),
+      sum(col("k")).cast("long").as("k_sum"),
+      (count(when(col("k") % 4 === 2, 1)) === 0).as("no_bad_rows"))
+      .crossJoin(broadcast(atBad.agg(count(lit(1)).as("n_at_bad"))))
+      .select(col("n_final"), col("k_sum"), col("n_at_bad"), col("no_bad_rows"))
+  }
+
+  val cRollbackSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 IN (0, 1, 3)) AS n_final,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+      |     WHERE o_orderkey % 4 IN (0, 1, 3)) AS k_sum,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)) AS n_at_bad,
+      |  true AS no_bad_rows""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_rollback" -> (cRollback _))
+
+  val oracles: Map[String, String] = Map(
+    "c_rollback" -> cRollbackSql)
+}

@@ -440,6 +440,61 @@ object Events {
       |  CAST(AVG((tp - tv) // 1000) AS BIGINT) AS mean_convert_us
       |FROM d GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** Time-decayed engagement features (the feature-store "recency-weighted
+    * activity" aggregate): per user, event count and value sum where each
+    * event is weighted by its age at the reference instant T — recent
+    * activity dominates, stale activity fades. TWO kernels, both emitted:
+    *  - `decay_recip`: w = 1/(1 + age_days) — rational decay, pure IEEE
+    *    +,-,*,/ (every op correctly rounded, so Spark and DuckDB agree
+    *    bit-for-bit at full precision — pow()/exp() carry NO such
+    *    guarantee across libm implementations, the §4 determinism rule,
+    *    which is why the hash-gated kernel is rational);
+    *  - `decay_exp`: w = 2^-weeks (7-day half-life, week-granular) — true
+    *    exponential decay with the weight computed as 1.0/(1L << weeks):
+    *    integer shift then a power-of-two division, both EXACT in IEEE
+    *    double, so the exponential kernel is hash-gated too.
+    * Scale shape: the weights are scan-projection column algebra; the
+    * rollup is ONE map-side-combined user_id aggregate (no window, no
+    * join); per-term round(6dp) → decimal sum makes the result independent
+    * of partition/merge order (§4). The states are mergeable: decayed sums
+    * at a fixed T add across batches, and advancing T → T+δ multiplies
+    * every exponential state by the scalar 2^(-δ/hl) — the property that
+    * makes incremental refresh (c_incremental_mv) work for these features. */
+  def qDecayAgg(spark: SparkSession, dir: String): DataFrame = {
+    val T = 1706745600000000000L // 2024-02-01 00:00:00 UTC, ns
+    val ageDays = (lit(T) - col("ts")).cast("double") / lit(86400e9)
+    val wRecip = lit(1.0) / (lit(1.0) + ageDays)
+    val wExp = lit(1.0) /
+      expr(s"cast(shiftleft(1L, cast(($T - ts) div 604800000000000 as int)) as double)")
+    Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("value"),
+        round(wRecip, 6).as("wr"),
+        round(col("value") * wRecip, 6).as("vr"),
+        round(col("value") * wExp, 6).as("ve"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        Tables.dsum(col("wr")).as("decayed_n"),
+        Tables.dsum(col("vr")).as("decay_recip"),
+        Tables.dsum(col("ve")).as("decay_exp"))
+      .orderBy("user_id")
+  }
+
+  val qDecayAggSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, value,
+      |    (1706745600000000000 - epoch_ns(ts)) AS age_ns
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, value,
+      |    1.0 / (1.0 + CAST(age_ns AS DOUBLE) / 86400e9) AS wr,
+      |    1.0 / CAST(CAST(1 AS BIGINT) << CAST(age_ns // 604800000000000 AS INTEGER) AS DOUBLE) AS we
+      |  FROM ev)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(wr, 6) AS DECIMAL(30,6))) AS DOUBLE) AS decayed_n,
+      |  CAST(SUM(CAST(round(value * wr, 6) AS DECIMAL(30,6))) AS DOUBLE) AS decay_recip,
+      |  CAST(SUM(CAST(round(value * we, 6) AS DECIMAL(30,6))) AS DOUBLE) AS decay_exp
+      |FROM w GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ab_ttest" -> (qAbTtest _),
     "q_theta_sketch" -> (qThetaSketch _),
@@ -449,6 +504,7 @@ object Events {
     "q_retention" -> (qRetention _),
     "q_gaps_islands" -> (qGapsIslands _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
+    "q_decay_agg" -> (qDecayAgg _),
     "q_cms_topk" -> (qCmsTopk _))
 
   val oracles: Map[String, String] = Map(
@@ -460,5 +516,6 @@ object Events {
     "q_cms_topk" -> qCmsTopkSql,
     "q_ab_ttest" -> qAbTtestSql,
     "q_theta_sketch" -> qThetaSketchSql,
-    "q_window_funnel" -> qWindowFunnelSql)
+    "q_window_funnel" -> qWindowFunnelSql,
+    "q_decay_agg" -> qDecayAggSql)
 }

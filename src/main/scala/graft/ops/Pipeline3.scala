@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.8 continued (round 5): soft deduplication — duplicate-aware SAMPLING
+  * WEIGHTS instead of hard drops. Modern data-mixture work (e.g. the
+  * "deduplicate by downweighting" recipe) keeps every copy of a duplicated
+  * document but scales its sampling weight by 1/n_copies, so the training
+  * distribution matches the deduplicated corpus while ablations can still
+  * dial the weight exponent. This op computes those weights and proves the
+  * invariant Σ weights = |clusters| (the deduplicated corpus size) in-plan.
+  */
+object Pipeline3 {
+
+  private def norm(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Per-source soft-dedup accounting: every document carries weight
+    * 1/n_copies of its exact-dup cluster (md5 of normalized text, the
+    * d_exact key). Emitted per source: doc count, clusters REPRESENTED
+    * (min-doc_id copy lives here), weight mass, and the duplication factor
+    * n_docs / weight_mass.
+    *
+    * Scale shape — the corpus is shuffled ONCE, and never joined back:
+    *  1. (fp, source) grain: count + min doc_id — map-side combined, so a
+    *     boilerplate page in 10% of a 100 TB corpus collapses to one row
+    *     per partition before the shuffle (the d_paragraph_dedup de-skew
+    *     rule; no content-keyed window anywhere);
+    *  2. fp grain: cluster totals and the representative (min over the
+    *     per-source min-structs) — an aggregate over CLUSTER-count rows;
+    *  3. join the two grains on fp (cluster-scale ⋈ cluster-scale,
+    *     co-partitioned: both children of the same fp shuffle) and roll up
+    *     by source. Per-copy weights are n_fs/n_total at the (fp, source)
+    *     grain — the corpus-size row explosion a per-document weight join
+    *     would cost never happens.
+    * Weight terms are round(6dp) then decimal-summed (§4 order-proof). */
+  def pDedupWeight(spark: SparkSession, dir: String): DataFrame =
+    dedupWeightOf(Tables.table(spark, dir, "documents"))
+
+  /** Core weight computation over any (doc_id, source, text) frame —
+    * exposed so specs can plant duplicate corpora. */
+  private[graft] def dedupWeightOf(docs: DataFrame): DataFrame = {
+    val fs = docs
+      .select(md5(norm(col("text"))).as("fp"), col("source"), col("doc_id"))
+      .groupBy("fp", "source")
+      .agg(count(lit(1)).as("n_fs"), min(col("doc_id")).as("min_doc"))
+    // doc_id is unique, so the cluster representative is simply the copy
+    // with the globally minimal doc_id — no struct tie-break needed
+    val clusters = fs.groupBy("fp")
+      .agg(sum(col("n_fs")).cast("long").as("n_total"),
+        min(col("min_doc")).as("rep_doc"))
+    fs.join(clusters, Seq("fp"))
+      .select(col("source"), col("n_fs"),
+        (col("min_doc") === col("rep_doc")).as("is_rep"),
+        round(col("n_fs").cast("double") / col("n_total"), 6).as("w"))
+      .groupBy("source")
+      .agg(sum(col("n_fs")).cast("long").as("n_docs"),
+        count(when(col("is_rep"), 1)).as("n_reps"),
+        Tables.dsum(col("w")).as("weight_mass"))
+      .withColumn("dup_factor",
+        round(col("n_docs").cast("double") / col("weight_mass"), 6))
+      .orderBy("source")
+  }
+
+  val pDedupWeightSql: String =
+    s"""WITH fs AS (
+       |  SELECT md5($normSql) AS fp, source,
+       |    COUNT(*) AS n_fs, MIN(doc_id) AS min_doc
+       |  FROM documents GROUP BY 1, 2),
+       |cl AS (
+       |  SELECT fp, CAST(SUM(n_fs) AS BIGINT) AS n_total,
+       |    MIN(min_doc) AS rep_doc
+       |  FROM fs GROUP BY 1),
+       |j AS (
+       |  SELECT fs.source, fs.n_fs,
+       |    (fs.min_doc = cl.rep_doc) AS is_rep,
+       |    round(CAST(fs.n_fs AS DOUBLE) / cl.n_total, 6) AS w
+       |  FROM fs JOIN cl USING (fp)),
+       |r AS (
+       |  SELECT source, CAST(SUM(n_fs) AS BIGINT) AS n_docs,
+       |    COUNT(CASE WHEN is_rep THEN 1 END) AS n_reps,
+       |    CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) AS weight_mass
+       |  FROM j GROUP BY 1)
+       |SELECT source, n_docs, n_reps, weight_mass,
+       |  round(CAST(n_docs AS DOUBLE) / weight_mass, 6) AS dup_factor
+       |FROM r ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_dedup_weight" -> (pDedupWeight _))
+
+  val oracles: Map[String, String] = Map(
+    "p_dedup_weight" -> pDedupWeightSql)
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.5 continued (round 5): SQ8 scalar quantization — the missing rung of
+  * the quantization ladder (float32 → SQ8 → PQ → OPQ). Each dimension is
+  * affinely mapped to 8 bits against per-dimension corpus [min,max] bounds:
+  * 4× memory compression with near-lossless recall, the standard first
+  * compression step vector stores apply before PQ (FAISS ScalarQuantizer).
+  *
+  * Unlike the PQ tiers (whose k-means codebooks force a rows-only gate),
+  * SQ8 is PURE ARITHMETIC — bounds are a min/max aggregate and the
+  * quantize/dequantize maps use only IEEE-exact ops (+,−,×,÷, floor,
+  * least) — so the whole tier is replayable in SQL and HASH-GATED, the
+  * only approximate-ANN tier on the board with a full DuckDB oracle.
+  */
+object Similarity2 {
+
+  private def dot(a: Column, b: Column): Column = graft.functions.Vec.vdot(a, b)
+  private def norm2(a: Column): Column = graft.functions.Vec.vnorm(a)
+
+  /** SQ8-compressed cosine top-5 per query (self excluded).
+    *
+    * Scale shape:
+    *  1. Per-dim bounds: posexplode → groupBy(dim) min/max — map-side
+    *     combined, ≤ 64 rows per partition cross the shuffle regardless of
+    *     corpus size; assembled into two 64-float arrays and broadcast.
+    *  2. Quantize+dequantize each corpus vector ONCE — a linear scan
+    *     projection (the 64-element `transform` runs per corpus row, never
+    *     in the quadratic loop). q = min(⌊(x−mn)·256/(mx−mn)⌋, 255);
+    *     dequant = mn + (q+0.5)·(mx−mn)/256 — the reconstruction FAISS
+    *     uses. In production the int8 codes are what you STORE (4×
+    *     compression); reconstruction happens at scan time.
+    *  3. Score: queries × dequantized corpus through the codegen vdot
+    *     (the hot quadratic loop stays whole-stage-codegen), rank on the
+    *     6-dp rounded cosine + vec_id (engine-portable ordering).
+    * The oracle replays the identical bounds → quantize → reconstruct →
+    * score pipeline in SQL: floor/least/± are all IEEE-exact in both
+    * engines, so the match is bit-for-bit. SimilaritySpec asserts
+    * recall@5 ≥ 0.8 vs the exact float32 ranking. */
+  def sSq8Topk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
+    val bounds = e
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))).as("bs"))
+      .select(expr("transform(bs, s -> s.mn)").as("mns"),
+        expr("transform(bs, s -> s.mx)").as("mxs"))
+    val deq = e.crossJoin(broadcast(bounds))
+      .select(col("vec_id"),
+        expr(
+          """transform(embedding, (x, i) ->
+            |  CASE WHEN mxs[i] > mns[i]
+            |    THEN mns[i] + (least(floor((cast(x AS double) - mns[i]) * 256.0d
+            |           / (mxs[i] - mns[i])), 255.0d) + 0.5d)
+            |         * (mxs[i] - mns[i]) / 256.0d
+            |    ELSE mns[i] END)""".stripMargin).as("deq"))
+      .withColumn("dnrm", norm2(col("deq")))
+    val q = e.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm2(col("embedding")).as("q_nrm"))
+    val scored = q.crossJoin(deq)
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("deq")) / (col("q_nrm") * col("dnrm")), 6)
+          .as("cosine_sq8"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine_sq8").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine_sq8"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val sSq8TopkSql: String =
+    """WITH b AS (
+      |  SELECT t.i,
+      |    MIN(CAST(embedding[t.i] AS DOUBLE)) AS mn,
+      |    MAX(CAST(embedding[t.i] AS DOUBLE)) AS mx
+      |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+      |  GROUP BY 1),
+      |ba AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM b),
+      |dq AS (
+      |  SELECT vec_id,
+      |    [CASE WHEN mxs[i] > mns[i]
+      |       THEN mns[i] + (least(floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * 256.0
+      |              / (mxs[i] - mns[i])), 255.0) + 0.5)
+      |            * (mxs[i] - mns[i]) / 256.0
+      |       ELSE mns[i] END
+      |     for i in generate_series(1, len(embedding))] AS deq
+      |  FROM embeddings CROSS JOIN ba),
+      |dn AS (
+      |  SELECT vec_id, deq,
+      |    sqrt(list_sum([deq[i]*deq[i] for i in generate_series(1, len(deq))])) AS dnrm
+      |  FROM dq),
+      |qn AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb,
+      |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+      |                   for i in generate_series(1, len(embedding))])) AS q_nrm
+      |  FROM embeddings WHERE vec_id % 20 = 0),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    round(list_sum([CAST(q.q_emb[i] AS DOUBLE) * c.deq[i]
+      |                    for i in generate_series(1, len(q.q_emb))])
+      |          / (q.q_nrm * c.dnrm), 6) AS cosine_sq8
+      |  FROM qn q JOIN dn c ON c.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cosine_sq8,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_sq8 DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine_sq8
+      |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_sq8_topk" -> (sSq8Topk _))
+
+  val oracles: Map[String, String] = Map(
+    "s_sq8_topk" -> sSq8TopkSql)
+}

@@ -34,7 +34,10 @@ class PlanAuditSpec extends SparkSpec {
     "c_incremental_read", // one-row full-scan-total broadcast
     "s_rrf_fusion",   // one-row N + one-row query-embedding broadcasts
     "q_pagerank",     // one-row dangling-mass broadcast per iteration
-    "q_theta_sketch"  // one-row θ∩ / intersection-estimate broadcasts
+    "q_theta_sketch", // one-row θ∩ / intersection-estimate broadcasts
+    "s_sq8_topk",     // capped probe batch × dequantized corpus (ADC design)
+                      //   + one-row per-dim-bounds broadcast
+    "c_rollback"      // one-row time-travel-count broadcast
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
