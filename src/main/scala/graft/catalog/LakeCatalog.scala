@@ -349,6 +349,67 @@ class LakeCatalog(spark: SparkSession, root: String) {
       case None => throw new IllegalArgumentException(s"no tag $tag on $ns.$table")
     }
 
+  // ------------------------------------------- partition-spec evolution
+  // Iceberg partition evolution: a table's partition spec can change
+  // mid-life and files written under the OLD spec are never rewritten.
+  // New-spec files land under `_p=<value>/` subdirectories and join the
+  // SAME snapshot log by relative path — the partition value is pure
+  // METADATA carried by the path (the Iceberg-manifest model, NOT hive
+  // column-splitting: data files keep every column, so old- and new-spec
+  // files read identically and time travel crosses the evolution point
+  // untouched). A predicate on the partition column then prunes new-spec
+  // files from the file LIST (string prefix match, zero IO) while
+  // pre-evolution files stay must-scan (prunable only by their zone
+  // maps) — exactly the asymmetry Iceberg documents for spec evolution.
+
+  private def listParquetRecursive(dir: Path): Seq[String] =
+    if (!Files.exists(dir) || !Files.isDirectory(dir)) Seq.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val walk = Files.walk(dir)
+      try walk.forEach { p =>
+        val rel = dir.relativize(p).toString.replace('\\', '/')
+        if (rel.endsWith(".parquet")) out += rel
+      } finally walk.close()
+      out.toSeq.sorted
+    }
+
+  /** Append under an EVOLVED partition spec: rows land in
+    * `_p=<partCol value>/` subdirectories (partition values must be
+    * path-safe tokens — the synthetic sources are). The partition column
+    * itself stays in the data files (a copy column feeds partitionBy), so
+    * every reader — snapshots, incremental scans, CDC — is layout-blind. */
+  def appendEvolved(ns: String, table: String, df: DataFrame,
+                    partCol: String): Unit = {
+    val dir = Paths.get(tablePath(ns, table))
+    val before = listParquetRecursive(dir).toSet
+    df.withColumn("_p", col(partCol)).write.mode("append")
+      .partitionBy("_p").parquet(dir.toString)
+    val added = listParquetRecursive(dir).filterNot(before)
+    recordFileStats(ns, table, added)
+    commitSnapshot(ns, table,
+      currentFiles(ns, table).getOrElse(Seq.empty) ++ added)
+  }
+
+  /** Current files partitioned into (must-scan pre-evolution files,
+    * partition-pruned new-spec files for `value`). The prune is a pure
+    * file-list operation — no data IO, no directory listing beyond the
+    * committed snapshot. */
+  def partitionFiles(ns: String, table: String,
+                     value: String): (Seq[String], Seq[String]) = {
+    val cur = currentFiles(ns, table).getOrElse(Seq.empty)
+    val (specFiles, oldFiles) = cur.partition(_.startsWith("_p="))
+    (oldFiles, specFiles.filter(_.startsWith(s"_p=$value/")))
+  }
+
+  /** Partition-pruned read: new-spec files for `value` + the must-scan
+    * pre-evolution residue. Callers still apply the column predicate —
+    * pruning is file-granular, not row-granular. */
+  def loadPartition(ns: String, table: String, value: String): DataFrame = {
+    val (oldF, newF) = partitionFiles(ns, table, value)
+    readFilesDv(ns, table, oldF ++ newF, currentVersion(ns, table))
+  }
+
   /** Rollback (Iceberg `rollback_to_snapshot`): move the main ref back to
     * snapshot `v`. Pure metadata — one atomic refs write, zero data
     * movement, table-size-independent (the property that makes "undo the

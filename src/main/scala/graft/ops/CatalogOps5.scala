@@ -62,9 +62,55 @@ object CatalogOps5 {
       |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)) AS n_at_bad,
       |  true AS no_bad_rows""".stripMargin
 
+  /** Partition-spec evolution (Iceberg partition evolution): the table
+    * starts UNPARTITIONED (even doc_ids committed as flat files), then the
+    * spec evolves to partition-by-source and the odd doc_ids land under
+    * `_p=<source>/` paths — old files are NEVER rewritten. A query for one
+    * source then shows the documented Iceberg asymmetry, proven here at the
+    * file-list level: every new-spec file for a DIFFERENT source is pruned
+    * by pure metadata (path match — zero IO), while pre-evolution files
+    * remain must-scan and are filtered row-wise. At 100 TB this is why
+    * evolving a spec is free (no rewrite) but only NEW data gets the
+    * pruning benefit — background compaction is what migrates history.
+    * Correctness columns recompute from source; the prune booleans are
+    * computed from the catalog's file-list split. */
+  def cPartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val d = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    cat.dropTable("scratch", "docs_pe")
+    cat.createTable("scratch", "docs_pe", StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+    cat.append("scratch", "docs_pe", d.where(col("doc_id") % 2 === 0))
+    cat.appendEvolved("scratch", "docs_pe", d.where(col("doc_id") % 2 === 1), "source")
+    val (mustScan, kept) = cat.partitionFiles("scratch", "docs_pe", "src3")
+    cat.loadPartition("scratch", "docs_pe", "src3")
+      .where(col("source") === "src3")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("chars_sum"))
+      .select(col("n_rows"), col("id_sum"), col("chars_sum"),
+        lit(mustScan.nonEmpty).as("old_spec_must_scan"),
+        lit(kept.nonEmpty).as("new_spec_pruned_in"),
+        lit(mustScan.size + kept.size <
+          cat.snapshots("scratch", "docs_pe").last._2.size).as("files_pruned"))
+  }
+
+  val cPartitionEvolutionSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+      |  true AS old_spec_must_scan,
+      |  true AS new_spec_pruned_in,
+      |  true AS files_pruned
+      |FROM documents WHERE source = 'src3'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c_rollback" -> (cRollback _))
+    "c_rollback" -> (cRollback _),
+    "c_partition_evolution" -> (cPartitionEvolution _))
 
   val oracles: Map[String, String] = Map(
-    "c_rollback" -> cRollbackSql)
+    "c_rollback" -> cRollbackSql,
+    "c_partition_evolution" -> cPartitionEvolutionSql)
 }

@@ -97,9 +97,80 @@ object StreamOps2 {
       |FROM orders WHERE o_orderkey BETWEEN 5 AND 50
       |ORDER BY k""".stripMargin
 
+  /** Late-data watermark audit: for every event type, how much data would a
+    * 10-minute watermark DROP, and how late does the tail arrive? The input
+    * an operator like this audits is (event time, ARRIVAL order); events is
+    * time-sorted, so arrival is modeled with a deterministic network-delay
+    * jitter (`(event_id % 20) × 90 s` — up to ~28 min, integer arithmetic,
+    * engine-portable). An event is late iff its event time precedes the
+    * watermark at its arrival instant: wm = max event time over everything
+    * that arrived STRICTLY before, minus the 10-min delay — the row-granular
+    * analog of Spark's micro-batch watermark (which only tightens per
+    * batch, so the streaming engine drops AT MOST what this audit counts;
+    * StreamingSpec2 pins a real MemoryStream query dropping a row the
+    * audit flags).
+    *
+    * Scale shape — the global running max NEVER runs as a global window:
+    * arrival is bucketed per hour (`arr div 3600e9`; bucket order ≡ arrival
+    * order since the bucket key is a monotone function of arrival), then
+    *  1. per-bucket max event time — map-side-combined aggregate;
+    *  2. exclusive prefix-max over the BUCKET MAXES (a window over
+    *     hours-of-history rows — p_pack_sequences' two-level Blelloch scan
+    *     with max as the combine op);
+    *  3. per-bucket windows (hash-partitioned on bucket) compute the
+    *     within-bucket strict running max; wm = greatest(carry-in, local).
+    * The first-ever event has NULL watermark (never late) — no sentinel
+    * arithmetic, so nothing can ANSI-overflow. */
+  def stLateAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val delay = 600000000000L // 10 min in ns
+    val e = Tables.table(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (col("ts") + expr("(event_id % 20) * 90000000000")).as("arr"))
+      .withColumn("bucket", expr("arr div 3600000000000"))
+    val carry = e.groupBy("bucket").agg(max(col("ts")).as("bmax"))
+      .withColumn("carry_in", max(col("bmax")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("bucket", "carry_in")
+    val inBucket = Window.partitionBy("bucket").orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = col("wm").isNotNull && col("ts") < col("wm") - delay
+    e.join(broadcast(carry), Seq("bucket"))
+      .withColumn("wm", greatest(max(col("ts")).over(inBucket), col("carry_in")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(late, 1)).as("n_late"),
+        max(when(late, expr(s"(wm - $delay - ts) div 1000000000")))
+          .as("max_late_s"))
+      .withColumn("late_frac",
+        round(col("n_late").cast("double") / col("n_events"), 6))
+      .select("event_type", "n_events", "n_late", "late_frac", "max_late_s")
+      .orderBy("event_type")
+  }
+
+  val stLateAuditSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) AS ns, event_id,
+      |    epoch_ns(ts) + (event_id % 20) * 90000000000 AS arr
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, ns,
+      |    max(ns) OVER (ORDER BY arr, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      |  FROM e)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(CASE WHEN ns < wm - 600000000000 THEN 1 END) AS n_late,
+      |  round(CAST(COUNT(CASE WHEN ns < wm - 600000000000 THEN 1 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS late_frac,
+      |  MAX(CASE WHEN ns < wm - 600000000000
+      |      THEN (wm - 600000000000 - ns) // 1000000000 END) AS max_late_s
+      |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st_cdc_apply" -> (stCdcApply _))
+    "st_cdc_apply" -> (stCdcApply _),
+    "st_late_audit" -> (stLateAudit _))
 
   val oracles: Map[String, String] = Map(
-    "st_cdc_apply" -> stCdcApplySql)
+    "st_cdc_apply" -> stCdcApplySql,
+    "st_late_audit" -> stLateAuditSql)
 }

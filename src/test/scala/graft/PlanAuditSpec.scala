@@ -45,7 +45,10 @@ class PlanAuditSpec extends SparkSpec {
     * docs. The whitelist is conditional: the audit proves the global
     * window's input went through the cardinality-reducing Aggregate, so
     * the exemption dies if the op ever degrades to a raw-row window. */
-  private val boundedGlobalWindow = Set("p_pack_sequences")
+  private val boundedGlobalWindow = Set(
+    "p_pack_sequences",
+    "st_late_audit" // prefix-max over per-HOUR bucket maxes (same two-level scan)
+  )
 
   // one planning pass over the whole surface, shared by every assertion
   private lazy val plans: Seq[(String, org.apache.spark.sql.DataFrame)] =
