@@ -495,8 +495,73 @@ object Events {
       |  CAST(SUM(CAST(round(value * we, 6) AS DECIMAL(30,6))) AS DOUBLE) AS decay_exp
       |FROM w GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Last-touch attribution: every purchase is credited to the channel
+    * (event type) of the LATEST preceding non-purchase event by the same
+    * user within a 7-day lookback — the standard marketing-attribution
+    * rollup. Deterministic winner: max by (ts, event_id) — integer-ns
+    * tie-break, engine-portable.
+    *
+    * Scale shape: ONE user_id-keyed equi-join (both sides co-partitioned
+    * on the same hash exchange) with the time-range predicate as a
+    * residual filter; the per-purchase winner is a max(struct(ts,
+    * event_id, type)) aggregate keyed on the purchase id — map-side
+    * combined, no window. Fan-out per user = events/user × purchases/user
+    * within the lookback, the bounded quantity the 7-day horizon dials
+    * (the q_asof_join cost model). Unattributed purchases (no touch in
+    * window) surface in the 'organic' bucket — they are data, not a drop. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame =
+    attributionOf(Tables.table(spark, dir, "events"))
+
+  /** Core attribution over any events frame — exposed for planted-input
+    * specs (organic bucket, tie-breaks, lookback edges). */
+  private[graft] def attributionOf(ev: DataFrame): DataFrame = {
+    val touches = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("channel"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value"))
+    val horizon = 7L * 86400000000000L
+    // the window predicate is part of the JOIN condition: a purchase whose
+    // only touches fall outside the lookback must keep its null row (and
+    // land in 'organic'), not be filtered away post-join
+    purchases.join(touches,
+        purchases("user_id") === touches("user_id") &&
+          col("t_ts") < col("p_ts") && col("t_ts") >= col("p_ts") - horizon,
+        "left")
+      .groupBy("p_id")
+      .agg(first(col("value"), ignoreNulls = true).as("value"),
+        max(struct(col("t_ts"), col("t_id"), col("channel"))).as("win"))
+      .select(col("p_id"), col("value"),
+        coalesce(col("win.channel"), lit("organic")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        Tables.dsum(col("value")).as("value_sum"))
+      .orderBy("channel")
+  }
+
+  val qAttributionSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS p_id, epoch_ns(ts) AS p_ns, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, epoch_ns(ts) AS t_ns, event_id AS t_id,
+      |    event_type AS channel
+      |  FROM events WHERE event_type <> 'purchase'),
+      |j AS (
+      |  SELECT p.p_id, p.value,
+      |    max(struct_pack(t_ns := t.t_ns, t_id := t.t_id, channel := t.channel)) AS win
+      |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+      |    AND t.t_ns < p.p_ns AND t.t_ns >= p.p_ns - 604800000000000
+      |  GROUP BY 1, 2)
+      |SELECT coalesce(win.channel, 'organic') AS channel,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+      |FROM j GROUP BY 1 ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ab_ttest" -> (qAbTtest _),
+    "q_attribution" -> (qAttribution _),
     "q_theta_sketch" -> (qThetaSketch _),
     "q_window_funnel" -> (qWindowFunnel _),
     "q_funnel" -> (qFunnel _),
@@ -517,5 +582,6 @@ object Events {
     "q_ab_ttest" -> qAbTtestSql,
     "q_theta_sketch" -> qThetaSketchSql,
     "q_window_funnel" -> qWindowFunnelSql,
-    "q_decay_agg" -> qDecayAggSql)
+    "q_decay_agg" -> qDecayAggSql,
+    "q_attribution" -> qAttributionSql)
 }

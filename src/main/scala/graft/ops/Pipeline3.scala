@@ -88,9 +88,62 @@ object Pipeline3 {
        |  round(CAST(n_docs AS DOUBLE) / weight_mass, 6) AS dup_factor
        |FROM r ORDER BY source""".stripMargin
 
+  /** Multi-epoch data scheduling (the "how many epochs of each domain"
+    * planning step a fixed-token-budget training run needs): with a budget
+    * of 2× the corpus and a uniform per-source target share, each source
+    * repeats for ceil(target / its tokens) epochs, capped at 4 (the
+    * repeated-data degradation rule of thumb) — small domains repeat, huge
+    * domains are sub-sampled by the (deterministic) admit-hash downstream.
+    *
+    * Scale shape: ONE map-side-combined pass builds per-source token
+    * totals; the budget derives from the SAME aggregate (grand total via a
+    * broadcast one-row crossJoin — no second corpus scan); the epoch
+    * arithmetic is integer column algebra over |sources| rows. The whole
+    * plan touches the corpus once regardless of size. */
+  def pEpochMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.table(spark, dir, "documents")
+      .select(col("source"),
+        size(split(norm(col("text")), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+    val total = perSrc.agg(sum(col("tokens")).as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        expr("(2 * corpus_tokens) div n_sources").as("target_tokens"))
+      .withColumn("epochs",
+        least(expr("(target_tokens + tokens - 1) div tokens"), lit(4L)))
+      .withColumn("realized_tokens", col("epochs") * col("tokens"))
+      .withColumn("shortfall",
+        greatest(col("target_tokens") - col("realized_tokens"), lit(0L)))
+      .orderBy("source")
+  }
+
+  val pEpochMixSql: String =
+    s"""WITH s AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(len(string_split($normSql, ' ')) AS BIGINT)) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+       |             COUNT(*) AS n_sources FROM s),
+       |p AS (
+       |  SELECT source, n_docs, tokens,
+       |    CAST((2 * corpus_tokens) // n_sources AS BIGINT) AS target_tokens
+       |  FROM s CROSS JOIN t),
+       |e AS (
+       |  SELECT source, n_docs, tokens, target_tokens,
+       |    CAST(least((target_tokens + tokens - 1) // tokens, 4) AS BIGINT) AS epochs
+       |  FROM p)
+       |SELECT source, n_docs, tokens, target_tokens, epochs,
+       |  CAST(epochs * tokens AS BIGINT) AS realized_tokens,
+       |  CAST(greatest(target_tokens - epochs * tokens, 0) AS BIGINT) AS shortfall
+       |FROM e ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p_dedup_weight" -> (pDedupWeight _))
+    "p_dedup_weight" -> (pDedupWeight _),
+    "p_epoch_mix" -> (pEpochMix _))
 
   val oracles: Map[String, String] = Map(
-    "p_dedup_weight" -> pDedupWeightSql)
+    "p_dedup_weight" -> pDedupWeightSql,
+    "p_epoch_mix" -> pEpochMixSql)
 }

@@ -115,9 +115,91 @@ object Similarity2 {
       |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine_sq8
       |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** Matryoshka two-stage retrieval: a CHEAP first pass scores every
+    * corpus vector on only its first 16 dimensions (MRL-style truncated
+    * embeddings — 4× less vector IO and arithmetic; with the prefix stored
+    * as its own column, column pruning means the full 64-dim vectors of
+    * non-candidates are NEVER read), keeps the top-50 candidates per
+    * query, and a full-precision 64-dim cosine reranks just those 50 to
+    * the final top-5.
+    *
+    * This is the funnel shape every production retrieval stack uses
+    * (cheap recall stage → expensive precision stage), and — like SQ8 —
+    * it is pure deterministic arithmetic, so BOTH stages replay in SQL
+    * and the op is hash-gated end-to-end. Both stage ranks order by the
+    * 6-dp rounded score + vec_id (engine-portable); both window top-ks
+    * get map-side WindowGroupLimit. Spec pins recall@5 vs the exact
+    * full-dim ranking. */
+  def sMatryoshkaRerank(spark: SparkSession, dir: String): DataFrame = {
+    val pre = 16
+    val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        slice(col("embedding"), 1, pre).as("stub"))
+      .withColumn("nrm", norm2(col("embedding")))
+      .withColumn("snrm", norm2(col("stub")))
+    val q = e.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("stub").as("q_stub"), col("nrm").as("q_nrm"), col("snrm").as("q_snrm"))
+    val stage1 = q.crossJoin(e.select(col("vec_id"), col("embedding"), col("nrm"),
+        col("stub"), col("snrm")))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id"), col("embedding"), col("nrm"),
+        round(dot(col("q_stub"), col("stub")) / (col("q_snrm") * col("snrm")), 6)
+          .as("stub_cos"))
+    val w1 = Window.partitionBy("q_id").orderBy(col("stub_cos").desc, col("vec_id"))
+    val candidates = stage1.withColumn("r1", row_number().over(w1))
+      .where(col("r1") <= 50)
+    val w2 = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    candidates
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(w2))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val sMatryoshkaRerankSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+      |                   for i in generate_series(1, len(embedding))])) AS nrm,
+      |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+      |                   for i in generate_series(1, 16)])) AS snrm
+      |  FROM embeddings),
+      |s1 AS (
+      |  SELECT q.vec_id AS q_id, q.embedding AS q_emb, q.nrm AS q_nrm,
+      |    c.vec_id, c.embedding, c.nrm,
+      |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+      |                    for i in generate_series(1, 16)])
+      |          / (q.snrm * c.snrm), 6) AS stub_cos
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 20 = 0),
+      |cand AS (
+      |  SELECT * FROM (
+      |    SELECT q_id, q_emb, q_nrm, vec_id, embedding, nrm,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY stub_cos DESC, vec_id) AS r1
+      |    FROM s1) WHERE r1 <= 50),
+      |s2 AS (
+      |  SELECT q_id, vec_id,
+      |    round(list_sum([CAST(q_emb[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+      |                    for i in generate_series(1, len(q_emb))])
+      |          / (q_nrm * nrm), 6) AS cosine
+      |  FROM cand),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM s2)
+      |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine
+      |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s_sq8_topk" -> (sSq8Topk _))
+    "s_sq8_topk" -> (sSq8Topk _),
+    "s_matryoshka_rerank" -> (sMatryoshkaRerank _))
 
   val oracles: Map[String, String] = Map(
-    "s_sq8_topk" -> sSq8TopkSql)
+    "s_sq8_topk" -> sSq8TopkSql,
+    "s_matryoshka_rerank" -> sMatryoshkaRerankSql)
 }

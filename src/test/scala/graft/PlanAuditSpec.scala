@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "t_nb_classify",  // one-row vocab-size/doc-total + |langs|-row broadcasts
     "s_label_probe",  // |labels|-row centroid-matrix broadcast
     "p_domain_mix",   // one-row min-count broadcast
+    "p_epoch_mix",    // one-row corpus-total/budget broadcast
     "q_cms_topk",     // one-row N broadcast (CMS bound check)
     "s_mmr_diversify", // one-row query broadcast + 30-row pool self-join
     "c_incremental_read", // one-row full-scan-total broadcast
@@ -37,6 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_theta_sketch", // one-row θ∩ / intersection-estimate broadcasts
     "s_sq8_topk",     // capped probe batch × dequantized corpus (ADC design)
                       //   + one-row per-dim-bounds broadcast
+    "s_matryoshka_rerank", // capped probe batch × 16-dim prefix scan (stage 1)
     "c_rollback"      // one-row time-travel-count broadcast
   )
 
