@@ -127,9 +127,83 @@ object Multimodal2 {
        |  CAST(a_id AS INTEGER) AS audio_id, (pts - a_pts) // 1000 AS lag_us
        |FROM r WHERE kind = 1 ORDER BY doc_id, frame_id""".stripMargin
 
+  /** Perceptual-hash near-dup detection over DECODED content (dHash): CAS
+    * (m_cas_dedup) only catches byte-identical chunks — re-encoded or
+    * slightly-corrupted assets need a signature of what the media LOOKS
+    * like. Per asset: decode frame lumas (the codec stub, batch-iterator
+    * mapPartitions — same justified shape as m_frame_sample), build a
+    * 64-bit difference hash (bit i = luma(i+1) > luma(i) — the classic
+    * dHash, robust to level shifts), then find near-dups WITHOUT the
+    * |assets|² comparison: the signature splits into 4 × 16-bit bands and
+    * candidates must share one band exactly (pigeonhole: hamming ≤ 3 < 4
+    * bands ⇒ some band is identical — ZERO false negatives at the
+    * threshold), so the pair search is an equi-join on (band, value) —
+    * d_simhash's banding, applied to decoded media (multi-index hashing:
+    * band width is THE dial — wider bands ⇒ sparser candidates but a lower
+    * guaranteed radius; 8-bit bands would cover hamming ≤ 7 at ~n²/32
+    * candidate mass on near-random signatures, the wrong trade).
+    * Verification is one codegen popcount per candidate. Payloads never
+    * shuffle; 8-byte signatures do. Codec output is not SQL-replayable →
+    * rows + Round5hSpec (planted corrupted copies found; disjoint assets
+    * not). */
+  def mPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cand = phashPairs(
+      Tables.fanout(Tables.table(spark, dir, "documents"))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+    val sigs = phashSigs(
+      Tables.fanout(Tables.table(spark, dir, "documents"))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+    sigs.agg(count(lit(1)).as("n_assets"))
+      .crossJoin(broadcast(cand.agg(
+        count(lit(1)).as("n_candidates"),
+        count(when(col("hamming") <= 3, 1)).as("n_neardup"))))
+  }
+
+  /** dHash signatures for any (doc_id, payload binary) frame. */
+  private[graft] def phashSigs(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val lumas = payload.grouped(Multimodal.FakeCodec.FrameBytes)
+            .map(Multimodal.FakeCodec.frameLuma).take(65).toArray
+          var sig = 0L
+          if (lumas.nonEmpty) {
+            var i = 0
+            while (i < 64) {
+              val a = lumas(math.min(i, lumas.length - 1))
+              val b = lumas(math.min(i + 1, lumas.length - 1))
+              if (b > a) sig |= (1L << i)
+              i += 1
+            }
+          }
+          (id, sig)
+        }
+      }.toDF("doc_id", "sig")
+  }
+
+  /** Banded candidate pairs (a, b, hamming) for any payload frame. */
+  private[graft] def phashPairs(payloads: DataFrame): DataFrame = {
+    val sigs = phashSigs(payloads)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"(sig >> ${b * 16}) & 65535")): _*)).as(Seq("band", "bv")))
+    bands.as("l")
+      .join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("l.sig").as("sa"),
+        col("r.doc_id").as("b"), col("r.sig").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_cas_dedup" -> (mCasDedup _),
-    "m_av_sync" -> (mAvSync _))
+    "m_av_sync" -> (mAvSync _),
+    "m_phash_dedup" -> (mPhashDedup _))
 
   val oracles: Map[String, String] = Map(
     "m_cas_dedup" -> mCasDedupSql,

@@ -220,13 +220,96 @@ object TextOps3 {
     "WITH " + (base +: rounds).mkString(",\n") + "\n" + fin + " ORDER BY round"
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010) — corpus-level top-25 key
+    * phrases: candidate phrases are maximal stopword-free word runs; a
+    * word scores degree/freq (degree = Σ length of the phrases it appears
+    * in — co-occurrence weighted); a phrase scores the sum of its words'
+    * scores. The classic zero-training keyword baseline a curation
+    * pipeline runs to label domains.
+    *
+    * Scale shape: phrase segmentation is a per-DOC window (doc_id keyed —
+    * bounded fan, never content); word stats are ONE map-side-combined
+    * aggregate; the score join-back keys on word (vocab-scale right side;
+    * hot words are exactly what AQE skew-split handles — and stopwords,
+    * the worst offenders, are already gone by construction); phrase
+    * dedup-and-count is a map-side-combined group on phrase text; final
+    * top-25 is TakeOrdered on (rounded score, phrase). Word scores are
+    * integer-ratio doubles rounded 6 dp, phrase scores decimal-summed
+    * (§4 order-proof). */
+  def tRakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for",
+      "on", "with", "as", "at", "by", "an", "be", "this", "that", "from",
+      "or", "are", "was", "i", "you", "he", "she", "we", "they", "not",
+      "but", "have", "has", "had")
+    val alpha = regexp_replace(lower(col("text")), "[^a-z]+", " ")
+    val words = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .select(col("doc_id"), posexplode(split(trim(alpha), " ")).as(Seq("pos", "word")))
+      .where(col("word") =!= "" && !col("word").isin(stops: _*))
+    val runs = words.withColumn("grp",
+      col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+    val phrases = runs.groupBy("doc_id", "grp")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, word))), s -> s.word), ' ')")
+        .as("phrase"),
+        count(lit(1)).as("phrase_len"))
+    val wordStats = runs.join(phrases, Seq("doc_id", "grp"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum(col("phrase_len")).as("degree"))
+      .select(col("word"),
+        round(col("degree").cast("double") / col("freq"), 6).as("wscore"))
+    runs.join(phrases, Seq("doc_id", "grp"))
+      .join(wordStats, Seq("word"))
+      .groupBy("doc_id", "grp", "phrase")
+      .agg(Tables.dsum(col("wscore")).as("score"),
+        first(col("phrase_len")).as("n_words"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), max(col("score")).as("score"),
+        first(col("n_words")).cast("long").as("n_words"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(25)
+  }
+
+  val tRakeKeywordsSql: String = {
+    val stops = "'the','a','of','and','to','in','is','it','for','on','with','as','at','by','an','be','this','that','from','or','are','was','i','you','he','she','we','they','not','but','have','has','had'"
+    s"""WITH w0 AS (
+       |  SELECT doc_id, w.word, w.pos
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS word,
+       |                    generate_subscripts(string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' '), 1) - 1 AS pos) w
+       |  WHERE w.word <> '' AND w.word NOT IN ($stops)),
+       |runs AS (
+       |  SELECT doc_id, word, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM w0),
+       |ph AS (
+       |  SELECT doc_id, grp, string_agg(word, ' ' ORDER BY pos) AS phrase,
+       |    COUNT(*) AS phrase_len
+       |  FROM runs GROUP BY 1, 2),
+       |ws AS (
+       |  SELECT word,
+       |    round(CAST(SUM(phrase_len) AS DOUBLE) / COUNT(*), 6) AS wscore
+       |  FROM runs JOIN ph USING (doc_id, grp) GROUP BY 1),
+       |psc AS (
+       |  SELECT r.doc_id, r.grp, ph.phrase,
+       |    CAST(SUM(CAST(ws.wscore AS DECIMAL(30,6))) AS DOUBLE) AS score,
+       |    CAST(MAX(ph.phrase_len) AS BIGINT) AS n_words
+       |  FROM runs r JOIN ph USING (doc_id, grp) JOIN ws ON r.word = ws.word
+       |  GROUP BY 1, 2, 3)
+       |SELECT phrase, COUNT(*) AS n_occ, MAX(score) AS score,
+       |  CAST(MAX(n_words) AS BIGINT) AS n_words
+       |FROM psc GROUP BY 1
+       |ORDER BY MAX(score) DESC, phrase LIMIT 25""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_entropy" -> (tEntropy _),
     "t_c4_filter" -> (tC4Filter _),
+    "t_rake_keywords" -> (tRakeKeywords _),
     "t_bpe_train" -> (tBpeTrain _))
 
   val oracles: Map[String, String] = Map(
     "t_entropy" -> tEntropySql,
     "t_c4_filter" -> tC4FilterSql,
+    "t_rake_keywords" -> tRakeKeywordsSql,
     "t_bpe_train" -> tBpeTrainSql)
 }

@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "s_sq8_topk",     // capped probe batch × dequantized corpus (ADC design)
                       //   + one-row per-dim-bounds broadcast
     "s_matryoshka_rerank", // capped probe batch × 16-dim prefix scan (stage 1)
-    "c_rollback"      // one-row time-travel-count broadcast
+    "c_rollback",     // one-row time-travel-count broadcast
+    "m_phash_dedup"   // one-row candidate-stats broadcast
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
