@@ -150,7 +150,17 @@ object TextOps3 {
     * and bounds lineage across rounds. Integer counts only — no fp
     * anywhere — so the DuckDB oracle (the same 5 rounds as chained CTEs)
     * matches exactly; ties break on (count desc, left, right). */
-  def tBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def tBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    spark.createDataFrame(bpeMergesLearned(spark, dir))
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("round")
+
+  /** The merge-learning loop, shared by train (emits the rules) and apply
+    * (tokenizes the corpus with them). Per round: ONE map-side-combined
+    * pair-count aggregate; only the single argmax row (3 fields — model
+    * scale) crosses to the driver. */
+  private[graft] def bpeMergesLearned(spark: SparkSession,
+      dir: String): Seq[(Int, String, String, String, Long)] = {
     import org.apache.spark.sql.functions.call_function
     val words0 = Tables.fanout(Tables.table(spark, dir, "documents"))
       .select(explode(split(norm(col("text")), " ")).as("w"))
@@ -187,12 +197,12 @@ object TextOps3 {
           lit(s" $a $b "), lit(s" $a$b ")).as("sym"), col("n"))
         .localCheckpoint()
     }
-    spark.createDataFrame(merges.toSeq)
-      .toDF("round", "lhs", "rhs", "merged", "pair_count")
-      .orderBy("round")
+    merges.toSeq
   }
 
-  val tBpeTrainSql: String = {
+  /** The training CTE chain (w0 + per-round pair-count/argmax/replace),
+    * shared verbatim by the train and apply oracles. */
+  private val bpeTrainCtes: String = {
     val base =
       s"""w0 AS (
          |  SELECT ' ' || array_to_string([substr(w, CAST(i AS INT), 1)
@@ -214,10 +224,78 @@ object TextOps3 {
          |w$k AS (SELECT replace(sym, ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' ') AS sym, n
          |        FROM w$p, top$k t)""".stripMargin
     }
+    (base +: rounds).mkString(",\n")
+  }
+
+  val tBpeTrainSql: String = {
     val fin = (1 to bpeRounds).map(k =>
       s"SELECT CAST($k AS INT) AS round, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM top$k")
       .mkString(" UNION ALL ")
-    "WITH " + (base +: rounds).mkString(",\n") + "\n" + fin + " ORDER BY round"
+    "WITH " + bpeTrainCtes + "\n" + fin + " ORDER BY round"
+  }
+
+  /** BPE tokenizer APPLICATION — the other half of the tokenizer loop:
+    * tokenize the whole corpus with the merges [[tBpeTrain]] learned, and
+    * report per-source token economics (chars per BPE token — the metric a
+    * budget pipeline converts corpus bytes → training tokens with).
+    *
+    * Scale shape: merges apply per word TYPE, not per occurrence — the
+    * distinct-word table (vocab-scale) goes through the 5 learned replaces
+    * in a scan projection, and occurrences get their token counts by a
+    * word-keyed join (vocab right side; AQE handles the Zipf head) +
+    * map-side-combined source rollup. The corpus is scanned once; merge
+    * learning itself re-runs the training loop (argmax rows only to the
+    * driver). Oracle replays training AND application as one CTE chain. */
+  def tBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.call_function
+    val merges = bpeMergesLearned(spark, dir)
+    val dw = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .select(col("source"), explode(split(norm(col("text")), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val types = dw.select("w").distinct()
+      .withColumn("sym", concat(lit(" "),
+        concat_ws(" ", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+        lit(" ")))
+    val applied = merges.foldLeft(types) { case (df, (_, a, b, _, _)) =>
+      df.withColumn("sym", call_function("replace", col("sym"),
+        lit(s" $a $b "), lit(s" $a$b ")))
+    }.select(col("w"),
+      size(split(trim(col("sym")), " ")).cast("long").as("n_tok"))
+    dw.join(applied, Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_tok")).cast("long").as("bpe_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+      .orderBy("source")
+  }
+
+  val tBpeApplySql: String = {
+    val applySteps = (1 to bpeRounds).map { k =>
+      val p = k - 1
+      s"""s$k AS (SELECT w, replace(sym, ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' ') AS sym
+         |        FROM s$p, top$k t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |dw AS (
+       |  SELECT source, w.word AS w
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(string_split($normSql, ' ')) AS word) w
+       |  WHERE length(w.word) > 0),
+       |s0 AS (
+       |  SELECT w, ' ' || array_to_string([substr(w, CAST(i AS INT), 1)
+       |           for i in generate_series(1, length(w))], ' ') || ' ' AS sym
+       |  FROM (SELECT DISTINCT w FROM dw)),
+       |$applySteps,
+       |nt AS (SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_tok
+       |       FROM s$bpeRounds)
+       |SELECT source, COUNT(*) AS n_words,
+       |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(SUM(length(w)) AS DOUBLE) / SUM(n_tok), 6) AS chars_per_token
+       |FROM dw JOIN nt USING (w)
+       |GROUP BY 1 ORDER BY source""".stripMargin
   }
 
   /** RAKE keyword extraction (Rose et al. 2010) — corpus-level top-25 key
@@ -246,21 +324,22 @@ object TextOps3 {
     val words = Tables.fanout(Tables.table(spark, dir, "documents"))
       .select(col("doc_id"), posexplode(split(trim(alpha), " ")).as(Seq("pos", "word")))
       .where(col("word") =!= "" && !col("word").isin(stops: _*))
+    // phrase length rides along as a window count over the SAME doc-keyed
+    // partitioning the run-grouping already uses — no phrase join-back
     val runs = words.withColumn("grp",
-      col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
-    val phrases = runs.groupBy("doc_id", "grp")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, word))), s -> s.word), ' ')")
-        .as("phrase"),
-        count(lit(1)).as("phrase_len"))
-    val wordStats = runs.join(phrases, Seq("doc_id", "grp"))
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .withColumn("phrase_len",
+        count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+    val wordStats = runs
       .groupBy("word")
       .agg(count(lit(1)).as("freq"), sum(col("phrase_len")).as("degree"))
       .select(col("word"),
         round(col("degree").cast("double") / col("freq"), 6).as("wscore"))
-    runs.join(phrases, Seq("doc_id", "grp"))
-      .join(wordStats, Seq("word"))
-      .groupBy("doc_id", "grp", "phrase")
-      .agg(Tables.dsum(col("wscore")).as("score"),
+    runs.join(wordStats, Seq("word"))
+      .groupBy("doc_id", "grp")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, word))), s -> s.word), ' ')")
+        .as("phrase"),
+        Tables.dsum(col("wscore")).as("score"),
         first(col("phrase_len")).as("n_words"))
       .groupBy("phrase")
       .agg(count(lit(1)).as("n_occ"), max(col("score")).as("score"),
@@ -305,11 +384,13 @@ object TextOps3 {
     "t_entropy" -> (tEntropy _),
     "t_c4_filter" -> (tC4Filter _),
     "t_rake_keywords" -> (tRakeKeywords _),
-    "t_bpe_train" -> (tBpeTrain _))
+    "t_bpe_train" -> (tBpeTrain _),
+    "t_bpe_apply" -> (tBpeApply _))
 
   val oracles: Map[String, String] = Map(
     "t_entropy" -> tEntropySql,
     "t_c4_filter" -> tC4FilterSql,
     "t_rake_keywords" -> tRakeKeywordsSql,
-    "t_bpe_train" -> tBpeTrainSql)
+    "t_bpe_train" -> tBpeTrainSql,
+    "t_bpe_apply" -> tBpeApplySql)
 }

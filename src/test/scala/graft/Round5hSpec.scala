@@ -32,6 +32,20 @@ class Round5hSpec extends SparkSpec {
     assert(twins.exists(r => r.getAs[Int]("hamming") == 0L))
   }
 
+  test("t_bpe_apply: learned merges compress — n_words <= bpe_tokens < n_chars") {
+    val out = ops.TextOps3.tBpeApply(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val words = r.getAs[Long]("n_words")
+      val chars = r.getAs[Long]("n_chars")
+      val toks = r.getAs[Long]("bpe_tokens")
+      // every word is >= 1 token; 5 learned merges must beat char-level
+      assert(toks >= words, s"${r.getAs[String]("source")}: tokens < words")
+      assert(toks < chars, s"${r.getAs[String]("source")}: merges compressed nothing")
+      assert(r.getAs[Double]("chars_per_token") > 1.0)
+    }
+  }
+
   test("m_phash_dedup driver entry emits one stats row with consistent counts") {
     val out = ops.Multimodal2.mPhashDedup(spark, sfDir).collect()
     assert(out.length == 1)
