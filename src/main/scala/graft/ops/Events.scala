@@ -559,9 +559,64 @@ object Events {
       |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
       |FROM j GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** Event-sequence pattern matching (the MATCH_RECOGNIZE / ClickHouse
+    * sequenceCount shape): each user's history becomes a compact
+    * one-letter-per-event string (ordered by ts, event_id) and behavioral
+    * patterns are regexes over it — 'v[^p]*p' = view converts to purchase,
+    * 'vp' = impulse purchase (adjacent), 'e[^p]*p' = recovery after error.
+    * Counting uses non-overlapping leftmost matching, identical in Java
+    * and RE2 for these patterns (no alternation ambiguity; [^p]* cannot
+    * cross its terminator).
+    *
+    * Scale shape: ONE user-keyed aggregate builds the sequence string
+    * (collect_list partials merge map-side; per-user state is bounded by
+    * events/user — the sessionization contract); the regex scan is a
+    * per-row projection over |users| rows; the pattern rollup is 3 groups.
+    * At 100 TB the per-user string is the thing to bound (cap the window,
+    * as st_session does) — the shuffle is already minimal. */
+  def qMatchRecognize(spark: SparkSession, dir: String): DataFrame = {
+    val letter = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s")
+      .otherwise("e")
+    val seqs = Tables.table(spark, dir, "events")
+      .select(col("user_id"), struct(col("ts"), col("event_id"), letter.as("ch")).as("ev"))
+      .groupBy("user_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(ev)), s -> s.ch), '')").as("sq"))
+    seqs.select(expr(
+        """stack(3,
+          |  'adjacent_vp',        regexp_count(sq, 'vp'),
+          |  'error_recovery',     regexp_count(sq, 'e[^p]*p'),
+          |  'view_then_purchase', regexp_count(sq, 'v[^p]*p')
+          |) as (pattern, m)""".stripMargin))
+      .groupBy("pattern")
+      .agg(count(when(col("m") > 0, 1)).as("n_users"),
+        sum(col("m")).cast("long").as("n_matches"))
+      .orderBy("pattern")
+  }
+
+  val qMatchRecognizeSql: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |               WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+      |               ELSE 'e' END, '' ORDER BY ts, event_id) AS sq
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT user_id, p.pattern, len(regexp_extract_all(sq, p.re)) AS m
+      |  FROM s CROSS JOIN (VALUES
+      |    ('adjacent_vp', 'vp'),
+      |    ('error_recovery', 'e[^p]*p'),
+      |    ('view_then_purchase', 'v[^p]*p')) p(pattern, re))
+      |SELECT pattern, COUNT(CASE WHEN m > 0 THEN 1 END) AS n_users,
+      |  CAST(SUM(m) AS BIGINT) AS n_matches
+      |FROM m GROUP BY 1 ORDER BY pattern""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ab_ttest" -> (qAbTtest _),
     "q_attribution" -> (qAttribution _),
+    "q_match_recognize" -> (qMatchRecognize _),
     "q_theta_sketch" -> (qThetaSketch _),
     "q_window_funnel" -> (qWindowFunnel _),
     "q_funnel" -> (qFunnel _),
@@ -583,5 +638,6 @@ object Events {
     "q_theta_sketch" -> qThetaSketchSql,
     "q_window_funnel" -> qWindowFunnelSql,
     "q_decay_agg" -> qDecayAggSql,
-    "q_attribution" -> qAttributionSql)
+    "q_attribution" -> qAttributionSql,
+    "q_match_recognize" -> qMatchRecognizeSql)
 }

@@ -195,11 +195,63 @@ object Similarity2 {
       |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine
       |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** Attribute-FILTERED vector search (the "filtered ANN" every vector
+    * store advertises): top-5 by cosine among candidates sharing the
+    * query's label only (same-class search — language-restricted
+    * retrieval, tenant isolation, modality routing all reduce to this).
+    *
+    * The load-bearing plan property: the label constraint makes the pair
+    * generation an EQUI-JOIN on label — a hash join whose candidate mass
+    * is Σ_label |class|² instead of |corpus|², with NO cartesian product
+    * anywhere (the plan audit enforces it). At 100 TB this is why you
+    * pre-partition (or IVF-index) WITHIN each filter class: the filter is
+    * pushed below the expensive stage, never applied to its output. */
+  def sFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm2(col("embedding")).as("nrm"))
+    val q = e.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = q.join(e, Seq("label")) // equi-join on the filter attribute
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("label"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("label"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val sFilteredTopkSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+      |                   for i in generate_series(1, len(embedding))])) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, q.label, c.vec_id,
+      |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+      |                    for i in generate_series(1, len(q.embedding))])
+      |          / (q.nrm * c.nrm), 6) AS cosine
+      |  FROM n q JOIN n c ON q.label = c.label AND c.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 20 = 0),
+      |ranked AS (
+      |  SELECT q_id, label, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, label, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine
+      |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_sq8_topk" -> (sSq8Topk _),
-    "s_matryoshka_rerank" -> (sMatryoshkaRerank _))
+    "s_matryoshka_rerank" -> (sMatryoshkaRerank _),
+    "s_filtered_topk" -> (sFilteredTopk _))
 
   val oracles: Map[String, String] = Map(
     "s_sq8_topk" -> sSq8TopkSql,
-    "s_matryoshka_rerank" -> sMatryoshkaRerankSql)
+    "s_matryoshka_rerank" -> sMatryoshkaRerankSql,
+    "s_filtered_topk" -> sFilteredTopkSql)
 }
