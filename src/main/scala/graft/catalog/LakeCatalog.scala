@@ -22,6 +22,13 @@ import scala.jdk.CollectionConverters._
   * one-arrow-row `table.append` (IcebergConnection.py:180-183) an append
   * here is a distributed write of any size.
   */
+/** A commit planned against a snapshot the table has moved past — the
+  * optimistic-concurrency signal (Iceberg CommitFailedException analog).
+  * The writer's staged files are NOT referenced by any snapshot; the
+  * correct reaction is recompute-and-retry, and [[LakeCatalog.removeOrphans]]
+  * reclaims the abandoned files. */
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 class LakeCatalog(spark: SparkSession, root: String) {
 
   private def rootPath: Path = Paths.get(root)
@@ -97,8 +104,23 @@ class LakeCatalog(spark: SparkSession, root: String) {
 
   private def commitSnapshot(ns: String, table: String, files: Seq[String],
                              batch: Option[Long] = None,
-                             ref: String = "main"): Int = {
+                             ref: String = "main",
+                             expectedBase: Option[Int] = None): Int = {
     val prev = snapshots(ns, table)
+    // optimistic-concurrency validation (the Iceberg commit protocol): a
+    // writer that planned its commit against snapshot E must fail if the
+    // table moved — committing a COW rewrite computed from a stale file
+    // list would silently ERASE every row a concurrent writer added. The
+    // check-and-append is atomic under the single-process lock the flat
+    // warehouse assumes; a real catalog does the same CAS against its
+    // metastore. Failed commits leave their staged files unreferenced —
+    // exactly the debris [[removeOrphans]] exists to sweep.
+    expectedBase.foreach { e =>
+      val head = refs(ns, table).getOrElse("main",
+        prev.map(_._1).maxOption.getOrElse(0))
+      if (head != e) throw new CommitConflictException(
+        s"$ns.$table moved: expected base $e, head is $head — recompute and retry")
+    }
     val v = prev.map(_._1).maxOption.map(_ + 1).getOrElse(0)
     // streaming commits carry their micro-batch id IN the snapshot line:
     // data-commit and replay-fence are then one atomic append — a crash can
@@ -1033,9 +1055,37 @@ class LakeCatalog(spark: SparkSession, root: String) {
     cur.filter(touched.toSet)
   }
 
+  /** The main ref's current snapshot version — what an optimistic writer
+    * records as its commit base before planning a rewrite. */
+  def headVersion(ns: String, table: String): Int = currentVersion(ns, table)
+
+  /** DELETE WHERE cond, validated against `expectedBase` at commit time
+    * (optimistic concurrency): the rewrite is planned from the snapshot the
+    * writer saw; if ANY other commit landed since, the commit throws
+    * [[CommitConflictException]] WITHOUT publishing — a blind commit would
+    * erase the concurrent writer's rows, the lost-update anomaly the
+    * Iceberg commit protocol exists to prevent. The staged rewrite files
+    * become unreferenced debris for [[removeOrphans]]. Retry = re-read head,
+    * re-plan, re-commit (the caller's loop; conflicts are rare by design). */
+  def deleteWhereAt(ns: String, table: String, cond: Column,
+                    expectedBase: Int): Unit =
+    deleteWhereImpl(ns, table, cond, Some(expectedBase))
+
   /** DELETE WHERE cond — file-granular copy-on-write. */
-  def deleteWhere(ns: String, table: String, cond: Column): Unit = {
-    val cur = currentFiles(ns, table).getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+  def deleteWhere(ns: String, table: String, cond: Column): Unit =
+    deleteWhereImpl(ns, table, cond, None)
+
+  private def deleteWhereImpl(ns: String, table: String, cond: Column,
+                              expectedBase: Option[Int]): Unit = {
+    val cur = expectedBase match {
+      // an optimistic writer plans from ITS base snapshot, not the moving
+      // head — planning from head then CAS-ing on base would be incoherent
+      case Some(v) => snapshots(ns, table).find(_._1 == v)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot $v for $ns.$table"))._2
+      case None =>
+        currentFiles(ns, table).getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    }
     val df = readFiles(ns, table, cur)
     val touched = touchedFiles(cur, df, cond)
     if (touched.nonEmpty) {
@@ -1047,10 +1097,12 @@ class LakeCatalog(spark: SparkSession, root: String) {
       // deletion vectors — a raw read would RESURRECT those rows into the
       // rewritten file (the vectors key on the old filename and go inert).
       // Same guard on every COW rewrite path below.
-      val kept = readFilesDv(ns, table, touched, currentVersion(ns, table))
+      val dvVersion = expectedBase.getOrElse(currentVersion(ns, table))
+      val kept = readFilesDv(ns, table, touched, dvVersion)
         .where(!coalesce(cond, lit(false)))
       val newFiles = writeNewFiles(ns, table, kept)
-      commitSnapshot(ns, table, cur.diff(touched) ++ newFiles)
+      commitSnapshot(ns, table, cur.diff(touched) ++ newFiles,
+        expectedBase = expectedBase)
     }
   }
 

@@ -106,11 +106,58 @@ object CatalogOps5 {
       |  true AS files_pruned
       |FROM documents WHERE source = 'src3'""".stripMargin
 
+  /** Optimistic-concurrency commit validation (the Iceberg commit
+    * protocol): writer A plans a COW delete against snapshot v1; writer B's
+    * append lands first; A's commit MUST fail — published blindly, A's
+    * rewrite (computed from v1's file list) would silently erase B's rows,
+    * the lost-update anomaly. A then retries against the new head and both
+    * writers' effects compose. The failed commit's staged files are left
+    * unreferenced and the orphan sweep reclaims them — the full Iceberg
+    * failure lifecycle (CommitFailedException → retry; debris →
+    * remove_orphan_files), at metadata cost only: validation is ONE head
+    * comparison regardless of table size. */
+  def cWriteConflict(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    cat.dropTable("scratch", "ord_cc")
+    cat.createTable("scratch", "ord_cc", StructType(Seq(
+      StructField("k", LongType), StructField("p", DoubleType))))
+    cat.append("scratch", "ord_cc", o.where(col("k") <= 100))          // v1
+    val base = cat.headVersion("scratch", "ord_cc")
+    cat.append("scratch", "ord_cc", o.where(col("k").between(101, 120))) // v2: writer B wins
+    val conflictDetected =
+      try { cat.deleteWhereAt("scratch", "ord_cc", col("k") % 2 === 0, base); false }
+      catch { case _: graft.catalog.CommitConflictException => true }
+    // retry against the current head — the caller's recompute-and-retry loop
+    cat.deleteWhere("scratch", "ord_cc", col("k") % 2 === 0)             // v3
+    val orphansSwept = cat.removeOrphans("scratch", "ord_cc").nonEmpty
+    cat.load("scratch", "ord_cc")
+      .agg(count(lit(1)).as("n_final"),
+        sum(col("k")).cast("long").as("k_sum"),
+        (count(when(col("k").between(101, 120), 1)) === 10).as("b_rows_survived"))
+      .select(col("n_final"), col("k_sum"),
+        lit(conflictDetected).as("conflict_detected"),
+        col("b_rows_survived"),
+        lit(orphansSwept).as("orphans_swept"))
+  }
+
+  val cWriteConflictSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 120 AND o_orderkey % 2 = 1) AS n_final,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+      |     WHERE o_orderkey <= 120 AND o_orderkey % 2 = 1) AS k_sum,
+      |  true AS conflict_detected,
+      |  true AS b_rows_survived,
+      |  true AS orphans_swept""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_rollback" -> (cRollback _),
-    "c_partition_evolution" -> (cPartitionEvolution _))
+    "c_partition_evolution" -> (cPartitionEvolution _),
+    "c_write_conflict" -> (cWriteConflict _))
 
   val oracles: Map[String, String] = Map(
     "c_rollback" -> cRollbackSql,
-    "c_partition_evolution" -> cPartitionEvolutionSql)
+    "c_partition_evolution" -> cPartitionEvolutionSql,
+    "c_write_conflict" -> cWriteConflictSql)
 }
