@@ -613,10 +613,78 @@ object Events {
       |  CAST(SUM(m) AS BIGINT) AS n_matches
       |FROM m GROUP BY 1 ORDER BY pattern""".stripMargin
 
+  /** OHLC time-series resampling: purchase values rolled to minute bars
+    * (open/high/low/close + volume) — the downsampling shape every
+    * metrics/market pipeline runs. Open and close are the values at the
+    * bucket's first/last instant, selected by min/max over
+    * struct(ts, event_id, value) — a map-side-combined aggregate (the
+    * keep-first-without-a-window rule): deterministic through the
+    * (ts, event_id) tie-break, ONE shuffle keyed on the time bucket,
+    * bucket count bounded by the time range not the event rate. */
+  def qOhlcResample(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(expr("ts div 60000000000").as("minute"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy("minute")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        Tables.dsum(col("value")).as("volume"))
+      .select(col("minute"), col("n"), col("o.value").as("open"),
+        col("high"), col("low"), col("c.value").as("close"), col("volume"))
+      .orderBy("minute")
+
+  val qOhlcResampleSql: String =
+    """SELECT epoch_ns(ts) // 60000000000 AS minute, COUNT(*) AS n,
+      |  min(struct_pack(ts := epoch_ns(ts), eid := event_id, v := value)).v AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(struct_pack(ts := epoch_ns(ts), eid := event_id, v := value)).v AS close,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS volume
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY minute""".stripMargin
+
+  /** EXACT distributed quantiles (discrete p50/p90 per event type) — the
+    * audit-path complement to q_approx_quantile's sketch: exact order
+    * statistics need a per-group sort (the one shuffle here, keyed on the
+    * bounded-fan event_type), which is exactly why the approx sketch is
+    * the 100 TB default and THIS op is what you run to calibrate it.
+    * Discrete (no interpolation) + (value, event_id) tie-break = the
+    * selected element is a real row, identically chosen by both engines.
+    * Target rank ceil(n·p/100) computed in integer arithmetic. */
+  def qQuantileExact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.table(spark, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max(col("nn")).as("n"),
+        max(when(col("rnk") === expr("(nn * 50 + 99) div 100"), col("value"))).as("p50"),
+        max(when(col("rnk") === expr("(nn * 90 + 99) div 100"), col("value"))).as("p90"))
+      .orderBy("event_type")
+  }
+
+  val qQuantileExactSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  MAX(CASE WHEN rnk = (n * 50 + 99) // 100 THEN value END) AS p50,
+      |  MAX(CASE WHEN rnk = (n * 90 + 99) // 100 THEN value END) AS p90
+      |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ab_ttest" -> (qAbTtest _),
     "q_attribution" -> (qAttribution _),
     "q_match_recognize" -> (qMatchRecognize _),
+    "q_ohlc_resample" -> (qOhlcResample _),
+    "q_quantile_exact" -> (qQuantileExact _),
     "q_theta_sketch" -> (qThetaSketch _),
     "q_window_funnel" -> (qWindowFunnel _),
     "q_funnel" -> (qFunnel _),
@@ -639,5 +707,7 @@ object Events {
     "q_window_funnel" -> qWindowFunnelSql,
     "q_decay_agg" -> qDecayAggSql,
     "q_attribution" -> qAttributionSql,
-    "q_match_recognize" -> qMatchRecognizeSql)
+    "q_match_recognize" -> qMatchRecognizeSql,
+    "q_ohlc_resample" -> qOhlcResampleSql,
+    "q_quantile_exact" -> qQuantileExactSql)
 }

@@ -126,7 +126,8 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.Attribute
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import org.apache.spark.sql.types.StringType
-    val metadataKeys = Set("source", "lang", "kind", "side", "event", "modality")
+    val metadataKeys = Set("source", "lang", "kind", "side", "event",
+      "event_type", "modality")
     val offenders = optimized.flatMap { case (name, plan) =>
       val bad = plan.collect { case w: LWindow =>
         w.partitionSpec.filter(_.dataType == StringType).filter {
