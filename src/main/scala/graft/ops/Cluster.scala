@@ -54,13 +54,23 @@ object Cluster {
   }
 
   /** One Lloyd round: assign distributed, average distributed, only the
-    * k×d centroid matrix collected (model parameters, not data). */
+    * k×d centroid matrix collected (model parameters, not data).
+    *
+    * The per-dim mean is a DECIMAL sum / count, not avg(): double
+    * summation order varies with partitioning, so avg() makes training
+    * bit-NONdeterministic on a real cluster (different run → different
+    * model) — the §4 rule applied to ML state. The decimal mean is
+    * associative (bit-stable at any partitioning) and replayable in SQL,
+    * which is what lets s_kmeans_train carry a full DuckDB oracle;
+    * `.toFloat` (the stored model precision) is mirrored by CAST(AS REAL). */
   private def step(e: DataFrame, cents: Array[Array[Float]]): Array[Array[Float]] = {
     val d = cents(0).length
     val means = e
       .select(argmax(cents)(col("embedding"), col("nrm")).as("cell"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
+      .groupBy("cell", "dim")
+      .agg((sum(col("v").cast("double").cast("decimal(30,6)")).cast("double")
+        / count(lit(1))).as("m"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
     cents.indices.toArray.map { c =>
       if (means.contains((c, 0)))
@@ -107,8 +117,64 @@ object Cluster {
       .orderBy("cell")
   }
 
+  /** Full SQL replay of the 3 Lloyd rounds — what the decimal-mean update
+    * buys: training is pure deterministic arithmetic (in-order double
+    * dots, decimal-exact means, float32 model truncation as CAST AS REAL,
+    * lowest-cell tie-break as a struct max), so DuckDB reproduces the
+    * MODEL bit-for-bit and the op graduates from rows-only to hash-gated —
+    * an iterative ML trainer with an exact cross-engine oracle. */
+  val sKmeansTrainSql: String = {
+    val k = 8
+    val rounds = 3
+    def cos(emb: String, nrm: String, cv: String): String =
+      s"""list_sum([CAST($emb[i] AS DOUBLE) * $cv[i]
+         |             for i in generate_series(1, 64)])
+         |      / ($nrm * sqrt(list_sum([$cv[i]*$cv[i]
+         |             for i in generate_series(1, 64)])))""".stripMargin
+    val base =
+      s"""n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+         |                   for i in generate_series(1, len(embedding))])) AS nrm
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""as$r AS (
+         |  SELECT e.vec_id,
+         |    max(struct_pack(cos := ${cos("e.embedding", "e.nrm", "c.cv")},
+         |                    nc := -c.cell)) AS w
+         |  FROM n e CROSS JOIN c$p c GROUP BY 1),
+         |up$r AS (
+         |  SELECT -(w.nc) AS cell, t.i AS dim,
+         |    CAST(CAST(CAST(SUM(CAST(CAST(e.embedding[t.i] AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
+         |         / COUNT(*) AS REAL) AS DOUBLE) AS m
+         |  FROM as$r JOIN n e USING (vec_id)
+         |  CROSS JOIN generate_series(1, 64) t(i)
+         |  GROUP BY 1, 2),
+         |c$r AS (
+         |  SELECT p.cell, list(coalesce(u.m, p.cv[d.i]) ORDER BY d.i) AS cv
+         |  FROM c$p p CROSS JOIN generate_series(1, 64) d(i)
+         |  LEFT JOIN up$r u ON u.cell = p.cell AND u.dim = d.i
+         |  GROUP BY 1)""".stripMargin
+    }
+    s"""WITH ${(base +: roundCtes).mkString(",\n")},
+       |fin AS (
+       |  SELECT e.vec_id,
+       |    max(struct_pack(cos := ${cos("e.embedding", "e.nrm", "c.cv")},
+       |                    nc := -c.cell)) AS w
+       |  FROM n e CROSS JOIN c$rounds c GROUP BY 1)
+       |SELECT CAST(-(w.nc) AS INT) AS cell, COUNT(*) AS n_members,
+       |  round(CAST(SUM(CAST(w.cos AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+       |FROM fin GROUP BY 1 ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_kmeans_train" -> (sKmeansTrain _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "s_kmeans_train" -> sKmeansTrainSql)
 }
