@@ -123,14 +123,17 @@ object Cluster {
     * lowest-cell tie-break as a struct max), so DuckDB reproduces the
     * MODEL bit-for-bit and the op graduates from rows-only to hash-gated —
     * an iterative ML trainer with an exact cross-engine oracle. */
-  val sKmeansTrainSql: String = {
-    val k = 8
-    val rounds = 3
-    def cos(emb: String, nrm: String, cv: String): String =
-      s"""list_sum([CAST($emb[i] AS DOUBLE) * $cv[i]
-         |             for i in generate_series(1, 64)])
-         |      / ($nrm * sqrt(list_sum([$cv[i]*$cv[i]
-         |             for i in generate_series(1, 64)])))""".stripMargin
+  /** cos(row, centroid) fragment against a centroid list column. */
+  private[ops] def cosSql(emb: String, nrm: String, cv: String): String =
+    s"""list_sum([CAST($emb[i] AS DOUBLE) * $cv[i]
+       |             for i in generate_series(1, 64)])
+       |      / ($nrm * sqrt(list_sum([$cv[i]*$cv[i]
+       |             for i in generate_series(1, 64)])))""".stripMargin
+
+  /** The Lloyd CTE chain (`n`, `c0`, per-round assign/update/recenter up
+    * to `c<rounds>`) — the WITH-body fragment shared by the k-means oracle
+    * and every IVF oracle that probes [[train]]'s cells. */
+  private[ops] def lloydCtes(k: Int, rounds: Int): String = {
     val base =
       s"""n AS (
          |  SELECT vec_id, embedding,
@@ -145,7 +148,7 @@ object Cluster {
       val p = r - 1
       s"""as$r AS (
          |  SELECT e.vec_id,
-         |    max(struct_pack(cos := ${cos("e.embedding", "e.nrm", "c.cv")},
+         |    max(struct_pack(cos := ${cosSql("e.embedding", "e.nrm", "c.cv")},
          |                    nc := -c.cell)) AS w
          |  FROM n e CROSS JOIN c$p c GROUP BY 1),
          |up$r AS (
@@ -161,10 +164,15 @@ object Cluster {
          |  LEFT JOIN up$r u ON u.cell = p.cell AND u.dim = d.i
          |  GROUP BY 1)""".stripMargin
     }
-    s"""WITH ${(base +: roundCtes).mkString(",\n")},
+    (base +: roundCtes).mkString(",\n")
+  }
+
+  val sKmeansTrainSql: String = {
+    val rounds = 3
+    s"""WITH ${lloydCtes(k = 8, rounds = rounds)},
        |fin AS (
        |  SELECT e.vec_id,
-       |    max(struct_pack(cos := ${cos("e.embedding", "e.nrm", "c.cv")},
+       |    max(struct_pack(cos := ${cosSql("e.embedding", "e.nrm", "c.cv")},
        |                    nc := -c.cell)) AS w
        |  FROM n e CROSS JOIN c$rounds c GROUP BY 1)
        |SELECT CAST(-(w.nc) AS INT) AS cell, COUNT(*) AS n_members,

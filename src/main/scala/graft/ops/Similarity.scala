@@ -876,6 +876,85 @@ object Similarity {
       |FROM rk FULL OUTER JOIN rc ON rk.doc_id = rc.doc_id
       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Full SQL replay of the IVF pipeline (r5 — enabled by the
+    * deterministic decimal-mean Lloyd trainer in [[Cluster]]): the oracle
+    * re-trains the 4-round cell model as chained CTEs, re-assigns the
+    * corpus (struct-max argmax, lowest-cell ties), re-probes the nprobe=3
+    * nearest cells per query and re-scores exact cosine — so even this
+    * APPROXIMATE op is hash-gated end-to-end: the approximation is a
+    * deterministic function of (data, model recipe), not of the engine. */
+  val sIvfTopkSql: String = {
+    val rounds = 4
+    s"""WITH ${Cluster.lloydCtes(k = 8, rounds = rounds)},
+       |asn AS (
+       |  SELECT e.vec_id,
+       |    max(struct_pack(cos := ${Cluster.cosSql("e.embedding", "e.nrm", "c.cv")},
+       |                    nc := -c.cell)) AS w
+       |  FROM n e CROSS JOIN c$rounds c GROUP BY 1),
+       |assigned AS (SELECT vec_id, -(w.nc) AS cell FROM asn),
+       |pr AS (
+       |  SELECT q.vec_id AS q_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${Cluster.cosSql("q.embedding", "q.nrm", "c.cv")} DESC, c.cell) AS r
+       |  FROM n q CROSS JOIN c$rounds c WHERE q.vec_id % 20 = 0),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id
+       |  FROM (SELECT q_id, cell FROM pr WHERE r <= 3) p
+       |  JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT cd.q_id, cd.vec_id,
+       |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+       |                    for i in generate_series(1, len(q.embedding))])
+       |          / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM cand cd JOIN n q ON q.vec_id = cd.q_id JOIN n c ON c.vec_id = cd.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine
+       |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Same full replay for the kNN SELF-join (every vector is a query,
+    * nprobe = 4): the |corpus|²-avoiding IVF blocking is itself
+    * deterministic arithmetic, so the blocked join's exact output —
+    * including which true neighbors the blocking misses — is hash-gated.
+    * The recall spec (vs brute force) measures the approximation; the
+    * oracle pins its reproducibility. */
+  val sKnnJoinSql: String = {
+    val rounds = 4
+    s"""WITH ${Cluster.lloydCtes(k = 8, rounds = rounds)},
+       |asn AS (
+       |  SELECT e.vec_id,
+       |    max(struct_pack(cos := ${Cluster.cosSql("e.embedding", "e.nrm", "c.cv")},
+       |                    nc := -c.cell)) AS w
+       |  FROM n e CROSS JOIN c$rounds c GROUP BY 1),
+       |assigned AS (SELECT vec_id, -(w.nc) AS cell FROM asn),
+       |pr AS (
+       |  SELECT q.vec_id AS q_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${Cluster.cosSql("q.embedding", "q.nrm", "c.cv")} DESC, c.cell) AS r
+       |  FROM n q CROSS JOIN c$rounds c),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id
+       |  FROM (SELECT q_id, cell FROM pr WHERE r <= 4) p
+       |  JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT cd.q_id, cd.vec_id,
+       |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+       |                    for i in generate_series(1, len(q.embedding))])
+       |          / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM cand cd JOIN n q ON q.vec_id = cd.q_id JOIN n c ON c.vec_id = cd.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine
+       |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_mmr_diversify" -> (sMmrDiversify _),
     "s_rrf_fusion" -> (sRrfFusion _),
@@ -895,5 +974,7 @@ object Similarity {
     "s_cosine_topk" -> sCosineTopkSql,
     "s_hybrid_search" -> sHybridSearchSql,
     "s_mmr_diversify" -> sMmrDiversifySql,
-    "s_rrf_fusion" -> sRrfFusionSql)
+    "s_rrf_fusion" -> sRrfFusionSql,
+    "s_ivf_topk" -> sIvfTopkSql,
+    "s_knn_join" -> sKnnJoinSql)
 }
