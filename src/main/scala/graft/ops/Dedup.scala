@@ -512,6 +512,35 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Full SQL replay of SemDeDup (r5 — rides the deterministic Lloyd
+    * chain the IVF oracles use): re-train cells, re-assign, re-compare
+    * within cells at the same rounded-6dp threshold. The keep/drop
+    * DECISION — the thing a curation pipeline acts on — is hash-gated,
+    * not just row-counted. */
+  val dSemanticDedupSql: String = {
+    val rounds = 4
+    s"""WITH ${Cluster.lloydCtes(k = 8, rounds = rounds)},
+       |asn AS (
+       |  SELECT e.vec_id,
+       |    max(struct_pack(cos := ${Cluster.cosSql("e.embedding", "e.nrm", "c.cv")},
+       |                    nc := -c.cell)) AS w
+       |  FROM n e CROSS JOIN c$rounds c GROUP BY 1),
+       |av AS (
+       |  SELECT a.vec_id, CAST(-(a.w.nc) AS INT) AS cell, n.embedding, n.nrm
+       |  FROM asn a JOIN n USING (vec_id)),
+       |near AS (
+       |  SELECT b.vec_id AS vec_id, a.vec_id AS smaller,
+       |    round(list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+       |                    for i in generate_series(1, len(a.embedding))])
+       |          / (a.nrm * b.nrm), 6) AS cosine
+       |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |dropped AS (
+       |  SELECT vec_id, MIN(smaller) AS dup_of, MAX(cosine) AS dup_cos
+       |  FROM near WHERE cosine >= $SemDedupTau GROUP BY 1)
+       |SELECT av.vec_id, av.cell, (d.dup_of IS NULL) AS kept, d.dup_of, d.dup_cos
+       |FROM av LEFT JOIN dropped d USING (vec_id) ORDER BY av.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_semantic_dedup" -> (dSemanticDedup _),
     "d_fuzzy_name" -> (dFuzzyName _),
@@ -524,6 +553,7 @@ object Dedup {
     "d_embed_neardup" -> (dEmbedNeardup _))
 
   val oracles: Map[String, String] = Map(
+    "d_semantic_dedup" -> dSemanticDedupSql,
     "d_fuzzy_name" -> dFuzzyNameSql,
     "d_substring_span" -> dSubstringSpanSql,
     "d_dup_clusters" -> dDupClustersSql,
