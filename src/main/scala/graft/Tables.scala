@@ -19,8 +19,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** `events.ts` varies across driver testdata generations: parquet
+    * timestamp[ns] arrives as raw long nanos (the nanosAsLong conf in
+    * Sessions), parquet timestamp[us] arrives as TIMESTAMP_NTZ. Normalize
+    * to epoch-nanos BIGINT at the load boundary so every downstream plan
+    * keeps the tz-free integer-nanos arithmetic (SURVEY §4) and the DuckDB
+    * oracles' `epoch_ns(ts)` sees the identical value. timestampdiff on
+    * NTZ is timezone-independent — no session-tz coupling. */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+    }
 
   /** Decouple map-side parallelism from the input split count for
     * compute-heavy per-row work (regex, shingling, vector math). A small
