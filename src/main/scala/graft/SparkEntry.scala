@@ -19,7 +19,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Relational2.queries ++
       ops.Relational3.queries ++
       ops.TextOps.queries ++ ops.TextOps2.queries ++
-      ops.TextOps3.queries ++ ops.Dedup.queries ++
+      ops.TextOps3.queries ++ ops.TextOps4.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.CatalogOps.queries ++
       ops.CatalogOps2.queries ++
       ops.Multimodal.queries ++ streaming.StreamOps.queries ++
@@ -38,7 +38,7 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Relational2.oracles ++
       ops.Relational3.oracles ++
       ops.TextOps.oracles ++ ops.TextOps2.oracles ++
-      ops.TextOps3.oracles ++ ops.Dedup.oracles ++
+      ops.TextOps3.oracles ++ ops.TextOps4.oracles ++ ops.Dedup.oracles ++
       ops.Similarity.oracles ++ ops.CatalogOps.oracles ++
       ops.CatalogOps2.oracles ++
       ops.Multimodal.oracles ++ streaming.StreamOps.oracles ++

@@ -34,8 +34,17 @@ object Tables {
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn("ts",
+      case org.apache.spark.sql.types.TimestampNTZType => df.withColumn("ts",
         expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      // tz-adjusted TIMESTAMP (parquet isAdjustedToUTC=true) is only correct
+      // because Sessions pins spark.sql.session.timeZone=UTC — the NTZ
+      // literal is then the true epoch. Localize that assumption here rather
+      // than in a catch-all so any OTHER type (date/string/struct) fails
+      // loudly instead of with a confusing analysis error downstream.
+      case org.apache.spark.sql.types.TimestampType => df.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: expected BIGINT (epoch nanos), TIMESTAMP_NTZ or TIMESTAMP, got ${other.sql}")
     }
 
   /** Decouple map-side parallelism from the input split count for

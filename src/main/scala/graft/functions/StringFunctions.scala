@@ -11,14 +11,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark ships no normalization builtin, so the usual route is a Scala UDF —
   * a serialization boundary that breaks whole-stage codegen for every row of
   * a 100 TB text corpus. This stays an Expression: codegen emits a static
-  * call inside the surrounding WSCG stage, with a fast path that returns the
-  * input buffer untouched when it is already NFC (the overwhelmingly common
-  * case for real corpora — `Normalizer.isNormalized` is a cheap scan that
-  * allocates nothing).
+  * call inside the surrounding WSCG stage, with two fast paths — a pure-ASCII
+  * byte scan on the raw UTF8String (zero allocation, the dominant case for
+  * real corpora), then `Normalizer.isNormalized` (one UTF-16 String
+  * allocation but no normalization buffers) before paying for a full
+  * normalize.
   *
-  * Cross-engine contract: DuckDB's `nfc_normalize(s)` implements the same
-  * Unicode normalization form, so ops built on this expression stay
-  * hash-gateable (see TextOps4.tNfcNormalize).
+  * Cross-engine contract: DuckDB's `nfc_normalize(s)` (utf8proc) implements
+  * the same normalization form, so ops built on this expression stay
+  * hash-gateable (see TextOps4.tNfcNormalize). Caveat: the JDK and utf8proc
+  * may track different Unicode VERSIONS — composition tables are stabilized
+  * for assigned codepoints, but codepoints unassigned in one version could
+  * normalize differently; keep oracle-gated inputs to assigned codepoints.
   */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
 
@@ -45,8 +49,17 @@ object NfcNormalize {
   import java.text.Normalizer
 
   /** Static helper shared by eval and codegen. Returns the input UTF8String
-    * unchanged (no copy) when already normalized. */
+    * unchanged (no copy) when already normalized; ASCII short-circuits on
+    * the raw bytes without materializing a String. */
   def nfc(s: UTF8String): UTF8String = {
+    // ASCII fast path: every byte's high bit clear => no combining marks,
+    // no compositions possible => already NFC. Scans the UTF-8 buffer
+    // directly; allocates nothing.
+    var i = 0
+    val n = s.numBytes()
+    var ascii = true
+    while (ascii && i < n) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

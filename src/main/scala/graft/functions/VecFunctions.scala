@@ -192,5 +192,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash"),
       (args: Seq[Expression]) => SimHashAgg(args.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_norm"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_norm"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
   }
 }

@@ -328,14 +328,19 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      // Convergence detection is FUSED into the label aggregate (r6, VERDICT
+      // r5 #3): the current label rides along as `old` (null on the
+      // propagated side, so min() recovers exactly the one current label per
+      // doc), and "any label changed?" becomes a filter scan of the already-
+      // checkpointed result — one action per round instead of the former
+      // second full `next ⋈ labels` probe join, which doubled per-round cost.
       val next = edges.join(labels.withColumnRenamed("doc", "v2"), col("v") === col("v2"))
-        .select(col("u").as("doc"), col("lbl"))
-        .unionByName(labels)
-        .groupBy("doc").agg(min(col("lbl")).as("lbl"))
+        .select(col("u").as("doc"), col("lbl"), lit(null).cast("long").as("old"))
+        .unionByName(labels.select(col("doc"), col("lbl"), col("lbl").as("old")))
+        .groupBy("doc").agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
         .localCheckpoint() // sever lineage: each round is one join, not k
-      converged = next.as("n").join(labels.as("p"), col("n.doc") === col("p.doc"))
-        .where(col("n.lbl") =!= col("p.lbl")).isEmpty
-      labels = next
+      converged = next.where(col("lbl") =!= col("old")).isEmpty
+      labels = next.select("doc", "lbl")
       round += 1
     }
     val out = labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
