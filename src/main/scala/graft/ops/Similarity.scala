@@ -90,23 +90,28 @@ object Similarity {
     * Approximate → no SQL oracle; SimilaritySpec asserts recall@5 ≥ 0.35 vs
     * sCosineTopk and candidate-set ≤ 40% of corpus.
     */
+  /** Deterministic Gaussian hyperplanes (seeded PRNG): plane (t, j) is
+    * Random(1000·t + j) Gaussians — a pure function of the indices, no
+    * data, which is what lets the LSH oracles embed them as SQL literals
+    * (r6). Shared by [[sLshAnn]] and [[sMultiprobe]]. */
+  private[ops] def lshPlanes(nTables: Int, k: Int, dims: Int): Seq[Seq[Float]] =
+    (for (t <- 0 until nTables; j <- 0 until k) yield {
+      val rng = new scala.util.Random(1000L * t + j)
+      Seq.fill(dims)(rng.nextGaussian().toFloat)
+    })
+
   def sLshAnn(spark: SparkSession, dir: String): DataFrame = {
     val k = 6 // planes per table
     val nTables = 12
     val dims = 64
     val e = withNorm(spark, dir)
 
-    // Deterministic Gaussian hyperplanes (seeded PRNG). All 72 projections
-    // are computed by ONE HyperplaneSigs expression (a single codegen loop
-    // over the plane matrix) — same double-precision dots bit-for-bit as 72
-    // separate literal-plane vdots, without the 72-expression projection
-    // that cost seconds of Janino compile per cold plan.
-    def plane(t: Int, j: Int): Seq[Float] = {
-      val rng = new scala.util.Random(1000L * t + j)
-      Seq.fill(dims)(rng.nextGaussian().toFloat)
-    }
-    val planes: Seq[Seq[Float]] =
-      for (t <- 0 until nTables; j <- 0 until k) yield plane(t, j)
+    // All 72 projections are computed by ONE HyperplaneSigs expression (a
+    // single codegen loop over the plane matrix) — same double-precision
+    // dots bit-for-bit as 72 separate literal-plane vdots, without the
+    // 72-expression projection that cost seconds of Janino compile per
+    // cold plan.
+    val planes: Seq[Seq[Float]] = lshPlanes(nTables, k, dims)
 
     // Cache ONLY (vec_id, t, sig): the 72 projections are the expensive
     // part; carrying embedding+nrm through the 12-way explode would pin
@@ -352,74 +357,19 @@ object Similarity {
     * per subvector instead of 64), then the top-50 shortlist is exactly
     * re-ranked. At 100 TB the win is memory-bandwidth: 8 bytes/vector
     * scanned instead of 256 — the codes column is the index, vectors are
-    * only touched for the shortlist. Codebook = deterministic sample slice
-    * per subvector (production trains k-means per subvector — same driver
-    * pattern as IVF's centroids; the encode/ADC plumbing is identical).
-    * Approximate → rows-only; SimilaritySpec bounds recall vs exact. */
-  /** Per-subvector Lloyd k-means (8 rounds) over a driver-side sample —
-    * the classic PQ training recipe (bounded sample regardless of corpus
-    * size). Empty clusters keep their previous centroid, so training is
-    * deterministic end-to-end. Shared by [[sPqTopk]] and [[sOpqTopk]]. */
-  private def pqCodebook(train: Array[Array[Float]],
-                         seeds: Array[Array[Float]], m: Int): Seq[Seq[Seq[Float]]] = {
-    val dims = train.head.length
-    val sub = dims / m
-
-    def kmeans(subIdx: Int): Array[Array[Float]] = {
-      val pts = train.map(_.slice(subIdx * sub, (subIdx + 1) * sub).map(_.toDouble))
-      var cents = seeds.map(_.slice(subIdx * sub, (subIdx + 1) * sub).map(_.toDouble))
-      for (_ <- 0 until 8) {
-        val assign = pts.map { p =>
-          var best = 0; var bd = Double.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            var d = 0.0; var i = 0
-            while (i < sub) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
-            if (d < bd) { bd = d; best = c }
-            c += 1
-          }
-          best
-        }
-        cents = cents.indices.map { c =>
-          val members = pts.indices.filter(assign(_) == c)
-          if (members.isEmpty) cents(c) // keep previous — deterministic
-          else {
-            val s = new Array[Double](sub)
-            members.foreach(j => { var i = 0; while (i < sub) { s(i) += pts(j)(i); i += 1 } })
-            s.map(_ / members.length)
-          }
-        }.toArray
-      }
-      cents.map(_.map(_.toFloat))
-    }
-
-    (0 until m).map(s => kmeans(s).toSeq.map(_.toSeq))
-  }
-
-  /** The PQ training sample + seeds (deterministic slices of the corpus),
-    * shared by the PQ and OPQ tiers. */
-  private def pqSample(spark: SparkSession, dir: String,
-                       kCent: Int): (Array[Array[Float]], Array[Array[Float]]) = {
-    val train = Tables.table(spark, dir, "embeddings")
-      .orderBy("vec_id")
-      .where(col("vec_id") % 7 === 0).limit(256)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
-    val seeds = Tables.table(spark, dir, "embeddings")
-      .orderBy("vec_id")
-      .where(col("vec_id") % 31 === 0).limit(kCent)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
-    (train, seeds)
-  }
-
+    * only touched for the shortlist.
+    *
+    * r6: the codebook trains DISTRIBUTED over the full corpus
+    * ([[PqTrain.train]] — per-subspace decimal-mean Lloyd, VERDICT r5 task
+    * 2), replacing the 256-vector driver-side sample. Training is
+    * engine-portable arithmetic, so the op is hash-gated end-to-end
+    * ([[sPqTopkSql]] re-trains, re-encodes and re-scores in DuckDB);
+    * SimilaritySpec additionally bounds recall vs exact. */
   def sPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val m = 8
     val kCent = 16
-    val (train, seeds) = pqSample(spark, dir, kCent)
-    val codebook: Seq[Seq[Seq[Float]]] = pqCodebook(train, seeds, m)
-
     val e = withNorm(spark, dir)
+    val codebook: Seq[Seq[Seq[Float]]] = PqTrain.train(e, 64, m, kCent, rounds = 4)
     val coded = e.select(col("vec_id"),
       graft.functions.Sketch.pqEncode(col("embedding"), codebook).as("codes"))
     val q = queriesOf(e)
@@ -452,8 +402,8 @@ object Similarity {
     * 100 TB this is the standard shape: coarse quantizer prunes the corpus,
     * product quantizer makes the surviving scan memory-bandwidth-bound,
     * exact re-rank restores precision on the shortlist.
-    * Approximate → rows-only; PipelineSpec asserts recall within 0.05 of
-    * plain PQ at a fraction of the scored rows. */
+    * r6: hash-gated (dist-trained cells AND codebook, composed oracle);
+    * PipelineSpec bounds recall by the measured blocking ceiling. */
   def sIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
     ivfPqTopk(spark, dir, nprobe = 6)
 
@@ -462,8 +412,7 @@ object Similarity {
     val kCent = 16
     val e = withNorm(spark, dir)
     val cents = ivfCells(spark, dir, kCells = 16)
-    val (train, seeds) = pqSample(spark, dir, kCent)
-    val codebook = pqCodebook(train, seeds, m)
+    val codebook = PqTrain.train(e, 64, m, kCent, rounds = 4)
 
     // one linear index-build pass: every corpus row gets its coarse cell
     // (argmax over literal centroids, in the scan projection) + PQ codes
@@ -504,6 +453,20 @@ object Similarity {
       .where(col("vec_id") =!= col("q_id")).count()
   }
 
+  /** The (q_id, vec_id) pairs the IVF-PQ candidate generator can reach —
+    * PipelineSpec measures the blocking recall ceiling from this set. */
+  private[graft] def ivfPqCandidates(spark: SparkSession, dir: String,
+                                     nprobe: Int): Set[(Long, Long)] = {
+    val e = withNorm(spark, dir)
+    val cents = ivfCells(spark, dir, kCells = 16)
+    val coded = e.select(col("vec_id"),
+      argmaxCell(cents)(col("embedding"), col("nrm")).as("cell"))
+    probeCells(e, cents, nprobe).join(coded, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
   /** Multiprobe LSH — the round-3 refinement of [[sLshAnn]]: HALF the hash
     * tables (L=6 vs 12), with each query additionally probing the k buckets
     * at Hamming distance 1 from its signature (flip one of the k sig bits).
@@ -523,12 +486,7 @@ object Similarity {
     val nTables = 6 // half of sLshAnn's 12
     val dims = 64
     val e = withNorm(spark, dir)
-    def plane(t: Int, j: Int): Seq[Float] = {
-      val rng = new scala.util.Random(1000L * t + j)
-      Seq.fill(dims)(rng.nextGaussian().toFloat)
-    }
-    val planes: Seq[Seq[Float]] =
-      for (t <- 0 until nTables; j <- 0 until k) yield plane(t, j)
+    val planes: Seq[Seq[Float]] = lshPlanes(nTables, k, dims)
 
     val sigs = e.select(
       col("vec_id"),
@@ -569,55 +527,45 @@ object Similarity {
     * codegen loop in the scan projection (rows×dims² multiplies, zero
     * shuffles); the exact re-rank uses ORIGINAL vectors (rotation is
     * orthonormal, so true cosines are unchanged — only the quantizer sees
-    * rotated space). Approximate → rows-only; PipelineSpec bounds recall
+    * rotated space). r6: hash-gated — rotated-space distributed training,
+    * rotation-matrix literals in the oracle; PipelineSpec bounds recall
     * alongside plain PQ. */
+  /** Deterministic orthonormal rotation: seeded Gaussian matrix, modified
+    * Gram-Schmidt in double precision. Driver-side, dims² doubles — tiny.
+    * Pure function of the seed (java.util.Random's nextGaussian algorithm
+    * is specified), so the OPQ oracle can embed it as SQL literals. */
+  private[ops] lazy val opqRotation: Seq[Seq[Double]] = {
+    val dims = 64
+    val rng = new scala.util.Random(20260812L)
+    val g = Array.fill(dims, dims)(rng.nextGaussian())
+    for (i <- 0 until dims) {
+      for (p <- 0 until i) {
+        var d = 0.0; var j = 0
+        while (j < dims) { d += g(i)(j) * g(p)(j); j += 1 }
+        var j2 = 0
+        while (j2 < dims) { g(i)(j2) -= d * g(p)(j2); j2 += 1 }
+      }
+      var n = 0.0; var j = 0
+      while (j < dims) { n += g(i)(j) * g(i)(j); j += 1 }
+      val inv = 1.0 / math.sqrt(n)
+      var j3 = 0
+      while (j3 < dims) { g(i)(j3) *= inv; j3 += 1 }
+    }
+    g.map(_.toSeq).toSeq
+  }
+
   def sOpqTopk(spark: SparkSession, dir: String): DataFrame = {
     val m = 8
     val kCent = 16
-    val dims = 64
-
-    // Deterministic orthonormal rotation: seeded Gaussian matrix, modified
-    // Gram-Schmidt in double precision. Driver-side, dims² doubles — tiny.
-    val rot: Seq[Seq[Double]] = {
-      val rng = new scala.util.Random(20260812L)
-      val g = Array.fill(dims, dims)(rng.nextGaussian())
-      for (i <- 0 until dims) {
-        for (p <- 0 until i) {
-          var d = 0.0; var j = 0
-          while (j < dims) { d += g(i)(j) * g(p)(j); j += 1 }
-          var j2 = 0
-          while (j2 < dims) { g(i)(j2) -= d * g(p)(j2); j2 += 1 }
-        }
-        var n = 0.0; var j = 0
-        while (j < dims) { n += g(i)(j) * g(i)(j); j += 1 }
-        val inv = 1.0 / math.sqrt(n)
-        var j3 = 0
-        while (j3 < dims) { g(i)(j3) *= inv; j3 += 1 }
-      }
-      g.map(_.toSeq).toSeq
-    }
-
-    // EXACT mirror of MatVecMul's loop (double accumulate, ascending j,
-    // toFloat) so driver-trained codebooks see the same rotated values the
-    // executors encode.
-    def rotate(v: Array[Float]): Array[Float] = {
-      val out = new Array[Float](dims)
-      var i = 0
-      while (i < dims) {
-        val row = rot(i)
-        var acc = 0.0d
-        var j = 0
-        while (j < dims) { acc += row(j) * v(j).toDouble; j += 1 }
-        out(i) = acc.toFloat
-        i += 1
-      }
-      out
-    }
-
-    val (train0, seeds0) = pqSample(spark, dir, kCent)
-    val codebook = pqCodebook(train0.map(rotate), seeds0.map(rotate), m)
+    val rot = opqRotation
 
     val e = withNorm(spark, dir)
+    // r6: codebook trains DISTRIBUTED in the rotated space — the rotation
+    // is one MatVecMul codegen pass in the scan projection, so train,
+    // encode and ADC all see identical float-truncated rotated values.
+    val rotated = e.select(col("vec_id"),
+      graft.functions.Vec.matvec(col("embedding"), rot).as("embedding"))
+    val codebook = PqTrain.train(rotated, 64, m, kCent, rounds = 4)
     val coded = e.select(col("vec_id"),
       graft.functions.Sketch.pqEncode(
         graft.functions.Vec.matvec(col("embedding"), rot), codebook).as("codes"))
@@ -650,7 +598,8 @@ object Similarity {
     * happens only inside cell buckets — candidate mass ≈ nprobe/kCells of
     * |corpus|². nprobe/kCells is the dial: at real scale kCells ~ √|corpus|
     * and the ratio collapses. Recall@5 measured 0.49/0.74 at nprobe 2/4 on
-    * sf0.001 (spec pins ≥ 0.6); approximate → rows-only driver check. */
+    * sf0.001 (spec pins ≥ 0.6); hash-gated since r5 ([[sKnnJoinSql]]
+    * replays the Lloyd chain + blocking exactly). */
   def sKnnJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(spark, dir)
     val cents = ivfCells(spark, dir, kCells = 8)
@@ -955,7 +904,165 @@ object Similarity {
        |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Full SQL replay of the LSH tiers (r6): the hyperplanes are a pure
+    * function of their seeds — no data — so they embed as DOUBLE literals
+    * (float-exact values); signature bits replay HyperplaneSigs' in-order
+    * double fold and strict `> 0` test, candidates are the same (table,
+    * sig) equi-join (+ single-bit-flip probes for multiprobe), and the
+    * exact re-rank is the shared rounded-cosine tail. Even the recall the
+    * index MISSES is pinned cross-engine. */
+  private def lshSql(nTables: Int, k: Int, multiprobe: Boolean): String = {
+    val dims = 64
+    val flat = lshPlanes(nTables, k, dims).flatten
+    val pLit = flat.map(f => PqTrain.fmtD(f.toDouble)).mkString("[", ", ", "]")
+    val sigExpr =
+      s"""CAST(list_sum([CASE WHEN list_sum([e.emb[i] * P[(t.t*$k + j)*$dims + i]
+         |                                   for i in generate_series(1, $dims)]) > 0
+         |                    THEN 1 << j ELSE 0 END
+         |               for j in generate_series(0, ${k - 1})]) AS INT)""".stripMargin
+    val qside =
+      if (multiprobe)
+        s"""qp AS (
+           |  SELECT vec_id AS q_id, t,
+           |    CASE WHEN b < 0 THEN sig ELSE xor(sig, 1 << b) END AS sig
+           |  FROM sg CROSS JOIN generate_series(-1, ${k - 1}) pb(b)
+           |  WHERE vec_id % 20 = 0)""".stripMargin
+      else
+        s"""qp AS (
+           |  SELECT vec_id AS q_id, t, sig FROM sg WHERE vec_id % 20 = 0)""".stripMargin
+    s"WITH ${PqTrain.srcCte(dims)},\n" +
+      s"pl AS (SELECT $pLit AS P),\n" +
+      s"""sg AS (
+         |  SELECT e.vec_id, t.t, $sigExpr AS sig
+         |  FROM pn e CROSS JOIN generate_series(0, ${nTables - 1}) t(t) CROSS JOIN pl),
+         |$qside,
+         |cand AS (
+         |  SELECT DISTINCT q.q_id, c.vec_id
+         |  FROM qp q JOIN sg c ON q.t = c.t AND q.sig = c.sig
+         |  WHERE c.vec_id <> q.q_id),
+         |scored AS (
+         |  SELECT cd.q_id, cd.vec_id,
+         |    round(list_sum([q.emb[i] * c.emb[i] for i in generate_series(1, $dims)])
+         |          / (q.nrm * c.nrm), 6) AS cosine
+         |  FROM cand cd JOIN pn q ON q.vec_id = cd.q_id JOIN pn c ON c.vec_id = cd.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine
+         |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  val sLshAnnSql: String = lshSql(nTables = 12, k = 6, multiprobe = false)
+  val sMultiprobeSql: String = lshSql(nTables = 6, k = 6, multiprobe = true)
+
+  /** Full SQL replay of the PQ pipeline (r6 — enabled by the distributed
+    * decimal-mean subspace trainer [[PqTrain]]): the oracle re-trains the
+    * 4-round per-subspace codebook as chained CTEs, re-encodes the corpus
+    * (struct-max L2 argmin, first-wins ties), ADC-scores with the identical
+    * flat 64-term fold, and exactly re-ranks the top-50 shortlist — the
+    * approximation is a deterministic function of (data, recipe), not of
+    * the engine. */
+  val sPqTopkSql: String =
+    "WITH " + PqTrain.srcCte(64) + ",\n" +
+      PqTrain.pqCtes("pn", 64, 8, 16, 4) + ",\n" +
+      PqTrain.encodeCtes("pn", "pc4", 64, 8) + ",\n" +
+      PqTrain.crossAdcCte("pn", 64) + ",\n" +
+      PqTrain.rankTail(64)
+
+  /** OPQ replay: the rotation matrix is a pure function of its seed (no
+    * data), so it is embedded as DOUBLE literals; rotation mirrors
+    * MatVecMul bit-for-bit (in-order double fold, REAL truncation), then
+    * training/encode/ADC replay in rotated space and the re-rank reads
+    * original space — same structure as the Spark plan. */
+  val sOpqTopkSql: String = {
+    val dims = 64
+    val rmat = opqRotation
+      .map(row => row.map(PqTrain.fmtD).mkString("[", ", ", "]"))
+      .mkString("[\n    ", ",\n    ", "]")
+    s"WITH rmat AS (SELECT $rmat AS R),\n" +
+      PqTrain.srcCte(dims) + ",\n" +
+      s"""rot AS (
+         |  SELECT pn.vec_id,
+         |    [CAST(CAST(list_sum([R[i][j] * pn.emb[j] for j in generate_series(1, $dims)]) AS REAL) AS DOUBLE)
+         |     for i in generate_series(1, $dims)] AS emb
+         |  FROM pn CROSS JOIN rmat)""".stripMargin + ",\n" +
+      PqTrain.pqCtes("rot", dims, 8, 16, 4) + ",\n" +
+      PqTrain.encodeCtes("rot", "pc4", dims, 8) + ",\n" +
+      PqTrain.crossAdcCte("rot", dims) + ",\n" +
+      PqTrain.rankTail(dims)
+  }
+
+  /** IVF×PQ replay: coarse cells from the [[Cluster]] Lloyd chain (k=16),
+    * PQ codebook from the [[PqTrain]] chain, candidates = probed-cell
+    * equi-join, ADC only inside the probed cells, exact re-rank — the
+    * 100 TB endgame tier fully hash-gated. */
+  val sIvfPqTopkSql: String = {
+    val rounds = 4
+    "WITH " + Cluster.lloydCtes(k = 16, rounds = rounds) + ",\n" +
+      PqTrain.srcCte(64) + ",\n" +
+      PqTrain.pqCtes("pn", 64, 8, 16, 4) + ",\n" +
+      PqTrain.encodeCtes("pn", "pc4", 64, 8) + ",\n" +
+      s"""asn AS (
+         |  SELECT e.vec_id,
+         |    max(struct_pack(cos := ${Cluster.cosSql("e.embedding", "e.nrm", "c.cv")},
+         |                    nc := -c.cell)) AS w
+         |  FROM n e CROSS JOIN c$rounds c GROUP BY 1),
+         |assigned AS (SELECT vec_id, -(w.nc) AS cell FROM asn),
+         |pr AS (
+         |  SELECT q.vec_id AS q_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${Cluster.cosSql("q.embedding", "q.nrm", "c.cv")} DESC, c.cell) AS r
+         |  FROM n q CROSS JOIN c$rounds c WHERE q.vec_id % 20 = 0),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id
+         |  FROM (SELECT q_id, cell FROM pr WHERE r <= 6) p
+         |  JOIN assigned a USING (cell)
+         |  WHERE a.vec_id <> p.q_id),
+         |adc AS (
+         |  SELECT cd.q_id, cd.vec_id,
+         |    list_sum([q.emb[i] * f.fcv[i] for i in generate_series(1, 64)]) AS adc
+         |  FROM cand cd JOIN pn q ON q.vec_id = cd.q_id JOIN fc f ON f.vec_id = cd.vec_id)""".stripMargin + ",\n" +
+      PqTrain.rankTail(64)
+  }
+
+  /** ANN recall telemetry (r6): per-query recall@5 of the IVF tier against
+    * the exact tier — the index-quality report a production ANN deployment
+    * recomputes after every index build ("measure, don't guess" applied to
+    * the index itself). At 100 TB the exact side runs over a sampled query
+    * panel (here: the standing every-20th panel both tiers already use),
+    * so the report costs one brute-force pass over |panel|×|corpus| plus
+    * the IVF probe — linear in corpus, and the whole thing is one plan:
+    * both tiers compose in-plan, no driver round-trip. Hash-gated by
+    * construction: both inputs are already exactly replayable, so their
+    * composition is too (the oracle nests both WITH-chains as derived
+    * tables). */
+  def sAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ex = sCosineTopk(spark, dir).select(col("q_id"), col("vec_id"))
+    val iv = sIvfTopk(spark, dir).select(col("q_id"), col("vec_id"))
+    val hits = ex.join(iv, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    ex.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
+          .as("recall"))
+      .orderBy("q_id")
+  }
+
+  val sAnnRecallSql: String =
+    s"""WITH ex AS (SELECT q_id, vec_id FROM ($sCosineTopkSql) tex),
+       |iv AS (SELECT q_id, vec_id FROM ($sIvfTopkSql) tiv),
+       |h AS (SELECT e.q_id, COUNT(*) AS n_hit
+       |      FROM ex e JOIN iv USING (q_id, vec_id) GROUP BY 1),
+       |ne AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+       |SELECT ne.q_id, ne.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+       |  round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / ne.n_exact, 6) AS recall
+       |FROM ne LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_ann_recall" -> (sAnnRecall _),
     "s_mmr_diversify" -> (sMmrDiversify _),
     "s_rrf_fusion" -> (sRrfFusion _),
     "s_knn_join" -> (sKnnJoin _),
@@ -976,5 +1083,11 @@ object Similarity {
     "s_mmr_diversify" -> sMmrDiversifySql,
     "s_rrf_fusion" -> sRrfFusionSql,
     "s_ivf_topk" -> sIvfTopkSql,
-    "s_knn_join" -> sKnnJoinSql)
+    "s_knn_join" -> sKnnJoinSql,
+    "s_pq_topk" -> sPqTopkSql,
+    "s_opq_topk" -> sOpqTopkSql,
+    "s_ivfpq_topk" -> sIvfPqTopkSql,
+    "s_lsh_ann" -> sLshAnnSql,
+    "s_multiprobe" -> sMultiprobeSql,
+    "s_ann_recall" -> sAnnRecallSql)
 }

@@ -40,7 +40,9 @@ class PlanAuditSpec extends SparkSpec {
                       //   + one-row per-dim-bounds broadcast
     "s_matryoshka_rerank", // capped probe batch × 16-dim prefix scan (stage 1)
     "c_rollback",     // one-row time-travel-count broadcast
-    "m_phash_dedup"   // one-row candidate-stats broadcast
+    "m_phash_dedup",  // one-row candidate-stats broadcast
+    "s_ann_recall"    // composes s_cosine_topk's capped probe batch (the
+                      //   exact side of the recall report) — same bound
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
