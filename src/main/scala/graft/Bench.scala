@@ -17,19 +17,26 @@ object Bench {
         case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
         case _ => -1.0
       }
+    def stealNow(): Double = try {
+      scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+"))
+        .filter(_.length > 8).map(_(8).toDouble / 100.0).getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
 
     // (times, errors): a query that throws records its error VERBATIM in the
     // artifact — never a silent fast timing for a broken query.
-    // Each timing carries its PER-QUERY process-CPU delta (VERDICT r5 #1a):
-    // wall ≫ cpu on a single query mechanically proves the JVM wasn't
-    // scheduled during that window (host steal), per-query rather than
-    // per-pass, so heavy queries can be discounted individually.
-    def pass(): (Seq[(String, Double, Double)], Seq[(String, String)]) = {
-      val times = Seq.newBuilder[(String, Double, Double)]
+    // Each timing carries its PER-QUERY process-CPU and host-steal deltas
+    // (VERDICT r5 #1a): wall ≫ cpu alone can be honest I/O wait (the
+    // catalog writers fsync), but wall ≫ cpu WITH a steal spike in the same
+    // window mechanically proves the JVM wasn't scheduled — per-query, so
+    // heavy queries can be discounted individually.
+    def pass(): (Seq[(String, Double, Double, Double)], Seq[(String, String)]) = {
+      val times = Seq.newBuilder[(String, Double, Double, Double)]
       val errors = Seq.newBuilder[(String, String)]
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val c0 = processCpuSec()
+        val s0 = stealNow()
         try { fn(spark, sfDir).count(); () }
         catch { case e: Throwable =>
           errors += name -> (e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(300))
@@ -44,7 +51,8 @@ object Bench {
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         }
-        times += ((name, (System.nanoTime() - t0) / 1e9, processCpuSec() - c0))
+        times += ((name, (System.nanoTime() - t0) / 1e9,
+          processCpuSec() - c0, stealNow() - s0))
       }
       (times.result(), errors.result())
     }
@@ -72,26 +80,27 @@ object Bench {
     // pass 1 = cold (includes one-time Janino/planning cost per plan shape);
     // pass 2 = warm steady state (codegen cached, data caches still cleared
     // between queries) — the per-query cost that amortizes at real scale.
-    val ((results3, errs), teleCold) = measured(pass())
-    val ((warm3, warmErrs), teleWarm) = measured(pass())
-    val results = results3.map { case (n, w, _) => (n, w) }
-    val warm = warm3.map { case (n, w, _) => (n, w) }
+    val ((results4, errs), teleCold) = measured(pass())
+    val ((warm4, warmErrs), teleWarm) = measured(pass())
+    val results = results4.map { case (n, w, _, _) => (n, w) }
+    val warm = warm4.map { case (n, w, _, _) => (n, w) }
 
     // Suspect heuristics (r5 #1a closed the heavy-query blind spot — the old
     // `cold < 1.0` arm let an 11.6→25.0 s inversion sail through unflagged):
     //  - warm > 2× cold at ANY magnitude: warm skips codegen/planning, so a
     //    2× inversion on identical plans+data is the burst-starvation
     //    signature regardless of query weight;
-    //  - wall ≫ per-query cpu (cpu/wall < 0.25 on a ≥1 s query): even a
-    //    single-threaded stage burns ~1 cpu-sec per wall-sec, so a query
-    //    whose process-CPU is a quarter of its wall spent most of its window
-    //    unscheduled.
+    //  - wall ≫ per-query cpu (cpu/wall < 0.25 on a ≥1 s query) TOGETHER
+    //    WITH a steal spike in the same window (steal > 0.25·wall): low cpu
+    //    alone is honest I/O wait on the catalog writers, but low cpu while
+    //    the hypervisor withheld the container's cores is starvation.
     val coldByName = results.toMap
     val inversions = warm.collect {
       case (name, w) if coldByName.get(name).exists(c => w > 2.0 * c && w > 1.0) => name
     }
-    val starved = (results3 ++ warm3).collect {
-      case (name, w, c) if w > 1.0 && c >= 0 && c < 0.25 * w => name
+    val starved = (results4 ++ warm4).collect {
+      case (name, w, c, st) if w > 1.0 && c >= 0 && c < 0.25 * w &&
+        st > 0.25 * w => name
     }.distinct
     val suspectQueries = (inversions ++ starved).distinct
     val suspect = suspectQueries.nonEmpty
@@ -104,9 +113,10 @@ object Bench {
     def teleJson(t: Tele) =
       s"""{"wall_sec":${t.wall},"proc_cpu_sec":${t.cpu},"host_steal_sec":${t.steal}}"""
     val suspectJson = suspectQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def renderCpu(m: Seq[(String, Double, Double)]) = render(m.map { case (n, _, c) => (n, c) })
-    // Full-precision everything (cold + warm + errors + per-query cpu + telemetry) → bench_out.json.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${render(results)},"total_warm":$totalWarm,"queries_warm":${render(warm)},"queries_cpu":${renderCpu(results3)},"queries_warm_cpu":${renderCpu(warm3)},"errors":${renderErr(errs)},"errors_warm":${renderErr(warmErrs)},"n_errors":${errs.size + warmErrs.size},"telemetry_cold":${teleJson(teleCold)},"telemetry_warm":${teleJson(teleWarm)},"suspect":$suspect,"suspect_queries":$suspectJson,"sf":"$sfDir"}"""
+    def renderCpu(m: Seq[(String, Double, Double, Double)]) = render(m.map { case (n, _, c, _) => (n, c) })
+    def renderSteal(m: Seq[(String, Double, Double, Double)]) = render(m.map { case (n, _, _, st) => (n, st) })
+    // Full-precision everything (cold + warm + errors + per-query cpu/steal + telemetry) → bench_out.json.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${render(results)},"total_warm":$totalWarm,"queries_warm":${render(warm)},"queries_cpu":${renderCpu(results4)},"queries_warm_cpu":${renderCpu(warm4)},"queries_steal":${renderSteal(results4)},"queries_warm_steal":${renderSteal(warm4)},"errors":${renderErr(errs)},"errors_warm":${renderErr(warmErrs)},"n_errors":${errs.size + warmErrs.size},"telemetry_cold":${teleJson(teleCold)},"telemetry_warm":${teleJson(teleWarm)},"suspect":$suspect,"suspect_queries":$suspectJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), full + "\n")
     catch { case _: Throwable => () }

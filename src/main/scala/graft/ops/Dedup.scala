@@ -131,54 +131,61 @@ object Dedup {
        |WHERE round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The engine-portable shingle pipeline (poly hashes instead of xxhash64,
+    * same df-cap skew guard) — [[dMinhashLsh]]'s feature universe. Kept
+    * separate from [[shingles]] (which keys equality-only consumers where
+    * the hash VALUES never matter) so the jaccard family's hot loop is
+    * untouched. */
+  private[graft] def polyShingles(spark: SparkSession, dir: String,
+                                  maxDf: Int = 1000): DataFrame = {
+    val docs = Tables.fanout(Tables.table(spark, dir, "documents"))
+    val sh = docs
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.Poly.ngramHashes(col("ws"), 5))).as("h"))
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("h")
+    sh.join(broadcast(hot), Seq("h"), "left_anti")
+  }
+
   /** MinHash(128 perms) + LSH(32 bands × 4 rows) near-dup detection,
     * candidates verified with exact Jaccard ≥ 0.5 (precision 1.0 by
     * construction; recall ≥ 1-(1-j⁴)³² ≈ 1 for j ≥ 0.8 planted dups).
     *
     * Pipeline (all linear in corpus size):
-    *  1. shingle → 128 hashes via xxhash64(shingle, perm) — explode over the
-    *     perm index; partial (map-side) min collapses to docs×128 rows
-    *     before the shuffle, so the exchange is tiny even at 100 TB.
-    *  2. band signature = xxhash64 over the band's 4 minhashes (perm-sorted).
+    *  1. shingle → one portable poly hash ([[graft.functions.PolyHash]]),
+    *     then 128 affine permutations g_p(h) = (a_p·h + b_p) mod 2^61−1 —
+    *     partial (map-side) min collapses to docs×128 rows before the
+    *     shuffle, so the exchange is tiny even at 100 TB.
+    *  2. band signature = poly fold over the band's 4 minhashes (perm-sorted).
     *  3. self-join on (band, signature) → candidate pairs (distinct).
     *  4. verify candidates against exact shingle-Jaccard (semi-join first —
     *     only candidate docs' shingle sets are re-read).
     *
-    * Not SQL-oracle-able (xxhash64 is Spark-specific); DedupSpec asserts
-    * exact agreement with dNgramJaccard's ≥0.8 pairs and recall ≥ 0.9 at 0.5.
+    * r6: the whole chain is modular arithmetic (the xxhash64 family was
+    * engine-private — the op was rows-only for three rounds solely because
+    * of it), so [[dMinhashLshSql]] now replays signatures, buckets AND the
+    * misses exactly → HASH-GATED. DedupSpec still asserts recall ≥ 0.9 /
+    * precision 1.0 vs exact jaccard.
     */
   def dMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val nPerm = 128
     val bandRows = 4
-    val nBands = nPerm / bandRows
 
-    // Permutation family over ONE base hash per shingle: perm p rehashes the
-    // 8-byte base hash with seed p (XxHash64 seed constructor) — hashing the
-    // string once instead of 128× is the dominant saving, and the fixed-width
-    // rehash is a handful of instructions. (The classic a·h+b affine family
-    // needs wrap-around multiply, which ANSI mode — Spark 4's default —
-    // rejects; seeded rehash is equally uniform and ANSI-safe.)
-    // Same df-capped universe as dNgramJaccard: signatures, sizes and the
-    // verify join all agree on the filtered feature space.
-    val sh = filteredShingles(spark, dir).cache()
+    val sh = polyShingles(spark, dir).cache()
 
-    // All 128 permutation minimums in ONE agg column (MinHashAgg: primitive
-    // long[128] buffer, XXH64.hashLong(h, p) per permutation — byte-identical
-    // to the former 128×min(XxHash64(h, seed=p)) wide-column shape, but the
-    // generated plan is tiny: the wide shape cost ~5 s of Janino compile per
-    // cold run at bench time).
+    // All 128 permutation minimums in ONE agg column (PolyMinHashAgg:
+    // primitive long[128] buffer — same TypedImperativeAggregate shape as
+    // r3's MinHashAgg, affine g_p instead of seeded XXH64).
     val minh = sh.groupBy("doc_id")
-      .agg(graft.functions.Sketch.minhash(col("h"), nPerm).as("m"))
-    // band signature = xxhash64 over the band's 4 minhash values
-    val bandSigs = (0 until nBands).map(b =>
-      struct(lit(b).as("band"),
-        xxhash64((Seq(lit(b)) ++ (0 until bandRows).map(r =>
-          element_at(col("m"), b * bandRows + r + 1))): _*).as("sig")))
+      .agg(graft.functions.Poly.minhash(col("h"), nPerm).as("m"))
     // cache: sigs (docs×32 tiny rows) feeds BOTH sides of the self-join —
     // without it the 128-wide min-agg pipeline runs twice
     val sigs = minh
-      .select(col("doc_id"), explode(array(bandSigs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.Poly.bandSigs(col("m"), bandRows))
+          .as(Seq("band", "sig")))
       .cache()
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
@@ -214,17 +221,18 @@ object Dedup {
     * brute-force comparison. */
   private[graft] def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.fanout(Tables.table(spark, dir, "documents"))
-    // Word-bigram features, hashed inside the transform lambda (multi-arg
-    // xxhash64 — the bigram string is never materialized), then ONE
-    // SimHashAgg pass: per-occurrence ±1 bit votes are equivalent to the
-    // count-weighted formulation, so the former (doc, feature) counting
-    // shuffle disappears — one exchange total, map-side combine into a
-    // long[64] vote buffer, and none of the 64-column codegen the wide
-    // conditional-sum shape paid (~6 s Janino per cold run).
+    // Word-bigram features hashed with the PORTABLE poly family (r6 — the
+    // bigram string is still never materialized), then ONE SimHashAgg pass:
+    // per-occurrence ±1 bit votes are equivalent to the count-weighted
+    // formulation, so the former (doc, feature) counting shuffle disappears
+    // — one exchange total, map-side combine into a long[64] vote buffer.
+    // Poly hashes are 61-bit, so signature bits 61-63 are structurally 0 on
+    // both engines (every occurrence votes −1 there) — banding/hamming
+    // semantics unchanged, and the oracle replays the votes exactly.
     docs
       .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
       .select(col("doc_id"),
-        explode(graft.functions.Sketch.ngramHashes(col("ws"), 2)).as("fh"))
+        explode(graft.functions.Poly.ngramHashes(col("ws"), 2)).as("fh"))
       .groupBy("doc_id")
       .agg(graft.functions.Sketch.simhash(col("fh")).as("simhash"))
   }
@@ -546,6 +554,100 @@ object Dedup {
        |FROM av LEFT JOIN dropped d USING (vec_id) ORDER BY av.vec_id""".stripMargin
   }
 
+  /** Poly-hash SQL fragment: the portable char fold over `strExpr`
+    * (mirrors PolyHash.foldString — HUGEINT arithmetic, fold seeded by a
+    * prepended 0). */
+  private def polySql(strExpr: String): String = {
+    val (m, b) = (graft.functions.PolyHash.M, graft.functions.PolyHash.B)
+    s"""CAST(list_reduce([0::HUGEINT] ||
+       |      [CAST(unicode(c)+1 AS HUGEINT) for c in string_split($strExpr, '')],
+       |      (acc, x) -> (acc * $b + x) % $m::HUGEINT) AS BIGINT)""".stripMargin
+  }
+
+  /** Full SQL replay of MinHash-LSH (r6 — enabled by the portable poly-hash
+    * family): shingle strings → poly hashes → 128 affine permutation
+    * minimums → band-fold signatures → bucket self-join → exact-jaccard
+    * verification. The df cap is vacuous at oracle scale (same convention
+    * as dNgramJaccardSql, proven by the filteredShingles spec). */
+  val dMinhashLshSql: String = {
+    val M = graft.functions.PolyHash.M
+    val (b2, phi, psi) = (graft.functions.PolyHash.B2,
+      graft.functions.PolyHash.PHI, graft.functions.PolyHash.PSI)
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |ph AS (SELECT doc_id, ${polySql("shingle")} AS h FROM sh),
+       |mh AS (
+       |  SELECT doc_id, t.p AS p,
+       |    min((((CAST(2*t.p+1 AS HUGEINT) * $phi) % $M) * CAST(h AS HUGEINT)
+       |         + ((CAST(t.p+1 AS HUGEINT) * $psi) % $M)) % $M) AS mv
+       |  FROM ph CROSS JOIN generate_series(0, 127) t(p) GROUP BY 1, 2),
+       |ml AS (SELECT doc_id, list(mv ORDER BY p) AS ml FROM mh GROUP BY 1),
+       |sg AS (
+       |  SELECT doc_id, b.b AS band,
+       |    CAST(list_reduce([0::HUGEINT, CAST(b.b+1 AS HUGEINT)] ||
+       |           [CAST(ml[b.b*4 + r] + 1 AS HUGEINT) for r in generate_series(1, 4)],
+       |         (acc, x) -> (acc * $b2 + x) % $M::HUGEINT) AS BIGINT) AS sig
+       |  FROM ml CROSS JOIN generate_series(0, 31) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sg x JOIN sg y ON x.band = y.band AND x.sig = y.sig
+       |                     AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |shr AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+       |FROM shr JOIN sizes sa ON doc_a = sa.doc_id
+       |         JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Full SQL replay of SimHash (r6): poly bigram hashes → per-bit ±1 vote
+    * sums → signature reconstruction (votes > 0 set the bit; poly hashes
+    * are 61-bit so bits 61-63 are structurally 0 — series stops at 60) →
+    * 16-bit band blocking → exact hamming verify. */
+  val dSimhashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, word || ' ' || lead(word,1) OVER w AS bigram
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,1) OVER w IS NOT NULL),
+       |ph AS (SELECT doc_id, ${polySql("bigram")} AS fh FROM bg),
+       |vt AS (
+       |  SELECT doc_id, j.j AS j,
+       |    SUM(CASE WHEN (fh >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM ph CROSS JOIN generate_series(0, 60) j(j) GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM vt GROUP BY 1),
+       |bd AS (
+       |  SELECT doc_id, simhash, k.k AS k,
+       |    (simhash >> (k.k*16)) & 65535 AS bandval
+       |  FROM sim CROSS JOIN generate_series(0, 3) k(k))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       |FROM bd x JOIN bd y ON x.k = y.k AND x.bandval = y.bandval
+       |                   AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_semantic_dedup" -> (dSemanticDedup _),
     "d_fuzzy_name" -> (dFuzzyName _),
@@ -564,5 +666,7 @@ object Dedup {
     "d_dup_clusters" -> dDupClustersSql,
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
+    "d_minhash_lsh" -> dMinhashLshSql,
+    "d_simhash" -> dSimhashSql,
     "d_embed_neardup" -> dEmbedNeardupSql)
 }

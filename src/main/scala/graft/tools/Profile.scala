@@ -12,10 +12,24 @@ object Profile {
     val spark = graft.Sessions.local(cpus, "graft-profile")
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // wall + process-CPU + /proc/stat host-steal per timing, so a starved
+    // window is mechanically evident in the profile output itself
+    // (wall >> cpu and steal spikes => the JVM wasn't scheduled).
+    def procCpu(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    def steal(): Double = try {
+      scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+"))
+        .filter(_.length > 8).map(_(8).toDouble / 100.0).getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
     def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
+      val t0 = System.nanoTime(); val c0 = procCpu(); val s0 = steal()
       val n = f
-      println(f"[profile] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      val w = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name%-30s $w%8.2f s  cpu ${procCpu() - c0}%7.2f s  steal ${steal() - s0}%6.2f s  ($n rows)")
     }
 
     args.headOption.getOrElse("minhash") match {

@@ -100,6 +100,32 @@ class Round6Spec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("string"))
   }
 
+  test("PolyHash: mulmod, permutations and UTF-8 codepoint fold match a BigInt reference") {
+    import graft.functions.PolyHash
+    val M = BigInt(PolyHash.M)
+    val rng = new scala.util.Random(99)
+    for (_ <- 1 to 2000) {
+      val a = math.abs(rng.nextLong()) % PolyHash.M
+      val b = math.abs(rng.nextLong()) % PolyHash.M
+      assert(BigInt(PolyHash.mulmod(a, b)) == BigInt(a) * BigInt(b) % M)
+      assert(BigInt(PolyHash.perm(b, PolyHash.permA(7), PolyHash.permB(7))) ==
+        (BigInt(PolyHash.permA(7)) * b + PolyHash.permB(7)) % M)
+    }
+    def ref(s: String): Long = {
+      var h = BigInt(0)
+      s.codePoints().toArray.foreach(cp => h = (h * PolyHash.B + cp + 1) % M)
+      h.toLong
+    }
+    // covers 1-, 2-, 3- and 4-byte UTF-8 sequences (the codegen decoder
+    // must agree with DuckDB's unicode() codepoints on all of them)
+    val samples = Seq("hello world", "", "a", composed, decomposed,
+      "ß中文", new String(Character.toChars(0x1F600)) + "z")
+    samples.foreach { s =>
+      assert(PolyHash.foldString(0L, UTF8String.fromString(s)) == ref(s),
+        s"fold mismatch on ${s.codePoints().toArray.mkString(",")}")
+    }
+  }
+
   test("d_dup_clusters distributed: fused convergence still detects fixpoint and matches union-find") {
     val (out, rounds, converged) = ops.Dedup.dupClustersWithRounds(spark, sfDir)
     assert(converged, "must reach fixpoint within the round budget")
