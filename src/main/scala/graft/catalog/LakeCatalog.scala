@@ -750,6 +750,127 @@ class LakeCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  // `<table>_blooms.json`: one line per (data file, indexed column) —
+  // {"file":"part-...","column":"c","m":16384,"k":4,"bits":[long,...]} —
+  // the Iceberg puffin-blob analog: a per-file bloom filter for POINT
+  // lookups on columns where zone maps are useless (high-cardinality keys
+  // uncorrelated with the clustering order, so every file's [min,max]
+  // spans the whole domain). Bit positions come from the PORTABLE
+  // graft.functions.PolyHash family, so the index is engine-reproducible.
+
+  private def bloomsPath(ns: String, table: String): Path =
+    Paths.get(s"$root/$ns/${table}_blooms.json")
+
+  /** Build + record per-file bloom filters over `column` for every current
+    * data file. ONE column-pruned distributed pass: (file, distinct key)
+    * → k bit positions → collect_set per file (≤ mBits ints — index-scale,
+    * not data-scale). At 100 TB writers fold this into the commit the same
+    * way recordFileStats already does. */
+  def recordBlooms(ns: String, table: String, colName: String,
+                   mBits: Int = 16384, k: Int = 4): Unit = {
+    import org.apache.spark.sql.functions._
+    val cur = currentFiles(ns, table)
+      .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+      .filter(f => fileStats(ns, table).get(f).forall(_ > 0))
+    if (cur.isEmpty) return
+    val dir = tablePath(ns, table)
+    val rows = spark.read.parquet(cur.map(f => s"$dir/$f"): _*)
+      .select(substring_index(col("_metadata.file_path"), "/", -1).as("f"),
+        col(colName).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .select(col("f"),
+        explode(graft.functions.Poly.bloomBits(col("v"), mBits, k)).as("bit"))
+      .groupBy("f").agg(collect_set(col("bit")).as("bits"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).sorted)
+      .toMap
+    val lines = cur.map { f =>
+      val bits = rows.getOrElse(f, Seq.empty[Int])
+      s"""{"file":"$f","column":"$colName","m":$mBits,"k":$k,"bits":${bits.mkString("[", ",", "]")}}\n"""
+    }.mkString
+    Files.writeString(bloomsPath(ns, table), lines,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** All recorded blooms for (table, column): file → (m, k, bit set). */
+  private def fileBlooms(ns: String, table: String,
+                         column: String): Map[String, (Int, Int, Set[Int])] = {
+    val p = bloomsPath(ns, table)
+    if (!Files.exists(p)) Map.empty
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { line =>
+        val j = JsonMethods.parse(line)
+        val JString(f) = (j \ "file"): @unchecked
+        val JString(c) = (j \ "column"): @unchecked
+        if (c != column) None
+        else {
+          val JInt(m) = (j \ "m"): @unchecked
+          val JInt(k) = (j \ "k"): @unchecked
+          val bits = (j \ "bits") match {
+            case JArray(xs) => xs.collect { case JInt(b) => b.toInt }.toSet
+            case _ => Set.empty[Int]
+          }
+          Some(f -> (m.toInt, k.toInt, bits))
+        }
+      }.toMap // later lines win (re-index replaces)
+    }
+  }
+
+  /** Bloom sidecar summary (every indexed column): (file, column, m, k,
+    * bits set) — the SHOW BLOOMS gateway payload, metadata only. */
+  def bloomsMeta(ns: String, table: String): Seq[(String, String, Int, Int, Int)] = {
+    val p = bloomsPath(ns, table)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+        val j = JsonMethods.parse(line)
+        val JString(f) = (j \ "file"): @unchecked
+        val JString(c) = (j \ "column"): @unchecked
+        val JInt(m) = (j \ "m"): @unchecked
+        val JInt(k) = (j \ "k"): @unchecked
+        val nBits = (j \ "bits") match {
+          case JArray(xs) => xs.length
+          case _ => 0
+        }
+        (f, c, m.toInt, k.toInt, nBits)
+      }.toSeq
+    }
+  }
+
+  /** Point-lookup scan planning from bloom metadata: a file is skipped iff
+    * its bloom PROVES `column = value` matches no row (some bit position
+    * absent — blooms never false-negative); files without a recorded bloom
+    * are conservatively read. Metadata-only. */
+  def bloomPrune(ns: String, table: String, column: String,
+                 value: Long): (Seq[String], Seq[String]) = {
+    val cur = currentFiles(ns, table)
+      .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val blooms = fileBlooms(ns, table, column)
+    val stats = fileStats(ns, table)
+    cur.filter(f => stats.get(f).forall(_ > 0)).partition { f =>
+      blooms.get(f) match {
+        case Some((m, k, bits)) =>
+          val pos = graft.functions.PolyHash.bloomBits(value, m, k)
+          (0 until k).forall(i => bits.contains(pos.getInt(i)))
+        case None => true // no bloom recorded → must read
+      }
+    }
+  }
+
+  /** The table restricted to files surviving bloom pruning for
+    * `column = value`; the row-level predicate still applies (a surviving
+    * file may be a false positive). DV-aware like every read path. */
+  def loadBloomPruned(ns: String, table: String, column: String,
+                      value: Long): DataFrame = {
+    val (read, _) = bloomPrune(ns, table, column, value)
+    readFilesDv(ns, table, read, currentVersion(ns, table))
+  }
+
   /** Scan planning with zone-map skipping (Iceberg's manifest-bounds file
     * pruning): partition the CURRENT snapshot's files into (must-read,
     * skipped) for the predicate `column BETWEEN lo AND hi`. A file is

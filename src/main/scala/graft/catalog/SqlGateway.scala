@@ -77,6 +77,11 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*REMOVE\s+ORPHANS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val rollbackTb =
     """(?is)\s*ROLLBACK\s+(?:TABLE\s+)?(?:(\w+)\.)?(\w+)\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  // round-6 bloom-index verbs (puffin-blob analog over the same catalog)
+  private val createBloom =
+    """(?is)\s*CREATE\s+BLOOM\s+INDEX\s+(?:ON\s+)?(?:(\w+)\.)?(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
+  private val showBlooms =
+    """(?is)\s*SHOW\s+BLOOMS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -215,6 +220,17 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
       case showFiles(ns, table) => // Iceberg `files` metadata table
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.filesMeta(nsName, table)
+
+      case createBloom(ns, table, colName) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.recordBlooms(nsName, table, colName)
+        Seq(s"Bloom index recorded for $colName").toDF("status")
+
+      case showBlooms(ns, table) => // per-file bloom metadata, no data IO
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.bloomsMeta(nsName, table)
+          .sortBy(r => (r._1, r._2))
+          .toDF("file", "column", "m_bits", "k_hashes", "bits_set")
 
       case showBounds(ns, table) => // per-file zone maps, metadata only
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

@@ -133,6 +133,21 @@ object PolyHash {
     s = (s & M) + (s >>> 61)
     if (s >= M) s - M else s
   }
+
+  /** The k bloom-filter bit positions of a BIGINT key: permutations
+    * 128..128+k−1 of the family (disjoint from the minhash range), each
+    * reduced mod mBits. Portable: a SQL engine reproduces the positions
+    * with the same HUGEINT arithmetic. */
+  def bloomBits(v: Long, mBits: Int, k: Int): ArrayData = {
+    val x = ((v % M) + M) % M
+    val out = new Array[Int](k)
+    var i = 0
+    while (i < k) {
+      out(i) = (perm(x, permA(128 + i), permB(128 + i)) % mBits).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** MinHash signature under the portable affine permutation family —
@@ -194,12 +209,37 @@ case class PolyMinHashAgg(
     copy(child = newChildren.head)
 }
 
+/** Bloom-filter bit positions of a BIGINT key — one codegen call. */
+case class BloomBits(child: Expression, mBits: Int, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType if mBits >= 2 && k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"bloom_bits expects (bigint, mBits >= 2, k >= 1), got ${child.dataType.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bloom_bits"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PolyHash.bloomBits(a.asInstanceOf[Long], mBits, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PolyHash$$.MODULE$$.bloomBits($c, $mBits, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): BloomBits =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the portable poly-hash family. */
 object Poly {
   import org.apache.spark.sql.{Column, GraftBridge}
 
   def ngramHashes(ws: Column, k: Int): Column =
     GraftBridge.column(PolyNgramHashes(GraftBridge.expression(ws), k))
+
+  def bloomBits(v: Column, mBits: Int, k: Int): Column =
+    GraftBridge.column(BloomBits(GraftBridge.expression(v), mBits, k))
 
   def bandSigs(m: Column, bandRows: Int): Column =
     GraftBridge.column(PolyBandSigs(GraftBridge.expression(m), bandRows))

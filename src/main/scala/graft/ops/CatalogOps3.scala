@@ -70,9 +70,66 @@ object CatalogOps3 {
       |FROM orders, wdt
       |WHERE o_orderkey BETWEEN 2.0 * w AND 4.0 * w - 1""".stripMargin
 
+  /** Bloom-filter file skipping (r6) — the puffin-blob complement of
+    * [[cZoneSkip]]: zone maps prune RANGE predicates on the clustering
+    * key; blooms prune POINT lookups on high-cardinality columns
+    * UNCORRELATED with the layout, where every file's [min,max] spans the
+    * whole domain and zone maps prove nothing. Per-file bloom bitsets
+    * (m=16384, k=4; bit positions from the portable PolyHash family) are
+    * recorded as metadata at index time; a point lookup consults ONLY the
+    * sidecar to drop whole files — blooms never false-negative, so
+    * skipping is always sound, and false positives only cost IO.
+    *
+    * The probe keys are data-derived and deterministic: the rarest
+    * customer (fewest orders, lowest key — lives in few files, so most
+    * files are TRUE negatives for it) and an absent key (custkey −1 —
+    * every file is a true negative; with ~1.9k distinct keys per file the
+    * per-file FP rate is ~5·10⁻⁴, and Round6bSpec asserts the full-skip
+    * sharply). Emitted facts: exact rows+sum for the rare key (data-
+    * checked), 8 files total, absent-key skip = 8/8, present-key skip ≥ 1. */
+  def cBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    cat.dropTable("scratch", "ord_bloom")
+    cat.createTable("scratch", "ord_bloom", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType))),
+      sortOrder = Seq("o_orderkey asc"))
+    // clustered on ORDERKEY: custkeys scatter across all 8 files, so zone
+    // maps on o_custkey are useless here — exactly the bloom use case
+    cat.appendClustered("scratch", "ord_bloom", o, Seq("o_orderkey"), numFiles = 8)
+    cat.recordBlooms("scratch", "ord_bloom", "o_custkey")
+    // probe 1: the rarest custkey (deterministic, SQL-expressible choice)
+    val probe = o.groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt"), col("o_custkey")).limit(1)
+      .collect()(0).getLong(0) // one scalar — metadata-scale
+    val (readP, skipP) = cat.bloomPrune("scratch", "ord_bloom", "o_custkey", probe)
+    // probe 2: an absent key — every file is a true negative
+    val (readA, skipA) = cat.bloomPrune("scratch", "ord_bloom", "o_custkey", -1L)
+    cat.loadBloomPruned("scratch", "ord_bloom", "o_custkey", probe)
+      .where(col("o_custkey") === probe) // row-level predicate still applies
+      .agg(count(lit(1)).as("n"),
+        Tables.dsum(col("o_totalprice")).as("total"),
+        lit(readP.size + skipP.size).as("files_total"),
+        lit(skipA.size - readA.size).as("absent_skip_margin"),
+        lit(skipP.nonEmpty).as("bloom_effective"))
+  }
+
+  val cBloomSkipSql: String =
+    """WITH probe AS (
+      |  SELECT o_custkey FROM orders GROUP BY 1
+      |  ORDER BY COUNT(*), o_custkey LIMIT 1)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+      |  8 AS files_total, 8 AS absent_skip_margin, true AS bloom_effective
+      |FROM orders JOIN probe USING (o_custkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c_zone_skip" -> (cZoneSkip _))
+    "c_zone_skip" -> (cZoneSkip _),
+    "c_bloom_skip" -> (cBloomSkip _))
 
   val oracles: Map[String, String] = Map(
-    "c_zone_skip" -> cZoneSkipSql)
+    "c_zone_skip" -> cZoneSkipSql,
+    "c_bloom_skip" -> cBloomSkipSql)
 }

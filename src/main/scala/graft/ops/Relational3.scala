@@ -344,7 +344,64 @@ object Relational3 {
     .replace("COUNT(seg) AS n_nonnull", "CAST(COUNT(seg) AS BIGINT) AS n_nonnull")
     .replace("COUNT(*) AS n_notin", "CAST(COUNT(*) AS BIGINT) AS n_notin")
 
+  /** Grouped ordinary least squares (r6): price-on-quantity regression per
+    * return flag from the closed-form normal equations — ONE map-side-
+    * combined aggregate computing the six power sums (n, Σx, Σy, Σx²,
+    * Σxy, Σy²), then slope/intercept/r² as pure driver-free arithmetic on
+    * the 3 group rows. The sums are decimal-accumulated (§4 rule: fp
+    * reordering across partitions must not leak into the model), so the
+    * fitted coefficients are bit-identical on any partitioning and replay
+    * exactly in DuckDB. This is the in-plan shape model-fitting takes at
+    * 100 TB: sufficient statistics shuffle, never rows. */
+  def qLinreg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("y"))
+    li.groupBy("grp").agg(
+        count(lit(1)).cast("double").as("n"),
+        Tables.dsum(col("x")).as("sx"),
+        Tables.dsum(col("y")).as("sy"),
+        Tables.dsum(col("x") * col("x")).as("sxx"),
+        Tables.dsum(col("x") * col("y")).as("sxy"),
+        Tables.dsum(col("y") * col("y")).as("syy"))
+      .select(col("grp"), col("n"), col("sx"), col("sy"), col("sxx"),
+        col("sxy"), col("syy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("m"))
+      .select(col("grp"), col("n").cast("long").as("n_rows"),
+        round(col("m"), 6).as("slope"),
+        round((col("sy") - col("m") * col("sx")) / col("n"), 6).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy"))
+            * (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .orderBy("grp")
+  }
+
+  val qLinregSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY 1),
+      |b AS (
+      |  SELECT grp, n, sx, sy, sxx, sxy, syy,
+      |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS m
+      |  FROM a)
+      |SELECT grp, CAST(n AS BIGINT) AS n_rows,
+      |  round(m, 6) AS slope,
+      |  round((sy - m*sx) / n, 6) AS intercept,
+      |  round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+      |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+      |FROM b ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_linreg" -> (qLinreg _),
     "q_null_suite" -> (qNullSuite _),
     "q_lateral_corr" -> (qLateralCorr _),
     "q_recursive" -> (qRecursive _),
@@ -358,6 +415,7 @@ object Relational3 {
     "q_approx_quantile" -> (qApproxQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "q_linreg" -> qLinregSql,
     "q_null_suite" -> qNullSuiteSql,
     "q_lateral_corr" -> qLateralCorrSql,
     "q_recursive" -> qRecursiveSql,

@@ -245,13 +245,44 @@ object Similarity2 {
       |SELECT q_id, label, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine
       |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** SemDeDup threshold-tuning curve (r6): for each candidate cosine
+    * threshold τ, the duplicate-edge count and the number of docs the
+    * keep-lowest-id rule would drop, computed over the kNN self-join graph
+    * — the scalable proxy for the all-pairs curve (at 100 TB the sweep is
+    * exactly how τ gets chosen: build the kNN graph ONCE, roll up every τ
+    * from it, never re-scan). One pass over the graph, 5-row broadcast of
+    * the τ grid, map-side-combined rollup. Hash-gated by composition: the
+    * kNN chain is already exactly replayable, the rollup is plain SQL. */
+  def sTauSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val knn = Similarity.sKnnJoin(spark, dir).select("q_id", "vec_id", "cosine")
+    val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("tau")
+    knn.crossJoin(broadcast(taus))
+      .where(col("cosine") >= col("tau"))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(when(col("vec_id") < col("q_id"), col("q_id"))).as("n_dropped"))
+      .orderBy("tau")
+  }
+
+  val sTauSweepSql: String =
+    s"""WITH knn AS (SELECT q_id, vec_id, cosine FROM (${Similarity.sKnnJoinSql}) t),
+       |taus AS (SELECT unnest([0.5e0, 0.6e0, 0.7e0, 0.8e0, 0.9e0]) AS tau)
+       |SELECT tau, COUNT(*) AS n_edges,
+       |  COUNT(DISTINCT CASE WHEN vec_id < q_id THEN q_id END) AS n_dropped
+       |FROM taus CROSS JOIN knn
+       |WHERE cosine >= tau
+       |GROUP BY tau ORDER BY tau""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_sq8_topk" -> (sSq8Topk _),
     "s_matryoshka_rerank" -> (sMatryoshkaRerank _),
-    "s_filtered_topk" -> (sFilteredTopk _))
+    "s_filtered_topk" -> (sFilteredTopk _),
+    "s_tau_sweep" -> (sTauSweep _))
 
   val oracles: Map[String, String] = Map(
     "s_sq8_topk" -> sSq8TopkSql,
     "s_matryoshka_rerank" -> sMatryoshkaRerankSql,
-    "s_filtered_topk" -> sFilteredTopkSql)
+    "s_filtered_topk" -> sFilteredTopkSql,
+    "s_tau_sweep" -> sTauSweepSql)
 }

@@ -41,8 +41,9 @@ class PlanAuditSpec extends SparkSpec {
     "s_matryoshka_rerank", // capped probe batch × 16-dim prefix scan (stage 1)
     "c_rollback",     // one-row time-travel-count broadcast
     "m_phash_dedup",  // one-row candidate-stats broadcast
-    "s_ann_recall"    // composes s_cosine_topk's capped probe batch (the
+    "s_ann_recall",   // composes s_cosine_topk's capped probe batch (the
                       //   exact side of the recall report) — same bound
+    "s_tau_sweep"     // 5-row τ-grid broadcast over the kNN graph
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global

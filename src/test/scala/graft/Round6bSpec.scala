@@ -1,0 +1,105 @@
+package graft
+
+import graft.catalog.LakeCatalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-6 batch b: bloom-filter file skipping + grouped OLS. */
+class Round6bSpec extends SparkSpec {
+
+  private def scratch: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_r6b"
+
+  test("bloom skip: sound (never drops a matching file), sharp on absent keys") {
+    val cat = new LakeCatalog(spark, scratch)
+    val o = Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    cat.dropTable("scratch", "bsp")
+    cat.createTable("scratch", "bsp", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType))),
+      sortOrder = Seq("o_orderkey asc"))
+    cat.appendClustered("scratch", "bsp", o, Seq("o_orderkey"), numFiles = 8)
+    cat.recordBlooms("scratch", "bsp", "o_custkey")
+
+    // absent key: every file is a true negative; at ~sf0.001 key counts the
+    // per-file FP odds are ~1e-4 — assert the FULL 8/8 skip sharply
+    val (readA, skipA) = cat.bloomPrune("scratch", "bsp", "o_custkey", -1L)
+    assert(readA.isEmpty && skipA.size == 8,
+      s"absent key must skip all 8 files, read=${readA.size} skip=${skipA.size}")
+
+    // soundness for EVERY present custkey: files containing the key are
+    // never skipped (blooms cannot false-negative), and pruned+predicate
+    // equals the full-scan answer
+    val byFile = cat.load("scratch", "bsp")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0))
+    val sample = byFile.sorted.take(25)
+    sample.foreach { key =>
+      val (read, _) = cat.bloomPrune("scratch", "bsp", "o_custkey", key)
+      val full = cat.load("scratch", "bsp")
+        .where(col("o_custkey") === key).count()
+      val pruned = cat.loadBloomPruned("scratch", "bsp", "o_custkey", key)
+        .where(col("o_custkey") === key).count()
+      assert(pruned == full, s"key $key: pruned $pruned != full $full")
+      assert(read.nonEmpty)
+    }
+
+    // effectiveness: the rarest key lives in few files — most files skip
+    val probe = o.groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt"), col("o_custkey")).limit(1).collect()(0).getLong(0)
+    val (readP, skipP) = cat.bloomPrune("scratch", "bsp", "o_custkey", probe)
+    assert(skipP.nonEmpty, "bloom must skip at least one file for the rarest key")
+    assert(readP.size + skipP.size == 8)
+  }
+
+  test("gateway: CREATE BLOOM INDEX + SHOW BLOOMS drive the bloom sidecar") {
+    val cat = new LakeCatalog(spark, scratch)
+    val gw = new graft.catalog.SqlGateway(spark, cat)
+    val o = Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    cat.dropTable("scratch", "bgw")
+    cat.createTable("scratch", "bgw", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType))))
+    cat.append("scratch", "bgw", o)
+    val st = gw.execute("CREATE BLOOM INDEX ON scratch.bgw (o_custkey)").collect()
+    assert(st.head.getString(0).contains("o_custkey"))
+    val rows = gw.execute("SHOW BLOOMS IN scratch.bgw").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("column") == "o_custkey")
+      assert(r.getAs[Int]("m_bits") == 16384)
+      assert(r.getAs[Int]("k_hashes") == 4)
+      assert(r.getAs[Int]("bits_set") > 0)
+    }
+  }
+
+  test("q_linreg: coefficients match an exact BigDecimal reference on sf0.001") {
+    val out = ops.Relational3.qLinreg(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val rows = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    out.foreach { r =>
+      val grp = r.getString(0)
+      val g = rows.filter(_._1 == grp)
+      assert(r.getLong(1) == g.length)
+      val n = g.length.toDouble
+      def dsum(vs: Seq[Double]): Double =
+        vs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+      val sx = dsum(g.map(_._2)); val sy = dsum(g.map(_._3))
+      val sxx = dsum(g.map(t => t._2 * t._2))
+      val sxy = dsum(g.map(t => t._2 * t._3))
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getDouble(2) - slope) < 1e-5,
+        s"$grp slope ${r.getDouble(2)} vs ref $slope")
+      val intercept = (sy - slope * sx) / n
+      assert(math.abs(r.getDouble(3) - intercept) < 1e-4,
+        s"$grp intercept ${r.getDouble(3)} vs ref $intercept")
+      val r2 = r.getDouble(4)
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$grp r2 $r2 out of range")
+    }
+  }
+}
