@@ -58,8 +58,9 @@ object Multimodal {
     * rows), keep every 4th frame, emit (doc_id, frame_id, frame_bytes,
     * luma-stub). Chunking happens inside the task — the payload is never
     * shuffled, only the tiny per-frame metadata rows are.
-    * xxhash-free but stub-decoded → rows-only; MultimodalSpec pins exact
-    * frame counts/sizes against byte lengths and determinism across runs. */
+    * r6: hash-gated — the stub is deterministic byte arithmetic, so
+    * [[mFrameSampleSql]] replays the full pipeline given the stub's
+    * contract; MultimodalSpec still pins frame counts/sizes/determinism. */
   def mFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = Tables.table(spark, dir, "documents")
@@ -150,8 +151,9 @@ object Multimodal {
     * feature vector per sampled frame — the mapPartitions batch shape a
     * real vision encoder runs in (model loaded once per task, streamed over
     * rows). Vector = 8 deterministic pseudo-lumas; downstream this column
-    * feeds the §2.5 ANN operators unchanged. Stub-decoded → rows-only;
-    * MultimodalSpec pins width/determinism and ANN-compatibility. */
+    * feeds the §2.5 ANN operators unchanged. r6: hash-gated via
+    * [[mFrameEmbedSql]] (stub-contract replay incl. float32 division and
+    * 4-dp formatting); MultimodalSpec pins width/determinism. */
   def mFrameEmbed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = Tables.table(spark, dir, "documents")
@@ -185,6 +187,55 @@ object Multimodal {
           x => format_number(x.cast("double"), 4))).as("frame_vec_csv"))
       .orderBy("doc_id", "frame_id")
 
+  /** FakeCodec.frameLuma replayed over an ASCII string fragment: the
+    * byte fold `acc = (acc·31 + byte) & 0x7fffffff` then mod 256. The
+    * BIGINT `& 0x7fffffff` is exact vs Scala's Int32 wrap-then-mask
+    * (the mask only keeps bits 0-30, which the wrap never touches).
+    * Corpus payloads are `encode(text)` and the corpus is ASCII (byte ≡
+    * codepoint — the same convention every gated m_* oracle already
+    * relies on, e.g. the 64-CHAR ≡ 64-byte chunks of m_chunk_manifest). */
+  private[ops] def lumaSql(s: String): String =
+    s"""CAST((CASE WHEN $s = '' THEN 0 ELSE
+       |  list_reduce([0::BIGINT] || [CAST(unicode(c) AS BIGINT) for c in string_split($s, '')],
+       |    (acc, b) -> (acc * 31 + b) & 2147483647) END) % 256 AS INT)""".stripMargin
+
+  /** r6: the codec STUB is deterministic byte arithmetic, so — given the
+    * stub's contract — the whole frame pipeline (chunking, 1-in-4
+    * sampling, luma) replays in SQL and the op hash-gates. What the gate
+    * verifies is the Spark-side plumbing: batch shape, chunk boundaries,
+    * frame ids, per-frame decode inputs. A REAL codec would move the op
+    * back to rows-only + spec (the decode boundary is the stub). */
+  val mFrameSampleSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, fid, substr(text, fid*64 + 1, 64) AS chunk
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS fid
+       |        FROM documents))
+       |SELECT doc_id, CAST(fid AS INT) AS frame_id,
+       |  CAST(length(chunk) AS INT) AS frame_bytes,
+       |  ${lumaSql("chunk")} AS luma
+       |FROM f WHERE fid % 4 = 0
+       |ORDER BY doc_id, frame_id""".stripMargin
+
+  /** r6: same stub-contract replay for the embedding pipeline — the 8
+    * per-frame features are luma folds over byte suffixes, float-divided
+    * by 255 (REAL-cast division ≡ float32, verified over all 256 luma
+    * values) and 4-dp formatted (printf ≡ format_number HALF_EVEN: binary
+    * floats never land on exact decimal midpoints except 0/1). */
+  val mFrameEmbedSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, fid, substr(text, fid*64 + 1, 64) AS chunk
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS fid
+       |        FROM documents WHERE doc_id % 5 = 0))
+       |SELECT doc_id, CAST(fid AS INT) AS frame_id,
+       |  array_to_string(list_transform(generate_series(0, 7), d ->
+       |    printf('%.4f',
+       |      CAST(CAST(${lumaSql("substr(chunk, d*8 + 1)")} AS REAL)
+       |           / CAST(255 AS REAL) AS REAL))), ',') AS frame_vec_csv
+       |FROM f WHERE fid % 4 = 0
+       |ORDER BY doc_id, frame_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> (mBinaryMeta _),
     "m_frame_sample" -> (mFrameSample _),
@@ -195,5 +246,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "m_binary_meta" -> mBinaryMetaSql,
     "m_modality_route" -> mModalityRouteSql,
-    "m_chunk_manifest" -> mChunkManifestSql)
+    "m_chunk_manifest" -> mChunkManifestSql,
+    "m_frame_sample" -> mFrameSampleSql,
+    "m_frame_embed" -> mFrameEmbedSql)
 }

@@ -143,9 +143,10 @@ object Multimodal2 {
     * guaranteed radius; 8-bit bands would cover hamming ≤ 7 at ~n²/32
     * candidate mass on near-random signatures, the wrong trade).
     * Verification is one codegen popcount per candidate. Payloads never
-    * shuffle; 8-byte signatures do. Codec output is not SQL-replayable →
-    * rows + Round5hSpec (planted corrupted copies found; disjoint assets
-    * not). */
+    * shuffle; 8-byte signatures do. r6: hash-gated — the codec stub is
+    * deterministic byte arithmetic, so [[mPhashDedupSql]] replays lumas,
+    * signatures, banding and the counts exactly; Round5hSpec keeps the
+    * planted-corruption semantics (found within radius; disjoint not). */
   def mPhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val cand = phashPairs(
       Tables.fanout(Tables.table(spark, dir, "documents"))
@@ -200,6 +201,44 @@ object Multimodal2 {
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
   }
 
+  /** r6: stub-contract replay of the dHash pipeline — lumas (first 65
+    * frames), the 64 clamped-index b>a comparisons (bit 63 built in
+    * HUGEINT, signed-reconstructed, since BIGINT << 63 overflows there),
+    * 16-bit banding, popcount verify, and the three counts. Hash-gated:
+    * the gate pins chunking, banding and candidate generation bit-exactly;
+    * a real codec would move the op back to rows-only + Round5hSpec. */
+  val mPhashDedupSql: String =
+    s"""WITH lum AS (
+       |  SELECT doc_id, fid,
+       |    ${graft.ops.Multimodal.lumaSql("substr(text, fid*64 + 1, 64)")} AS luma
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, LEAST(CAST(ceil(length(text) / 64.0) AS INT), 65))) AS fid
+       |        FROM documents)),
+       |ll AS (SELECT doc_id, list(luma ORDER BY fid) AS ls FROM lum GROUP BY 1),
+       |sg AS (
+       |  SELECT d.doc_id,
+       |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |         THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS sig
+       |  FROM (
+       |    SELECT d0.doc_id,
+       |      CASE WHEN ll.ls IS NULL THEN 0::HUGEINT ELSE
+       |        list_sum([CASE WHEN ll.ls[LEAST(i+2, len(ll.ls))] > ll.ls[LEAST(i+1, len(ll.ls))]
+       |                  THEN (1::HUGEINT << i) ELSE 0::HUGEINT END
+       |                  for i in generate_series(0, 63)])
+       |      END AS u
+       |    FROM documents d0 LEFT JOIN ll ON d0.doc_id = ll.doc_id) d),
+       |bd AS (
+       |  SELECT doc_id, sig, b.b AS band, (sig >> (b.b*16)) & 65535 AS bv
+       |  FROM sg CROSS JOIN generate_series(0, 3) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, x.sig AS sa, y.doc_id AS b, y.sig AS sb
+       |  FROM bd x JOIN bd y ON x.band = y.band AND x.bv = y.bv
+       |                     AND x.doc_id < y.doc_id)
+       |SELECT (SELECT COUNT(*) FROM sg) AS n_assets,
+       |  COUNT(*) AS n_candidates,
+       |  COUNT(CASE WHEN bit_count(xor(sa, sb)) <= 3 THEN 1 END) AS n_neardup
+       |FROM cand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_cas_dedup" -> (mCasDedup _),
     "m_av_sync" -> (mAvSync _),
@@ -207,5 +246,6 @@ object Multimodal2 {
 
   val oracles: Map[String, String] = Map(
     "m_cas_dedup" -> mCasDedupSql,
-    "m_av_sync" -> mAvSyncSql)
+    "m_av_sync" -> mAvSyncSql,
+    "m_phash_dedup" -> mPhashDedupSql)
 }

@@ -400,7 +400,71 @@ object Relational3 {
       |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
       |FROM b ORDER BY grp""".stripMargin
 
+  /** Pairwise Pearson correlation matrix (r6) over three lineitem measures
+    * — same sufficient-statistics shape as [[qLinreg]]: ONE map-side-
+    * combined aggregate of the ten power sums, then every pairwise r as
+    * arithmetic over the single result row (exploded to tidy pair rows
+    * in-plan). At 100 TB a d-column correlation matrix is exactly this:
+    * one pass, d(d+3)/2 decimal sums shuffled, never rows. */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("double").as("q"),
+        col("l_extendedprice").cast("double").as("p"),
+        col("l_discount").cast("double").as("d"))
+    val a = li.agg(
+      count(lit(1)).cast("double").as("n"),
+      Tables.dsum(col("q")).as("sq"), Tables.dsum(col("p")).as("sp"),
+      Tables.dsum(col("d")).as("sd"),
+      Tables.dsum(col("q") * col("q")).as("sqq"),
+      Tables.dsum(col("p") * col("p")).as("spp"),
+      Tables.dsum(col("d") * col("d")).as("sdd"),
+      Tables.dsum(col("q") * col("p")).as("sqp"),
+      Tables.dsum(col("q") * col("d")).as("sqd"),
+      Tables.dsum(col("p") * col("d")).as("spd"))
+    def r(sa: String, sb: String, saa: String, sbb: String, sab: String) =
+      round((col("n") * col(sab) - col(sa) * col(sb)) /
+        sqrt((col("n") * col(saa) - col(sa) * col(sa))
+          * (col("n") * col(sbb) - col(sb) * col(sb))), 6)
+    a.select(explode(array(
+        struct(lit("discount").as("var_a"), lit("extendedprice").as("var_b"),
+          r("sd", "sp", "sdd", "spp", "spd").as("corr")),
+        struct(lit("discount").as("var_a"), lit("quantity").as("var_b"),
+          r("sd", "sq", "sdd", "sqq", "sqd").as("corr")),
+        struct(lit("extendedprice").as("var_a"), lit("quantity").as("var_b"),
+          r("sp", "sq", "spp", "sqq", "sqp").as("corr")))).as("x"))
+      .select(col("x.var_a"), col("x.var_b"), col("x.corr"))
+      .orderBy("var_a", "var_b")
+  }
+
+  val qCorrMatrixSql: String =
+    """WITH a AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sq,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sp,
+      |    CAST(SUM(CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sd,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sqq,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS spp,
+      |    CAST(SUM(CAST(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sdd,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sqp,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sqd,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS spd
+      |  FROM lineitem)
+      |SELECT var_a, var_b, corr FROM (
+      |  SELECT 'discount' AS var_a, 'extendedprice' AS var_b,
+      |    round((n*spd - sd*sp) / sqrt((n*sdd - sd*sd) * (n*spp - sp*sp)), 6) AS corr
+      |  FROM a
+      |  UNION ALL
+      |  SELECT 'discount', 'quantity',
+      |    round((n*sqd - sd*sq) / sqrt((n*sdd - sd*sd) * (n*sqq - sq*sq)), 6)
+      |  FROM a
+      |  UNION ALL
+      |  SELECT 'extendedprice', 'quantity',
+      |    round((n*sqp - sp*sq) / sqrt((n*spp - sp*sp) * (n*sqq - sq*sq)), 6)
+      |  FROM a)
+      |ORDER BY var_a, var_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_matrix" -> (qCorrMatrix _),
     "q_linreg" -> (qLinreg _),
     "q_null_suite" -> (qNullSuite _),
     "q_lateral_corr" -> (qLateralCorr _),
@@ -415,6 +479,7 @@ object Relational3 {
     "q_approx_quantile" -> (qApproxQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "q_corr_matrix" -> qCorrMatrixSql,
     "q_linreg" -> qLinregSql,
     "q_null_suite" -> qNullSuiteSql,
     "q_lateral_corr" -> qLateralCorrSql,
