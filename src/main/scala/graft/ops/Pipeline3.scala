@@ -139,11 +139,75 @@ object Pipeline3 {
        |  CAST(greatest(target_tokens - epochs * tokens, 0) AS BIGINT) AS shortfall
        |FROM e ORDER BY source""".stripMargin
 
+  /** Training-shard manifest (r6) — the trainer-handoff artifact: docs
+    * packed contiguously (doc_id order) into ~4096-token shards, manifest
+    * row per shard with (n_docs, n_tokens, first_doc, last_doc) — what a
+    * data-loader consumes to schedule workers without touching data.
+    *
+    * Boundary rule: a doc belongs to the shard its FIRST token lands in,
+    * so docs are never split (the standard contiguous-manifest trade vs
+    * [[Pipeline2.pPackSequences]], which splits across sequences) and a
+    * shard may overflow by at most one tail doc.
+    *
+    * Scale shape: p_pack_sequences' two-level prefix sum — the only
+    * ordered window runs over corpus/W BUCKET TOTALS (tiny), per-bucket
+    * prefixes are partitioned windows, the manifest rollup map-side
+    * combines. No raw-row global window anywhere (PlanAuditSpec's ban). */
+  def pShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val shardBudget = 4096L
+    val bucketW = 100L
+    val toks = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(norm(col("text")), " ")).cast("long").as("n_tokens"),
+        (col("doc_id") / bucketW).cast("long").as("bucket"))
+    val bucketTotals = toks.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("bucket_toks"))
+    val offsets = bucketTotals.withColumn("bucket_off",
+      coalesce(sum(col("bucket_toks")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bucket", "bucket_off")
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    toks.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start_tok",
+        col("bucket_off") + sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"start_tok div $shardBudget").as("shard_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  val pShardManifestSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT (cum - n_tokens) // 4096 AS shard_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_dedup_weight" -> (pDedupWeight _),
-    "p_epoch_mix" -> (pEpochMix _))
+    "p_epoch_mix" -> (pEpochMix _),
+    "p_shard_manifest" -> (pShardManifest _))
 
   val oracles: Map[String, String] = Map(
     "p_dedup_weight" -> pDedupWeightSql,
-    "p_epoch_mix" -> pEpochMixSql)
+    "p_epoch_mix" -> pEpochMixSql,
+    "p_shard_manifest" -> pShardManifestSql)
 }

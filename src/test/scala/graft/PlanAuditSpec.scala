@@ -53,7 +53,8 @@ class PlanAuditSpec extends SparkSpec {
     * the exemption dies if the op ever degrades to a raw-row window. */
   private val boundedGlobalWindow = Set(
     "p_pack_sequences",
-    "st_late_audit" // prefix-max over per-HOUR bucket maxes (same two-level scan)
+    "st_late_audit",   // prefix-max over per-HOUR bucket maxes (same two-level scan)
+    "p_shard_manifest" // prefix-sum over per-bucket token totals (p_pack_sequences' shape)
   )
 
   // one planning pass over the whole surface, shared by every assertion

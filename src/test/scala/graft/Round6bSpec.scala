@@ -52,6 +52,37 @@ class Round6bSpec extends SparkSpec {
     assert(readP.size + skipP.size == 8)
   }
 
+  test("bloom skip stays sound across compaction and MOR deletes") {
+    val cat = new LakeCatalog(spark, scratch)
+    val o = Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    cat.dropTable("scratch", "bmt")
+    cat.createTable("scratch", "bmt", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType))),
+      sortOrder = Seq("o_orderkey asc"))
+    cat.appendClustered("scratch", "bmt", o, Seq("o_orderkey"), numFiles = 4)
+    cat.recordBlooms("scratch", "bmt", "o_custkey")
+    val key = o.select("o_custkey").limit(1).collect()(0).getLong(0)
+    // MOR delete: the bloom still contains the key (false positive now) —
+    // skipping stays sound, and the DV subtracts the rows on read
+    cat.deleteWhereMor("scratch", "bmt", col("o_custkey") === key)
+    val afterMor = cat.loadBloomPruned("scratch", "bmt", "o_custkey", key)
+      .where(col("o_custkey") === key).count()
+    assert(afterMor == 0, s"MOR-deleted rows resurfaced through the bloom path: $afterMor")
+    // compaction rewrites into NEW files with no recorded bloom → every
+    // file is conservatively must-read (sound), and re-indexing restores
+    // the absent-key skip
+    cat.compact("scratch", "bmt", 2)
+    val (readC, skipC) = cat.bloomPrune("scratch", "bmt", "o_custkey", -1L)
+    assert(skipC.isEmpty && readC.nonEmpty,
+      s"compacted files have no blooms and must be read: read=${readC.size} skip=${skipC.size}")
+    cat.recordBlooms("scratch", "bmt", "o_custkey")
+    val (readC2, skipC2) = cat.bloomPrune("scratch", "bmt", "o_custkey", -1L)
+    assert(readC2.isEmpty && skipC2.nonEmpty,
+      "re-indexing after compaction must restore the absent-key skip")
+  }
+
   test("gateway: CREATE BLOOM INDEX + SHOW BLOOMS drive the bloom sidecar") {
     val cat = new LakeCatalog(spark, scratch)
     val gw = new graft.catalog.SqlGateway(spark, cat)
