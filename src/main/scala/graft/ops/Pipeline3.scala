@@ -201,13 +201,49 @@ object Pipeline3 {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  /** Quality-threshold curation curve (r6) — the other dial-tuning sweep
+    * (s_tau_sweep's sibling for the quality gate): for each candidate
+    * cutoff, surviving doc count and token mass. Choosing the quality
+    * threshold IS a data-vs-quality trade; at 100 TB the curve is computed
+    * exactly like this — score once, roll up every cutoff from one pass
+    * (5-row broadcast grid), never re-score. Hash-gated by composition
+    * over the already-replayable t_quality_score. */
+  def pQualityCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = TextOps.tQualityScore(spark, dir).select("doc_id", "quality")
+    val toks = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(norm(col("text")), " ")).cast("long").as("n_tokens"))
+    val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+    q.join(toks, Seq("doc_id"))
+      .crossJoin(broadcast(taus))
+      .where(col("quality") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+      .orderBy("threshold")
+  }
+
+  val pQualityCurveSql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM (${TextOps.tQualityScoreSql}) t),
+       |tk AS (SELECT doc_id,
+       |         CAST(length(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+       |       FROM documents),
+       |taus AS (SELECT unnest([0.5e0, 0.6e0, 0.7e0, 0.8e0, 0.9e0]) AS threshold)
+       |SELECT threshold, COUNT(*) AS n_kept,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+       |FROM q JOIN tk USING (doc_id) CROSS JOIN taus
+       |WHERE quality >= threshold
+       |GROUP BY 1 ORDER BY threshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_dedup_weight" -> (pDedupWeight _),
     "p_epoch_mix" -> (pEpochMix _),
-    "p_shard_manifest" -> (pShardManifest _))
+    "p_shard_manifest" -> (pShardManifest _),
+    "p_quality_curve" -> (pQualityCurve _))
 
   val oracles: Map[String, String] = Map(
     "p_dedup_weight" -> pDedupWeightSql,
     "p_epoch_mix" -> pEpochMixSql,
-    "p_shard_manifest" -> pShardManifestSql)
+    "p_shard_manifest" -> pShardManifestSql,
+    "p_quality_curve" -> pQualityCurveSql)
 }

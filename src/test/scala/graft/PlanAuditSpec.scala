@@ -43,7 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     "m_phash_dedup",  // one-row candidate-stats broadcast
     "s_ann_recall",   // composes s_cosine_topk's capped probe batch (the
                       //   exact side of the recall report) — same bound
-    "s_tau_sweep"     // 5-row τ-grid broadcast over the kNN graph
+    "s_tau_sweep",    // 5-row τ-grid broadcast over the kNN graph
+    "p_quality_curve" // 5-row threshold-grid broadcast over per-doc scores
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
