@@ -751,94 +751,185 @@ class LakeCatalog(spark: SparkSession, root: String) {
   }
 
   // `<table>_blooms.json`: one line per (data file, indexed column) —
-  // {"file":"part-...","column":"c","m":16384,"k":4,"bits":[long,...]} —
+  // {"file":"part-...","column":"c","m":16384,"k":4,"packed":"<base64>"} —
   // the Iceberg puffin-blob analog: a per-file bloom filter for POINT
   // lookups on columns where zone maps are useless (high-cardinality keys
   // uncorrelated with the clustering order, so every file's [min,max]
   // spans the whole domain). Bit positions come from the PORTABLE
   // graft.functions.PolyHash family, so the index is engine-reproducible.
+  // `packed` = the m-bit filter as m/64 big-endian 64-bit words, base64:
+  // m=16384 → 2048 bytes → 2732 base64 chars (~2.8 KB/line with framing),
+  // 10-20× smaller than the r6 JSON int-list encoding and O(m) regardless
+  // of fill. Legacy `"bits":[...]` lines from older sidecars still parse.
 
   private def bloomsPath(ns: String, table: String): Path =
     Paths.get(s"$root/$ns/${table}_blooms.json")
 
   /** Build + record per-file bloom filters over `column` for every current
-    * data file. ONE column-pruned distributed pass: (file, distinct key)
-    * → k bit positions → collect_set per file (≤ mBits ints — index-scale,
-    * not data-scale). At 100 TB writers fold this into the commit the same
-    * way recordFileStats already does. */
+    * data file. ONE column-pruned distributed pass: (file, key) → k bit
+    * positions → per-(file, word) `bit_or` partial aggregate (map-side
+    * combined; at most m/64 rows per file reach the final agg) → the words
+    * packed and base64'd INSIDE the plan. The driver never materializes the
+    * index: finished sidecar lines are STREAMED to the writer one at a time
+    * (`toLocalIterator`), so driver heap is O(1 line) even at 10⁶ files.
+    * Re-indexing REWRITES this column's lines (temp file + atomic move) and
+    * keeps other columns' lines verbatim. At 100 TB writers fold this into
+    * the commit the same way recordFileStats already does.
+    *
+    * `mBits = 0` (the default) auto-sizes the filter by bits-per-key, the
+    * way parquet/Iceberg bloom writers size from NDV: m = pow2ceil(32 ×
+    * max per-file approx-NDV), floor 16384, cap 2^24. A fixed m saturates
+    * once per-file key counts outgrow it (at 10× data the old fixed 16384
+    * hit ~96% fill → ~84% false-positive rate and pruned nothing); 32
+    * bits/key pins fill ≈ 11.8% and the per-file FP rate at
+    * (1−e^{−k·n/m})^k ≈ 2e-4 at ANY scale. */
   def recordBlooms(ns: String, table: String, colName: String,
-                   mBits: Int = 16384, k: Int = 4): Unit = {
+                   mBits: Int = 0, k: Int = 4): Unit = {
     import org.apache.spark.sql.functions._
     val cur = currentFiles(ns, table)
       .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
       .filter(f => fileStats(ns, table).get(f).forall(_ > 0))
     if (cur.isEmpty) return
     val dir = tablePath(ns, table)
-    val rows = spark.read.parquet(cur.map(f => s"$dir/$f"): _*)
+    val keyed = spark.read.parquet(cur.map(f => s"$dir/$f"): _*)
       .select(substring_index(col("_metadata.file_path"), "/", -1).as("f"),
         col(colName).cast("long").as("v"))
       .where(col("v").isNotNull)
+    val m: Int =
+      if (mBits > 0) mBits
+      else {
+        // one column-pruned NDV pass; the ±2% HLL error is irrelevant under
+        // 32× headroom, and HLL on fixed data is deterministic
+        val maxNdv = keyed
+          .groupBy(col("f")).agg(approx_count_distinct(col("v")).as("n"))
+          .agg(max(col("n"))).collect()(0).getLong(0) // one scalar
+        val want = math.min(maxNdv * 32L, 1L << 24)
+        math.max(16384L, java.lang.Long.highestOneBit(math.max(1L, want - 1)) << 1).toInt
+      }
+    val nWords = (m + 63) / 64
+    // base64(concat of words as 8-byte big-endian): builtin-only packing —
+    // hex/unhex per word, try_element_at for words with no set bit. The
+    // translate() strips any encoder line breaks: a newline inside a value
+    // would corrupt the line-oriented sidecar.
+    val packExpr =
+      s"""translate(base64(aggregate(sequence(0, ${nWords - 1}),
+         |  cast('' as binary),
+         |  (acc, i) -> concat(acc, unhex(lpad(hex(
+         |    coalesce(try_element_at(wm, cast(i as bigint)), 0L)), 16, '0'))))),
+         |  '\r\n', '')""".stripMargin
+    val lines = keyed
       .select(col("f"),
-        explode(graft.functions.Poly.bloomBits(col("v"), mBits, k)).as("bit"))
-      .groupBy("f").agg(collect_set(col("bit")).as("bits"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Int](1).sorted)
-      .toMap
-    val lines = cur.map { f =>
-      val bits = rows.getOrElse(f, Seq.empty[Int])
-      s"""{"file":"$f","column":"$colName","m":$mBits,"k":$k,"bits":${bits.mkString("[", ",", "]")}}\n"""
-    }.mkString
-    Files.writeString(bloomsPath(ns, table), lines,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+        explode(graft.functions.Poly.bloomBits(col("v"), m, k)).as("bit"))
+      .groupBy(col("f"), expr("bit div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, bit % 64))").as("word"))
+      .groupBy(col("f"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("wm"))
+      .select(col("f"), expr(packExpr).as("packed"))
+    val p = bloomsPath(ns, table)
+    // lines for OTHER columns survive the rewrite verbatim; this column's
+    // old lines (and any legacy duplicates) are dropped
+    val keep: Seq[String] =
+      if (!Files.exists(p)) Seq.empty
+      else Files.readAllLines(p).asScala.toSeq.filter { line =>
+        line.nonEmpty && !parsedBloomColumn(line).contains(colName)
+      }
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    val w = Files.newBufferedWriter(tmp)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    try {
+      keep.foreach { l => w.write(l); w.write("\n") }
+      val it = lines.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val f = r.getString(0)
+        seen += f
+        w.write(s"""{"file":"$f","column":"$colName","m":$m,"k":$k,"packed":"${r.getString(1)}"}""")
+        w.write("\n")
+      }
+      // files whose column is entirely NULL have no rows above: record an
+      // empty (all-zero) bloom so they still prune as true negatives
+      val emptyPacked = java.util.Base64.getEncoder
+        .encodeToString(new Array[Byte](nWords * 8))
+      cur.filterNot(seen).foreach { f =>
+        w.write(s"""{"file":"$f","column":"$colName","m":$m,"k":$k,"packed":"$emptyPacked"}""")
+        w.write("\n")
+      }
+    } finally w.close()
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** All recorded blooms for (table, column): file → (m, k, bit set). */
+  /** The `"column"` field of one sidecar line (None on parse failure). */
+  private def parsedBloomColumn(line: String): Option[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try JsonMethods.parse(line) \ "column" match {
+      case JString(c) => Some(c)
+      case _ => None
+    } catch { case _: Throwable => None }
+  }
+
+  /** One parsed sidecar line → (file, m, k, words). Accepts the packed
+    * base64 format and the legacy JSON int-list format. */
+  private def parseBloomLine(line: String): Option[(String, String, Int, Int, Array[Long])] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try {
+      val j = JsonMethods.parse(line)
+      val JString(f) = (j \ "file"): @unchecked
+      val JString(c) = (j \ "column"): @unchecked
+      val JInt(m) = (j \ "m"): @unchecked
+      val JInt(k) = (j \ "k"): @unchecked
+      val nWords = (m.toInt + 63) / 64
+      val words = (j \ "packed") match {
+        case JString(b64) =>
+          val bytes = java.util.Base64.getDecoder.decode(b64)
+          val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian (hex order)
+          Array.fill(math.min(nWords, bytes.length / 8))(buf.getLong)
+        case _ => (j \ "bits") match { // legacy int-list encoding
+          case JArray(xs) =>
+            val ws = new Array[Long](nWords)
+            xs.foreach { case JInt(b) =>
+              val bit = b.toInt
+              if (bit >= 0 && bit < m.toInt) ws(bit >> 6) |= 1L << (bit & 63)
+            case _ => () }
+            ws
+          case _ => new Array[Long](nWords)
+        }
+      }
+      Some((f, c, m.toInt, k.toInt, words))
+    } catch { case _: Throwable => None }
+  }
+
+  /** All recorded blooms for (table, column): file → (m, k, packed words).
+    * Later lines win (legacy append-era sidecars may carry duplicates). */
   private def fileBlooms(ns: String, table: String,
-                         column: String): Map[String, (Int, Int, Set[Int])] = {
+                         column: String): Map[String, (Int, Int, Array[Long])] = {
     val p = bloomsPath(ns, table)
     if (!Files.exists(p)) Map.empty
-    else {
-      import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { line =>
-        val j = JsonMethods.parse(line)
-        val JString(f) = (j \ "file"): @unchecked
-        val JString(c) = (j \ "column"): @unchecked
-        if (c != column) None
-        else {
-          val JInt(m) = (j \ "m"): @unchecked
-          val JInt(k) = (j \ "k"): @unchecked
-          val bits = (j \ "bits") match {
-            case JArray(xs) => xs.collect { case JInt(b) => b.toInt }.toSet
-            case _ => Set.empty[Int]
-          }
-          Some(f -> (m.toInt, k.toInt, bits))
-        }
-      }.toMap // later lines win (re-index replaces)
-    }
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty)
+      .flatMap(parseBloomLine)
+      .collect { case (f, c, m, k, ws) if c == column => f -> (m, k, ws) }
+      .toMap // later lines win (re-index replaces)
   }
 
   /** Bloom sidecar summary (every indexed column): (file, column, m, k,
-    * bits set) — the SHOW BLOOMS gateway payload, metadata only. */
+    * bits set) — the SHOW BLOOMS gateway payload, metadata only. Same
+    * later-lines-win dedup as the prune path, so a legacy append-era
+    * sidecar never shows duplicate rows. */
   def bloomsMeta(ns: String, table: String): Seq[(String, String, Int, Int, Int)] = {
     val p = bloomsPath(ns, table)
     if (!Files.exists(p)) Seq.empty
     else {
-      import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
-        val j = JsonMethods.parse(line)
-        val JString(f) = (j \ "file"): @unchecked
-        val JString(c) = (j \ "column"): @unchecked
-        val JInt(m) = (j \ "m"): @unchecked
-        val JInt(k) = (j \ "k"): @unchecked
-        val nBits = (j \ "bits") match {
-          case JArray(xs) => xs.length
-          case _ => 0
+      val byKey = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), (Int, Int, Int)]
+      Files.readAllLines(p).asScala.filter(_.nonEmpty)
+        .flatMap(parseBloomLine)
+        .foreach { case (f, c, m, k, ws) =>
+          byKey((f, c)) = (m, k, ws.map(java.lang.Long.bitCount).sum)
         }
-        (f, c, m.toInt, k.toInt, nBits)
-      }.toSeq
+      byKey.toSeq.map { case ((f, c), (m, k, n)) => (f, c, m, k, n) }
     }
   }
 
@@ -854,9 +945,12 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val stats = fileStats(ns, table)
     cur.filter(f => stats.get(f).forall(_ > 0)).partition { f =>
       blooms.get(f) match {
-        case Some((m, k, bits)) =>
+        case Some((m, k, words)) =>
           val pos = graft.functions.PolyHash.bloomBits(value, m, k)
-          (0 until k).forall(i => bits.contains(pos.getInt(i)))
+          (0 until k).forall { i =>
+            val b = pos.getInt(i)
+            (words(b >> 6) >>> (b & 63) & 1L) == 1L
+          }
         case None => true // no bloom recorded → must read
       }
     }
@@ -1158,6 +1252,11 @@ class LakeCatalog(spark: SparkSession, root: String) {
     if (Files.exists(cs)) Files.delete(cs)
     val dv = dvPath(ns, table)
     if (Files.exists(dv)) Files.delete(dv)
+    // the bloom sidecar too (ADVICE r6): a recreated table must not inherit
+    // the old table's per-file blooms — prune soundness would silently rest
+    // on parquet part-file names never being reused
+    val bl = bloomsPath(ns, table)
+    if (Files.exists(bl)) Files.delete(bl)
   }
 
   // ------------------------------------------------- copy-on-write mutations

@@ -116,6 +116,23 @@ object CatalogOps3 {
         lit(skipP.nonEmpty).as("bloom_effective"))
   }
 
+  /** ORACLE CONTRACT (ADVICE r6): the three pinned literals below —
+    * `8 AS files_total`, `8 AS absent_skip_margin`, `true AS
+    * bloom_effective` — are deterministic consequences of THIS op's fixed
+    * recipe, not general truths. files_total = the `numFiles = 8` passed to
+    * appendClustered above. absent_skip_margin = 8 requires every file to
+    * be a bloom true-negative for key -1: -1 is outside the generator's
+    * custkey domain, and recordBlooms auto-sizes m to ≥32 bits per per-file
+    * key (LakeCatalog.recordBlooms), pinning the per-file FP rate at
+    * (1−e^{−k·n/m})^k ≈ 2e-4 at ANY data scale — a fixed m=16384 failed
+    * exactly here at sf0.1, where ~12k keys/file saturated it to an ~84%
+    * FP rate and margin −8. FP existence is deterministic per corpus;
+    * verified empirically at sf0.001/0.01/0.1 (VERIFY_SF01.json).
+    * bloom_effective = clustering guarantees the rare probe key appears in
+    * a strict subset of the 8 files. If numFiles, k, the sizing policy, or
+    * the corpus changes, RE-DERIVE all three (run the op, read the values)
+    * — the oracle cannot compute them from the parquet tables alone
+    * (repartitionByRange's sampled file boundaries are not SQL-expressible). */
   val cBloomSkipSql: String =
     """WITH probe AS (
       |  SELECT o_custkey FROM orders GROUP BY 1

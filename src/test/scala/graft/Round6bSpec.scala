@@ -105,6 +105,54 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("bloom sidecar: packed encoding bounds the bytes/line; re-index and drop leave no stale rows") {
+    val cat = new LakeCatalog(spark, scratch)
+    val o = Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    cat.dropTable("scratch", "bsz")
+    cat.createTable("scratch", "bsz", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType))),
+      sortOrder = Seq("o_orderkey asc"))
+    cat.appendClustered("scratch", "bsz", o, Seq("o_orderkey"), numFiles = 8)
+    // explicit m: this case bounds the ENCODING (bytes per line at fixed m);
+    // auto-sizing is covered below
+    cat.recordBlooms("scratch", "bsz", "o_custkey", mBits = 16384)
+    cat.recordBlooms("scratch", "bsz", "o_orderkey", mBits = 16384)
+    // re-index one column twice: the rewrite must REPLACE its lines, so the
+    // sidecar holds exactly one line per (file, column) — 8 files × 2 cols
+    cat.recordBlooms("scratch", "bsz", "o_custkey", mBits = 16384)
+    val sidecar = java.nio.file.Paths.get(s"$scratch/scratch/bsz_blooms.json")
+    val lines = java.nio.file.Files.readAllLines(sidecar)
+    assert(lines.size == 16, s"expected 8 files x 2 columns, got ${lines.size} lines")
+    // packed encoding: m=16384 bits = 2048 bytes = 2732 base64 chars; with
+    // JSON framing each line stays under 2.9 KB regardless of fill (the r6
+    // int-list encoding was 10-20x this on full blooms)
+    lines.forEach(l => assert(l.length <= 2900, s"sidecar line ${l.length} B exceeds packed bound"))
+    // SHOW BLOOMS dedups by (file, column) even on legacy append-era
+    // sidecars; on a rewritten sidecar it is exactly the line set
+    assert(cat.bloomsMeta("scratch", "bsz").size == 16)
+    // pruning still works on the packed form for both indexed columns
+    val (readA, skipA) = cat.bloomPrune("scratch", "bsz", "o_custkey", -1L)
+    assert(readA.isEmpty && skipA.size == 8)
+    // auto-sizing (default mBits=0): m = pow2ceil(32 × max per-file NDV),
+    // floored at 16384 — a power of two, and ≥ 16× the per-file key count
+    // so the filter can never saturate at scale (the sf0.1 failure mode of
+    // a fixed m: 96% fill → 84% FP → zero pruning)
+    cat.recordBlooms("scratch", "bsz", "o_custkey")
+    val metas = cat.bloomsMeta("scratch", "bsz").filter(_._2 == "o_custkey")
+    assert(metas.nonEmpty)
+    val ndv = cat.load("scratch", "bsz").select("o_custkey").distinct().count()
+    metas.foreach { case (_, _, m, _, _) =>
+      assert(Integer.bitCount(m) == 1 && m >= 16384, s"auto m=$m not a pow2 floor-16384")
+      assert(m >= 16L * ndv / 8, s"auto m=$m under-sized for ~${ndv / 8} keys/file")
+    }
+    // drop removes the sidecar: a recreated table must not inherit blooms
+    // keyed by reused part-file names
+    cat.dropTable("scratch", "bsz")
+    assert(!java.nio.file.Files.exists(sidecar), "dropTable must delete the bloom sidecar")
+  }
+
   test("q_linreg: coefficients match an exact BigDecimal reference on sf0.001") {
     val out = ops.Relational3.qLinreg(spark, sfDir).collect()
     assert(out.nonEmpty)
