@@ -159,7 +159,10 @@ object Pipeline3 {
     val toks = Tables.table(spark, dir, "documents")
       .select(col("doc_id"),
         size(split(norm(col("text")), " ")).cast("long").as("n_tokens"),
-        (col("doc_id") / bucketW).cast("long").as("bucket"))
+        // integer `div`, not `/`+cast: Spark `/` on longs is double
+        // division, inexact for doc_id >= 2^53 — a misrounded bucket there
+        // would break the two-level prefix sum's order-preserving partition
+        expr(s"doc_id div $bucketW").as("bucket"))
     val bucketTotals = toks.groupBy("bucket")
       .agg(sum(col("n_tokens")).as("bucket_toks"))
     val offsets = bucketTotals.withColumn("bucket_off",

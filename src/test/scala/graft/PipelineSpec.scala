@@ -112,7 +112,10 @@ class PipelineSpec extends SparkSpec {
     // r5: the loop must STOP because labels stabilized, not because it hit
     // the round cap — convergence detection is what bounds cost at scale
     assert(converged, s"label propagation hit maxRounds without converging")
-    assert(rounds < 10, s"no early fixpoint: ran all $rounds rounds")
+    // <= 8, matching the oracle's 8-round unroll exactly: a 9-round
+    // converging graph would pass a looser spec and fail only at the hash
+    // gate (VERDICT r6 #4)
+    assert(rounds <= 8, s"fixpoint after $rounds rounds exceeds the oracle's 8-round unroll")
     info(s"converged after $rounds rounds")
   }
 
