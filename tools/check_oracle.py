@@ -56,16 +56,22 @@ def compare(name, spark_df, duck_df):
     return problems
 
 def main():
+    # optional 3rd arg: write a judge-readable JSON artifact
+    # {query: {"pass": bool, "spark_rows": n, "oracle_rows": n, "problems": [...]}}
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     load_tables(con, sf_dir)
     n_pass = n_fail = 0
+    report = {}
     result_dirs = sorted(d for d in os.listdir(out_dir)
                          if os.path.isdir(os.path.join(out_dir, d)))
     for name in result_dirs:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
+            report[name] = {"pass": False, "spark_rows": 0, "oracle_rows": None,
+                            "problems": ["no spark output"]}
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
@@ -74,9 +80,14 @@ def main():
         try:
             duck_df = con.execute(oracle[name]).df()
         except Exception as e:
+            report[name] = {"pass": False, "spark_rows": len(spark_df),
+                            "oracle_rows": None,
+                            "problems": [f"oracle SQL error: {e}"]}
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
         problems = compare(name, spark_df, duck_df)
         hard = [p for p in problems if not p.startswith("DTYPE-WARN")]
+        report[name] = {"pass": not hard, "spark_rows": len(spark_df),
+                        "oracle_rows": len(duck_df), "problems": hard}
         if hard:
             print(f"FAIL {name}: " + "; ".join(problems)); n_fail += 1
         else:
@@ -85,8 +96,14 @@ def main():
             n_pass += 1
     missing = sorted(set(oracle) - set(result_dirs))
     for name in missing:
+        report[name] = {"pass": False, "spark_rows": 0, "oracle_rows": None,
+                        "problems": ["oracle declared but no spark output"]}
         print(f"FAIL {name}: oracle declared but no spark output"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": dict(sorted(report.items()))}, f, indent=1)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
