@@ -44,11 +44,31 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
               "type" -> JString("string"),
               "description" -> JString(queryDesc))),
           "required" -> JArray(List(JString("query")))))
+    // the FULL dialect is advertised, the way the reference enumerates its
+    // surface in each tool description (server.py:26-117) — an MCP client
+    // discovers every verb from tools/list alone
     JArray(List(
       tool("query_catalog", "Interact with the lake catalog",
-        "Query to execute on the catalog (LIST NAMESPACES, LIST TABLES, DESCRIBE TABLE)"),
+        "Catalog and maintenance verbs: LIST NAMESPACES [IN ns]; " +
+          "LIST TABLES [IN ns]; DESCRIBE TABLE [ns.]t; " +
+          "SHOW SNAPSHOTS|FILES|BOUNDS|REFS|STATS|BLOOMS IN [ns.]t; " +
+          "CREATE TAG name IN [ns.]t AS OF v; FAST FORWARD [ns.]t branch; " +
+          "DROP BRANCH b IN [ns.]t; ANALYZE [TABLE] [ns.]t (c1, c2); " +
+          "CREATE BLOOM INDEX ON [ns.]t (col); " +
+          "EXPIRE SNAPSHOTS IN [ns.]t [KEEP n]; REMOVE ORPHANS IN [ns.]t; " +
+          "ROLLBACK [TABLE] [ns.]t TO VERSION v; " +
+          "COMPACT TABLE [ns.]t [INTO n FILES]"),
       tool("query_table", "Execute a query on lake tables",
-        "Query to execute on the table (SELECT, INSERT, DELETE, UPDATE, MERGE, COMPACT, ...)")))
+        "Table reads and writes: any Spark SELECT over registered tables " +
+          "(joins, aggregates, window functions), with time travel via " +
+          "FROM t VERSION AS OF v or FROM t TAG AS OF name; " +
+          "CREATE TABLE [IF NOT EXISTS] [ns.]t (col type, ...); " +
+          "INSERT INTO [ns.]t [(cols)] VALUES (...); " +
+          "DELETE FROM [ns.]t WHERE cond (copy-on-write); " +
+          "DELETE MOR FROM [ns.]t WHERE cond (deletion vectors); " +
+          "UPDATE [ns.]t SET c = v WHERE cond; " +
+          "MERGE INTO [ns.]t USING [ns.]s ON keycol; " +
+          "COPY (SELECT ...) TO 'path' [FORMAT csv|json|parquet]")))
   }
 
   /** One result row → JSON object, default-string for non-JSON types
