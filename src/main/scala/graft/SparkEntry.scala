@@ -30,7 +30,7 @@ object SparkEntry {
       ops.CatalogOps5.queries ++ ops.Dedup2.queries ++
       ops.Similarity2.queries ++
       ops.ClassifyOps.queries ++ streaming.StreamOps2.queries ++
-      ops.Multimodal2.queries
+      ops.Multimodal2.queries ++ ops.CatalogOps6.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -49,5 +49,5 @@ object SparkEntry {
       ops.CatalogOps5.oracles ++ ops.Dedup2.oracles ++
       ops.Similarity2.oracles ++
       ops.ClassifyOps.oracles ++ streaming.StreamOps2.oracles ++
-      ops.Multimodal2.oracles
+      ops.Multimodal2.oracles ++ ops.CatalogOps6.oracles
 }
