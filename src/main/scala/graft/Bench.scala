@@ -8,6 +8,14 @@ object Bench {
     // session warmup: first job pays executor/codegen/memory-manager init
     // (~5 s) that would otherwise be charged to whichever query runs first
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // build/query split (VERDICT r6 #3): ANN index models (Lloyd cells,
+    // PQ/OPQ codebooks) train ONCE per bench session and their build cost
+    // is reported under "builds" — per-query rows then measure query cost,
+    // the way a deployed index behaves. Training is bit-deterministic, so
+    // results are identical to the uncached Verify path. Cold-pass rows for
+    // the first query that touches a model still include its build (also
+    // listed separately); warm rows are pure query cost.
+    ops.ModelCache.enabled = true
 
     def jsonEscape(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").replace("\r", " ").replace("\t", " ")
@@ -51,8 +59,13 @@ object Bench {
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         }
+        // deltas only when BOTH endpoints read validly (-1.0 = probe
+        // failure); a one-sided failure would otherwise yield a delta off
+        // by ~1s or garbage and could false-trip the starved classifier
+        val c1 = processCpuSec(); val s1 = stealNow()
         times += ((name, (System.nanoTime() - t0) / 1e9,
-          processCpuSec() - c0, stealNow() - s0))
+          if (c0 >= 0 && c1 >= 0) c1 - c0 else -1.0,
+          if (s0 >= 0 && s1 >= 0) s1 - s0 else -1.0))
       }
       (times.result(), errors.result())
     }
@@ -99,8 +112,11 @@ object Bench {
       case (name, w) if coldByName.get(name).exists(c => w > 2.0 * c && w > 1.0) => name
     }
     val starved = (results4 ++ warm4).collect {
-      case (name, w, c, st) if w > 1.0 && c >= 0 && c < 0.25 * w &&
-        st > 0.25 * w => name
+      // both telemetry deltas must be valid (>= 0, i.e. both endpoints
+      // read): a sentinel -1 on either excludes the query from the
+      // classification rather than feeding it garbage
+      case (name, w, c, st) if w > 1.0 && c >= 0 && st >= 0 &&
+        c < 0.25 * w && st > 0.25 * w => name
     }.distinct
     val suspectQueries = (inversions ++ starved).distinct
     val suspect = suspectQueries.nonEmpty
@@ -116,7 +132,9 @@ object Bench {
     def renderCpu(m: Seq[(String, Double, Double, Double)]) = render(m.map { case (n, _, c, _) => (n, c) })
     def renderSteal(m: Seq[(String, Double, Double, Double)]) = render(m.map { case (n, _, _, st) => (n, st) })
     // Full-precision everything (cold + warm + errors + per-query cpu/steal + telemetry) → bench_out.json.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${render(results)},"total_warm":$totalWarm,"queries_warm":${render(warm)},"queries_cpu":${renderCpu(results4)},"queries_warm_cpu":${renderCpu(warm4)},"queries_steal":${renderSteal(results4)},"queries_warm_steal":${renderSteal(warm4)},"errors":${renderErr(errs)},"errors_warm":${renderErr(warmErrs)},"n_errors":${errs.size + warmErrs.size},"telemetry_cold":${teleJson(teleCold)},"telemetry_warm":${teleJson(teleWarm)},"suspect":$suspect,"suspect_queries":$suspectJson,"sf":"$sfDir"}"""
+    val builds = ops.ModelCache.buildSecs
+    val buildTotal = builds.map(_._2).sum
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${render(results)},"total_warm":$totalWarm,"queries_warm":${render(warm)},"queries_cpu":${renderCpu(results4)},"queries_warm_cpu":${renderCpu(warm4)},"queries_steal":${renderSteal(results4)},"queries_warm_steal":${renderSteal(warm4)},"errors":${renderErr(errs)},"errors_warm":${renderErr(warmErrs)},"n_errors":${errs.size + warmErrs.size},"telemetry_cold":${teleJson(teleCold)},"telemetry_warm":${teleJson(teleWarm)},"suspect":$suspect,"suspect_queries":$suspectJson,"builds":${render(builds.map { case (k, v) => (jsonEscape(k), v) })},"build_total_sec":$buildTotal,"builds_note":"one-time ANN model training, paid inside the first cold query that touches each model; warm rows are pure query cost","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), full + "\n")
     catch { case _: Throwable => () }
@@ -127,7 +145,7 @@ object Bench {
     // (the ones that matter for grading), pointer to bench_out.json for the rest.
     def r2dp(v: Double) = math.round(v * 100.0) / 100.0
     val slowWarm = warm.sortBy(-_._2).take(25).map { case (k, v) => (k, r2dp(v)) }
-    val line = s"""{"metric":"total","value":${r2dp(total)},"unit":"sec","total_warm":${r2dp(totalWarm)},"n_queries":${results.size},"n_errors":${errs.size + warmErrs.size},"suspect":$suspect,"steal_sec":${r2dp(teleCold.steal + teleWarm.steal)},"cpu_wall_warm":${r2dp(teleWarm.cpu / teleWarm.wall)},"queries":${render(slowWarm)},"queries_note":"warm top-25 slowest; full cold+warm per-query in bench_out.json","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r2dp(total)},"unit":"sec","total_warm":${r2dp(totalWarm)},"n_queries":${results.size},"n_errors":${errs.size + warmErrs.size},"suspect":$suspect,"steal_sec":${r2dp(teleCold.steal + teleWarm.steal)},"cpu_wall_warm":${r2dp(teleWarm.cpu / teleWarm.wall)},"build_sec":${r2dp(buildTotal)},"n_models":${builds.size},"queries":${render(slowWarm)},"queries_note":"warm top-25 slowest; ANN model builds split out (build_sec, details in bench_out.json builds)","sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

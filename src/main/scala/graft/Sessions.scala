@@ -23,6 +23,16 @@ object Sessions {
       // 512k groups/task ≈ 0.5 GB — sized for the local 128 GiB heap.
       // Cluster rule: threshold × bufferBytes ≤ ~25% executor heap.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 19).toString)
+      // The generated-class cache defaults to 100 entries — a 172-query
+      // bench churns it completely every pass, so every query re-Janinos
+      // its whole-stage code each time (PROFILE_r07.md: q_theta_sketch
+      // steady 1.0-1.9 s isolated vs 6.5 s in-bench, cpu 11 s vs 110 s;
+      // 32 distinct plans of churn alone add +1.3 s wall / +9 s cpu to its
+      // next run). 5000 entries fits every plan in the registry at a few
+      // KB-100 KB of bytecode each — static conf, must be set before the
+      // first session. On a long-lived multi-tenant driver the same
+      // sizing rule applies: maxEntries >= concurrent distinct plans.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // Shuffle/spill files on tmpfs: the container's virtual disk shows
       // multi-second (sometimes multi-minute) write stalls under load,
       // which serialized every shuffle-heavy operator through a sick

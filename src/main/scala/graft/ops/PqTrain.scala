@@ -38,9 +38,18 @@ import org.apache.spark.sql.functions._
 object PqTrain {
 
   /** Train m per-subspace codebooks over `e` = (vec_id, embedding
-    * array<float> of `dims`). Returns codebook(sub)(cell)(dimInSub). */
+    * array<float> of `dims`). Returns codebook(sub)(cell)(dimInSub).
+    * `space` names the input frame for the bench-only [[ModelCache]]
+    * (e.g. "<dir>:raw" vs "<dir>:opq" — a DataFrame can't key a cache);
+    * training is bit-deterministic, so the memo returns the same model. */
   private[ops] def train(e: DataFrame, dims: Int, m: Int, kCent: Int,
-                         rounds: Int): Seq[Seq[Seq[Float]]] = {
+                         rounds: Int, space: String): Seq[Seq[Seq[Float]]] =
+    ModelCache.memo(s"pq:$space:dims=$dims:m=$m:k=$kCent:rounds=$rounds") {
+      trainUncached(e, dims, m, kCent, rounds)
+    }
+
+  private def trainUncached(e: DataFrame, dims: Int, m: Int, kCent: Int,
+                            rounds: Int): Seq[Seq[Seq[Float]]] = {
     val sub = dims / m
     val seeds = e.orderBy("vec_id").limit(kCent)
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)

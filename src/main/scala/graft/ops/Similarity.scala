@@ -369,7 +369,7 @@ object Similarity {
     val m = 8
     val kCent = 16
     val e = withNorm(spark, dir)
-    val codebook: Seq[Seq[Seq[Float]]] = PqTrain.train(e, 64, m, kCent, rounds = 4)
+    val codebook: Seq[Seq[Seq[Float]]] = PqTrain.train(e, 64, m, kCent, rounds = 4, space = s"$dir:raw")
     val coded = e.select(col("vec_id"),
       graft.functions.Sketch.pqEncode(col("embedding"), codebook).as("codes"))
     val q = queriesOf(e)
@@ -412,7 +412,7 @@ object Similarity {
     val kCent = 16
     val e = withNorm(spark, dir)
     val cents = ivfCells(spark, dir, kCells = 16)
-    val codebook = PqTrain.train(e, 64, m, kCent, rounds = 4)
+    val codebook = PqTrain.train(e, 64, m, kCent, rounds = 4, space = s"$dir:raw")
 
     // one linear index-build pass: every corpus row gets its coarse cell
     // (argmax over literal centroids, in the scan projection) + PQ codes
@@ -565,7 +565,7 @@ object Similarity {
     // encode and ADC all see identical float-truncated rotated values.
     val rotated = e.select(col("vec_id"),
       graft.functions.Vec.matvec(col("embedding"), rot).as("embedding"))
-    val codebook = PqTrain.train(rotated, 64, m, kCent, rounds = 4)
+    val codebook = PqTrain.train(rotated, 64, m, kCent, rounds = 4, space = s"$dir:opq")
     val coded = e.select(col("vec_id"),
       graft.functions.Sketch.pqEncode(
         graft.functions.Vec.matvec(col("embedding"), rot), codebook).as("codes"))

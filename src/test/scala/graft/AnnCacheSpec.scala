@@ -1,0 +1,34 @@
+package graft
+
+/** The bench-only ModelCache (build/query cost split, VERDICT r6 #3) must
+  * be RESULT-invisible: training is bit-deterministic in (data, recipe),
+  * so a memoized model and a freshly trained one produce identical rows.
+  * s_ivfpq_topk exercises both cached model families in one plan (Lloyd
+  * cells via ivfCells + PQ codebook via PqTrain). */
+class AnnCacheSpec extends SparkSpec {
+
+  test("cached ANN models are bit-identical to in-query training") {
+    def rows() = ops.Similarity.sIvfPqTopk(spark, sfDir).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    ops.ModelCache.clear()
+    ops.ModelCache.enabled = false
+    val uncached = rows()
+    try {
+      ops.ModelCache.enabled = true
+      val coldCache = rows() // trains + records build time
+      val warmCache = rows() // pure reuse
+      assert(coldCache.length == uncached.length && coldCache.sameElements(uncached),
+        "first cached run diverged from uncached training")
+      assert(warmCache.sameElements(uncached),
+        "model reuse changed query results")
+      val builds = ops.ModelCache.buildSecs
+      assert(builds.exists(_._1.startsWith("lloyd:")) &&
+        builds.exists(_._1.startsWith("pq:")),
+        s"both model families must report build cost, got ${builds.map(_._1)}")
+      assert(builds.forall(_._2 > 0.0))
+    } finally {
+      ops.ModelCache.enabled = false
+      ops.ModelCache.clear()
+    }
+  }
+}
