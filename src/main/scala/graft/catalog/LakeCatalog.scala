@@ -800,31 +800,36 @@ class LakeCatalog(spark: SparkSession, root: String) {
       else {
         // one column-pruned NDV pass; the ±2% HLL error is irrelevant under
         // 32× headroom, and HLL on fixed data is deterministic
-        val maxNdv = keyed
+        val ndvRow = keyed
           .groupBy(col("f")).agg(approx_count_distinct(col("v")).as("n"))
-          .agg(max(col("n"))).collect()(0).getLong(0) // one scalar
+          .agg(max(col("n"))).collect()(0) // one scalar
+        val maxNdv = if (ndvRow.isNullAt(0)) 1L else ndvRow.getLong(0) // all-null column
         val want = math.min(maxNdv * 32L, 1L << 24)
         math.max(16384L, java.lang.Long.highestOneBit(math.max(1L, want - 1)) << 1).toInt
       }
     val nWords = (m + 63) / 64
-    // base64(concat of words as 8-byte big-endian): builtin-only packing —
-    // hex/unhex per word, try_element_at for words with no set bit. The
-    // translate() strips any encoder line breaks: a newline inside a value
-    // would corrupt the line-oriented sidecar.
-    val packExpr =
-      s"""translate(base64(aggregate(sequence(0, ${nWords - 1}),
-         |  cast('' as binary),
-         |  (acc, i) -> concat(acc, unhex(lpad(hex(
-         |    coalesce(try_element_at(wm, cast(i as bigint)), 0L)), 16, '0'))))),
-         |  '\r\n', '')""".stripMargin
+    // hashing + bit-or stay distributed (per-(file, word) partial agg, at
+    // most m/64 rows per file reach the final agg); the per-file word set
+    // then crosses to the writer as (index, word) structs — the same bytes
+    // as the finished packed line. Base64 assembly is Scala per line, NOT
+    // a plan expression: Spark's functional fold re-copies the accumulator
+    // per element (quadratic in m) and its map literal probes linearly —
+    // measured 37 s on an 8-file index at m=2^19 before this split.
     val lines = keyed
       .select(col("f"),
         explode(graft.functions.Poly.bloomBits(col("v"), m, k)).as("bit"))
       .groupBy(col("f"), expr("bit div 64").as("w"))
       .agg(expr("bit_or(shiftleft(1L, bit % 64))").as("word"))
       .groupBy(col("f"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("wm"))
-      .select(col("f"), expr(packExpr).as("packed"))
+      .agg(sort_array(collect_list(struct(col("w"), col("word")))).as("entries"))
+    def packB64(entries: Seq[org.apache.spark.sql.Row]): String = {
+      val buf = java.nio.ByteBuffer.allocate(nWords * 8) // big-endian
+      entries.foreach { e =>
+        val w = e.getLong(0).toInt
+        if (w >= 0 && w < nWords) buf.putLong(w * 8, e.getLong(1))
+      }
+      java.util.Base64.getEncoder.encodeToString(buf.array())
+    }
     val p = bloomsPath(ns, table)
     // lines for OTHER columns survive the rewrite verbatim; this column's
     // old lines (and any legacy duplicates) are dropped
@@ -843,7 +848,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
         val r = it.next()
         val f = r.getString(0)
         seen += f
-        w.write(s"""{"file":"$f","column":"$colName","m":$m,"k":$k,"packed":"${r.getString(1)}"}""")
+        w.write(s"""{"file":"$f","column":"$colName","m":$m,"k":$k,"packed":"${packB64(r.getSeq[org.apache.spark.sql.Row](1))}"}""")
         w.write("\n")
       }
       // files whose column is entirely NULL have no rows above: record an
