@@ -79,21 +79,26 @@ object Cluster {
     }
   }
 
-  /** deterministic init: the k lowest-vec_id vectors */
-  private def init(spark: SparkSession, dir: String, k: Int): Array[Array[Float]] =
-    Tables.table(spark, dir, "embeddings")
-      .orderBy("vec_id").limit(k)
+  /** deterministic init: the k lowest-vec_id vectors of `e` */
+  private def initOf(e: DataFrame, k: Int): Array[Array[Float]] =
+    e.orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
 
-  private[graft] def train(spark: SparkSession, dir: String,
-                           k: Int, rounds: Int): Array[Array[Float]] =
+  /** Lloyd over an arbitrary (vec_id, embedding, nrm) frame — the
+    * full-corpus trainer below and the frozen-index append op both ride
+    * this. `space` names the frame for the bench-only [[ModelCache]]. */
+  private[ops] def trainOn(e: DataFrame, k: Int, rounds: Int,
+                           space: String): Array[Array[Float]] =
     // bench-only build/query split: training is bit-deterministic in
     // (data, recipe), so the memo returns the identical model
-    ModelCache.memo(s"lloyd:$dir:k=$k:rounds=$rounds") {
-      val e = withNorm(spark, dir)
-      (1 to rounds).foldLeft(init(spark, dir, k))((c, _) => step(e, c))
+    ModelCache.memo(s"lloyd:$space:k=$k:rounds=$rounds") {
+      (1 to rounds).foldLeft(initOf(e, k))((c, _) => step(e, c))
     }
+
+  private[graft] def train(spark: SparkSession, dir: String,
+                           k: Int, rounds: Int): Array[Array[Float]] =
+    trainOn(withNorm(spark, dir), k, rounds, space = dir)
 
   /** Mean cosine distance (1 − cos to assigned centroid) under `cents` —
     * the spherical-k-means objective; ClusterSpec asserts it never
@@ -136,17 +141,18 @@ object Cluster {
   /** The Lloyd CTE chain (`n`, `c0`, per-round assign/update/recenter up
     * to `c<rounds>`) — the WITH-body fragment shared by the k-means oracle
     * and every IVF oracle that probes [[train]]'s cells. */
-  private[ops] def lloydCtes(k: Int, rounds: Int): String = {
+  private[ops] def lloydCtes(k: Int, rounds: Int,
+                             src: String = "embeddings"): String = {
     val base =
       s"""n AS (
          |  SELECT vec_id, embedding,
          |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
          |                   for i in generate_series(1, len(embedding))])) AS nrm
-         |  FROM embeddings),
+         |  FROM $src),
          |c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          |    [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS cv
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""".stripMargin
+         |  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $k))""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
       val p = r - 1
       s"""as$r AS (
@@ -183,9 +189,83 @@ object Cluster {
        |FROM fin GROUP BY 1 ORDER BY cell""".stripMargin
   }
 
+  /** Incremental index maintenance (r7) — the APPEND path a deployed
+    * 100 TB ANN index actually runs: the quantizer was trained on the
+    * corpus as of index build; new vectors arrive and are assigned to the
+    * FROZEN cells (no retrain), and the maintainer watches per-cell append
+    * counts and cohesion to decide when drift justifies a rebuild.
+    * Simulated split: build corpus = vec_id % 10 != 7 (cells trained on it
+    * alone), append batch = the other 10%.
+    *
+    * Scale shape: the append touches ONLY the new batch — assignment is
+    * argmax over k broadcast centroid literals in the scan projection
+    * (zero shuffle, embarrassingly parallel), the drift report is one
+    * map-side-combined groupBy(cell) whose output is k rows. Existing
+    * members are never re-read in a real deployment; the n_old column here
+    * re-derives their counts only so the oracle can prove the frozen-cell
+    * contract on both populations. */
+  def sIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val all = withNorm(spark, dir)
+    val old = all.where(col("vec_id") % 10 =!= 7)
+    val newb = all.where(col("vec_id") % 10 === 7)
+    val cents = trainOn(old, k = 8, rounds = 3, space = s"$dir:mod10ne7")
+    def assigned(e: DataFrame): DataFrame = e.select(
+      argmax(cents)(col("embedding"), col("nrm")).as("cell"),
+      array_max(array(sims(cents)(col("embedding"), col("nrm")): _*)).as("cos"))
+    val oldCnt = assigned(old).groupBy("cell").agg(count(lit(1)).as("n_old"))
+    val newAgg = assigned(newb).groupBy("cell")
+      .agg(count(lit(1)).as("n_new"),
+        round(Tables.davg(col("cos")), 6).as("mean_cos_new"))
+    val cells = spark.range(0, 8).select(col("id").cast("int").as("cell"))
+    cells.join(oldCnt, Seq("cell"), "left").join(newAgg, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("mean_cos_new"))
+      .orderBy("cell")
+  }
+
+  val sIndexAppendSql: String = {
+    val rounds = 3
+    s"""WITH old AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 7),
+       |${lloydCtes(k = 8, rounds = rounds, src = "old")},
+       |nn AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+       |                   for i in generate_series(1, len(embedding))])) AS nrm
+       |  FROM embeddings WHERE vec_id % 10 = 7),
+       |aso AS (
+       |  SELECT e.vec_id,
+       |    max(struct_pack(cos := ${cosSql("e.embedding", "e.nrm", "c.cv")},
+       |                    nc := -c.cell)) AS w
+       |  FROM n e CROSS JOIN c$rounds c GROUP BY 1),
+       |asn AS (
+       |  SELECT e.vec_id,
+       |    max(struct_pack(cos := ${cosSql("e.embedding", "e.nrm", "c.cv")},
+       |                    nc := -c.cell)) AS w
+       |  FROM nn e CROSS JOIN c$rounds c GROUP BY 1),
+       |oldc AS (
+       |  SELECT CAST(-(w.nc) AS INT) AS cell, COUNT(*) AS n_old
+       |  FROM aso GROUP BY 1),
+       |newc AS (
+       |  SELECT CAST(-(w.nc) AS INT) AS cell, COUNT(*) AS n_new,
+       |    round(CAST(SUM(CAST(w.cos AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+       |      AS mean_cos_new
+       |  FROM asn GROUP BY 1),
+       |cells AS (SELECT CAST(cell AS INT) AS cell FROM c$rounds)
+       |SELECT c.cell, CAST(coalesce(o.n_old, 0) AS BIGINT) AS n_old,
+       |  CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new, nw.mean_cos_new
+       |FROM cells c
+       |LEFT JOIN oldc o USING (cell) LEFT JOIN newc nw USING (cell)
+       |ORDER BY c.cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s_kmeans_train" -> (sKmeansTrain _))
+    "s_kmeans_train" -> (sKmeansTrain _),
+    "s_index_append" -> (sIndexAppend _))
 
   val oracles: Map[String, String] = Map(
-    "s_kmeans_train" -> sKmeansTrainSql)
+    "s_kmeans_train" -> sKmeansTrainSql,
+    "s_index_append" -> sIndexAppendSql)
 }
