@@ -30,7 +30,8 @@ object SparkEntry {
       ops.CatalogOps5.queries ++ ops.Dedup2.queries ++
       ops.Similarity2.queries ++
       ops.ClassifyOps.queries ++ streaming.StreamOps2.queries ++
-      ops.Multimodal2.queries ++ ops.CatalogOps6.queries
+      ops.Multimodal2.queries ++ ops.CatalogOps6.queries ++
+      ops.Relational4.queries ++ ops.TextOps5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -49,5 +50,6 @@ object SparkEntry {
       ops.CatalogOps5.oracles ++ ops.Dedup2.oracles ++
       ops.Similarity2.oracles ++
       ops.ClassifyOps.oracles ++ streaming.StreamOps2.oracles ++
-      ops.Multimodal2.oracles ++ ops.CatalogOps6.oracles
+      ops.Multimodal2.oracles ++ ops.CatalogOps6.oracles ++
+      ops.Relational4.oracles ++ ops.TextOps5.oracles
 }

@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.2 additions (round 7): three SQL-surface gaps a reference user would
+  * hit — DISTINCT aggregates over windows, deterministic MODE / interpolated
+  * exact MEDIAN, and the bitwise aggregate family (capability parity with the
+  * reference's DuckDB post-processor, QueryManager.py:20-36 — DuckDB ships
+  * `count(DISTINCT) OVER`, `mode()`, `median()`, `bit_and/or/xor` natively;
+  * Spark lacks the first three, so each is re-expressed as scale-safe
+  * relational algebra with identical semantics).
+  */
+object Relational4 {
+
+  /** Time-to-coverage per user: the first event position at which the user
+    * has seen every event type they ever produce — the canonical
+    * "running COUNT(DISTINCT) over an ordered window" query.
+    *
+    * Spark has no DISTINCT window aggregates; the naive rewrite
+    * (`size(collect_set().over(w))`) carries a growing set per row. The
+    * scalable identity used instead: the first position where the running
+    * distinct count reaches its final value n_types equals
+    * max over types of (first occurrence position of that type) — so the
+    * whole query is ONE row_number window (the per-user event order) plus
+    * two map-side-combined min/max aggregates; per-row state is gone. The
+    * DuckDB oracle runs the literal windowed-DISTINCT formulation, gating
+    * the rewrite's equivalence at every scale factor.
+    *
+    * 100 TB shape: one shuffle+sort keyed on user_id (bounded per-user fan),
+    * then pure aggregates; no content keys, no growing window state. */
+  def qWindowDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pos = Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("pos", row_number().over(w))
+    pos.groupBy("user_id", "event_type").agg(min("pos").as("first_pos"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_types"),
+        max("first_pos").cast("long").as("events_to_cover"))
+      .orderBy("user_id")
+  }
+
+  val qWindowDistinctSql: String =
+    """WITH pos AS (
+      |  SELECT user_id, event_id,
+      |    count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      |  FROM events),
+      |tot AS (SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      |        FROM events GROUP BY 1)
+      |SELECT t.user_id, t.n_types, CAST(MIN(p.pos) AS BIGINT) AS events_to_cover
+      |FROM tot t JOIN pos p ON p.user_id = t.user_id AND p.seen = t.n_types
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** Deterministic MODE (max count, ties to the smallest value — both
+    * engines' native mode() is tie-arbitrary, so neither is used) and the
+    * standard interpolated exact MEDIAN per group. Median of an even count
+    * averages the two middle rows; the multiplicity-weighted sum
+    * `p × (1[rn=lo] + 1[rn=hi])` makes the odd case (lo=hi → weight 2) the
+    * same `× 0.5` expression, and the halving runs entirely in DECIMAL on
+    * both sides (§4: `/2` on a double is the representation-tie trap).
+    *
+    * Sibling of q_quantile_exact (nearest-rank, no interpolation); at
+    * 100 TB the exact path is the verification tool and q_approx_quantile
+    * is the production dial — per-group sorts of a full fact table are one
+    * shuffle keyed on the 3-value group key (bounded fan here; a
+    * high-cardinality group key keeps it linear per group). */
+  def qModeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+    val wm = Window.partitionBy("l_returnflag")
+      .orderBy(col("c").desc, col("l_quantity"))
+    val md = li.groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(wm)).where(col("r") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("c").as("mode_cnt"))
+    val wo = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val med = li
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(30,6)").as("p"),
+        col("l_extendedprice"))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .where(expr("rn IN ((n + 1) div 2, (n + 2) div 2)"))
+      .groupBy("l_returnflag")
+      .agg(expr(
+        """cast(cast(sum(p * (cast(rn = (n + 1) div 2 as int)
+          |             + cast(rn = (n + 2) div 2 as int))) as decimal(30,6))
+          |     * cast(0.5 as decimal(2,1)) as double)""".stripMargin).as("mp"))
+    md.join(med, "l_returnflag")
+      .select(col("l_returnflag"), col("mode_qty"), col("mode_cnt"),
+        round(col("mp"), 4).as("median_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val qModeMedianSql: String =
+    """WITH cnt AS (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS c FROM lineitem GROUP BY 1, 2),
+      |md AS (
+      |  SELECT l_returnflag, l_quantity AS mode_qty, CAST(c AS BIGINT) AS mode_cnt,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, l_quantity) AS r
+      |  FROM cnt),
+      |ordered AS (
+      |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(30,6)) AS p,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |med AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(SUM(p * (CAST(rn = (n + 1) // 2 AS INT)
+      |                 + CAST(rn = (n + 2) // 2 AS INT))) AS DECIMAL(30,6))
+      |         * CAST(0.5 AS DECIMAL(2,1)) AS DOUBLE) AS mp
+      |  FROM ordered WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      |  GROUP BY 1)
+      |SELECT m.l_returnflag, m.mode_qty, m.mode_cnt, round(d.mp, 4) AS median_price
+      |FROM md m JOIN med d ON d.l_returnflag = m.l_returnflag
+      |WHERE m.r = 1 ORDER BY 1""".stripMargin
+
+  /** Bitwise aggregate family — bit_and / bit_or / bit_xor per group plus
+    * the popcount of the OR (how many of the low id bits appear at all).
+    * All three are associative+commutative single-word aggregates: perfect
+    * map-side combine, constant shuffle payload per group — the same
+    * mergeability contract as the sketch family (SURVEY §5) with zero
+    * approximation. */
+  def qBitAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(expr("bit_and(user_id)").as("band"),
+        expr("bit_or(user_id)").as("bor"),
+        expr("bit_xor(user_id)").as("bxor"))
+      .select(col("event_type"), col("band"), col("bor"), col("bxor"),
+        expr("cast(bit_count(bor) as int)").as("bor_bits"))
+      .orderBy("event_type")
+
+  val qBitAggsSql: String =
+    """SELECT event_type,
+      |  CAST(bit_and(user_id) AS BIGINT) AS band,
+      |  CAST(bit_or(user_id) AS BIGINT) AS bor,
+      |  CAST(bit_xor(user_id) AS BIGINT) AS bxor,
+      |  CAST(bit_count(bit_or(user_id)) AS INTEGER) AS bor_bits
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_distinct" -> (qWindowDistinct _),
+    "q_mode_median" -> (qModeMedian _),
+    "q_bit_aggs" -> (qBitAggs _))
+
+  val oracles: Map[String, String] = Map(
+    "q_window_distinct" -> qWindowDistinctSql,
+    "q_mode_median" -> qModeMedianSql,
+    "q_bit_aggs" -> qBitAggsSql)
+}

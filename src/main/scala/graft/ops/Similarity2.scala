@@ -274,13 +274,73 @@ object Similarity2 {
        |WHERE cosine >= tau
        |GROUP BY tau ORDER BY tau""".stripMargin
 
+  /** Binary-embedding top-k by Hamming distance: each 64-dim float vector
+    * collapses to its 64 sign bits, packed as two 32-bit halves in BIGINT
+    * words (the low halves only — a full 64-bit pack would put bit 63 on
+    * the sign and trip DuckDB/ANSI shift edges; two half-words cost nothing
+    * and keep the oracle portable). Distance = popcount(xor) per word —
+    * the cheapest rerank stage-0 there is: 8 bytes/vector (32× under the
+    * float scan), distance in two ALU ops/word.
+    *
+    * Scale: the scan side reads ONLY the two packed words (at 100 TB the
+    * signatures persist as a sidecar column; this op computes them in the
+    * scan projection — a one-pass build). The probe batch is the standard
+    * capped query set (|corpus|/20, the s_cosine_topk bound); for
+    * corpus-×-corpus workloads the 64 bits split into 4×16-bit bands for
+    * an exact-match candidate join (the d_minhash_lsh shape). Sign-bit
+    * Hamming approximates angular distance (the SimHash estimator — same
+    * family as d_simhash, applied to dense embeddings). */
+  def sHammingTopk(spark: SparkSession, dir: String): DataFrame = {
+    def half(off: Int): org.apache.spark.sql.Column = expr(
+      s"""aggregate(sequence(0, 31), 0L,
+         |  (acc, i) -> acc + CASE WHEN element_at(embedding, i + ${off + 1}) > 0
+         |                    THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin)
+    val sig = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+      .cache()
+    val q = sig.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
+    q.crossJoin(sig)
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("cast(bit_count(q_lo ^ lo) + bit_count(q_hi ^ hi) as int)").as("hamming"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("hamming"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val sHammingTopkSql: String =
+    """WITH sig AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN CAST(1 AS BIGINT) << i
+      |                   ELSE CAST(0 AS BIGINT) END for i in range(0, 32)]) AS BIGINT) AS lo,
+      |    CAST(list_sum([CASE WHEN embedding[i+33] > 0 THEN CAST(1 AS BIGINT) << i
+      |                   ELSE CAST(0 AS BIGINT) END for i in range(0, 32)]) AS BIGINT) AS hi
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+      |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS INTEGER) AS hamming
+      |  FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 20 = 0),
+      |ranked AS (
+      |  SELECT q_id, vec_id, hamming,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, hamming
+      |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_hamming_topk" -> (sHammingTopk _),
     "s_sq8_topk" -> (sSq8Topk _),
     "s_matryoshka_rerank" -> (sMatryoshkaRerank _),
     "s_filtered_topk" -> (sFilteredTopk _),
     "s_tau_sweep" -> (sTauSweep _))
 
   val oracles: Map[String, String] = Map(
+    "s_hamming_topk" -> sHammingTopkSql,
     "s_sq8_topk" -> sSq8TopkSql,
     "s_matryoshka_rerank" -> sMatryoshkaRerankSql,
     "s_filtered_topk" -> sFilteredTopkSql,

@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.3 additions (round 7): Gopher-style document quality rules and PMI
+  * collocation mining — the remaining two standard text-corpus passes a
+  * training-data pipeline runs (beyond the C4/RefinedWeb line filters in
+  * TextOps3 and the length/punct heuristics in TextOps.quality_score).
+  *
+  * Scale shape: both are one tokenizing scan plus map-side-combined
+  * aggregates keyed on doc_id or vocabulary words (Zipf-bounded fan); the
+  * collocation ranking is corpus-global top-k via TakeOrderedAndProject,
+  * never a global window.
+  */
+object TextOps5 {
+
+  /** Gopher quality rules (Rae et al. 2021, public): word-count range,
+    * mean-word-length range, alphabetic-word fraction, stop-word presence.
+    * Emits the per-rule measurements plus the combined verdict so the
+    * downstream curation join can both filter and explain. Per-doc means
+    * divide a decimal-exact sum by the group count — identical expression
+    * text in both engines (§4 davg rule). */
+  def tGopherFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        expr("round(cast(sum(cast(length(w) as decimal(30,6))) as double) / count(1), 4)")
+          .as("mean_word_len"),
+        expr("""round(cast(sum(cast(case when w rlike '[a-z]' then 1 else 0 end
+               |  as decimal(30,6))) as double) / count(1), 4)""".stripMargin)
+          .as("alpha_frac"),
+        expr("cast(sum(case when w in ('the','a','and','of','to') then 1 else 0 end) as bigint)")
+          .as("stop_hits"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("stop_hits"),
+        (col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_frac") >= 0.8 && col("stop_hits") >= 2).as("passes"))
+      .orderBy("doc_id")
+
+  val tGopherFilterSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE length(text) > 0),
+      |st AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |    round(CAST(SUM(CAST(length(w) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4) AS mean_word_len,
+      |    round(CAST(SUM(CAST(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END
+      |      AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4) AS alpha_frac,
+      |    CAST(SUM(CASE WHEN w IN ('the', 'a', 'and', 'of', 'to') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+      |  FROM w GROUP BY 1)
+      |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+      |  CAST(n_words BETWEEN 50 AND 100000
+      |   AND mean_word_len BETWEEN 3.0 AND 10.0
+      |   AND alpha_frac >= 0.8 AND stop_hits >= 2 AS BOOLEAN) AS passes
+      |FROM st ORDER BY doc_id""".stripMargin
+
+  /** Top-20 bigram collocations by pointwise mutual information
+    * (pmi = ln(p(ab) / (p(a)·p(b))), support ≥ 25). Bigrams come from the
+    * scan projection (explode positions + O(1) element_at — §4.1: never
+    * slice-in-transform, never a windowed lead), unigram/bigram totals are
+    * two one-row broadcasts, and the final ranking is
+    * TakeOrderedAndProject on the rounded score. Support threshold is
+    * absolute (the Zipf head scales with the corpus; top-20 output is
+    * scale-invariant). */
+  def tPmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanout(Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .where(length(col("text")) > 0)
+      .select(split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .cache()
+    val uni = toks.select(explode(col("ws")).as("w"))
+    val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(count(lit(1)).as("n1"))
+    val big = toks
+      .select(explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+      .select(expr("element_at(ws, cast(i as int))").as("w1"),
+        expr("element_at(ws, cast(i as int) + 1)").as("w2"))
+    val n2 = big.agg(count(lit(1)).as("n2"))
+    big.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 25)
+      .join(ucnt.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+      .join(ucnt.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c").as("pair_n"),
+        expr("round(ln(cast(c as double) * n1 * n1 / (n2 * cast(c1 as double) * c2)), 4)")
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+  }
+
+  val tPmiBigramsSql: String =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |  WHERE length(text) > 0 AND len(string_split(text, ' ')) >= 2),
+      |uni AS (SELECT unnest(ws) AS w FROM toks),
+      |ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+      |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+      |big AS (
+      |  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+      |  FROM toks, unnest(range(1, len(ws))) AS t(i)),
+      |bcnt AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2),
+      |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big)
+      |SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS pair_n,
+      |  round(ln(CAST(b.c AS DOUBLE) * n1.n * n1.n / (n2.n * CAST(u1.c AS DOUBLE) * u2.c)), 4) AS pmi
+      |FROM bcnt b JOIN ucnt u1 ON u1.w = b.w1 JOIN ucnt u2 ON u2.w = b.w2, n1, n2
+      |WHERE b.c >= 25
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_gopher_filter" -> (tGopherFilter _),
+    "t_pmi_bigrams" -> (tPmiBigrams _))
+
+  val oracles: Map[String, String] = Map(
+    "t_gopher_filter" -> tGopherFilterSql,
+    "t_pmi_bigrams" -> tPmiBigramsSql)
+}

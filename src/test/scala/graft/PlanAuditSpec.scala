@@ -44,7 +44,10 @@ class PlanAuditSpec extends SparkSpec {
     "s_ann_recall",   // composes s_cosine_topk's capped probe batch (the
                       //   exact side of the recall report) — same bound
     "s_tau_sweep",    // 5-row τ-grid broadcast over the kNN graph
-    "p_quality_curve" // 5-row threshold-grid broadcast over per-doc scores
+    "p_quality_curve", // 5-row threshold-grid broadcast over per-doc scores
+    "q_triangle_count", // one-row census assembly (nodes × edges × wedges × triangles)
+    "s_hamming_topk",  // capped probe batch × 16-byte signature scan
+    "t_pmi_bigrams"    // one-row unigram/bigram-total broadcasts
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
@@ -132,7 +135,8 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import org.apache.spark.sql.types.StringType
     val metadataKeys = Set("source", "lang", "kind", "side", "event",
-      "event_type", "modality")
+      "event_type", "modality",
+      "l_returnflag") // fixed 3-value TPC-H domain (A/N/R), not content-derived
     val offenders = optimized.flatMap { case (name, plan) =>
       val bad = plan.collect { case w: LWindow =>
         w.partitionSpec.filter(_.dataType == StringType).filter {
