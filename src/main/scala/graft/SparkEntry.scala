@@ -31,7 +31,8 @@ object SparkEntry {
       ops.Similarity2.queries ++
       ops.ClassifyOps.queries ++ streaming.StreamOps2.queries ++
       ops.Multimodal2.queries ++ ops.CatalogOps6.queries ++
-      ops.Relational4.queries ++ ops.TextOps5.queries
+      ops.Relational4.queries ++ ops.TextOps5.queries ++
+      streaming.StreamOps3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -51,5 +52,6 @@ object SparkEntry {
       ops.Similarity2.oracles ++
       ops.ClassifyOps.oracles ++ streaming.StreamOps2.oracles ++
       ops.Multimodal2.oracles ++ ops.CatalogOps6.oracles ++
-      ops.Relational4.oracles ++ ops.TextOps5.oracles
+      ops.Relational4.oracles ++ ops.TextOps5.oracles ++
+      streaming.StreamOps3.oracles
 }

@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, input_file_name, lit, substring_index, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, input_file_name, lit, pmod, substring_index, when, xxhash64}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -1176,6 +1176,83 @@ class LakeCatalog(spark: SparkSession, root: String) {
       java.util.List.of(Row.fromSeq(values)), schema))
   }
 
+  // ------------------------------------------------ hidden partitioning (r7)
+  // Iceberg hidden-partitioning analog (PartitionSpec with a bucket
+  // transform): rows are laid out by a TRANSFORM of a source column,
+  // recorded in table metadata. Readers filter on the RAW column; equality
+  // scans prune through the spec without the query — or the user schema —
+  // ever naming a partition value. This is the capability identity
+  // partitioning (appendPartitioned) cannot give: high-cardinality keys get
+  // bounded directory fan (n buckets), and the user cannot write an
+  // unprunable query by forgetting the derived column.
+
+  private def hiddenSpecPath(ns: String, table: String): Path =
+    Paths.get(s"$root/$ns/${table}_hidden_spec.json")
+
+  /** Bucket-transform partitioned append: `_bucket = pmod(xxhash64(src), n)`
+    * computed in the write projection (never part of the user schema), laid
+    * out hive-style so partition pruning is directory-granular. */
+  def appendBucketed(ns: String, table: String, df: DataFrame,
+                     srcCol: String, nBuckets: Int): Unit = {
+    df.withColumn("_bucket", pmod(xxhash64(col(srcCol)), lit(nBuckets.toLong)))
+      .write.mode("append").partitionBy("_bucket")
+      .parquet(s"$root/$ns/$table")
+    // partition-layout table: retire flat-file log/stats (appendPartitioned
+    // precedent — directory listing + pruning serve this layout)
+    val log = snapshotLogPath(ns, table)
+    if (Files.exists(log)) Files.delete(log)
+    val stats = fileStatsPath(ns, table)
+    if (Files.exists(stats)) Files.delete(stats)
+    Files.writeString(hiddenSpecPath(ns, table),
+      s"""{"transform":"bucket","source":"$srcCol","n":$nBuckets}""")
+  }
+
+  /** The recorded hidden spec: (source column, bucket count). */
+  def hiddenSpec(ns: String, table: String): Option[(String, Int)] = {
+    val p = hiddenSpecPath(ns, table)
+    if (!Files.exists(p)) None
+    else {
+      val body = Files.readString(p)
+      val src = """"source":"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+      val n = """"n":(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+      for (s <- src; k <- n) yield (s, k)
+    }
+  }
+
+  /** Equality scan through the hidden spec: the literal is transformed with
+    * the SAME expression the writer used (one-row plan — metadata scale),
+    * file selection reads ONLY the matching bucket directory (the planner
+    * chooses files from table metadata, exactly Iceberg's manifest-pruned
+    * scan), then the raw predicate applies within it. */
+  def scanEqual(ns: String, table: String, colName: String,
+                value: Long): DataFrame = {
+    val (src, n) = hiddenSpec(ns, table).getOrElse(
+      throw new IllegalArgumentException(s"no hidden spec on $ns.$table"))
+    require(src == colName,
+      s"hidden spec of $ns.$table transforms $src, not $colName")
+    val b = spark.range(1)
+      .select(pmod(xxhash64(lit(value)), lit(n.toLong)))
+      .head.getLong(0)
+    val base = s"$root/$ns/$table"
+    spark.read.option("basePath", base).parquet(s"$base/_bucket=$b")
+      .where(col(colName) === value)
+      .drop("_bucket")
+  }
+
+  /** Bucket directories currently on disk (metadata listing). */
+  def bucketDirs(ns: String, table: String): Seq[String] = {
+    val dir = Paths.get(s"$root/$ns/$table")
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("_bucket="))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+
   // Streaming-commit fencing: the last committed micro-batch id, derived
   // from the `"batch":N` fields the streaming commits embed in their own
   // snapshot-log lines (see commitSnapshot). Derived, not stored separately:
@@ -1262,6 +1339,9 @@ class LakeCatalog(spark: SparkSession, root: String) {
     // on parquet part-file names never being reused
     val bl = bloomsPath(ns, table)
     if (Files.exists(bl)) Files.delete(bl)
+    // hidden-partition spec (same recreate-inheritance hazard as blooms)
+    val hs = hiddenSpecPath(ns, table)
+    if (Files.exists(hs)) Files.delete(hs)
   }
 
   // ------------------------------------------------- copy-on-write mutations

@@ -128,11 +128,60 @@ object CatalogOps6 {
       |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 4 IN (0, 1))
       |    AS tag_rows""".stripMargin
 
+  /** Hidden partitioning (Iceberg PartitionSpec bucket transform): events
+    * laid out by `bucket(8, user_id)` — a synthetic `_bucket` column the
+    * USER SCHEMA never contains — then an equality query on the RAW
+    * user_id prunes to one bucket directory through the recorded spec
+    * ([[LakeCatalog.scanEqual]]). The capability identity partitioning
+    * can't give: high-cardinality keys get bounded directory fan, and no
+    * reader can write an unprunable query by forgetting a derived column.
+    *
+    * Emits the query result (count / decimal sum / distinct types for
+    * user 42) plus the pruning proof: buckets_scanned derived from the
+    * scan's actual input files, buckets_total from the directory listing
+    * (8 — every bucket populated: 150 users hash across 8 buckets;
+    * deterministic, recipe constant documented here). At 100 TB this is
+    * the point-lookup path: one bucket = 1/n of the table, served by
+    * metadata-selected files. */
+  def cHiddenPartition(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "ev_bucketed")
+    cat.createTable("scratch", "ev_bucketed", StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("event_type", StringType))))
+    cat.appendBucketed("scratch", "ev_bucketed",
+      Tables.table(spark, dir, "events")
+        .select("event_id", "user_id", "value", "event_type"),
+      "user_id", 8)
+    val scan = cat.scanEqual("scratch", "ev_bucketed", "user_id", 42L)
+    val bucketsScanned = scan.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("_bucket=")))
+      .distinct.length
+    val bucketsTotal = cat.bucketDirs("scratch", "ev_bucketed").size
+    scan.agg(count(lit(1)).as("n"),
+        Tables.dsum(col("value")).as("sum_value"),
+        countDistinct(col("event_type")).as("n_types"))
+      .select(col("n"), col("sum_value"), col("n_types"),
+        lit(bucketsScanned).as("buckets_scanned"),
+        lit(bucketsTotal).as("buckets_total"),
+        lit(bucketsScanned == 1 && bucketsTotal == 8).as("hidden_pruned"))
+  }
+
+  val cHiddenPartitionSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      |  1 AS buckets_scanned, 8 AS buckets_total, true AS hidden_pruned
+      |FROM events WHERE user_id = 42""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_stream_ingest" -> (cStreamIngest _),
-    "c_expire_snapshots" -> (cExpireSnapshots _))
+    "c_expire_snapshots" -> (cExpireSnapshots _),
+    "c_hidden_partition" -> (cHiddenPartition _))
 
   val oracles: Map[String, String] = Map(
     "c_stream_ingest" -> cStreamIngestSql,
-    "c_expire_snapshots" -> cExpireSnapshotsSql)
+    "c_expire_snapshots" -> cExpireSnapshotsSql,
+    "c_hidden_partition" -> cHiddenPartitionSql)
 }

@@ -238,15 +238,76 @@ object Pipeline3 {
        |WHERE quality >= threshold
        |GROUP BY 1 ORDER BY threshold""".stripMargin
 
+  /** Dataset card: the per-source summary table a corpus release ships —
+    * doc/word volumes, mean document length, Gopher-rule pass rate, the
+    * majority language and its share (language-contamination telemetry),
+    * and language fan. Composes t_gopher_filter's replayable per-doc
+    * verdict (one tokenizing scan) with one source-keyed rollup; majority
+    * language = count + rank with smallest-lang tie-break (the q_mode_median
+    * determinism rule); shares in exact integer ppm. All keys are
+    * bounded-cardinality metadata (source, lang) — map-side combined,
+    * no content keys. */
+  def pDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = TextOps5.tGopherFilter(spark, dir)
+      .select("doc_id", "n_words", "passes")
+    val base = Tables.table(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+      .join(g, "doc_id")
+    val wl = Window.partitionBy("source").orderBy(col("c").desc, col("lang"))
+    val top = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(wl)).where(col("r") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c").as("top_c"))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").cast("long").as("n_words"),
+        expr("round(cast(sum(cast(n_chars as decimal(30,6))) as double) / count(1), 4)")
+          .as("mean_chars"),
+        expr("(1000000 * cast(sum(case when passes then 1 else 0 end) as bigint)) div count(1)")
+          .as("pass_ppm"),
+        countDistinct("lang").as("n_langs"))
+      .join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_words"), col("mean_chars"),
+        col("pass_ppm"), col("top_lang"),
+        expr("(1000000 * top_c) div n_docs").as("top_lang_ppm"),
+        col("n_langs"))
+      .orderBy("source")
+  }
+
+  val pDatasetCardSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, n_words, passes FROM (${TextOps5.tGopherFilterSql}) t),
+       |base AS (
+       |  SELECT d.source, d.lang, d.n_chars, g.n_words, g.passes
+       |  FROM documents d JOIN g ON g.doc_id = d.doc_id),
+       |lc AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY 1, 2),
+       |top AS (
+       |  SELECT source, lang AS top_lang, CAST(c AS BIGINT) AS top_c,
+       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS r
+       |  FROM lc),
+       |agg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |    round(CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4) AS mean_chars,
+       |    (1000000 * CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS pass_ppm,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM base GROUP BY 1)
+       |SELECT a.source, a.n_docs, a.n_words, a.mean_chars, a.pass_ppm,
+       |  t.top_lang, (1000000 * t.top_c) // a.n_docs AS top_lang_ppm, a.n_langs
+       |FROM agg a JOIN top t ON t.source = a.source AND t.r = 1
+       |ORDER BY a.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_dedup_weight" -> (pDedupWeight _),
     "p_epoch_mix" -> (pEpochMix _),
     "p_shard_manifest" -> (pShardManifest _),
-    "p_quality_curve" -> (pQualityCurve _))
+    "p_quality_curve" -> (pQualityCurve _),
+    "p_dataset_card" -> (pDatasetCard _))
 
   val oracles: Map[String, String] = Map(
     "p_dedup_weight" -> pDedupWeightSql,
     "p_epoch_mix" -> pEpochMixSql,
     "p_shard_manifest" -> pShardManifestSql,
-    "p_quality_curve" -> pQualityCurveSql)
+    "p_quality_curve" -> pQualityCurveSql,
+    "p_dataset_card" -> pDatasetCardSql)
 }

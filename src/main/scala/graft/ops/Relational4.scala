@@ -32,7 +32,11 @@ object Relational4 {
     * 100 TB shape: one shuffle+sort keyed on user_id (bounded per-user fan),
     * then pure aggregates; no content keys, no growing window state. */
   def qWindowDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // order on µs-truncated time + id: DuckDB truncates parquet ns
+    // timestamps to µs (§4), so ordering on raw nanos diverges on the
+    // (real, measured at sf0.1) ns pairs that collide at µs resolution
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
     val pos = Tables.table(spark, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("pos", row_number().over(w))

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.7 addition (round 7): streaming anomaly detection — a per-key running
+  * z-score (Welford-style sufficient statistics) flagging events more than
+  * 3σ from the history seen so far. The standing monitor a lake ingest runs
+  * beside the pipeline: state per key is THREE numbers (n, Σx, Σx²), so a
+  * million-key deployment carries megabytes of state, bounded regardless of
+  * stream length.
+  *
+  * The driver-checked entry replays the identical semantics as batch
+  * relational algebra (exclusive-prefix window sums per event_type — the
+  * ORDER is the stream's arrival contract: µs-truncated event time + id,
+  * §4 timestamp rule); Round7bSpec runs the REAL streaming path — a
+  * MemoryStream fed time-ordered batches through flatMapGroupsWithState
+  * with byte-identical decimal arithmetic — and asserts stream ≡ batch.
+  */
+object StreamOps3 {
+
+  /** Batch-equivalent driver entry: per event type, how many events were
+    * scored (≥30 prior observations), how many exceeded |z| > 3, and the
+    * largest excursion. Prefix sums accumulate in DECIMAL (§4: fp window
+    * sums must not depend on partition/order internals), rendered to double
+    * once per row; z itself is then pure IEEE arithmetic, identical in both
+    * engines. */
+  def stAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(expr("ts div 1000"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.table(spark, dir, "events")
+      .select(col("event_type"), col("value"), col("ts"), col("event_id"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx",
+        sum(col("value").cast("decimal(30,6)")).over(w).cast("double"))
+      .withColumn("sxx",
+        sum(expr("cast(round(value * value, 6) as decimal(30,7))")).over(w)
+          .cast("double"))
+      .where(col("n") >= 30)
+      .withColumn("z", (col("value") - col("sx") / col("n")) /
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        expr("cast(sum(case when abs(z) > 3 then 1 else 0 end) as bigint)")
+          .as("n_anomalies"),
+        round(max(abs(col("z"))), 4).as("max_abs_z"))
+      .orderBy("event_type")
+  }
+
+  val stAnomalySql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    COUNT(*) OVER w AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(30,7))) OVER w AS DOUBLE) AS sxx
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_type,
+      |    (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
+      |  FROM r WHERE n >= 30)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |  CAST(SUM(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |  round(MAX(abs(z)), 4) AS max_abs_z
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------- streaming path
+
+  /** One input event on the stream: µs event time + id carry the arrival
+    * order contract (ties broken by id, as in the batch window). */
+  case class AnomEvent(event_type: String, value: Double, ts_us: Long,
+                       event_id: Long)
+
+  /** Welford state: exact decimal sufficient statistics. Strings (not
+    * BigDecimal) so the case-class encoder stays kryo-free and exact. */
+  case class AnomState(n: Long, sx: String, sxx: String)
+
+  /** Per-batch emission: deltas this batch + the batch's largest |z|. */
+  case class AnomBatchOut(event_type: String, scored: Long, anomalies: Long,
+                          maxAbsZ: Double)
+
+  private val HALF_UP = java.math.RoundingMode.HALF_UP
+
+  /** The EXACT arithmetic the batch plan runs, one event at a time:
+    * cast(value as decimal(30,6)) ≡ valueOf(v).setScale(6, HALF_UP);
+    * cast(round(v², 6) as decimal(30,7)) ≡ the two-step below. Byte-for-byte
+    * agreement with the window sums is what Round7bSpec asserts. */
+  private[streaming] def foldGroup(
+      key: String, it: Iterator[AnomEvent], state: GroupState[AnomState])
+      : Iterator[AnomBatchOut] = {
+    var (n, sx, sxx) = state.getOption match {
+      case Some(s) => (s.n, new java.math.BigDecimal(s.sx),
+        new java.math.BigDecimal(s.sxx))
+      case None => (0L, java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO)
+    }
+    var scored = 0L; var anomalies = 0L; var maxAbs = 0.0
+    // arrival contract: within a batch, events fold in (ts_us, id) order
+    it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      if (n >= 30) {
+        val sxd = sx.doubleValue; val sxxd = sxx.doubleValue
+        val z = (e.value - sxd / n) /
+          math.sqrt((sxxd - sxd * sxd / n) / (n - 1))
+        scored += 1
+        if (math.abs(z) > 3) anomalies += 1
+        if (math.abs(z) > maxAbs) maxAbs = math.abs(z)
+      }
+      n += 1
+      sx = sx.add(java.math.BigDecimal.valueOf(e.value).setScale(6, HALF_UP))
+      val r6 = java.math.BigDecimal.valueOf(e.value * e.value)
+        .setScale(6, HALF_UP).doubleValue
+      sxx = sxx.add(java.math.BigDecimal.valueOf(r6).setScale(7, HALF_UP))
+    }
+    state.update(AnomState(n, sx.toPlainString, sxx.toPlainString))
+    Iterator.single(AnomBatchOut(key, scored, anomalies, maxAbs))
+  }
+
+  /** The standing streaming query: per-type Welford state via
+    * flatMapGroupsWithState, one summary row per (type, micro-batch).
+    * State is O(1) per key; the shuffle per batch is keyed on event_type. */
+  def anomalyStream(events: Dataset[AnomEvent]): Dataset[AnomBatchOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(foldGroup)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_anomaly" -> (stAnomaly _))
+
+  val oracles: Map[String, String] = Map(
+    "st_anomaly" -> stAnomalySql)
+}

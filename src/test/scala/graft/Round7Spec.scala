@@ -21,7 +21,7 @@ class Round7Spec extends SparkSpec {
     val u = rows.head.getLong(0)
     val ev = Tables.table(spark, sfDir, "events")
       .where(col("user_id") === u)
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(expr("ts div 1000"), col("event_id")) // µs order — the op's contract
       .select("event_type").collect().map(_.getString(0))
     val nTypes = ev.distinct.length
     val naive = ev.scanLeft(Set.empty[String])(_ + _).drop(1)

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps3
+import graft.catalog.LakeCatalog
+
+/** Round-7 batch b: streaming anomaly detection (real flatMapGroupsWithState
+  * Welford state vs the batch window replay) and hidden bucket
+  * partitioning (spec-transformed equality scans prune to one directory). */
+class Round7bSpec extends SparkSpec {
+
+  test("st_anomaly streaming ≡ batch: Welford state across ordered micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the batch oracle replay (ground truth at this sf)
+    val batch = StreamOps3.stAnomaly(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // the same events as a 3-micro-batch time-ordered stream
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("event_type"), col("value"),
+        expr("ts div 1000").as("ts_us"), col("event_id"))
+      .as[StreamOps3.AnomEvent]
+      .collect().sortBy(e => (e.ts_us, e.event_id))
+    val chunks = ev.grouped((ev.length + 2) / 3).toSeq
+    assert(chunks.size == 3)
+    val stream = MemoryStream[StreamOps3.AnomEvent]
+    val out = StreamOps3.anomalyStream(stream.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("anom_out").start()
+    try {
+      chunks.foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("anom_out")
+      .groupBy("event_type")
+      .agg(sum("scored").cast("long").as("scored"),
+        sum("anomalies").cast("long").as("anomalies"),
+        round(max("maxAbsZ"), 4).as("maxAbsZ"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (k, v) =>
+      assert(v == batch(k),
+        s"$k: stream $v != batch ${batch(k)} — Welford state diverged from the window replay")
+    }
+  }
+
+  test("hidden partitioning: equality scan prunes to one bucket directory and loses no rows") {
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "ev_hidden_spec_test")
+    cat.createTable("scratch", "ev_hidden_spec_test",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType))))
+    val src = Tables.table(spark, sfDir, "events").select("event_id", "user_id")
+    cat.appendBucketed("scratch", "ev_hidden_spec_test", src, "user_id", 8)
+    assert(cat.hiddenSpec("scratch", "ev_hidden_spec_test").contains(("user_id", 8)))
+    assert(cat.bucketDirs("scratch", "ev_hidden_spec_test").size > 1,
+      "bucketing produced a single directory — pruning would be vacuous")
+    // every user's scan: pruned to ONE directory, exact same rows as a full filter
+    Seq(0L, 7L, 42L).foreach { u =>
+      val scan = cat.scanEqual("scratch", "ev_hidden_spec_test", "user_id", u)
+      val dirs = scan.inputFiles
+        .flatMap(_.split("/").find(_.startsWith("_bucket="))).distinct
+      assert(dirs.length == 1, s"user $u: scan read ${dirs.length} buckets")
+      assert(scan.count() == src.where(col("user_id") === u).count())
+      assert(!scan.columns.contains("_bucket"),
+        "synthetic partition column leaked into the user schema")
+    }
+    // wrong column refuses (the spec is authoritative, not guessed)
+    intercept[IllegalArgumentException] {
+      cat.scanEqual("scratch", "ev_hidden_spec_test", "event_id", 1L)
+    }
+    // drop removes the spec sidecar (recreate-inheritance hazard)
+    cat.dropTable("scratch", "ev_hidden_spec_test")
+    assert(cat.hiddenSpec("scratch", "ev_hidden_spec_test").isEmpty)
+  }
+}
