@@ -82,6 +82,9 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*CREATE\s+BLOOM\s+INDEX\s+(?:ON\s+)?(?:(\w+)\.)?(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
   private val showBlooms =
     """(?is)\s*SHOW\s+BLOOMS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  // round-7 hidden-partitioning verb (Iceberg PartitionSpec surface)
+  private val showPartSpec =
+    """(?is)\s*SHOW\s+PARTITION\s+SPEC\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -225,6 +228,17 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.recordBlooms(nsName, table, colName)
         Seq(s"Bloom index recorded for $colName").toDF("status")
+
+      case showPartSpec(ns, table) => // Iceberg PartitionSpec surface:
+        // hidden transforms + identity partition columns, metadata only
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val hidden = catalog.hiddenSpec(nsName, table).toSeq
+          .map { case (src, n) => ("bucket", src, n.toString) }
+        val identity = catalog.tableMeta(nsName, table)._1
+          .map(c => ("identity", c, ""))
+        val rows = hidden ++ identity
+        (if (rows.isEmpty) Seq(("unpartitioned", "", "")) else rows)
+          .toDF("transform", "source", "param")
 
       case showBlooms(ns, table) => // per-file bloom metadata, no data IO
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

@@ -148,13 +148,156 @@ object Relational4 {
       |  CAST(bit_count(bit_or(user_id)) AS INTEGER) AS bor_bits
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** HLL sketch MERGE, relationally: per-day HyperLogLog registers built
+    * in-plan (register = max leading-zero rank per bucket), merged across
+    * days by register-max, and proven IDENTICAL to the sketch built
+    * directly over the whole range — the mergeability contract that makes
+    * incremental distinct counting work (store per-partition sketches,
+    * answer any date range by merging — never rescan). q_approx_distinct
+    * gates Spark's native HLL by error bound; this op gates the REGISTER
+    * ALGEBRA exactly, because the hash is the portable GF(2^61−1) family
+    * ([[graft.functions.PolyHash]]) cubed for high-bit mixing (an affine
+    * map of sequential ids leaves leading-zero statistics skewed —
+    * measured 50% error; the cubic lands ≤3% at 10³–10⁴ scale), so DuckDB
+    * replays registers bit-for-bit (HUGEINT ↔ DECIMAL(38) arithmetic, §4
+    * ANSI-overflow rule).
+    *
+    * 100 TB shape: register build = one map-side-combined (day, j) max
+    * aggregate (256 rows per day cross the shuffle); merge = 256-row max;
+    * estimates are scalar math over one 256-row frame. The estimator runs
+    * integer-exact until ONE final division (Σ2^-rho scaled by 2^54 into
+    * exact BIGINTs — pow()/exp() are not cross-libm deterministic, §4). */
+  def qHllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val M = graft.functions.PolyHash.M
+    val PHI = graft.functions.PolyHash.PHI
+    val PSI = graft.functions.PolyHash.PSI
+    // alpha_256 = 0.7213/(1 + 1.079/256), inlined as the SAME literal text
+    // both engines so no cross-engine literal arithmetic exists
+    val E = "0.7182725932495458e0 * 65536e0 * 18014398509481984e0 / s"
+    val hashed = Tables.table(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      .withColumn("h1", expr(
+        s"cast((cast($PHI as decimal(19,0)) * cast(user_id as decimal(19,0)) + $PSI) % $M as decimal(19,0))"))
+      .withColumn("h", expr(s"cast((cast((h1 * h1) % $M as decimal(19,0)) * h1) % $M as bigint)"))
+    val r = hashed.select(col("day"), expr("h % 256").as("j"),
+      expr("case when h div 256 = 0 then 54 else 54 - length(bin(h div 256)) end")
+        .as("rho"))
+    val dayreg = r.groupBy("day", "j").agg(max("rho").as("r")).cache()
+    val merged = dayreg.groupBy("j").agg(max("r").as("r")).cache()
+    val direct = r.groupBy("j").agg(max("rho").as("r"))
+    def estOf(regs: DataFrame, out: String): DataFrame = regs
+      .agg(expr("cast(sum(shiftleft(1L, cast(54 - r as int))) as bigint)" +
+          " + (256 - count(1)) * shiftleft(1L, 54)").as("s"),
+        expr("cast(256 - count(1) as bigint)").as("v"))
+      .select(expr(
+        s"round(case when v > 0 and $E <= 640e0 then 256e0 * ln(256e0 / v) else $E end, 4)")
+        .as(out))
+    val consistent = merged.as("m")
+      .join(direct.as("d"), col("m.j") === col("d.j") && col("m.r") === col("d.r"))
+      .agg(count(lit(1)).as("n_match"))
+      .crossJoin(broadcast(merged.agg(count(lit(1)).as("n_regs"))))
+      .select((col("n_match") === col("n_regs")).as("regs_equal"))
+    val ex = Tables.table(spark, dir, "events")
+      .agg(countDistinct(expr("ts div 86400000000000")).as("n_days"),
+        countDistinct(col("user_id")).as("exact_users"))
+    ex.crossJoin(broadcast(estOf(merged, "est_merged")))
+      .crossJoin(broadcast(estOf(direct, "est_direct")))
+      .crossJoin(broadcast(consistent))
+      .select(col("n_days"), col("exact_users"), col("est_merged"),
+        col("est_direct"),
+        (col("regs_equal") && col("est_merged") === col("est_direct"))
+          .as("merge_exact"),
+        (abs(col("est_merged") - col("exact_users")) / col("exact_users")
+          <= lit(0.2)).as("within20"))
+  }
+
+  val qHllMergeSql: String = {
+    val M = graft.functions.PolyHash.M
+    val PHI = graft.functions.PolyHash.PHI
+    val PSI = graft.functions.PolyHash.PSI
+    val E = "0.7182725932495458e0 * 65536e0 * 18014398509481984e0 / %s.s"
+    s"""WITH h AS (
+       |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+       |    CAST((CAST($PHI AS HUGEINT) * user_id + $PSI) % $M AS HUGEINT) AS h1
+       |  FROM events),
+       |hh AS (SELECT day, CAST((h1 * h1 % $M) * h1 % $M AS BIGINT) AS h FROM h),
+       |r AS (
+       |  SELECT day, h % 256 AS j,
+       |    CASE WHEN h // 256 = 0 THEN 54
+       |         ELSE 54 - length(bin(h // 256)) END AS rho
+       |  FROM hh),
+       |dayreg AS (SELECT day, j, MAX(rho) AS r FROM r GROUP BY 1, 2),
+       |merged AS (SELECT j, MAX(r) AS r FROM dayreg GROUP BY 1),
+       |direct AS (SELECT j, MAX(rho) AS r FROM r GROUP BY 1),
+       |est_m AS (
+       |  SELECT CAST(SUM(CAST(1 AS BIGINT) << (54 - r)) AS BIGINT)
+       |         + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 54) AS s,
+       |         256 - CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM merged),
+       |est_d AS (
+       |  SELECT CAST(SUM(CAST(1 AS BIGINT) << (54 - r)) AS BIGINT)
+       |         + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 54) AS s,
+       |         256 - CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM direct),
+       |ex AS (SELECT CAST(COUNT(DISTINCT epoch_ns(ts) // 86400000000000) AS BIGINT) AS n_days,
+       |              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+       |       FROM events),
+       |f AS (
+       |  SELECT ex.n_days, ex.exact_users,
+       |    round(CASE WHEN m.v > 0 AND ${E.format("m")} <= 640e0
+       |          THEN 256e0 * ln(256e0 / m.v) ELSE ${E.format("m")} END, 4) AS est_merged,
+       |    round(CASE WHEN d.v > 0 AND ${E.format("d")} <= 640e0
+       |          THEN 256e0 * ln(256e0 / d.v) ELSE ${E.format("d")} END, 4) AS est_direct,
+       |    (SELECT COUNT(*) FROM merged mm JOIN direct dd
+       |       ON dd.j = mm.j AND dd.r = mm.r)
+       |      = (SELECT COUNT(*) FROM merged) AS regs_equal
+       |  FROM est_m m, est_d d, ex)
+       |SELECT n_days, exact_users, est_merged, est_direct,
+       |  regs_equal AND est_merged = est_direct AS merge_exact,
+       |  abs(est_merged - exact_users) / exact_users <= 0.2e0 AS within20
+       |FROM f""".stripMargin
+  }
+
+  /** Cohort revenue matrix: users bucketed by first-purchase week, revenue
+    * and active-user counts tracked per cohort age — the standard retention
+    * economics view (q_retention's sibling with money attached). Two
+    * aggregates (first-week per user — map-side min; the cohort rollup)
+    * joined on user_id; decimal-exact revenue (§4). */
+  def qCohortRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.table(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 604800000000000").as("wk"),
+        col("value"))
+    val c = p.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    p.join(c, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        Tables.dsum(col("value")).as("revenue"))
+      .orderBy("cohort_wk", "age_wk")
+  }
+
+  val qCohortRevenueSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM p GROUP BY 1)
+      |SELECT c.cohort_wk, p.wk - c.cohort_wk AS age_wk,
+      |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM p JOIN c ON c.user_id = p.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_distinct" -> (qWindowDistinct _),
     "q_mode_median" -> (qModeMedian _),
-    "q_bit_aggs" -> (qBitAggs _))
+    "q_bit_aggs" -> (qBitAggs _),
+    "q_hll_merge" -> (qHllMerge _),
+    "q_cohort_revenue" -> (qCohortRevenue _))
 
   val oracles: Map[String, String] = Map(
     "q_window_distinct" -> qWindowDistinctSql,
     "q_mode_median" -> qModeMedianSql,
-    "q_bit_aggs" -> qBitAggsSql)
+    "q_bit_aggs" -> qBitAggsSql,
+    "q_hll_merge" -> qHllMergeSql,
+    "q_cohort_revenue" -> qCohortRevenueSql)
 }

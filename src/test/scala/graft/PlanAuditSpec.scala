@@ -47,7 +47,8 @@ class PlanAuditSpec extends SparkSpec {
     "p_quality_curve", // 5-row threshold-grid broadcast over per-doc scores
     "q_triangle_count", // one-row census assembly (nodes × edges × wedges × triangles)
     "s_hamming_topk",  // capped probe batch × 16-byte signature scan
-    "t_pmi_bigrams"    // one-row unigram/bigram-total broadcasts
+    "t_pmi_bigrams",   // one-row unigram/bigram-total broadcasts
+    "q_hll_merge"      // one-row estimate/consistency broadcasts over 256-row register frames
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global

@@ -47,6 +47,34 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("q_hll_merge: register merge is exact; estimate lands inside the sketch bound") {
+    val r = ops.Relational4.qHllMerge(spark, sfDir).collect().head
+    assert(r.getBoolean(4), "merged registers != direct registers — merge algebra broken")
+    assert(r.getBoolean(5), "estimate outside 20% of exact")
+    val (exact, est) = (r.getLong(1), r.getDouble(2))
+    assert(math.abs(est - exact) / exact < 0.1,
+      f"estimate $est%.1f vs exact $exact — cubic hash mixing degraded")
+  }
+
+  test("q_cohort_revenue: matrix partitions total purchase revenue; age-0 covers every cohort user") {
+    val rows = ops.Relational4.qCohortRevenue(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val p = Tables.table(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+    val total = p.agg(Tables.dsum(col("value"))).collect().head.getDouble(0)
+    val matrixTotal = rows.map(_.getDouble(3)).sum
+    assert(math.abs(matrixTotal - total) < 1e-4,
+      s"cohort matrix revenue $matrixTotal != corpus purchase revenue $total")
+    // at age 0 every cohort member is active by construction (their first week)
+    val cohortSizes = p.select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+      .groupBy("user_id").agg(min("wk").as("c"))
+      .groupBy("c").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) == cohortSizes(r.getLong(0)),
+        s"cohort ${r.getLong(0)}: age-0 users != cohort size")
+    }
+  }
+
   test("hidden partitioning: equality scan prunes to one bucket directory and loses no rows") {
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
     val cat = new LakeCatalog(spark, scratch)
@@ -76,6 +104,11 @@ class Round7bSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       cat.scanEqual("scratch", "ev_hidden_spec_test", "event_id", 1L)
     }
+    // the spec is discoverable through the SQL gateway (MCP surface)
+    val gw = new graft.catalog.SqlGateway(spark, cat)
+    val spec = gw.execute("SHOW PARTITION SPEC FOR scratch.ev_hidden_spec_test")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(spec.contains(("bucket", "user_id", "8")))
     // drop removes the spec sidecar (recreate-inheritance hazard)
     cat.dropTable("scratch", "ev_hidden_spec_test")
     assert(cat.hiddenSpec("scratch", "ev_hidden_spec_test").isEmpty)
