@@ -287,17 +287,112 @@ object Relational4 {
       |FROM p JOIN c ON c.user_id = p.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** 2-D skyline (Pareto frontier): the lineitem offers no other row beats
+    * on BOTH price (min) and quantity (max). The sort-based identity — a
+    * point survives iff its qty exceeds the running max over all strictly
+    * cheaper points — turns the O(n²) dominance test into one ordered scan.
+    *
+    * The running max NEVER runs as a global window (59k distinct prices at
+    * sf0.01 — a global sort straggler at scale): per-price maxes band into
+    * price/1000 buckets, prefix-max over the BAND rows only, per-band
+    * windows compute the within-band running max, carry-in via greatest —
+    * st_late_audit's two-level Blelloch scan with max. The DuckDB oracle
+    * runs the NAIVE single-window formulation — an independent derivation,
+    * so the gate checks the algebraic identity, not a replay. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.table(spark, dir, "lineitem")
+      .groupBy(col("l_extendedprice").as("price"),
+        col("l_quantity").as("qty"))
+      .agg(count(lit(1)).as("n_rows")).cache()
+    val pm = g.groupBy("price").agg(max("qty").as("qty"))
+      .withColumn("band", expr("cast(floor(price / 1000) as bigint)"))
+    val carry = pm.groupBy("band").agg(max("qty").as("bmax"))
+      .withColumn("carry_in", max(col("bmax")).over(
+        Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("band", "carry_in")
+    val inBand = Window.partitionBy("band").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pm.join(broadcast(carry), Seq("band"))
+      .withColumn("prevmax",
+        greatest(max(col("qty")).over(inBand), col("carry_in")))
+      .where(col("prevmax").isNull || col("qty") > col("prevmax"))
+      .join(g, Seq("price", "qty"))
+      .select(col("price"), col("qty"), col("n_rows"))
+      .orderBy("price")
+  }
+
+  val qSkylineSql: String =
+    """WITH g AS (
+      |  SELECT l_extendedprice AS price, l_quantity AS qty, COUNT(*) AS n_rows
+      |  FROM lineitem GROUP BY 1, 2),
+      |pm AS (SELECT price, MAX(qty) AS qty FROM g GROUP BY 1),
+      |w AS (
+      |  SELECT price, qty,
+      |    MAX(qty) OVER (ORDER BY price
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      |  FROM pm)
+      |SELECT w.price, w.qty, CAST(g.n_rows AS BIGINT) AS n_rows
+      |FROM w JOIN g ON g.price = w.price AND g.qty = w.qty
+      |WHERE w.prevmax IS NULL OR w.qty > w.prevmax
+      |ORDER BY w.price""".stripMargin
+
+  /** Peak concurrency per event type (max simultaneous 5-minute sessions)
+    * via the classic sweep line: +1 at session start, −1 at session end,
+    * running sum, max. End points order BEFORE start points at the same
+    * instant ((t, d) sort — [s, e) semantics), so back-to-back sessions
+    * never double-count. One event_type-keyed window (bounded fan);
+    * time in exact µs integers (§4). */
+  def qMaxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 1000").as("us"))
+    val pts = ev.select(col("event_type"), col("us").as("t"), lit(1).as("d"))
+      .unionAll(ev.select(col("event_type"),
+        (col("us") + lit(300000000L)).as("t"), lit(-1).as("d")))
+    val w = Window.partitionBy("event_type").orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val run = pts.withColumn("cur", sum("d").over(w)).cache()
+    val mx = run.groupBy("event_type").agg(max("cur").as("max_concurrent"))
+    run.join(mx, "event_type")
+      .where(col("cur") === col("max_concurrent"))
+      .groupBy("event_type", "max_concurrent")
+      .agg(min("t").as("first_peak_us"))
+      .orderBy("event_type")
+  }
+
+  val qMaxConcurrencySql: String =
+    """WITH pts AS (
+      |  SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+      |  UNION ALL
+      |  SELECT event_type, epoch_us(ts) + 300000000, -1 FROM events),
+      |run AS (
+      |  SELECT event_type, t, d,
+      |    SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+      |  FROM pts),
+      |mx AS (
+      |  SELECT event_type, CAST(MAX(cur) AS BIGINT) AS max_concurrent
+      |  FROM run GROUP BY 1)
+      |SELECT m.event_type, m.max_concurrent,
+      |  CAST(MIN(r.t) AS BIGINT) AS first_peak_us
+      |FROM mx m JOIN run r ON r.event_type = m.event_type
+      |  AND r.cur = m.max_concurrent
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_distinct" -> (qWindowDistinct _),
     "q_mode_median" -> (qModeMedian _),
     "q_bit_aggs" -> (qBitAggs _),
     "q_hll_merge" -> (qHllMerge _),
-    "q_cohort_revenue" -> (qCohortRevenue _))
+    "q_cohort_revenue" -> (qCohortRevenue _),
+    "q_skyline" -> (qSkyline _),
+    "q_max_concurrency" -> (qMaxConcurrency _))
 
   val oracles: Map[String, String] = Map(
     "q_window_distinct" -> qWindowDistinctSql,
     "q_mode_median" -> qModeMedianSql,
     "q_bit_aggs" -> qBitAggsSql,
     "q_hll_merge" -> qHllMergeSql,
-    "q_cohort_revenue" -> qCohortRevenueSql)
+    "q_cohort_revenue" -> qCohortRevenueSql,
+    "q_skyline" -> qSkylineSql,
+    "q_max_concurrency" -> qMaxConcurrencySql)
 }

@@ -59,7 +59,8 @@ class PlanAuditSpec extends SparkSpec {
   private val boundedGlobalWindow = Set(
     "p_pack_sequences",
     "st_late_audit",   // prefix-max over per-HOUR bucket maxes (same two-level scan)
-    "p_shard_manifest" // prefix-sum over per-bucket token totals (p_pack_sequences' shape)
+    "p_shard_manifest", // prefix-sum over per-bucket token totals (p_pack_sequences' shape)
+    "q_skyline"        // prefix-max over per-PRICE-BAND maxes (same two-level scan)
   )
 
   // one planning pass over the whole surface, shared by every assertion

@@ -75,6 +75,45 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("q_skyline: two-level scan equals the brute-force dominance test; frontier strictly monotone") {
+    val pts = ops.Relational4.qSkyline(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(pts.nonEmpty)
+    // strictly increasing in BOTH coordinates along the frontier
+    pts.sliding(2).foreach { case Array((p1, q1), (p2, q2)) =>
+      assert(p1 < p2 && q1 < q2, s"frontier not monotone: ($p1,$q1) -> ($p2,$q2)")
+    case _ => }
+    // brute-force dominance over the distinct point set
+    val all = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_extendedprice"), col("l_quantity")).distinct()
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val brute = all.filter { case (p, q) =>
+      !all.exists { case (p2, q2) =>
+        p2 <= p && q2 >= q && (p2 < p || q2 > q) }
+    }.sortBy(_._1)
+    assert(pts.sameElements(brute), "two-level skyline != brute-force skyline")
+  }
+
+  test("q_max_concurrency: sweep equals a sequential replay") {
+    val rows = ops.Relational4.qMaxConcurrency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      val starts = Tables.table(spark, sfDir, "events")
+        .where(col("event_type") === tpe)
+        .select(expr("ts div 1000")).collect().map(_.getLong(0)).sorted
+      val pts = (starts.map(t => (t, 1)) ++ starts.map(t => (t + 300000000L, -1)))
+        .sortBy(p => (p._1, p._2))
+      var cur = 0L; var mx = 0L; var firstAt = Long.MaxValue
+      pts.foreach { case (t, d) =>
+        cur += d
+        if (cur > mx) { mx = cur; firstAt = t }
+      }
+      assert(r.getLong(1) == mx, s"$tpe: max ${r.getLong(1)} != replay $mx")
+      assert(r.getLong(2) == firstAt, s"$tpe: first peak mismatch")
+    }
+  }
+
   test("hidden partitioning: equality scan prunes to one bucket directory and loses no rows") {
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
     val cat = new LakeCatalog(spark, scratch)
