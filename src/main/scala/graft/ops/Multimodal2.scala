@@ -239,12 +239,80 @@ object Multimodal2 {
        |  COUNT(CASE WHEN bit_count(xor(sa, sb)) <= 3 THEN 1 END) AS n_neardup
        |FROM cand""".stripMargin
 
+  /** Scene-split plumbing: decode every frame of the 1-in-5 asset subset
+    * (batch-iterator mapPartitions — payloads never shuffle), then detect
+    * scene boundaries where consecutive frame lumas jump > 128 (half the
+    * range). Scene ids are a running boundary count per asset — a doc-keyed
+    * window over frame-METADATA rows (the payload stayed on the map side);
+    * the rollup emits the per-asset scene profile (frame/scene counts,
+    * longest scene) a video-curation pipeline keys its sampling on.
+    *
+    * Hash-gated under the stub contract ([[Multimodal.FakeCodec]] —
+    * deterministic byte arithmetic, replayed by the oracle): the gate pins
+    * chunk boundaries, decode inputs, the lag/threshold algebra and the
+    * scene arithmetic; a real codec moves the op back to rows-only + spec
+    * (the honest boundary, as for m_frame_sample). */
+  def mSceneSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables.table(spark, dir, "documents")
+      .where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          payload.grouped(Multimodal.FakeCodec.FrameBytes).zipWithIndex
+            .map { case (chunk, idx) =>
+              (id, idx, Multimodal.FakeCodec.frameLuma(chunk)) }
+        }
+      }.toDF("doc_id", "frame_id", "luma")
+    val w = Window.partitionBy("doc_id").orderBy("frame_id")
+    val scenes = frames
+      .withColumn("prev", lag(col("luma"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev").isNull || abs(col("luma") - col("prev")) > 128, 1)
+          .otherwise(0))
+      .withColumn("scene_id",
+        sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "scene_id").agg(count(lit(1)).as("len"))
+    scenes.groupBy("doc_id")
+      .agg(sum("len").cast("long").as("n_frames"),
+        count(lit(1)).as("n_scenes"),
+        max("len").cast("long").as("longest_scene"))
+      .orderBy("doc_id")
+  }
+
+  val mSceneSplitSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, fid,
+       |    ${graft.ops.Multimodal.lumaSql("substr(text, fid*64 + 1, 64)")} AS luma
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS fid
+       |        FROM documents WHERE doc_id % 5 = 0)),
+       |b AS (
+       |  SELECT doc_id, fid, luma,
+       |    lag(luma) OVER (PARTITION BY doc_id ORDER BY fid) AS prev
+       |  FROM f),
+       |s AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN prev IS NULL OR abs(luma - prev) > 128 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY fid
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+       |  FROM b),
+       |sl AS (SELECT doc_id, scene_id, COUNT(*) AS len FROM s GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_frames,
+       |  CAST(COUNT(*) AS BIGINT) AS n_scenes,
+       |  CAST(MAX(len) AS BIGINT) AS longest_scene
+       |FROM sl GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_scene_split" -> (mSceneSplit _),
     "m_cas_dedup" -> (mCasDedup _),
     "m_av_sync" -> (mAvSync _),
     "m_phash_dedup" -> (mPhashDedup _))
 
   val oracles: Map[String, String] = Map(
+    "m_scene_split" -> mSceneSplitSql,
     "m_cas_dedup" -> mCasDedupSql,
     "m_av_sync" -> mAvSyncSql,
     "m_phash_dedup" -> mPhashDedupSql)

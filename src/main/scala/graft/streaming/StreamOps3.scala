@@ -129,9 +129,53 @@ object StreamOps3 {
         GroupStateTimeout.NoTimeout())(foldGroup)
   }
 
+  /** Shared batch/stream transform for st_topk: per-day per-type per-user
+    * event counts. Streaming-safe as a stateful aggregation (complete mode,
+    * or append with a watermark on the day bucket); the rank is applied
+    * DOWNSTREAM of the aggregation — exactly where a production pipeline
+    * ranks (on window close / in the serving query), because rank needs the
+    * window's final counts. */
+  def topkCounts(df: DataFrame): DataFrame =
+    df.select(expr("ts div 86400000000000").as("day"), col("event_type"),
+        col("user_id"))
+      .groupBy("day", "event_type", "user_id")
+      .agg(count(lit(1)).as("c"))
+
+  /** Windowed heavy hitters: top-3 users per (day, event type) by event
+    * count — q_cms_topk's exact windowed sibling and the standing "who is
+    * hot right now" stream query. Rank ties break by user_id; the rank ≤ 3
+    * filter compiles to the map-side WindowGroupLimit (≤3 rows per key
+    * cross the shuffle). Round7bSpec proves the streamed counts rank to
+    * the identical board. */
+  def stTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("day", "event_type")
+      .orderBy(col("c").desc, col("user_id"))
+    topkCounts(Tables.table(spark, dir, "events"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      .select(col("day"), col("event_type"), col("rnk"), col("user_id"),
+        col("c"))
+      .orderBy("day", "event_type", "rnk")
+  }
+
+  val stTopkSql: String =
+    """WITH c AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type, user_id,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT day, event_type, user_id, CAST(c AS BIGINT) AS c,
+      |    row_number() OVER (PARTITION BY day, event_type
+      |                       ORDER BY c DESC, user_id) AS rnk
+      |  FROM c)
+      |SELECT day, event_type, CAST(rnk AS INT) AS rnk, user_id, c
+      |FROM r WHERE rnk <= 3 ORDER BY day, event_type, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st_anomaly" -> (stAnomaly _))
+    "st_anomaly" -> (stAnomaly _),
+    "st_topk" -> (stTopk _))
 
   val oracles: Map[String, String] = Map(
-    "st_anomaly" -> stAnomalySql)
+    "st_anomaly" -> stAnomalySql,
+    "st_topk" -> stTopkSql)
 }

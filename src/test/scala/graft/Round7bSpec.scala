@@ -75,6 +75,32 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("st_topk: streamed counts rank to the identical board as the batch entry") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.table(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"), col("user_id"))
+      .as[(Long, String, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, String, Long)]
+    val counts = StreamOps3.topkCounts(
+      mem.toDF().toDF("ts", "event_type", "user_id"))
+    val q = counts.writeStream.format("memory").queryName("topk_counts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped((rows.size / 3) + 1).foreach { c =>
+        mem.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day", "event_type").orderBy(col("c").desc, col("user_id"))
+    val streamed = spark.table("topk_counts")
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      .select("day", "event_type", "rnk", "user_id", "c")
+      .orderBy("day", "event_type", "rnk").collect().toSeq
+    val batch = StreamOps3.stTopk(spark, sfDir).collect().toSeq
+    assert(batch.nonEmpty && batch == streamed)
+  }
+
   test("q_skyline: two-level scan equals the brute-force dominance test; frontier strictly monotone") {
     val pts = ops.Relational4.qSkyline(spark, sfDir).collect()
       .map(r => (r.getDouble(0), r.getDouble(1)))
