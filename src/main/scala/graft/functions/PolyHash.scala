@@ -102,6 +102,54 @@ object PolyHash {
     new GenericArrayData(out)
   }
 
+  /** All w-codepoint window hashes of `s` — out(i) = fold of codepoints
+    * [i, i+w) (seed 0, the foldString contract, no separators) — computed
+    * with the TRUE rolling identity:
+    *   h_{i+1} = (h_i − (cp_i+1)·B^{w−1})·B + (cp_{i+w}+1)  (mod M)
+    * One O(n) pass regardless of w — the Rabin–Karp shape content-defined
+    * chunking runs at 100 TB (per-window refold would be O(n·w)). */
+  def rollHashes(s: UTF8String, w: Int): ArrayData = {
+    // decode codepoints once (same UTF-8 walk as foldString)
+    val nBytes = s.numBytes()
+    val cps = new Array[Int](s.numChars())
+    var nc = 0
+    var i = 0
+    while (i < nBytes) {
+      val b0 = s.getByte(i) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var k = 1
+      while (k < len && i + k < nBytes) { cp = (cp << 6) | (s.getByte(i + k) & 0x3F); k += 1 }
+      cps(nc) = cp; nc += 1
+      i += len
+    }
+    val m = math.max(nc - w + 1, 0)
+    val out = new Array[Long](m)
+    if (m > 0) {
+      var bw1 = 1L // B^(w−1) mod M
+      var t = 1
+      while (t < w) { bw1 = mulmod(bw1, B); t += 1 }
+      var h = 0L
+      var j = 0
+      while (j < w) { h = step(h, cps(j)); j += 1 }
+      out(0) = h
+      var p = 1
+      while (p < m) {
+        // remove cps(p−1), admit cps(p+w−1)
+        var hs = h - mulmod(cps(p - 1) + 1L, bw1)
+        if (hs < 0) hs += M
+        h = step(hs, cps(p + w - 1))
+        out(p) = h
+        p += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** LSH band signatures over a minhash array: band b folds (b+1) then its
     * bandRows values (+1 each) with base B2. */
   def bandSigs(m: ArrayData, bandRows: Int): ArrayData = {
@@ -238,6 +286,9 @@ object Poly {
   def ngramHashes(ws: Column, k: Int): Column =
     GraftBridge.column(PolyNgramHashes(GraftBridge.expression(ws), k))
 
+  def rollHashes(s: Column, w: Int): Column =
+    GraftBridge.column(PolyRollHashes(GraftBridge.expression(s), w))
+
   def bloomBits(v: Column, mBits: Int, k: Int): Column =
     GraftBridge.column(BloomBits(GraftBridge.expression(v), mBits, k))
 
@@ -269,6 +320,29 @@ case class PolyNgramHashes(child: Expression, k: Int) extends UnaryExpression {
       c => s"graft.functions.PolyHash$$.MODULE$$.ngramHashes($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyNgramHashes =
+    copy(child = newChild)
+}
+
+/** Rolling w-codepoint window hashes — one O(n) codegen call per string
+  * (Rabin–Karp identity; the content-defined-chunking boundary detector). */
+case class PolyRollHashes(child: Expression, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"poly_roll_hashes expects (string, w >= 1), got ${child.dataType.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poly_roll_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PolyHash.rollHashes(a.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PolyHash$$.MODULE$$.rollHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyRollHashes =
     copy(child = newChild)
 }
 

@@ -557,7 +557,7 @@ object Dedup {
   /** Poly-hash SQL fragment: the portable char fold over `strExpr`
     * (mirrors PolyHash.foldString — HUGEINT arithmetic, fold seeded by a
     * prepended 0). */
-  private def polySql(strExpr: String): String = {
+  private[ops] def polySql(strExpr: String): String = {
     val (m, b) = (graft.functions.PolyHash.M, graft.functions.PolyHash.B)
     s"""CAST(list_reduce([0::HUGEINT] ||
        |      [CAST(unicode(c)+1 AS HUGEINT) for c in string_split($strExpr, '')],

@@ -106,9 +106,93 @@ object Dedup2 {
        |WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
 
+  /** Content-defined chunking (round 7): chunk boundaries where the rolling
+    * 8-codepoint window hash ≡ 0 (mod 64) — boundaries move WITH the
+    * content, so an insertion early in a document shifts only the chunk it
+    * lands in, and every identical substring longer than a chunk yields
+    * byte-identical chunks across documents (the property fixed-size
+    * chunking destroys; THE dedup technique for append/edit-heavy and
+    * binary corpora — rsync/LBFS/casync lineage, m_cas_dedup's
+    * sub-object-granularity sibling).
+    *
+    * Boundary detection = ONE O(n) pass per doc through the native
+    * [[graft.functions.PolyRollHashes]] codegen expression (true
+    * Rabin–Karp rolling identity, not per-window refolds); chunk content
+    * keys are poly hashes (portable family ⇒ the DuckDB oracle replays
+    * boundaries AND chunk identity bit-for-bit, per-window refolds being
+    * its equivalent spelling); the dedup rollup is one hash-keyed
+    * map-side-combined aggregate. Expected chunk length = 64+8 chars
+    * (mask 2⁻⁶) — the mask is THE chunk-size dial; production adds
+    * min/max clamps, stated here as the deliberate simplification. */
+  def dCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Poly
+    val d = Tables.fanout(Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .where(col("doc_id") % 5 === 0 && length(col("text")) >= 8)
+      .cache()
+    val edges = d
+      .select(col("doc_id"), col("text"),
+        Poly.rollHashes(col("text"), 8).as("wh"))
+      .select(col("doc_id"), col("text"), expr(
+        """array_distinct(concat(array(0),
+          |  filter(transform(wh, (h, i) -> CASE WHEN h % 64 = 0 THEN i + 8
+          |                                 ELSE -1 END), p -> p > 0),
+          |  array(length(text))))""".stripMargin).as("es"))
+    val chunks = edges
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(2, size(es))")).as("k"), col("es"))
+      .select(col("doc_id"), expr(
+        "substring(text, element_at(es, k - 1) + 1, element_at(es, k) - element_at(es, k - 1))")
+        .as("chunk"))
+    val grp = chunks
+      .select(element_at(Poly.ngramHashes(array(col("chunk")), 1), 1).as("h"),
+        length(col("chunk")).as("len"))
+      .groupBy("h").agg(count(lit(1)).as("c"), max("len").as("len"))
+    grp.agg(
+        expr("cast(sum(c) as bigint)").as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        expr("cast(sum(c) - count(1) as bigint)").as("dup_copies"),
+        max("c").as("max_reuse"),
+        expr("round(cast(sum(cast(len * c as decimal(30,6))) as double) / sum(c), 4)")
+          .as("mean_chunk_len"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_docs"))))
+      .select(col("n_docs"), col("n_chunks"), col("n_distinct"),
+        col("dup_copies"), col("max_reuse"), col("mean_chunk_len"))
+  }
+
+  val dCdcChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE doc_id % 5 = 0 AND length(text) >= 8),
+       |w AS (
+       |  SELECT doc_id, n, CAST(i AS INT) AS s,
+       |    ${Dedup.polySql("substr(text, CAST(i AS INT), 8)")} AS h
+       |  FROM d, unnest(range(1, n - 6)) AS t(i)),
+       |cuts AS (
+       |  SELECT doc_id, list_sort(list(DISTINCT s + 7)) AS cs
+       |  FROM w WHERE h % 64 = 0 GROUP BY 1),
+       |edges AS (
+       |  SELECT d.doc_id, d.text,
+       |    list_sort(list_distinct([0] || COALESCE(c.cs, []) || [CAST(d.n AS INT)])) AS es
+       |  FROM d LEFT JOIN cuts c USING (doc_id)),
+       |chunks AS (
+       |  SELECT doc_id, substr(text, es[k-1] + 1, es[k] - es[k-1]) AS chunk
+       |  FROM edges, unnest(range(2, len(es) + 1)) AS t(k)),
+       |ch AS (SELECT ${Dedup.polySql("chunk")} AS h, length(chunk) AS len FROM chunks),
+       |grp AS (SELECT h, COUNT(*) AS c, MAX(len) AS len FROM ch GROUP BY 1)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+       |  CAST(SUM(c) AS BIGINT) AS n_chunks,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_copies,
+       |  CAST(MAX(c) AS BIGINT) AS max_reuse,
+       |  round(CAST(SUM(CAST(len * c AS DECIMAL(30,6))) AS DOUBLE) / SUM(c), 4) AS mean_chunk_len
+       |FROM grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d_bloom_ingest" -> (dBloomIngest _))
+    "d_bloom_ingest" -> (dBloomIngest _),
+    "d_cdc_chunks" -> (dCdcChunks _))
 
   val oracles: Map[String, String] = Map(
-    "d_bloom_ingest" -> dBloomIngestSql)
+    "d_bloom_ingest" -> dBloomIngestSql,
+    "d_cdc_chunks" -> dCdcChunksSql)
 }

@@ -48,7 +48,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_triangle_count", // one-row census assembly (nodes × edges × wedges × triangles)
     "s_hamming_topk",  // capped probe batch × 16-byte signature scan
     "t_pmi_bigrams",   // one-row unigram/bigram-total broadcasts
-    "q_hll_merge"      // one-row estimate/consistency broadcasts over 256-row register frames
+    "q_hll_merge",     // one-row estimate/consistency broadcasts over 256-row register frames
+    "d_cdc_chunks"     // one-row doc-count broadcast onto the summary row
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global

@@ -75,6 +75,38 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("PolyRollHashes: rolling identity equals per-window refold; d_cdc_chunks conserves bytes") {
+    import spark.implicits._
+    // rolling == refold on real corpus text (the O(n) identity vs O(n·w))
+    val texts = Tables.table(spark, sfDir, "documents")
+      .where(length(col("text")) >= 8).limit(5).select("text").as[String].collect()
+    texts.foreach { t =>
+      val got = spark.range(1).select(lit(t).as("t"))
+        .select(graft.functions.Poly.rollHashes(col("t"), 8).as("wh"))
+        .as[Seq[Long]].head()
+      val cps = t.codePoints.toArray
+      val want = (0 to cps.length - 8).map { i =>
+        var h = java.math.BigInteger.ZERO
+        val M = java.math.BigInteger.valueOf(graft.functions.PolyHash.M)
+        val B = java.math.BigInteger.valueOf(graft.functions.PolyHash.B)
+        (0 until 8).foreach { j =>
+          h = h.multiply(B).add(java.math.BigInteger.valueOf(cps(i + j) + 1L)).mod(M)
+        }
+        h.longValueExact()
+      }
+      assert(got == want, "rolling hash diverged from the window refold")
+    }
+    // chunking is a partition of each doc: chunk bytes sum to corpus bytes
+    val r = ops.Dedup2.dCdcChunks(spark, sfDir).collect().head
+    val total = Tables.table(spark, sfDir, "documents")
+      .where(col("doc_id") % 5 === 0 && length(col("text")) >= 8)
+      .agg(sum(length(col("text")))).collect().head.getLong(0)
+    val meanLen = r.getDouble(5)
+    assert(math.abs(meanLen * r.getLong(1) - total) < 1.0,
+      s"chunk bytes ${meanLen * r.getLong(1)} != corpus bytes $total — chunking lost content")
+    assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) == r.getLong(1) - r.getLong(2))
+  }
+
   test("st_topk: streamed counts rank to the identical board as the batch entry") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
