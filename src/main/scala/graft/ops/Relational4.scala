@@ -378,6 +378,104 @@ object Relational4 {
       |  AND r.cur = m.max_concurrent
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * counts and exact-ppm probabilities for every (prev → next) event-type
+    * pair. One user-keyed lag window (µs+id order — §4) + two
+    * map-side-combined aggregates; the |types|² matrix is the behavioral
+    * fingerprint session-sequence models train on. */
+  def qMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
+    val t = Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("c"))
+    val tot = t.groupBy("prev").agg(sum("c").cast("long").as("n"))
+    t.join(tot, "prev")
+      .select(col("prev"), col("next"), col("c"),
+        expr("(1000000 * c) div n").as("p_ppm"))
+      .orderBy("prev", "next")
+  }
+
+  val qMarkovTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |t AS (SELECT prev, event_type AS next, COUNT(*) AS c
+      |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS n FROM t GROUP BY 1)
+      |SELECT t.prev, t.next, CAST(t.c AS BIGINT) AS c,
+      |  (1000000 * CAST(t.c AS BIGINT)) // tot.n AS p_ppm
+      |FROM t JOIN tot USING (prev) ORDER BY t.prev, t.next""".stripMargin
+
+  /** Time-to-event: first view → first purchase per user, with exact
+    * nearest-rank p25/p50/p75 of the conversion delay. The quantile ranks
+    * are computed WITHOUT a global row window (billions of users would
+    * serialize into one sort): per-user deltas bucket by hour, cumulative
+    * counts run over the BUCKET rows only, and each row's global rank =
+    * bucket carry-in + within-bucket rank (the st_late_audit two-level
+    * scan). The DuckDB oracle ranks naively over all rows — an independent
+    * derivation (the q_skyline pattern), so the gate checks the two-level
+    * identity. */
+  def qTimeToEvent(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.table(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", expr("ts div 1000"))).as("v"),
+        min(when(col("event_type") === "purchase", expr("ts div 1000"))).as("p"))
+      .cache()
+    val d = f.where(col("v").isNotNull && col("p").isNotNull &&
+        col("p") >= col("v"))
+      .select(col("user_id"), expr("(p - v) div 1000000").as("dt_s"))
+    val b = d.withColumn("bucket", expr("dt_s div 3600"))
+    val bc = b.groupBy("bucket").agg(count(lit(1)).as("bcnt"))
+      .withColumn("cum_prev", coalesce(sum("bcnt").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bucket", "cum_prev")
+    val wIn = Window.partitionBy("bucket").orderBy("dt_s", "user_id")
+    val ranked = b.join(broadcast(bc), "bucket")
+      .withColumn("grn", col("cum_prev") + row_number().over(wIn))
+    val counts = f.agg(
+      count(when(col("v").isNotNull, 1)).as("n_viewers"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_converted"))))
+    ranked.crossJoin(broadcast(counts))
+      .agg(
+        max(when(col("grn") === expr("(n_converted + 1) div 2"), col("dt_s")))
+          .as("p50_s"),
+        max(when(col("grn") === expr("(n_converted + 3) div 4"), col("dt_s")))
+          .as("p25_s"),
+        max(when(col("grn") === expr("(3 * n_converted + 3) div 4"), col("dt_s")))
+          .as("p75_s"),
+        max("n_viewers").as("n_viewers"),
+        max("n_converted").as("n_converted"))
+      .select(col("n_viewers"), col("n_converted"), col("p25_s"),
+        col("p50_s"), col("p75_s"))
+  }
+
+  val qTimeToEventSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT user_id, (p - v) // 1000000 AS dt_s
+      |  FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v),
+      |r AS (
+      |  SELECT dt_s, row_number() OVER (ORDER BY dt_s, user_id) AS rn,
+      |         COUNT(*) OVER () AS n
+      |  FROM d)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f WHERE v IS NOT NULL) AS n_viewers,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_converted,
+      |  CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN dt_s END) AS BIGINT) AS p25_s,
+      |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN dt_s END) AS BIGINT) AS p50_s,
+      |  CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN dt_s END) AS BIGINT) AS p75_s
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_distinct" -> (qWindowDistinct _),
     "q_mode_median" -> (qModeMedian _),
@@ -385,7 +483,9 @@ object Relational4 {
     "q_hll_merge" -> (qHllMerge _),
     "q_cohort_revenue" -> (qCohortRevenue _),
     "q_skyline" -> (qSkyline _),
-    "q_max_concurrency" -> (qMaxConcurrency _))
+    "q_max_concurrency" -> (qMaxConcurrency _),
+    "q_markov_transitions" -> (qMarkovTransitions _),
+    "q_time_to_event" -> (qTimeToEvent _))
 
   val oracles: Map[String, String] = Map(
     "q_window_distinct" -> qWindowDistinctSql,
@@ -394,5 +494,7 @@ object Relational4 {
     "q_hll_merge" -> qHllMergeSql,
     "q_cohort_revenue" -> qCohortRevenueSql,
     "q_skyline" -> qSkylineSql,
-    "q_max_concurrency" -> qMaxConcurrencySql)
+    "q_max_concurrency" -> qMaxConcurrencySql,
+    "q_markov_transitions" -> qMarkovTransitionsSql,
+    "q_time_to_event" -> qTimeToEventSql)
 }

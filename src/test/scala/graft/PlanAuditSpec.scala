@@ -49,7 +49,8 @@ class PlanAuditSpec extends SparkSpec {
     "s_hamming_topk",  // capped probe batch × 16-byte signature scan
     "t_pmi_bigrams",   // one-row unigram/bigram-total broadcasts
     "q_hll_merge",     // one-row estimate/consistency broadcasts over 256-row register frames
-    "d_cdc_chunks"     // one-row doc-count broadcast onto the summary row
+    "d_cdc_chunks",    // one-row doc-count broadcast onto the summary row
+    "q_time_to_event"  // one-row viewer/converted-count broadcasts
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
@@ -61,7 +62,8 @@ class PlanAuditSpec extends SparkSpec {
     "p_pack_sequences",
     "st_late_audit",   // prefix-max over per-HOUR bucket maxes (same two-level scan)
     "p_shard_manifest", // prefix-sum over per-bucket token totals (p_pack_sequences' shape)
-    "q_skyline"        // prefix-max over per-PRICE-BAND maxes (same two-level scan)
+    "q_skyline",       // prefix-max over per-PRICE-BAND maxes (same two-level scan)
+    "q_time_to_event"  // prefix-sum over per-HOUR-BUCKET counts (same two-level scan)
   )
 
   // one planning pass over the whole surface, shared by every assertion
