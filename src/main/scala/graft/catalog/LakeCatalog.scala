@@ -1239,6 +1239,31 @@ class LakeCatalog(spark: SparkSession, root: String) {
       .drop("_bucket")
   }
 
+  /** Iceberg `$partitions` metadata-table analog: per-partition-directory
+    * (partition value, file count, row count) for hive-layout tables —
+    * answered from directory listing + parquet FOOTERS only (metadata IO,
+    * no table scan; the planning input compaction targeting and partition
+    * skew diagnosis read at 100 TB). */
+  def partitionsMeta(ns: String, table: String): Seq[(String, Long, Long)] = {
+    val dir = Paths.get(s"$root/$ns/$table")
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      val parts = try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+      parts.map { p =>
+        val fs = Files.list(p)
+        val files = try fs.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        finally fs.close()
+        val rows = files.map(footerRowCount).sum
+        (p.getFileName.toString, files.size.toLong, rows)
+      }
+    }
+  }
+
   /** Bucket directories currently on disk (metadata listing). */
   def bucketDirs(ns: String, table: String): Seq[String] = {
     val dir = Paths.get(s"$root/$ns/$table")

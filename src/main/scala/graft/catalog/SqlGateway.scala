@@ -82,9 +82,11 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*CREATE\s+BLOOM\s+INDEX\s+(?:ON\s+)?(?:(\w+)\.)?(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
   private val showBlooms =
     """(?is)\s*SHOW\s+BLOOMS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
-  // round-7 hidden-partitioning verb (Iceberg PartitionSpec surface)
+  // round-7 hidden-partitioning verbs (Iceberg PartitionSpec + $partitions)
   private val showPartSpec =
     """(?is)\s*SHOW\s+PARTITION\s+SPEC\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  private val showPartitions =
+    """(?is)\s*SHOW\s+PARTITIONS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -228,6 +230,12 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.recordBlooms(nsName, table, colName)
         Seq(s"Bloom index recorded for $colName").toDF("status")
+
+      case showPartitions(ns, table) => // Iceberg $partitions metadata table:
+        // per-partition file/row counts from dir listing + footers, no scan
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.partitionsMeta(nsName, table)
+          .toDF("partition", "n_files", "n_rows")
 
       case showPartSpec(ns, table) => // Iceberg PartitionSpec surface:
         // hidden transforms + identity partition columns, metadata only

@@ -175,13 +175,45 @@ object CatalogOps6 {
       |  1 AS buckets_scanned, 8 AS buckets_total, true AS hidden_pruned
       |FROM events WHERE user_id = 42""".stripMargin
 
+  /** Iceberg `$partitions` metadata table: per-partition (value, file
+    * count, row count) answered from directory listing + parquet FOOTERS —
+    * zero table scan; what compaction targeting and partition-skew
+    * diagnosis read at 100 TB. The write repartitions by the partition
+    * column first, so every partition value lands in exactly one task →
+    * one file per directory (deterministic layout; the file count is a
+    * structural fact of the write recipe, not of parallelism). */
+  def cPartitionsMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "ev_parts_meta")
+    cat.createTable("scratch", "ev_parts_meta", StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("event_type", StringType))))
+    cat.appendPartitioned("scratch", "ev_parts_meta",
+      Tables.table(spark, dir, "events")
+        .select("event_id", "user_id", "value", "event_type")
+        .repartition(col("event_type")),
+      Seq("event_type"))
+    cat.partitionsMeta("scratch", "ev_parts_meta")
+      .toDF("partition", "n_files", "n_rows")
+      .orderBy("partition")
+  }
+
+  val cPartitionsMetaSql: String =
+    """SELECT 'event_type=' || event_type AS partition,
+      |  CAST(1 AS BIGINT) AS n_files, COUNT(*) AS n_rows
+      |FROM events GROUP BY event_type ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_stream_ingest" -> (cStreamIngest _),
     "c_expire_snapshots" -> (cExpireSnapshots _),
-    "c_hidden_partition" -> (cHiddenPartition _))
+    "c_hidden_partition" -> (cHiddenPartition _),
+    "c_partitions_meta" -> (cPartitionsMeta _))
 
   val oracles: Map[String, String] = Map(
     "c_stream_ingest" -> cStreamIngestSql,
     "c_expire_snapshots" -> cExpireSnapshotsSql,
-    "c_hidden_partition" -> cHiddenPartitionSql)
+    "c_hidden_partition" -> cHiddenPartitionSql,
+    "c_partitions_meta" -> cPartitionsMetaSql)
 }

@@ -206,6 +206,11 @@ class Round7bSpec extends SparkSpec {
     val spec = gw.execute("SHOW PARTITION SPEC FOR scratch.ev_hidden_spec_test")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(spec.contains(("bucket", "user_id", "8")))
+    // $partitions metadata: per-bucket rows sum to the table, no scan
+    val parts = gw.execute("SHOW PARTITIONS FOR scratch.ev_hidden_spec_test")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(parts.nonEmpty && parts.forall(_._1.startsWith("_bucket=")))
+    assert(parts.map(_._3).sum == src.count(), "partition row counts != table rows")
     // drop removes the spec sidecar (recreate-inheritance hazard)
     cat.dropTable("scratch", "ev_hidden_spec_test")
     assert(cat.hiddenSpec("scratch", "ev_hidden_spec_test").isEmpty)
