@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, input_file_name, lit, pmod, substring_index, when, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, expr, input_file_name, lit, pmod, substring_index, when, xxhash64}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -1205,6 +1205,64 @@ class LakeCatalog(spark: SparkSession, root: String) {
     if (Files.exists(stats)) Files.delete(stats)
     Files.writeString(hiddenSpecPath(ns, table),
       s"""{"transform":"bucket","source":"$srcCol","n":$nBuckets}""")
+  }
+
+  /** days() transform partitioned append (the temporal sibling of
+    * [[appendBucketed]]): `_day = (ts div 1000) div 86400000000` computed
+    * over the epoch-NANOS source column at µs precision (the §4 timestamp
+    * convention), laid out hive-style. The raw-column RANGE scan is what
+    * this buys: a time predicate prunes to the covered day directories. */
+  def appendDayPartitioned(ns: String, table: String, df: DataFrame,
+                           tsCol: String): Unit = {
+    df.withColumn("_day", expr(s"($tsCol div 1000) div 86400000000"))
+      .write.mode("append").partitionBy("_day")
+      .parquet(s"$root/$ns/$table")
+    val log = snapshotLogPath(ns, table)
+    if (Files.exists(log)) Files.delete(log)
+    val stats = fileStatsPath(ns, table)
+    if (Files.exists(stats)) Files.delete(stats)
+    Files.writeString(hiddenSpecPath(ns, table),
+      s"""{"transform":"days","source":"$tsCol","n":0}""")
+  }
+
+  /** Range scan through the days() spec: [loUs, hiUs) in epoch-µs prunes
+    * to the day directories intersecting the range (file selection from
+    * table metadata — directories outside the range are never listed into
+    * the scan), then the µs-exact predicate applies within them. */
+  def scanTsRangeUs(ns: String, table: String, tsCol: String,
+                    loUs: Long, hiUs: Long): DataFrame = {
+    val (src, _) = hiddenSpec(ns, table).getOrElse(
+      throw new IllegalArgumentException(s"no hidden spec on $ns.$table"))
+    require(src == tsCol,
+      s"hidden spec of $ns.$table transforms $src, not $tsCol")
+    val dayUs = 86400000000L
+    val loDay = loUs / dayUs
+    val hiDay = (hiUs - 1) / dayUs
+    val base = s"$root/$ns/$table"
+    val dirs = bucketDirsWithPrefix(ns, table, "_day=")
+      .filter { d =>
+        val v = d.stripPrefix("_day=").toLong
+        v >= loDay && v <= hiDay
+      }
+      .map(d => s"$base/$d")
+    require(dirs.nonEmpty, s"no day partitions of $ns.$table in range")
+    spark.read.option("basePath", base).parquet(dirs: _*)
+      .where(expr(s"($tsCol div 1000) >= $loUs and ($tsCol div 1000) < $hiUs"))
+      .drop("_day")
+  }
+
+  private def bucketDirsWithPrefix(ns: String, table: String,
+                                   prefix: String): Seq[String] = {
+    val dir = Paths.get(s"$root/$ns/$table")
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(prefix))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
   }
 
   /** The recorded hidden spec: (source column, bucket count). */

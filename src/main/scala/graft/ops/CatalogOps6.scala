@@ -205,15 +205,67 @@ object CatalogOps6 {
       |  CAST(1 AS BIGINT) AS n_files, COUNT(*) AS n_rows
       |FROM events GROUP BY event_type ORDER BY 1""".stripMargin
 
+  /** days() hidden partitioning + range pruning — the temporal transform
+    * (c_hidden_partition's sibling; together they cover Iceberg's two
+    * workhorse transforms). Events lay out by `_day` derived from the raw
+    * ts at µs precision; a 5-day range query on the RAW column prunes to
+    * exactly those 5 day directories through the recorded spec. The probe
+    * range is metadata-derived (first day + [5, 10) — from the partition
+    * listing, not a pinned epoch), so the recipe survives a testdata
+    * regeneration; day count 5 is the recipe constant. At 100 TB this is
+    * THE layout for fact tables: time predicates become directory
+    * arithmetic before any file is listed into the scan. */
+  def cTimePartition(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "ev_by_day")
+    cat.createTable("scratch", "ev_by_day", StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("ts", LongType))))
+    cat.appendDayPartitioned("scratch", "ev_by_day",
+      Tables.table(spark, dir, "events")
+        .select("event_id", "user_id", "value", "ts"),
+      "ts")
+    val dayUs = 86400000000L
+    val parts = cat.partitionsMeta("scratch", "ev_by_day")
+    val d0 = parts.map(_._1.stripPrefix("_day=").toLong).min
+    val scan = cat.scanTsRangeUs("scratch", "ev_by_day", "ts",
+      (d0 + 5) * dayUs, (d0 + 10) * dayUs)
+    val daysScanned = scan.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("_day="))).distinct.length
+    scan.agg(count(lit(1)).as("n"),
+        Tables.dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("n"), col("sum_value"), col("n_users"),
+        lit(daysScanned).as("days_scanned"),
+        lit(parts.size).as("days_total"),
+        lit(daysScanned == 5 && parts.size > 5).as("time_pruned"))
+  }
+
+  val cTimePartitionSql: String =
+    """WITH d0 AS (
+      |  SELECT MIN(epoch_us(ts) // 86400000000) AS d FROM events)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  5 AS days_scanned,
+      |  CAST((SELECT COUNT(DISTINCT epoch_us(ts) // 86400000000) FROM events) AS INT)
+      |    AS days_total,
+      |  true AS time_pruned
+      |FROM events, d0
+      |WHERE epoch_us(ts) >= (d0.d + 5) * 86400000000
+      |  AND epoch_us(ts) < (d0.d + 10) * 86400000000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_stream_ingest" -> (cStreamIngest _),
     "c_expire_snapshots" -> (cExpireSnapshots _),
     "c_hidden_partition" -> (cHiddenPartition _),
-    "c_partitions_meta" -> (cPartitionsMeta _))
+    "c_partitions_meta" -> (cPartitionsMeta _),
+    "c_time_partition" -> (cTimePartition _))
 
   val oracles: Map[String, String] = Map(
     "c_stream_ingest" -> cStreamIngestSql,
     "c_expire_snapshots" -> cExpireSnapshotsSql,
     "c_hidden_partition" -> cHiddenPartitionSql,
-    "c_partitions_meta" -> cPartitionsMetaSql)
+    "c_partitions_meta" -> cPartitionsMetaSql,
+    "c_time_partition" -> cTimePartitionSql)
 }

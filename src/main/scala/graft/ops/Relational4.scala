@@ -485,7 +485,105 @@ object Relational4 {
     "q_skyline" -> (qSkyline _),
     "q_max_concurrency" -> (qMaxConcurrency _),
     "q_markov_transitions" -> (qMarkovTransitions _),
-    "q_time_to_event" -> (qTimeToEvent _))
+    "q_time_to_event" -> (qTimeToEvent _),
+    "q_changepoint" -> (qChangepoint _),
+    "q_benford" -> (qBenford _))
+
+  /** Change-point detection per event type: the CUSUM statistic over daily
+    * counts — peak |cumulative − expected-under-uniform| locates the day
+    * where the rate shifted. Entirely INTEGER arithmetic (dev = cum·n_days −
+    * k·total — the ×n_days·total-scaled CUSUM, exact in BIGINT; magnitude
+    * reported in ppm of the ceiling), so the gate is exact with no rounding
+    * anywhere. One day-bucket aggregate + one type-keyed window over
+    * DAY rows (time-range-bounded fan). */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val dc = Tables.table(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val m = dc.groupBy("event_type")
+      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("nd"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val dev = dc.join(m, "event_type")
+      .withColumn("cum",
+        sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .select(col("event_type"), col("day"),
+        expr("cum * nd - k * tot").as("dev"), col("tot"), col("nd"))
+    val mx = dev.groupBy("event_type").agg(max(abs(col("dev"))).as("m"))
+    dev.join(mx, "event_type")
+      .where(abs(col("dev")) === col("m"))
+      .groupBy(col("event_type"), col("m").as("peak_dev"),
+        expr("(1000000 * m) div (tot * nd)").as("frac_ppm"))
+      .agg(min("day").cast("long").as("peak_day"))
+      .select(col("event_type"), col("peak_day"), col("peak_dev"),
+        col("frac_ppm"))
+      .orderBy("event_type")
+  }
+
+  val qChangepointSql: String =
+    """WITH dc AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS tot,
+      |             CAST(COUNT(*) AS BIGINT) AS nd FROM dc GROUP BY 1),
+      |cs AS (
+      |  SELECT d.event_type, d.day,
+      |    CAST(SUM(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS k,
+      |    m.tot, m.nd
+      |  FROM dc d JOIN m USING (event_type)),
+      |dev AS (SELECT event_type, day, cum * nd - k * tot AS dev, tot, nd FROM cs),
+      |mx AS (SELECT event_type, MAX(abs(dev)) AS m FROM dev GROUP BY 1)
+      |SELECT d.event_type, CAST(MIN(d.day) AS BIGINT) AS peak_day,
+      |  CAST(mm.m AS BIGINT) AS peak_dev,
+      |  (1000000 * CAST(mm.m AS BIGINT)) // (d.tot * d.nd) AS frac_ppm
+      |FROM dev d JOIN mx mm ON mm.event_type = d.event_type
+      |  AND abs(d.dev) = mm.m
+      |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin
+
+  /** Benford first-digit audit of the value column — the classic
+    * synthetic/fraudulent-number detector. Expected counts use INTEGER ppm
+    * literals of log10(1+1/d) (no runtime libm, no double rounding —
+    * expected = (ppm·n) div 10⁶ exactly); the per-digit deviation is
+    * likewise exact ppm. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val ppm = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val h = Tables.table(spark, dir, "events")
+      .where(abs(col("value")) >= 1)
+      // floor, not cast: DuckDB CAST(double AS BIGINT) rounds-half-even
+      // while Spark's truncates — floor() agrees in both engines
+      .select(expr("cast(substring(cast(cast(floor(abs(value)) as bigint) as string), 1, 1) as int)")
+        .as("d"))
+      .groupBy("d").agg(count(lit(1)).as("observed"))
+    val n = h.agg(sum("observed").cast("long").as("n"))
+    val e = h.sparkSession.createDataFrame(
+        ppm.zipWithIndex.map { case (p, i) => ((i + 1), p) })
+      .toDF("d", "ppm")
+    e.join(h, Seq("d"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("d"), coalesce(col("observed"), lit(0L)).as("observed"),
+        expr("(ppm * n) div 1000000").as("expected_benford"),
+        expr("(1000000 * abs(coalesce(observed, 0) - (ppm * n) div 1000000)) div n")
+          .as("abs_dev_ppm"))
+      .orderBy("d")
+  }
+
+  val qBenfordSql: String =
+    """WITH v AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(abs(value)) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+      |  FROM events WHERE abs(value) >= 1),
+      |h AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS observed FROM v GROUP BY 1),
+      |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM h),
+      |e AS (SELECT unnest(generate_series(1, 9)) AS d,
+      |             unnest([301030, 176091, 124939, 96910, 79181, 66947,
+      |                     57992, 51153, 45757]) AS ppm)
+      |SELECT CAST(e.d AS INT) AS d, COALESCE(h.observed, 0) AS observed,
+      |  (CAST(e.ppm AS BIGINT) * n.n) // 1000000 AS expected_benford,
+      |  (1000000 * abs(COALESCE(h.observed, 0)
+      |     - (CAST(e.ppm AS BIGINT) * n.n) // 1000000)) // n.n AS abs_dev_ppm
+      |FROM e LEFT JOIN h ON h.d = e.d, n ORDER BY e.d""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_window_distinct" -> qWindowDistinctSql,
@@ -496,5 +594,7 @@ object Relational4 {
     "q_skyline" -> qSkylineSql,
     "q_max_concurrency" -> qMaxConcurrencySql,
     "q_markov_transitions" -> qMarkovTransitionsSql,
-    "q_time_to_event" -> qTimeToEventSql)
+    "q_time_to_event" -> qTimeToEventSql,
+    "q_changepoint" -> qChangepointSql,
+    "q_benford" -> qBenfordSql)
 }

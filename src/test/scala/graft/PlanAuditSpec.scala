@@ -50,7 +50,8 @@ class PlanAuditSpec extends SparkSpec {
     "t_pmi_bigrams",   // one-row unigram/bigram-total broadcasts
     "q_hll_merge",     // one-row estimate/consistency broadcasts over 256-row register frames
     "d_cdc_chunks",    // one-row doc-count broadcast onto the summary row
-    "q_time_to_event"  // one-row viewer/converted-count broadcasts
+    "q_time_to_event", // one-row viewer/converted-count broadcasts
+    "q_benford"        // one-row digit-total broadcast onto the 9-row expectation grid
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global

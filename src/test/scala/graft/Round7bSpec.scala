@@ -215,4 +215,30 @@ class Round7bSpec extends SparkSpec {
     cat.dropTable("scratch", "ev_hidden_spec_test")
     assert(cat.hiddenSpec("scratch", "ev_hidden_spec_test").isEmpty)
   }
+
+  test("days() partitioning: range scan reads only covered day dirs; boundary rows exact") {
+    import org.apache.spark.sql.types._
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "ev_days_spec_test")
+    cat.createTable("scratch", "ev_days_spec_test", StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType))))
+    val src = Tables.table(spark, sfDir, "events").select("event_id", "ts")
+    cat.appendDayPartitioned("scratch", "ev_days_spec_test", src, "ts")
+    val dayUs = 86400000000L
+    val d0 = cat.partitionsMeta("scratch", "ev_days_spec_test")
+      .map(_._1.stripPrefix("_day=").toLong).min
+    val scan = cat.scanTsRangeUs("scratch", "ev_days_spec_test", "ts",
+      (d0 + 2) * dayUs, (d0 + 4) * dayUs)
+    val dirs = scan.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("_day="))).distinct.sorted
+    assert(dirs.toSeq == Seq(s"_day=${d0 + 2}", s"_day=${d0 + 3}"),
+      s"range scan read $dirs")
+    // row-exact vs a full-scan filter at the same µs bounds
+    val expect = src.where(
+      expr(s"(ts div 1000) >= ${(d0 + 2) * dayUs} and (ts div 1000) < ${(d0 + 4) * dayUs}"))
+      .count()
+    assert(scan.count() == expect)
+    cat.dropTable("scratch", "ev_days_spec_test")
+  }
 }
