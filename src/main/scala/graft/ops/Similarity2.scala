@@ -332,7 +332,62 @@ object Similarity2 {
       |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, hamming
       |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** Compression-tier selection report: recall@5 vs the exact float32
+    * ranking for each storage tier of the ANN ladder — SQ8 (64 B/vec), PQ
+    * (8 B), binary sign bits (8 B) — the one table a deployment reads to
+    * pick its memory/recall point. Every tier's top-k chain is already
+    * bit-replayable, so the report hash-gates BY COMPOSITION
+    * (s_ann_recall's pattern, across tiers): hits = left-semi join of tier
+    * pairs against exact pairs, recall in exact integer ppm. Tiers score
+    * IN-PLAN — no driver round trips; at 100 TB this is the index-build QA
+    * gate run before swapping a cheaper tier into serving. */
+  def sTierReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.sCosineTopk(spark, dir)
+      .select(col("q_id"), col("vec_id")).cache()
+    val tot = exact.agg(count(lit(1)).as("tot"))
+    def row(tier: String, bytes: Int, df: DataFrame): DataFrame =
+      df.select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(tot))
+        .select(lit(tier).as("tier"), lit(bytes).as("bytes_per_vec"),
+          expr("(1000000 * hits) div tot").as("recall_ppm"))
+    row("a_float32", 256, exact)
+      .unionAll(row("b_sq8", 64, sSq8Topk(spark, dir)))
+      .unionAll(row("c_pq", 8, Similarity.sPqTopk(spark, dir)))
+      .unionAll(row("d_binary", 8, sHammingTopk(spark, dir)))
+      .orderBy("tier")
+  }
+
+  val sTierReportSql: String =
+    s"""WITH exact AS (SELECT q_id, vec_id FROM (${Similarity.sCosineTopkSql}) t),
+       |sq8 AS (SELECT q_id, vec_id FROM ($sSq8TopkSql) t),
+       |pq AS (SELECT q_id, vec_id FROM (${Similarity.sPqTopkSql}) t),
+       |bin AS (SELECT q_id, vec_id FROM ($sHammingTopkSql) t),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM exact)
+       |SELECT tier, bytes_per_vec, recall_ppm FROM (
+       |  SELECT 'a_float32' AS tier, 256 AS bytes_per_vec,
+       |    (1000000 * (SELECT CAST(COUNT(*) AS BIGINT) FROM exact)) // tot.tot AS recall_ppm
+       |  FROM tot
+       |  UNION ALL
+       |  SELECT 'b_sq8', 64,
+       |    (1000000 * (SELECT CAST(COUNT(*) AS BIGINT)
+       |       FROM sq8 s JOIN exact e ON e.q_id = s.q_id AND e.vec_id = s.vec_id)) // tot.tot
+       |  FROM tot
+       |  UNION ALL
+       |  SELECT 'c_pq', 8,
+       |    (1000000 * (SELECT CAST(COUNT(*) AS BIGINT)
+       |       FROM pq p JOIN exact e ON e.q_id = p.q_id AND e.vec_id = p.vec_id)) // tot.tot
+       |  FROM tot
+       |  UNION ALL
+       |  SELECT 'd_binary', 8,
+       |    (1000000 * (SELECT CAST(COUNT(*) AS BIGINT)
+       |       FROM bin b JOIN exact e ON e.q_id = b.q_id AND e.vec_id = b.vec_id)) // tot.tot
+       |  FROM tot) z
+       |ORDER BY tier""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_tier_report" -> (sTierReport _),
     "s_hamming_topk" -> (sHammingTopk _),
     "s_sq8_topk" -> (sSq8Topk _),
     "s_matryoshka_rerank" -> (sMatryoshkaRerank _),
@@ -340,6 +395,7 @@ object Similarity2 {
     "s_tau_sweep" -> (sTauSweep _))
 
   val oracles: Map[String, String] = Map(
+    "s_tier_report" -> sTierReportSql,
     "s_hamming_topk" -> sHammingTopkSql,
     "s_sq8_topk" -> sSq8TopkSql,
     "s_matryoshka_rerank" -> sMatryoshkaRerankSql,

@@ -51,7 +51,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_hll_merge",     // one-row estimate/consistency broadcasts over 256-row register frames
     "d_cdc_chunks",    // one-row doc-count broadcast onto the summary row
     "q_time_to_event", // one-row viewer/converted-count broadcasts
-    "q_benford"        // one-row digit-total broadcast onto the 9-row expectation grid
+    "q_benford",       // one-row digit-total broadcast onto the 9-row expectation grid
+    "s_tier_report"    // composes the capped probe batches + one-row hit/total broadcasts
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
