@@ -487,7 +487,44 @@ object Relational4 {
     "q_markov_transitions" -> (qMarkovTransitions _),
     "q_time_to_event" -> (qTimeToEvent _),
     "q_changepoint" -> (qChangepoint _),
-    "q_benford" -> (qBenford _))
+    "q_benford" -> (qBenford _),
+    "q_rank_functions" -> (qRankFunctions _))
+
+  /** The remaining rank-function family — ntile / percent_rank / cume_dist
+    * — rolled into per-priority price deciles (bounds, counts, and the
+    * tail rank statistics per decile). Both engines assign ntile
+    * remainders to the leading buckets and compute percent_rank =
+    * (rank−1)/(n−1), cume_dist = rows≤current/n as pure IEEE divisions of
+    * exact integers; one bounded-fan window. */
+  def qRankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("prio")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.table(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"), col("o_totalprice"),
+        col("o_orderkey"))
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .groupBy("prio", "decile")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"),
+        max("pr").as("max_pr"), max("cd").as("max_cd"))
+      .orderBy("prio", "decile")
+  }
+
+  val qRankFunctionsSql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority AS prio, o_totalprice,
+      |    ntile(10) OVER w AS decile,
+      |    round(percent_rank() OVER w, 6) AS pr,
+      |    round(cume_dist() OVER w, 6) AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+      |SELECT prio, CAST(decile AS INT) AS decile, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(MIN(o_totalprice), 2) AS lo, round(MAX(o_totalprice), 2) AS hi,
+      |  MAX(pr) AS max_pr, MAX(cd) AS max_cd
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Change-point detection per event type: the CUSUM statistic over daily
     * counts — peak |cumulative − expected-under-uniform| locates the day
@@ -596,5 +633,6 @@ object Relational4 {
     "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_time_to_event" -> qTimeToEventSql,
     "q_changepoint" -> qChangepointSql,
-    "q_benford" -> qBenfordSql)
+    "q_benford" -> qBenfordSql,
+    "q_rank_functions" -> qRankFunctionsSql)
 }

@@ -110,6 +110,20 @@ class McpServerSpec extends SparkSpec {
     drive("query_catalog", "ROLLBACK scratch.mcp_t TO VERSION 1")
     val cnt = drive("query_table", "SELECT COUNT(*) AS n FROM scratch.mcp_t")
     assert(cnt.contains("\"n\" : 1"), s"rollback not visible through protocol: ${cnt.take(200)}")
+    // r7 partitioning verbs: hidden spec + $partitions, protocol-level
+    val cat2 = new graft.catalog.LakeCatalog(spark, wh)
+    cat2.dropTable("scratch", "mcp_b")
+    cat2.createTable("scratch", "mcp_b",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+    import spark.implicits._
+    cat2.appendBucketed("scratch", "mcp_b",
+      (1L to 64L).toDF("k"), "k", 4)
+    val specTxt = drive("query_catalog", "SHOW PARTITION SPEC IN scratch.mcp_b")
+    assert(specTxt.contains("bucket") && specTxt.contains("\"k\""), specTxt.take(300))
+    val partsTxt = drive("query_catalog", "SHOW PARTITIONS IN scratch.mcp_b")
+    assert(partsTxt.contains("_bucket="), partsTxt.take(300))
   }
 
   test("row cap: payload truncation is explicit, never silent") {

@@ -143,7 +143,8 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.types.StringType
     val metadataKeys = Set("source", "lang", "kind", "side", "event",
       "event_type", "modality",
-      "l_returnflag") // fixed 3-value TPC-H domain (A/N/R), not content-derived
+      "l_returnflag", // fixed 3-value TPC-H domain (A/N/R), not content-derived
+      "prio") // o_orderpriority: fixed 5-value TPC-H domain
     val offenders = optimized.flatMap { case (name, plan) =>
       val bad = plan.collect { case w: LWindow =>
         w.partitionSpec.filter(_.dataType == StringType).filter {
