@@ -188,11 +188,122 @@ object Dedup2 {
        |  round(CAST(SUM(CAST(len * c AS DECIMAL(30,6))) AS DOUBLE) / SUM(c), 4) AS mean_chunk_len
        |FROM grp""".stripMargin
 
+  /** Persisted LSH index + incremental fuzzy lookup (round 7): the corpus
+    * side's MinHash band signatures are built ONCE and committed as a LAKE
+    * TABLE; an ingest batch then computes only ITS OWN signatures and
+    * equi-joins the persisted index — the production shape for continuous
+    * near-dup screening at 100 TB (corpus signatures are never recomputed
+    * per batch; the index table is 32 rows × 16 bytes per document,
+    * ~0.1% of corpus bytes, and appends compose because bands are
+    * per-document). d_bloom_ingest's fuzzy sibling: the bloom pre-filter
+    * screens EXACT dups constant-space, this screens NEAR-dups
+    * index-space. Candidates verify against exact shingle Jaccard ≥ 0.5
+    * (precision 1.0 by construction); keep-min winner via min(struct) —
+    * no content-keyed window. Oracle replays the identical signature
+    * algebra (portable poly family) with the corpus/batch split applied
+    * at candidate time. */
+  def dIndexPersist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cat = new graft.catalog.LakeCatalog(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+    val sh = Dedup.polyShingles(spark, dir).cache()
+    def sigsOf(s: DataFrame): DataFrame = s.groupBy("doc_id")
+      .agg(graft.functions.Poly.minhash(col("h"), 128).as("m"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.Poly.bandSigs(col("m"), 4))
+          .as(Seq("band", "sig")))
+    // BUILD once: persist the corpus index as a lake table
+    cat.dropTable("scratch", "lsh_index")
+    cat.createTable("scratch", "lsh_index", StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("sig", LongType))))
+    cat.append("scratch", "lsh_index",
+      sigsOf(sh.where(col("doc_id") % 10 =!= 0))
+        .select("doc_id", "band", "sig"))
+    // QUERY: the batch joins the PERSISTED index read back from the lake
+    val idx = cat.load("scratch", "lsh_index")
+    val cand = sigsOf(sh.where(col("doc_id") % 10 === 0)).as("q")
+      .join(idx.as("i"),
+        col("q.band") === col("i.band") && col("q.sig") === col("i.sig"))
+      .select(col("i.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = broadcast(cand)
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("shared")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(struct(col("doc_a"), col("jaccard"))).as("w"))
+      .select(col("doc_id"), col("w.doc_a").as("dup_of"),
+        col("w.jaccard").as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val dIndexPersistSql: String = {
+    val M = graft.functions.PolyHash.M
+    val (b2, phi, psi) = (graft.functions.PolyHash.B2,
+      graft.functions.PolyHash.PHI, graft.functions.PolyHash.PSI)
+    val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |ph AS (SELECT doc_id, ${Dedup.polySql("shingle")} AS h FROM sh),
+       |mh AS (
+       |  SELECT doc_id, t.p AS p,
+       |    min((((CAST(2*t.p+1 AS HUGEINT) * $phi) % $M) * CAST(h AS HUGEINT)
+       |         + ((CAST(t.p+1 AS HUGEINT) * $psi) % $M)) % $M) AS mv
+       |  FROM ph CROSS JOIN generate_series(0, 127) t(p) GROUP BY 1, 2),
+       |ml AS (SELECT doc_id, list(mv ORDER BY p) AS ml FROM mh GROUP BY 1),
+       |sg AS (
+       |  SELECT doc_id, b.b AS band,
+       |    CAST(list_reduce([0::HUGEINT, CAST(b.b+1 AS HUGEINT)] ||
+       |           [CAST(ml[b.b*4 + r] + 1 AS HUGEINT) for r in generate_series(1, 4)],
+       |         (acc, x) -> (acc * $b2 + x) % $M::HUGEINT) AS BIGINT) AS sig
+       |  FROM ml CROSS JOIN generate_series(0, 31) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sg x JOIN sg y ON x.band = y.band AND x.sig = y.sig
+       |  WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |shr AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+       |  FROM shr JOIN sizes sa ON doc_a = sa.doc_id
+       |           JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) >= 0.5)
+       |SELECT doc_b AS doc_id, doc_a AS dup_of, jaccard FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS r
+       |  FROM pairs) z
+       |WHERE r = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_bloom_ingest" -> (dBloomIngest _),
-    "d_cdc_chunks" -> (dCdcChunks _))
+    "d_cdc_chunks" -> (dCdcChunks _),
+    "d_index_persist" -> (dIndexPersist _))
 
   val oracles: Map[String, String] = Map(
     "d_bloom_ingest" -> dBloomIngestSql,
-    "d_cdc_chunks" -> dCdcChunksSql)
+    "d_cdc_chunks" -> dCdcChunksSql,
+    "d_index_persist" -> dIndexPersistSql)
 }
