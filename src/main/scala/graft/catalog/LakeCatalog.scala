@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, expr, input_file_name, lit, pmod, substring_index, when, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, expr, floor, greatest, input_file_name, least, lit, max, min, pmod, shiftleft, substring_index, when, xxhash64}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -102,6 +102,41 @@ class LakeCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** Iceberg `$history` metadata table: every snapshot with its parent
+    * pointer and whether it is an ancestor of the CURRENT head — the lineage
+    * view that makes a rollback legible (rolled-past snapshots stay in the
+    * log, readable by time travel, but drop out of the current ancestry).
+    * Pure metadata: one log read, ancestry walked via parent pointers from
+    * the main ref. Lines from before the parent field default to the linear
+    * `v-1` lineage they were written under. Returns
+    * (version, parent, n_rows, is_current_ancestor) — n_rows from the
+    * manifest-stats sidecar, no data IO. */
+  def history(ns: String, table: String): Seq[(Int, Int, Long, Boolean)] = {
+    val p = snapshotLogPath(ns, table)
+    if (!Files.exists(p)) return Seq.empty
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val entries = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val j = JsonMethods.parse(line)
+      val JInt(v) = (j \ "v"): @unchecked
+      val parent = (j \ "parent") match {
+        case JInt(x) => x.toInt
+        case _ => v.toInt - 1
+      }
+      val files = (j \ "files").asInstanceOf[JArray].arr.collect { case JString(f) => f }
+      (v.toInt, parent, files)
+    }
+    val stats = fileStats(ns, table)
+    val byV = entries.map(e => e._1 -> e._2).toMap
+    val head = refs(ns, table).getOrElse("main",
+      entries.map(_._1).maxOption.getOrElse(0))
+    val ancestors = Iterator.iterate(head)(v => byV.getOrElse(v, -1))
+      .takeWhile(_ >= 0).toSet
+    entries.map { case (v, parent, files) =>
+      (v, parent, files.flatMap(stats.get).sum, ancestors.contains(v))
+    }
+  }
+
   private def commitSnapshot(ns: String, table: String, files: Seq[String],
                              batch: Option[Long] = None,
                              ref: String = "main",
@@ -122,13 +157,20 @@ class LakeCatalog(spark: SparkSession, root: String) {
         s"$ns.$table moved: expected base $e, head is $head — recompute and retry")
     }
     val v = prev.map(_._1).maxOption.map(_ + 1).getOrElse(0)
+    // parent pointer = the head of the ref this commit advances, AT commit
+    // time (Iceberg snapshot parent-id): after a rollback the next commit's
+    // parent is the rolled-back-to snapshot, not the numerically previous
+    // one — exactly the lineage `$history.is_current_ancestor` exposes.
+    val r0 = refs(ns, table)
+    val parent: Int = r0.getOrElse(ref,
+      r0.getOrElse("main", prev.map(_._1).maxOption.getOrElse(-1)))
     // streaming commits carry their micro-batch id IN the snapshot line:
     // data-commit and replay-fence are then one atomic append — a crash can
     // never leave the batch committed but unfenced (the window a separate
     // fence file would have).
     val batchField = batch.map(b => s""""batch":$b,""").getOrElse("")
     val line = files.sorted.map(f => s""""$f"""")
-      .mkString(s"""{"v":$v,$batchField"files":[""", ",", "]}\n")
+      .mkString(s"""{"v":$v,"parent":$parent,$batchField"files":[""", ",", "]}\n")
     Files.writeString(snapshotLogPath(ns, table), line,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     // ref bookkeeping (branches — see the "branch refs" section): a branch
@@ -992,6 +1034,38 @@ class LakeCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** Multi-column zone-map pruning: survivors are files whose recorded
+    * [min,max] intersect EVERY `(column, lo, hi)` edge of the box — the
+    * manifest evaluation Iceberg runs for conjunctive range predicates.
+    * One metadata pass, no data IO; a file with no recorded bounds for any
+    * box column must be read (sound). This is where z-order layout pays:
+    * under a linear sort only the leading sort column's bounds are narrow,
+    * so a 2-D box prunes on one dimension; under a z-ordered layout every
+    * file is a small hyper-rectangle and BOTH edges cut. */
+  def pruneFilesBox(ns: String, table: String,
+                    box: Seq[(String, Double, Double)]): (Seq[String], Seq[String]) = {
+    val cur = currentFiles(ns, table)
+      .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val bounds = fileBounds(ns, table)
+    val stats = fileStats(ns, table)
+    cur.filter(f => stats.get(f).forall(_ > 0)).partition { f =>
+      box.forall { case (column, lo, hi) =>
+        bounds.get(f).flatMap(_.get(column)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+  }
+
+  /** The table restricted to files surviving [[pruneFilesBox]]; the caller
+    * still applies the row-level box predicate to the survivors. */
+  def loadPrunedBox(ns: String, table: String,
+                    box: Seq[(String, Double, Double)]): DataFrame = {
+    val (read, _) = pruneFilesBox(ns, table, box)
+    readFilesDv(ns, table, read, currentVersion(ns, table))
+  }
+
   /** The table restricted to files surviving zone-map pruning for
     * `column BETWEEN lo AND hi`. The row-level predicate must still be
     * applied by the caller — pruning only removes whole files that cannot
@@ -1134,6 +1208,55 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val keys = sortCols.map(col)
     val clustered = df.repartitionByRange(numFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
+    val newFiles = writeNewFiles(ns, table, clustered, maxRecordsPerFile)
+    commitSnapshot(ns, table,
+      currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles)
+  }
+
+  /** Z-ordered append (Iceberg `rewrite_data_files(strategy => 'sort',
+    * sort_order => 'zorder(c1, c2)')` analog): rows are laid out along a
+    * Morton space-filling curve over TWO numeric dimensions, so every
+    * written file covers a small hyper-RECTANGLE of (c1, c2) space instead
+    * of a narrow band of one column × the full range of the other. That is
+    * the only layout under which a conjunctive 2-D box predicate prunes on
+    * BOTH dimensions from zone maps ([[pruneFilesBox]]) — the multi-
+    * dimensional clustering every large fact table with two independent
+    * access paths needs at 100 TB.
+    *
+    * Mechanics: each dimension is affinely coded to 16 bits against its
+    * global [min,max] (ONE aggregate, 4 scalars to the driver —
+    * model-scale), the two codes bit-interleave into a 32-bit Morton key
+    * via the standard shift-and-mask spread (pure codegen'd integer ops),
+    * and the frame range-partitions + sorts on the key exactly like
+    * [[appendClustered]]. The `_z` key is dropped before the write — like
+    * Iceberg's sort order it is layout METADATA, never user schema. */
+  def appendZOrdered(ns: String, table: String, df: DataFrame,
+                     c1: String, c2: String, numFiles: Int,
+                     maxRecordsPerFile: Long = 0L): Unit = {
+    val r = df.agg(min(col(c1)), max(col(c1)), min(col(c2)), max(col(c2))).head()
+    def d(i: Int): Double = r.get(i) match {
+      case n: java.lang.Number => n.doubleValue()
+      case other => other.toString.toDouble
+    }
+    def code(c: Column, mn: Double, mx: Double): Column = {
+      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+      least(lit(65535L), greatest(lit(0L),
+        floor((c.cast("double") - lit(mn)) * lit(65535.0 / span)).cast("long")))
+    }
+    // interleave: spread each 16-bit code to even bit positions, OR shifted
+    def spread(x: Column): Column = {
+      val a = x.bitwiseAND(lit(0xFFFFL))
+      val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val e = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33333333L))
+      e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val z = spread(code(col(c1), d(0), d(1)))
+      .bitwiseOR(shiftleft(spread(code(col(c2), d(2), d(3))), 1))
+    val clustered = df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
     val newFiles = writeNewFiles(ns, table, clustered, maxRecordsPerFile)
     commitSnapshot(ns, table,
       currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles)

@@ -87,6 +87,8 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*SHOW\s+PARTITION\s+SPEC\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val showPartitions =
     """(?is)\s*SHOW\s+PARTITIONS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  private val showHistory =
+    """(?is)\s*SHOW\s+HISTORY\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -230,6 +232,13 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.recordBlooms(nsName, table, colName)
         Seq(s"Bloom index recorded for $colName").toDF("status")
+
+      case showHistory(ns, table) => // Iceberg $history metadata table:
+        // snapshot lineage with parent pointers + current-ancestry flags —
+        // what makes a rollback legible; pure metadata (log + stats sidecar)
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.history(nsName, table)
+          .toDF("version", "parent", "n_rows", "is_current_ancestor")
 
       case showPartitions(ns, table) => // Iceberg $partitions metadata table:
         // per-partition file/row counts from dir listing + footers, no scan

@@ -386,7 +386,142 @@ object Similarity2 {
        |  FROM tot) z
        |ORDER BY tier""".stripMargin
 
+  /** Graph-based ANN (the NSW/HNSW family's base layer): greedy BEAM SEARCH
+    * over a navigable neighbor graph — the modern index shape (HNSW,
+    * DiskANN/Vamana) the quantization ladder doesn't cover. The graph is the
+    * bidirectional closure of [[Similarity.sKnnJoin]]'s top-5 edge set (a
+    * kNN graph IS the NSW base layer); search starts every query at a fixed
+    * entry node and runs 5 supersteps of expand-score-prune with beam
+    * width 8: candidates = neighbors of the current beam (one equi-join
+    * frontier expansion against the edge table), scored by 6-dp-rounded
+    * cosine, new beam = top-8 of everything seen. Reports per query the
+    * top-1 hit, nodes visited (the whole point: ~beam·degree·steps ≪ N
+    * scored vectors), and recall@5 vs the exact brute baseline (the
+    * documented capped |corpus|/100 query batch × corpus crossJoin, same
+    * bound as s_ann_recall).
+    *
+    * 100 TB shape: the edge table shards by src (graph build is sKnnJoin's
+    * bounded-blocking shape); each superstep is frontier ⋈ edges ⋈ corpus —
+    * equi-joins whose left side is |queries|·beam rows, never corpus-scale;
+    * the sequential depth (5 supersteps) is the algorithm's intrinsic hop
+    * count, each one a single bounded shuffle (localCheckpoint bounds
+    * lineage like every iterative op here). The oracle replays graph build
+    * (nested sKnnJoinSql), all 5 supersteps, and the recall rollup — fully
+    * hash-gated. */
+  def sNswSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val knn = Similarity.sKnnJoin(spark, dir)
+    val edges = knn.select(col("q_id").as("src"), col("vec_id").as("dst"))
+      .union(knn.select(col("vec_id").as("src"), col("q_id").as("dst")))
+      .distinct()
+    val qs = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(e, cand("node") === e("vec_id"))
+        .join(broadcast(qs), "q_id")
+        .select(col("q_id"), col("node"),
+          round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+            .as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("node"))
+    var seen = score(qs.select(col("q_id")).withColumn("node", lit(1L)))
+      .localCheckpoint()
+    var beam = seen
+    for (_ <- 1 to 5) {
+      val cand = beam.join(edges, beam("node") === edges("src"))
+        .select(col("q_id"), col("dst").as("node")).distinct()
+      seen = seen.union(score(cand)).distinct().localCheckpoint()
+      beam = seen.withColumn("r", row_number().over(w))
+        .where(col("r") <= 8).select("q_id", "node", "cosine")
+    }
+    val ranked = seen.where(col("node") =!= col("q_id"))
+      .withColumn("rnk", row_number().over(w))
+    val approx = ranked.where(col("rnk") <= 5).select(col("q_id"), col("node"))
+    val brute = qs.crossJoin(e).where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rnk") <= 5).select(col("q_id").as("b_q"), col("vec_id"))
+    val hits = approx.join(brute,
+        approx("q_id") === brute("b_q") && approx("node") === brute("vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    val vis = seen.groupBy("q_id").agg(countDistinct("node").as("n_visited"))
+    ranked.where(col("rnk") === 1)
+      .select(col("q_id"), col("node").as("top1_id"), col("cosine").as("top1_cos"))
+      .join(vis, "q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("top1_id"), col("top1_cos"), col("n_visited"),
+        (coalesce(col("hits"), lit(0L)) * 200000).as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
+  val sNswSearchSql: String = {
+    def cos(q: String, v: String): String =
+      s"""round(list_sum([CAST($q.embedding[i] AS DOUBLE)*CAST($v.embedding[i] AS DOUBLE)
+         |                for i in generate_series(1, len($q.embedding))])
+         |      / ($q.nrm * $v.nrm), 6)""".stripMargin
+    // AS MATERIALIZED throughout: every CTE below is referenced from
+    // multiple supersteps — inlining would re-evaluate the nested Lloyd
+    // chain once per reference (measured: minutes instead of seconds)
+    val steps = (1 to 5).map { t =>
+      val p = t - 1
+      s"""cand$t AS MATERIALIZED (
+         |  SELECT DISTINCT b.q_id, e.dst AS node
+         |  FROM beam$p b JOIN edges e ON e.src = b.node),
+         |sc$t AS MATERIALIZED (
+         |  SELECT c.q_id, c.node, ${cos("q", "v")} AS cosine
+         |  FROM cand$t c JOIN n v ON v.vec_id = c.node
+         |  JOIN qs q ON q.q_id = c.q_id),
+         |seen$t AS MATERIALIZED (
+         |  SELECT DISTINCT * FROM (
+         |    SELECT * FROM seen$p UNION ALL SELECT * FROM sc$t)),
+         |beam$t AS MATERIALIZED (
+         |  SELECT q_id, node, cosine FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, node) AS r FROM seen$t) WHERE r <= 8)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH knn AS MATERIALIZED (SELECT * FROM (${Similarity.sKnnJoinSql}) t),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+       |                   for i in generate_series(1, len(embedding))])) AS nrm
+       |  FROM embeddings),
+       |edges AS MATERIALIZED (
+       |  SELECT q_id AS src, vec_id AS dst FROM knn
+       |  UNION SELECT vec_id, q_id FROM knn),
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, embedding, nrm FROM n WHERE vec_id % 100 = 0),
+       |seen0 AS (
+       |  SELECT q.q_id, v.vec_id AS node, ${cos("q", "v")} AS cosine
+       |  FROM qs q JOIN n v ON v.vec_id = 1),
+       |beam0 AS (SELECT * FROM seen0),
+       |$steps,
+       |ranked AS MATERIALIZED (
+       |  SELECT q_id, node, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, node) AS rnk
+       |  FROM seen5 WHERE node <> q_id),
+       |brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, v.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cos("q", "v")} DESC, v.vec_id) AS rnk
+       |    FROM qs q CROSS JOIN n v WHERE v.vec_id <> q.q_id) WHERE rnk <= 5),
+       |hits AS (
+       |  SELECT a.q_id, COUNT(*) AS h
+       |  FROM (SELECT q_id, node FROM ranked WHERE rnk <= 5) a
+       |  JOIN brute b ON b.q_id = a.q_id AND b.vec_id = a.node
+       |  GROUP BY 1),
+       |vis AS (SELECT q_id, COUNT(DISTINCT node) AS n_visited FROM seen5 GROUP BY 1)
+       |SELECT t.q_id, t.node AS top1_id, t.cosine AS top1_cos, v.n_visited,
+       |  CAST(coalesce(h.h, 0) * 200000 AS BIGINT) AS recall_ppm
+       |FROM ranked t JOIN vis v USING (q_id) LEFT JOIN hits h USING (q_id)
+       |WHERE t.rnk = 1 ORDER BY t.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_nsw_search" -> (sNswSearch _),
     "s_tier_report" -> (sTierReport _),
     "s_hamming_topk" -> (sHammingTopk _),
     "s_sq8_topk" -> (sSq8Topk _),
@@ -395,6 +530,7 @@ object Similarity2 {
     "s_tau_sweep" -> (sTauSweep _))
 
   val oracles: Map[String, String] = Map(
+    "s_nsw_search" -> sNswSearchSql,
     "s_tier_report" -> sTierReportSql,
     "s_hamming_topk" -> sHammingTopkSql,
     "s_sq8_topk" -> sSq8TopkSql,

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.LakeCatalog
+
+/** Round-7 batch c: z-order clustering — layout geometry (z-files are
+  * (user, time) rectangles, linear files are full-time-range slabs), prune
+  * sharpness, and soundness of the 2-D pruned scan against a full scan. */
+class Round7cSpec extends SparkSpec {
+
+  private def scratch: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+
+  test("c_zorder: oracle booleans hold and the box aggregate is non-trivial") {
+    val r = ops.CatalogOps7.cZorder(spark, sfDir).collect().head
+    assert(r.getLong(0) > 0, "empty box — bounds derivation broken")
+    assert(r.getBoolean(3), "linear layout unexpectedly pruned on time")
+    assert(r.getBoolean(4), "z-order failed to prune a time slab below half")
+    assert(r.getBoolean(5), "z-order failed to prune the 2-D box below half")
+  }
+
+  test("z-ordered files are rectangles; linear files span the full time range") {
+    ops.CatalogOps7.cZorder(spark, sfDir).collect() // (re)build both layouts
+    val cat = new LakeCatalog(spark, scratch)
+    val src = Tables.table(spark, sfDir, "events")
+      .select(expr("ts div 1000").as("ts_us"))
+    val b = src.agg(min("ts_us"), max("ts_us")).head()
+    val span = (b.getLong(1) - b.getLong(0)).toDouble
+    def tsExtents(table: String): Seq[Double] = {
+      val bounds = cat.fileBounds("scratch", table)
+      val (files, _) = cat.pruneFilesBox("scratch", table, Seq.empty)
+      files.flatMap(f => bounds.get(f).flatMap(_.get("ts_us")))
+        .map { case (lo, hi) => (hi - lo) / span }
+    }
+    val zExt = tsExtents("ev_zorder")
+    val linExt = tsExtents("ev_linear")
+    assert(zExt.nonEmpty && linExt.nonEmpty, "missing recorded bounds")
+    // median linear file spans most of the time range — the second
+    // dimension is invisible to a one-column sort (uniform ts: a user band
+    // of even a few dozen rows samples ~the whole range)
+    val linMedian = linExt.sorted.apply(linExt.size / 2)
+    assert(linMedian > 0.6,
+      f"median linear-file time extent $linMedian%.2f — expected ~full range")
+    // typical z-file covers a narrow time band (32-file split of the curve
+    // → cells 1/8 of the time range tall)
+    val zMedian = zExt.sorted.apply(zExt.size / 2)
+    assert(zMedian < 0.35,
+      f"median z-file time extent $zMedian%.2f — Morton layout not rectangular")
+    assert(zMedian < linMedian / 2,
+      f"z extent $zMedian%.2f not clearly below linear $linMedian%.2f")
+  }
+
+  test("c_history_meta: rollback lineage via SHOW HISTORY (protocol surface)") {
+    ops.CatalogOps7.cHistoryMeta(spark, sfDir).collect()
+    val gw = new graft.catalog.SqlGateway(spark,
+      new LakeCatalog(spark, scratch))
+    val rows = gw.execute("SHOW HISTORY IN scratch.li_hist")
+      .orderBy("version").collect()
+    assert(rows.length == 5, s"expected 5 history rows, got ${rows.length}")
+    val anc = rows.map(r => r.getInt(0) -> r.getBoolean(3)).toMap
+    assert(anc == Map(0 -> true, 1 -> true, 2 -> false, 3 -> false, 4 -> true),
+      s"ancestry flags wrong: ${anc.toSeq.sorted}")
+    val parents = rows.map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(parents(4) == 1, "post-rollback commit must parent the rolled-back-to snapshot")
+    assert(parents(2) == 1 && parents(3) == 2, "linear segment parents wrong")
+  }
+
+  test("s_nsw_search: beam search beats visiting the corpus and still finds neighbors") {
+    val rows = ops.Similarity2.sNswSearch(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no query rows")
+    val n = Tables.table(spark, sfDir, "embeddings").count()
+    rows.foreach { r =>
+      val visited = r.getLong(3)
+      assert(visited < n / 2,
+        s"q=${r.getLong(0)}: visited $visited of $n — not sublinear, graph search pointless")
+    }
+    val meanRecall = rows.map(_.getLong(4)).sum.toDouble / rows.length / 1e6
+    assert(meanRecall >= 0.4,
+      f"mean recall@5 $meanRecall%.2f < 0.4 — beam search lost the neighborhood")
+  }
+
+  test("2-D pruned scan ≡ full scan under the box predicate (prune soundness)") {
+    ops.CatalogOps7.cZorder(spark, sfDir).collect()
+    val cat = new LakeCatalog(spark, scratch)
+    val src = Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    val r = src.agg(min("user_id"), max("user_id"), min("ts_us"), max("ts_us")).head()
+    val (umn, umx) = (r.getLong(0), r.getLong(1))
+    val (tmn, tmx) = (r.getLong(2), r.getLong(3))
+    val uLo = umn + (umx - umn) * 3 / 8
+    val uHi = umn + (umx - umn) * 5 / 8
+    val tLo = tmn + (tmx - tmn) * 3 / 8
+    val tHi = tmn + (tmx - tmn) * 5 / 8
+    val pred = col("user_id") >= uLo && col("user_id") < uHi &&
+      col("ts_us") >= tLo && col("ts_us") < tHi
+    val pruned = cat.loadPrunedBox("scratch", "ev_zorder",
+        Seq(("user_id", uLo.toDouble, uHi.toDouble), ("ts_us", tLo.toDouble, tHi.toDouble)))
+      .where(pred).count()
+    val full = src.where(pred).count()
+    assert(pruned == full,
+      s"pruned scan lost rows: $pruned != $full — zone-map prune unsound")
+  }
+}
