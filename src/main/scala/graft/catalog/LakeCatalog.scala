@@ -1262,6 +1262,22 @@ class LakeCatalog(spark: SparkSession, root: String) {
       currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles)
   }
 
+  /** Dynamic partition overwrite (Iceberg `overwritePartitions` / Spark
+    * `partitionOverwriteMode=dynamic`): atomically replace ONLY the
+    * partitions present in `df`, leaving every other partition's files
+    * untouched — the backfill/correction path for partitioned fact tables
+    * (re-deriving two bad days of a year-partitioned table rewrites two
+    * directories, not the year). Spark's dynamic mode stages the new files
+    * and swaps the matched partition directories at job commit; a STATIC
+    * overwrite here would truncate the whole table — the classic backfill
+    * footgun this method exists to prevent. */
+  def overwritePartitions(ns: String, table: String, df: DataFrame,
+                          partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$root/$ns/$table")
+
   /** Partitioned append (hive-style directories) — the Iceberg partition-spec
     * analog: scans with a predicate on the partition column prune whole
     * directories (PartitionFilters), the property that makes date/source

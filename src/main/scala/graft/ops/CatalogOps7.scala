@@ -170,11 +170,72 @@ object CatalogOps7 {
       |  UNION ALL SELECT 4, 1, c0 + c3, true FROM c)
       |ORDER BY version""".stripMargin
 
+  /** Dynamic partition overwrite ([[LakeCatalog.overwritePartitions]]) —
+    * the BACKFILL path: events land partitioned by event_type, then the
+    * `click` partition alone is re-derived with corrected values (value×2,
+    * an exact double op) and overwritten. The proof is two-sided and
+    * file-granular: the untouched partition's file set is BYTE-IDENTICAL
+    * before/after (`untouched_stable` — dynamic overwrite never staged it),
+    * while the target partition's old files are all gone
+    * (`target_replaced`). A static overwrite here would have truncated the
+    * other four partitions — the classic backfill footgun. The per-type
+    * aggregates are computed from the post-overwrite table, so the
+    * correction's content (and the other partitions' survival) is
+    * hash-gated against the oracle's CASE replay, not just asserted. At
+    * 100 TB: rewrite cost ∝ corrected partitions, planning cost ∝ one
+    * directory swap per partition at job commit. */
+  def cOverwritePartitions(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "ev_backfill")
+    cat.createTable("scratch", "ev_backfill", StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("event_type", StringType))))
+    val src = Tables.table(spark, dir, "events")
+      .select("event_id", "user_id", "value", "event_type")
+    cat.appendPartitioned("scratch", "ev_backfill",
+      src.repartition(col("event_type")), Seq("event_type"))
+    def filesOf(t: String): Set[String] = {
+      val d = Paths.get(s"$scratch/scratch/ev_backfill/event_type=$t")
+      if (!Files.isDirectory(d)) Set.empty
+      else Files.list(d).iterator.asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    val viewBefore = filesOf("view")
+    val clickBefore = filesOf("click")
+    val corrected = src.where(col("event_type") === "click")
+      .withColumn("value", col("value") * 2)
+    cat.overwritePartitions("scratch", "ev_backfill",
+      corrected.repartition(col("event_type")), Seq("event_type"))
+    val untouchedStable = filesOf("view") == viewBefore && viewBefore.nonEmpty
+    val targetReplaced = filesOf("click").intersect(clickBefore).isEmpty &&
+      filesOf("click").nonEmpty
+    cat.load("scratch", "ev_backfill")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sum_value"))
+      .select(col("event_type"), col("n"), col("sum_value"),
+        lit(untouchedStable).as("untouched_stable"),
+        lit(targetReplaced).as("target_replaced"))
+      .orderBy("event_type")
+  }
+
+  val cOverwritePartitionsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 2
+      |                     ELSE value END AS DECIMAL(30,6))) AS DOUBLE)
+      |    AS sum_value,
+      |  true AS untouched_stable, true AS target_replaced
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_zorder" -> (cZorder _),
-    "c_history_meta" -> (cHistoryMeta _))
+    "c_history_meta" -> (cHistoryMeta _),
+    "c_overwrite_partitions" -> (cOverwritePartitions _))
 
   val oracles: Map[String, String] = Map(
     "c_zorder" -> cZorderSql,
-    "c_history_meta" -> cHistoryMetaSql)
+    "c_history_meta" -> cHistoryMetaSql,
+    "c_overwrite_partitions" -> cOverwritePartitionsSql)
 }

@@ -297,7 +297,71 @@ object Pipeline3 {
        |FROM agg a JOIN top t ON t.source = a.source AND t.r = 1
        |ORDER BY a.source""".stripMargin
 
+  /** Temperature-based language mixing (the mT5/XLM-R sampling rule,
+    * Conneau et al. 2020): sample languages proportional to c^α (α = 0.5)
+    * instead of raw counts, boosting low-resource languages without
+    * flattening the mix entirely. All arithmetic after one IEEE-exact sqrt
+    * per language is INTEGER (floor to ppm scale, integer sums/divisions),
+    * so the whole report is bit-portable: sqrt is correctly rounded by
+    * IEEE 754 in both engines — the one double op the gate relies on.
+    * Emits per language: raw count, natural share, temperature share, the
+    * target draw out of a 1000-doc budget, and the implied epochs_ppm
+    * (how many times a low-resource language's corpus is re-seen — the
+    * number you check against memorization risk). Shape: one map-side
+    * count aggregate (|langs| rows) + one-row totals broadcast. */
+  def pTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.table(spark, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs")) * 1000000))
+    val totals = counts.agg(sum(col("n_docs")).as("tot_n"), sum(col("w")).as("tot_w"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"),
+        expr("n_docs * 1000000 div tot_n").as("share_nat_ppm"),
+        expr("w * 1000000 div tot_w").as("share_temp_ppm"),
+        expr("1000 * w div tot_w").as("target_docs"),
+        expr("(1000 * w div tot_w) * 1000000 div n_docs").as("epochs_ppm"))
+      .orderBy("lang")
+  }
+
+  val pTemperatureMixSql: String =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(floor(sqrt(COUNT(*)) * 1000000) AS BIGINT) AS w
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_n,
+      |             CAST(SUM(w) AS BIGINT) AS tot_w FROM c)
+      |SELECT lang, n_docs,
+      |  CAST(n_docs * 1000000 // tot_n AS BIGINT) AS share_nat_ppm,
+      |  CAST(w * 1000000 // tot_w AS BIGINT) AS share_temp_ppm,
+      |  CAST(1000 * w // tot_w AS BIGINT) AS target_docs,
+      |  CAST((1000 * w // tot_w) * 1000000 // n_docs AS BIGINT) AS epochs_ppm
+      |FROM c, t ORDER BY lang""".stripMargin
+
+  /** Exact-k uniform corpus sample (k = 100) — the distributed form of
+    * reservoir sampling: give every row a deterministic pseudo-random key
+    * (the portable multiplicative admit hash) and take the global top-k by
+    * (key, doc_id). Unlike the rate-based admit-percent samplers
+    * (p_sample_stratified, p_mix_report) this yields EXACTLY k rows
+    * regardless of corpus size, and unlike a global sort it plans as
+    * TakeOrderedAndProject — per-partition top-k heaps, k rows per
+    * partition to the driver, no shuffle of the corpus. The eval-set /
+    * human-review draw every curation pipeline needs. */
+  def pReservoirSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Pipeline.admitHash(1000003).as("skey"))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  val pReservoirSampleSql: String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |ORDER BY ${graft.ops.Pipeline.admitHashSql(1000003)}, doc_id
+       |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_temperature_mix" -> (pTemperatureMix _),
+    "p_reservoir_sample" -> (pReservoirSample _),
     "p_dedup_weight" -> (pDedupWeight _),
     "p_epoch_mix" -> (pEpochMix _),
     "p_shard_manifest" -> (pShardManifest _),
@@ -305,6 +369,8 @@ object Pipeline3 {
     "p_dataset_card" -> (pDatasetCard _))
 
   val oracles: Map[String, String] = Map(
+    "p_temperature_mix" -> pTemperatureMixSql,
+    "p_reservoir_sample" -> pReservoirSampleSql,
     "p_dedup_weight" -> pDedupWeightSql,
     "p_epoch_mix" -> pEpochMixSql,
     "p_shard_manifest" -> pShardManifestSql,

@@ -53,9 +53,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_time_to_event", // one-row viewer/converted-count broadcasts
     "q_benford",       // one-row digit-total broadcast onto the 9-row expectation grid
     "s_tier_report",   // composes the capped probe batches + one-row hit/total broadcasts
-    "s_nsw_search"     // brute ground-truth baseline: capped |corpus|/100 query
+    "s_nsw_search",    // brute ground-truth baseline: capped |corpus|/100 query
                        //   batch × corpus (same bound as s_ann_recall); the
                        //   search itself is frontier equi-joins
+    "p_temperature_mix" // one-row corpus/weight-totals broadcast onto |langs| rows
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global

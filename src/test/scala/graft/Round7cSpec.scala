@@ -65,6 +65,26 @@ class Round7cSpec extends SparkSpec {
     assert(parents(2) == 1 && parents(3) == 2, "linear segment parents wrong")
   }
 
+  test("c_overwrite_partitions: only the corrected partition's files change") {
+    val rows = ops.CatalogOps7.cOverwritePartitions(spark, sfDir).collect()
+    assert(rows.length == 5, s"expected 5 event types, got ${rows.length}")
+    assert(rows.forall(_.getBoolean(3)), "untouched partition was restaged")
+    assert(rows.forall(_.getBoolean(4)), "target partition kept stale files")
+  }
+
+  test("p_temperature_mix: low-resource languages get boosted, never above parity") {
+    val rows = ops.Pipeline3.pTemperatureMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val en = rows.find(_._1 == "en").get
+    assert(en._3 > en._4, "temperature share must shrink the dominant language")
+    rows.filter(_._1 != "en").foreach { case (lang, _, nat, temp) =>
+      assert(temp > nat, s"$lang: temperature share $temp !> natural $nat")
+    }
+    // shares still ordered by corpus size (α > 0 keeps monotonicity)
+    val bySize = rows.sortBy(-_._2).map(_._4)
+    assert(bySize.sameElements(bySize.sorted.reverse), "α=0.5 broke monotonicity")
+  }
+
   test("s_nsw_search: beam search beats visiting the corpus and still finds neighbors") {
     val rows = ops.Similarity2.sNswSearch(spark, sfDir).collect()
     assert(rows.nonEmpty, "no query rows")
