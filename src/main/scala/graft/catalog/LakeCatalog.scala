@@ -543,7 +543,9 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * existing tables pay nothing. */
   private def readFilesDv(ns: String, table: String, files: Seq[String],
                           atV: Int): DataFrame = {
-    val inScan = files.toSet
+    // DV lines key on the part-file BASENAME (what the scan-path anti-join
+    // sees); the committed names may be `../src/<base>` clone references
+    val inScan = files.map(f => Paths.get(f).getFileName.toString).toSet
     val pairs = dvEntries(ns, table)
       .filter { case (v, f, _) => v <= atV && inScan(f) }
       .flatMap { case (_, f, ps) => ps.map(p => (f, p)) }.distinct
@@ -1097,7 +1099,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
       // the deletion-vector positions visible at the current version for
       // files in the current snapshot (still metadata-only — DV lines are
       // exact row sets by construction)
-      val inScan = cur.toSet
+      val inScan = cur.map(f => Paths.get(f).getFileName.toString).toSet
       val v = currentVersion(ns, table)
       val dvDeleted = dvEntries(ns, table)
         .filter { case (dvV, f, _) => dvV <= v && inScan(f) }
@@ -1260,6 +1262,62 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val newFiles = writeNewFiles(ns, table, clustered, maxRecordsPerFile)
     commitSnapshot(ns, table,
       currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles)
+  }
+
+  /** Zero-copy table clone (Delta SHALLOW CLONE / Iceberg snapshot-ref
+    * analog): a new table whose first snapshot REFERENCES the source's
+    * current data files (`../<src>/<file>` relative paths) — no data moves,
+    * clone cost is one metadata write regardless of table size. The clone
+    * then evolves independently: appends land in its own directory, and
+    * every COW mutation rewrites only touched files INTO the clone (source
+    * files are immutable by construction, so the source can never observe
+    * the clone's changes). Manifest metadata travels with the clone — the
+    * stats/bounds sidecar lines are rekeyed onto the `../` references so
+    * countStar and zone-map pruning stay metadata-only — and merge-on-read
+    * deletion vectors are inherited at clone version 0 (file keys stay
+    * basenames, which is what the DV anti-join matches on).
+    *
+    * Contract (same as Delta's shallow clone): the clone does NOT pin its
+    * source files against the SOURCE's own expiry/vacuum — expiring source
+    * history that the clone still references breaks the clone. Deep-clone
+    * (copy files) or source-side ref-pinning is the remedy when clones must
+    * outlive source retention. */
+  def cloneTable(ns: String, src: String, dst: String): Unit = {
+    val srcFiles = currentFiles(ns, src).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot log for $ns.$src"))
+    Files.createDirectories(Paths.get(tablePath(ns, dst)))
+    val srcMeta = Paths.get(s"$root/$ns/${src}_meta.json")
+    if (Files.exists(srcMeta))
+      Files.copy(srcMeta, Paths.get(s"$root/$ns/${dst}_meta.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    commitSnapshot(ns, dst, srcFiles.map(f => s"../$src/$f"))
+    // manifest stats travel: rekey the source's sidecar lines for files in
+    // the cloned snapshot onto their ../ references (string rewrite of the
+    // unique file name — names carry write UUIDs)
+    val srcStats = fileStatsPath(ns, src)
+    if (Files.exists(srcStats)) {
+      val inClone = srcFiles.toSet
+      val lines = Files.readAllLines(srcStats).asScala.filter(_.nonEmpty)
+        .flatMap { line =>
+          inClone.find(f => line.contains(s""""file":"$f"""")).map(f =>
+            line.replace(s""""file":"$f"""", s""""file":"../$src/$f""""))
+        }.mkString("", "\n", "\n")
+      Files.writeString(fileStatsPath(ns, dst), lines,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    // deletion vectors inherit at clone v0 (the clone must not resurrect
+    // source-deleted rows); file keys stay basenames — the DV anti-join
+    // matches on scan-path basename
+    val srcDv = dvPath(ns, src)
+    if (Files.exists(srcDv)) {
+      val lines = Files.readAllLines(srcDv).asScala.filter(_.nonEmpty)
+        .map(_.replaceAll(""""v":\d+""", """"v":0"""))
+        .mkString("", "\n", "\n")
+      Files.writeString(dvPath(ns, dst), lines,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
   }
 
   /** Dynamic partition overwrite (Iceberg `overwritePartitions` / Spark
@@ -1579,7 +1637,11 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val touched = df.where(cond)
       .select(input_file_name().as("f")).distinct().collect()
       .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
-    cur.filter(touched.toSet)
+      .toSet
+    // compare by BASENAME on both sides: cloned tables commit `../src/f`
+    // references whose physical scan paths still end in the unique part-file
+    // name (names carry write UUIDs, so cross-table collisions can't happen)
+    cur.filter(f => touched(Paths.get(f).getFileName.toString))
   }
 
   /** The main ref's current snapshot version — what an optimistic writer

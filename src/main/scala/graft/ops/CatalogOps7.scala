@@ -229,13 +229,78 @@ object CatalogOps7 {
       |  true AS untouched_stable, true AS target_replaced
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Zero-copy clone + independent divergence ([[LakeCatalog.cloneTable]],
+    * the Delta SHALLOW CLONE / Iceberg snapshot-ref pattern). Recipe:
+    * source = two lineitem modulo slices (%4∈{0,1}); clone it; COW-delete
+    * the odd half of slice 1 (%8=1) FROM THE CLONE. Structural proofs:
+    *   zero_copy    — the clone directory contains NO parquet files at
+    *                  clone time (its snapshot is pure `../` references);
+    *   meta_count   — clone COUNT(*) answered from cloned manifest stats
+    *                  alone (no scan) equals the source's;
+    *   src_intact   — after the clone-side delete the SOURCE still counts
+    *                  c0+c1 (its files are immutable; the clone's COW
+    *                  rewrite landed in the clone's own directory).
+    * The clone's post-delete rows (slice 0 still served by shared files +
+    * the rewritten %8=5 remainder) are recomputed and hash-gated. Delta's
+    * shallow-clone caveat is inherited and documented at cloneTable: source
+    * expiry can break clones — clones don't pin source history. */
+  def cCloneTable(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    cat.dropTable("scratch", "li_cl_src")
+    cat.dropTable("scratch", "li_cl_dst")
+    cat.createTable("scratch", "li_cl_src", StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_extendedprice", DoubleType))))
+    cat.append("scratch", "li_cl_src", li.where(col("l_orderkey") % 4 === 0))
+    cat.append("scratch", "li_cl_src", li.where(col("l_orderkey") % 4 === 1))
+    cat.cloneTable("scratch", "li_cl_src", "li_cl_dst")
+    def parquetCount(t: String): Int = {
+      val d = Paths.get(s"$scratch/scratch/$t")
+      Files.list(d).iterator.asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    val zeroCopy = parquetCount("li_cl_dst") == 0
+    val metaCount = (cat.countStar("scratch", "li_cl_dst"),
+      cat.countStar("scratch", "li_cl_src")) match {
+      case (Some(d), Some(s)) => d == s
+      case _ => false
+    }
+    cat.deleteWhere("scratch", "li_cl_dst", col("l_orderkey") % 8 === 1)
+    val srcRows = cat.load("scratch", "li_cl_src").count()
+    val cloneRows = cat.load("scratch", "li_cl_dst").count()
+    cat.load("scratch", "li_cl_dst").agg(
+      count(lit(1)).as("rows_clone"),
+      Tables.dsum(col("l_extendedprice")).as("total_clone"),
+      lit(srcRows).as("rows_src"),
+      lit(zeroCopy).as("zero_copy"),
+      lit(metaCount).as("meta_count"),
+      lit(srcRows > cloneRows).as("src_intact"))
+  }
+
+  val cCloneTableSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_orderkey % 4 = 0 OR l_orderkey % 8 = 5) AS rows_clone,
+      |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+      |     FROM lineitem
+      |   WHERE l_orderkey % 4 = 0 OR l_orderkey % 8 = 5) AS total_clone,
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_orderkey % 4 IN (0, 1)) AS rows_src,
+      |  true AS zero_copy, true AS meta_count, true AS src_intact""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_zorder" -> (cZorder _),
     "c_history_meta" -> (cHistoryMeta _),
-    "c_overwrite_partitions" -> (cOverwritePartitions _))
+    "c_overwrite_partitions" -> (cOverwritePartitions _),
+    "c_clone_table" -> (cCloneTable _))
 
   val oracles: Map[String, String] = Map(
     "c_zorder" -> cZorderSql,
     "c_history_meta" -> cHistoryMetaSql,
-    "c_overwrite_partitions" -> cOverwritePartitionsSql)
+    "c_overwrite_partitions" -> cOverwritePartitionsSql,
+    "c_clone_table" -> cCloneTableSql)
 }

@@ -476,7 +476,114 @@ object Relational4 {
       |  CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN dt_s END) AS BIGINT) AS p75_s
       |FROM r""".stripMargin
 
+  /** Period-over-period report: weekly event volume + decimal revenue per
+    * event type with week-over-week growth in exact ppm — the standard
+    * growth dashboard query. Both engines' integer division truncates
+    * toward zero (measured: DuckDB `-5 // 2 = -2`, same as Spark `div`),
+    * so negative growth needs no floor shim. One map-side weekly
+    * aggregate, one bounded-fan lag window over |types|×|weeks| aggregate
+    * rows. */
+  def qPeriodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
+    val wkly = Tables.table(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 604800000000000").as("wk"))
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("revenue"))
+    val w = Window.partitionBy("event_type").orderBy("wk")
+    wkly.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("growth_ppm", expr("(n - prev_n) * 1000000 div prev_n"))
+      .select(col("event_type"), col("wk"), col("n"), col("revenue"),
+        col("prev_n"), col("growth_ppm"))
+      .orderBy("event_type", "wk")
+  }
+
+  val qPeriodOverPeriodSql: String =
+    """WITH wkly AS (
+      |  SELECT event_type, epoch_ns(ts) // 604800000000000 AS wk,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+      |  FROM wkly)
+      |SELECT event_type, wk, n, revenue, prev_n,
+      |  CAST((n - prev_n) * 1000000 // prev_n AS BIGINT) AS growth_ppm
+      |FROM l ORDER BY event_type, wk""".stripMargin
+
+  /** Bootstrap confidence interval for the mean purchase value via the
+    * POISSON bootstrap (Chamandy et al., the resampling scheme built for
+    * data that cannot sit on one machine): instead of drawing n rows with
+    * replacement per replicate — which needs global coordination — every
+    * (row, replicate) pair independently gets a Poisson(1) multiplicity,
+    * inverse-CDF'd from a deterministic portable hash (two rounds of the
+    * multiplicative admit hash mod the prime 1000003; thresholds are the
+    * Poisson(1) CDF floored to that scale, derivation pinned in the
+    * constants). B = 200 replicates materialize as an explode in the SCAN
+    * projection; each replicate's weighted mean is a map-side-combined
+    * aggregate, so only B rows ever cross the shuffle regardless of corpus
+    * size. The 95% CI is nearest-rank (ranks 5 and 195 of the 200 means —
+    * a global window over B AGGREGATE rows, the audited two-level shape).
+    * Every arithmetic step is either integer, decimal-exact, or a single
+    * rounded IEEE division — the whole CI replays bit-exactly in DuckDB. */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 200
+    val uSql = "(CAST((CAST(event_id AS DECIMAL(20,0)) * CAST(2654435761 AS DECIMAL(10,0))" +
+      " + b * 40503 + 7) % 1000003 AS DECIMAL(8,0)) * CAST(2654435761 AS DECIMAL(10,0))) % 1000003"
+    // Poisson(1) CDF × 1000003, floored: P(X<=k) for k=0..7
+    val wSql = "CASE WHEN u < 367880 THEN 0 WHEN u < 735761 THEN 1" +
+      " WHEN u < 919701 THEN 2 WHEN u < 981014 THEN 3 WHEN u < 996343 THEN 4" +
+      " WHEN u < 999408 THEN 5 WHEN u < 999919 THEN 6 WHEN u < 999992 THEN 7 ELSE 8 END"
+    val x = Tables.table(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    val reps = x.select(col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("u", expr(uSql))
+      .withColumn("wt", expr(wSql))
+    val means = reps.groupBy("b")
+      .agg(Tables.dsum(col("value") * col("wt")).as("sw"),
+        sum(col("wt")).as("tw"))
+      .select(col("b"), round(col("sw") / col("tw").cast("double"), 6).as("mb"))
+    val ranked = means.withColumn("r",
+      row_number().over(Window.orderBy(col("mb"), col("b"))))
+    val full = x.agg(count(lit(1)).as("n"),
+      round(Tables.dsum(col("value")) / count(lit(1)).cast("double"), 6).as("mean_value"))
+    full.crossJoin(broadcast(ranked.where(col("r") === 5).select(col("mb").as("ci_lo"))))
+      .crossJoin(broadcast(ranked.where(col("r") === 195).select(col("mb").as("ci_hi"))))
+      .select(col("n"), col("mean_value"), col("ci_lo"), col("ci_hi"),
+        lit(B.toLong).as("n_reps"))
+  }
+
+  val qBootstrapCiSql: String = {
+    val uSql = "(CAST((CAST(event_id AS DECIMAL(20,0)) * CAST(2654435761 AS DECIMAL(10,0))" +
+      " + b * 40503 + 7) % 1000003 AS DECIMAL(8,0)) * CAST(2654435761 AS DECIMAL(10,0))) % 1000003"
+    val wSql = "CASE WHEN u < 367880 THEN 0 WHEN u < 735761 THEN 1" +
+      " WHEN u < 919701 THEN 2 WHEN u < 981014 THEN 3 WHEN u < 996343 THEN 4" +
+      " WHEN u < 999408 THEN 5 WHEN u < 999919 THEN 6 WHEN u < 999992 THEN 7 ELSE 8 END"
+    s"""WITH x AS (
+       |  SELECT event_id, value FROM events WHERE event_type = 'purchase'),
+       |r AS (
+       |  SELECT x.event_id, x.value, g.b
+       |  FROM x CROSS JOIN generate_series(0, 199) g(b)),
+       |wtd AS (
+       |  SELECT b, value, $wSql AS wt
+       |  FROM (SELECT *, $uSql AS u FROM r)),
+       |m AS (
+       |  SELECT b,
+       |    round(CAST(SUM(CAST(value * wt AS DECIMAL(30,6))) AS DOUBLE)
+       |          / CAST(SUM(wt) AS DOUBLE), 6) AS mb
+       |  FROM wtd GROUP BY b),
+       |rk AS (SELECT mb, row_number() OVER (ORDER BY mb, b) AS r FROM m)
+       |SELECT
+       |  (SELECT COUNT(*) FROM x) AS n,
+       |  (SELECT round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+       |                / CAST(COUNT(*) AS DOUBLE), 6) FROM x) AS mean_value,
+       |  (SELECT mb FROM rk WHERE r = 5) AS ci_lo,
+       |  (SELECT mb FROM rk WHERE r = 195) AS ci_hi,
+       |  CAST(200 AS BIGINT) AS n_reps""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_period_over_period" -> (qPeriodOverPeriod _),
+    "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_window_distinct" -> (qWindowDistinct _),
     "q_mode_median" -> (qModeMedian _),
     "q_bit_aggs" -> (qBitAggs _),
@@ -623,6 +730,8 @@ object Relational4 {
       |FROM e LEFT JOIN h ON h.d = e.d, n ORDER BY e.d""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_period_over_period" -> qPeriodOverPeriodSql,
+    "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_window_distinct" -> qWindowDistinctSql,
     "q_mode_median" -> qModeMedianSql,
     "q_bit_aggs" -> qBitAggsSql,

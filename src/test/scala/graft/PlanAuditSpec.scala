@@ -56,7 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     "s_nsw_search",    // brute ground-truth baseline: capped |corpus|/100 query
                        //   batch × corpus (same bound as s_ann_recall); the
                        //   search itself is frontier equi-joins
-    "p_temperature_mix" // one-row corpus/weight-totals broadcast onto |langs| rows
+    "p_temperature_mix", // one-row corpus/weight-totals broadcast onto |langs| rows
+    "q_bootstrap_ci"   // one-row ci_lo/ci_hi broadcasts onto the summary row
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
@@ -69,7 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     "st_late_audit",   // prefix-max over per-HOUR bucket maxes (same two-level scan)
     "p_shard_manifest", // prefix-sum over per-bucket token totals (p_pack_sequences' shape)
     "q_skyline",       // prefix-max over per-PRICE-BAND maxes (same two-level scan)
-    "q_time_to_event"  // prefix-sum over per-HOUR-BUCKET counts (same two-level scan)
+    "q_time_to_event", // prefix-sum over per-HOUR-BUCKET counts (same two-level scan)
+    "q_bootstrap_ci"   // nearest-rank over the B=200 per-REPLICATE means
   )
 
   // one planning pass over the whole surface, shared by every assertion

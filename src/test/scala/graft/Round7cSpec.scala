@@ -85,6 +85,29 @@ class Round7cSpec extends SparkSpec {
     assert(bySize.sameElements(bySize.sorted.reverse), "α=0.5 broke monotonicity")
   }
 
+  test("c_clone_table: clones inherit merge-on-read deletion vectors") {
+    import org.apache.spark.sql.types._
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "cl_dv_src")
+    cat.dropTable("scratch", "cl_dv_dst")
+    cat.createTable("scratch", "cl_dv_src", StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_extendedprice", DoubleType))))
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    cat.append("scratch", "cl_dv_src", li.where(col("l_orderkey") % 4 === 0))
+    val deleted = cat.deleteWhereMor("scratch", "cl_dv_src",
+      col("l_orderkey") % 8 === 4)
+    assert(deleted > 0, "MOR delete removed nothing — fixture broken")
+    val srcCount = cat.load("scratch", "cl_dv_src").count()
+    cat.cloneTable("scratch", "cl_dv_src", "cl_dv_dst")
+    val cloneCount = cat.load("scratch", "cl_dv_dst").count()
+    assert(cloneCount == srcCount,
+      s"clone resurrected MOR-deleted rows: $cloneCount != $srcCount")
+    assert(cat.countStar("scratch", "cl_dv_dst").contains(srcCount),
+      "clone metadata COUNT(*) ignores inherited deletion vectors")
+  }
+
   test("s_nsw_search: beam search beats visiting the corpus and still finds neighbors") {
     val rows = ops.Similarity2.sNswSearch(spark, sfDir).collect()
     assert(rows.nonEmpty, "no query rows")
@@ -97,6 +120,17 @@ class Round7cSpec extends SparkSpec {
     val meanRecall = rows.map(_.getLong(4)).sum.toDouble / rows.length / 1e6
     assert(meanRecall >= 0.4,
       f"mean recall@5 $meanRecall%.2f < 0.4 — beam search lost the neighborhood")
+  }
+
+  test("q_bootstrap_ci: interval brackets the sample mean and is nondegenerate") {
+    val r = ops.Relational4.qBootstrapCi(spark, sfDir).collect().head
+    val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo < hi, s"degenerate CI [$lo, $hi]")
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] misses sample mean $mean")
+    // Poisson-bootstrap width sanity: σ/√n scaling says half-width < mean/√n·5
+    val n = r.getLong(0).toDouble
+    assert((hi - lo) / 2 < mean * 5 / math.sqrt(n),
+      s"CI implausibly wide for n=$n: [$lo, $hi] around $mean")
   }
 
   test("2-D pruned scan ≡ full scan under the box predicate (prune soundness)") {
