@@ -112,11 +112,55 @@ object TextOps5 {
       |WHERE b.c >= 25
       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** Lexical-diversity profile per language: type-token ratio (distinct
+    * words / words) and hapax rate (words occurring exactly once / distinct
+    * words) — the two classic vocabulary-richness signals corpus audits
+    * report (low TTR ⇒ templated/boilerplate text; high hapax ⇒ OCR noise
+    * or code). Shape: one tokenizing scan → (lang, word) counts
+    * (vocabulary-keyed, Zipf-bounded fan, map-side combined) → per-lang
+    * rollup of |vocab|, token mass, and hapax count. Ratios in exact ppm
+    * (integer division) so the gate never touches a double. */
+  def tLexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.fanout(Tables.table(spark, dir, "documents")
+        .select(col("lang"), col("text")))
+      .where(length(col("text")) > 0)
+      .select(col("lang"), explode(split(
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("lang")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+      .orderBy("lang")
+  }
+
+  val tLexicalDiversitySql: String =
+    """WITH wc AS (
+      |  SELECT lang, w, COUNT(*) AS c
+      |  FROM (
+      |    SELECT lang,
+      |      unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |    FROM documents WHERE length(text) > 0)
+      |  WHERE w <> '' GROUP BY 1, 2)
+      |SELECT lang,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(COUNT(*) * 1000000 // CAST(SUM(c) AS BIGINT) AS BIGINT) AS ttr_ppm,
+      |  CAST(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS BIGINT) AS hapax_ppm
+      |FROM wc GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_gopher_filter" -> (tGopherFilter _),
-    "t_pmi_bigrams" -> (tPmiBigrams _))
+    "t_pmi_bigrams" -> (tPmiBigrams _),
+    "t_lexical_diversity" -> (tLexicalDiversity _))
 
   val oracles: Map[String, String] = Map(
     "t_gopher_filter" -> tGopherFilterSql,
-    "t_pmi_bigrams" -> tPmiBigramsSql)
+    "t_pmi_bigrams" -> tPmiBigramsSql,
+    "t_lexical_diversity" -> tLexicalDiversitySql)
 }

@@ -57,7 +57,8 @@ class PlanAuditSpec extends SparkSpec {
                        //   batch × corpus (same bound as s_ann_recall); the
                        //   search itself is frontier equi-joins
     "p_temperature_mix", // one-row corpus/weight-totals broadcast onto |langs| rows
-    "q_bootstrap_ci"   // one-row ci_lo/ci_hi broadcasts onto the summary row
+    "q_bootstrap_ci",  // one-row ci_lo/ci_hi broadcasts onto the summary row
+    "q_dau_mau"        // |days|-row spine broadcast range-joined to the user-day grid
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
