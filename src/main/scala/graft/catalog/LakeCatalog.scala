@@ -1264,6 +1264,35 @@ class LakeCatalog(spark: SparkSession, root: String) {
       currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles)
   }
 
+  /** Cherry-pick an APPEND snapshot from a branch onto main (Iceberg
+    * `cherrypick_snapshot`): the branch head's net-new files — its file
+    * list minus its parent's — are committed on top of main's current
+    * list. Valid only for append snapshots (the parent's files must all
+    * survive in the head; a COW rewrite or delete has no well-defined
+    * file-level cherry-pick, same restriction Iceberg enforces). Pure
+    * metadata: the staged files are reused by name, zero data movement —
+    * how a WAP branch's audited batch lands on a main that has ALREADY
+    * moved past the branch point (fast-forward's sibling for the
+    * diverged case). */
+  def cherryPick(ns: String, table: String, branch: String): Int = {
+    val r = refs(ns, table)
+    val headV = r.getOrElse(branch,
+      throw new IllegalArgumentException(s"no branch $branch on $ns.$table"))
+    val snaps = snapshots(ns, table).map(s => s._1 -> s._2).toMap
+    val headFiles = snaps.getOrElse(headV,
+      throw new IllegalStateException(s"branch $branch → missing snapshot $headV"))
+    val parentV = history(ns, table).find(_._1 == headV).map(_._2)
+      .getOrElse(headV - 1)
+    val parentFiles = if (parentV < 0) Seq.empty[String]
+      else snaps.getOrElse(parentV, Seq.empty)
+    require(parentFiles.forall(headFiles.contains),
+      s"snapshot $headV is not an append (parent files were removed) — " +
+        "cherry-pick is only defined for append snapshots")
+    val added = headFiles.filterNot(parentFiles.toSet)
+    commitSnapshot(ns, table,
+      currentFiles(ns, table).getOrElse(Seq.empty) ++ added)
+  }
+
   /** Zero-copy table clone (Delta SHALLOW CLONE / Iceberg snapshot-ref
     * analog): a new table whose first snapshot REFERENCES the source's
     * current data files (`../<src>/<file>` relative paths) — no data moves,

@@ -89,6 +89,8 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*SHOW\s+PARTITIONS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val showHistory =
     """(?is)\s*SHOW\s+HISTORY\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  private val cherryPickVerb =
+    """(?is)\s*CHERRY\s+PICK\s+(\w+)\s+INTO\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -232,6 +234,13 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.recordBlooms(nsName, table, colName)
         Seq(s"Bloom index recorded for $colName").toDF("status")
+
+      case cherryPickVerb(branch, ns, table) => // Iceberg cherrypick_snapshot:
+        // land a branch's audited append on a main that moved past the
+        // branch point — one metadata commit, staged files reused by name
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val v = catalog.cherryPick(nsName, table, branch)
+        Seq(s"Cherry-picked $branch as version $v").toDF("status")
 
       case showHistory(ns, table) => // Iceberg $history metadata table:
         // snapshot lineage with parent pointers + current-ancestry flags —

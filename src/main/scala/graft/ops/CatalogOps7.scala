@@ -292,13 +292,64 @@ object CatalogOps7 {
       |   WHERE l_orderkey % 4 IN (0, 1)) AS rows_src,
       |  true AS zero_copy, true AS meta_count, true AS src_intact""".stripMargin
 
+  /** Cherry-pick ([[LakeCatalog.cherryPick]], Iceberg cherrypick_snapshot):
+    * the WAP flow where main has MOVED PAST the branch point, so
+    * fast-forward is impossible. Recipe: append slice A on main (v1), stage
+    * slice B on an audit branch (v2, parented at v1), append slice C on
+    * main (v3 — main and branch have diverged), then cherry-pick the
+    * branch: its net-new files land on main's head as v4, BY NAME — one
+    * metadata commit, zero data movement (`files_reused` pins that the
+    * staged parquet file names appear verbatim in main's new head). The
+    * branch stays readable (its audit trail survives); main counts all
+    * three slices. Append-only validation is enforced in the API — a COW
+    * snapshot has no well-defined file-level cherry-pick. */
+  def cCherryPick(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    cat.dropTable("scratch", "li_cherry")
+    cat.createTable("scratch", "li_cherry", StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_extendedprice", DoubleType))))
+    cat.append("scratch", "li_cherry", li.where(col("l_orderkey") % 3 === 0))
+    cat.appendToBranch("scratch", "li_cherry",
+      li.where(col("l_orderkey") % 3 === 1), "staging")
+    cat.append("scratch", "li_cherry", li.where(col("l_orderkey") % 3 === 2))
+    val branchFiles = cat.snapshots("scratch", "li_cherry")
+      .find(_._1 == 2).get._2.toSet
+    val v4 = cat.cherryPick("scratch", "li_cherry", "staging")
+    val mainFiles = cat.snapshots("scratch", "li_cherry")
+      .find(_._1 == v4).get._2.toSet
+    val stagedAdded = branchFiles -- cat.snapshots("scratch", "li_cherry")
+      .find(_._1 == 1).get._2.toSet
+    val filesReused = stagedAdded.nonEmpty && stagedAdded.subsetOf(mainFiles)
+    val branchRows = cat.loadBranch("scratch", "li_cherry", "staging").count()
+    cat.load("scratch", "li_cherry").agg(
+      count(lit(1)).as("rows_main"),
+      Tables.dsum(col("l_extendedprice")).as("total_main"),
+      lit(branchRows).as("rows_branch"),
+      lit(cat.snapshots("scratch", "li_cherry").length).as("n_snapshots"),
+      lit(filesReused).as("files_reused"))
+  }
+
+  val cCherryPickSql: String =
+    """SELECT COUNT(*) AS rows_main,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+      |    AS total_main,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 3 IN (0, 1))
+      |    AS rows_branch,
+      |  5 AS n_snapshots, true AS files_reused
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_cherry_pick" -> (cCherryPick _),
     "c_zorder" -> (cZorder _),
     "c_history_meta" -> (cHistoryMeta _),
     "c_overwrite_partitions" -> (cOverwritePartitions _),
     "c_clone_table" -> (cCloneTable _))
 
   val oracles: Map[String, String] = Map(
+    "c_cherry_pick" -> cCherryPickSql,
     "c_zorder" -> cZorderSql,
     "c_history_meta" -> cHistoryMetaSql,
     "c_overwrite_partitions" -> cOverwritePartitionsSql,

@@ -359,7 +359,44 @@ object Pipeline3 {
        |ORDER BY ${graft.ops.Pipeline.admitHashSql(1000003)}, doc_id
        |LIMIT 100""".stripMargin
 
+  /** k-anonymity audit over the quasi-identifier pair (lang, source) with
+    * k = 5 — the re-identification risk report run before any data release:
+    * a row whose quasi-identifier combination matches fewer than k rows is
+    * individually distinguishable. One map-side group count (bounded fan:
+    * |langs|×|sources| groups) + a one-row rollup; risk share in exact
+    * integer ppm. At 100 TB the same two aggregates run unchanged — the
+    * group-key domain, not the corpus, bounds the shuffle. */
+  def pKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val groups = Tables.table(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("n")).as("n_rows"),
+      sum(when(col("n") < k, 1L).otherwise(0L)).as("groups_below_k"),
+      sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"),
+      min(col("n")).as("min_group"))
+      .select(col("n_groups"), col("n_rows"), col("groups_below_k"),
+        col("rows_at_risk"), col("min_group"),
+        expr("rows_at_risk * 1000000 div n_rows").as("risk_ppm"),
+        lit(k).as("k"))
+  }
+
+  val pKAnonymitySql: String =
+    """WITH g AS (
+      |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_groups,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+      |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+      |  MIN(n) AS min_group,
+      |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000
+      |       // SUM(n) AS BIGINT) AS risk_ppm,
+      |  5 AS k
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_k_anonymity" -> (pKAnonymity _),
     "p_temperature_mix" -> (pTemperatureMix _),
     "p_reservoir_sample" -> (pReservoirSample _),
     "p_dedup_weight" -> (pDedupWeight _),
@@ -369,6 +406,7 @@ object Pipeline3 {
     "p_dataset_card" -> (pDatasetCard _))
 
   val oracles: Map[String, String] = Map(
+    "p_k_anonymity" -> pKAnonymitySql,
     "p_temperature_mix" -> pTemperatureMixSql,
     "p_reservoir_sample" -> pReservoirSampleSql,
     "p_dedup_weight" -> pDedupWeightSql,

@@ -54,6 +54,7 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "SHOW SNAPSHOTS|FILES|BOUNDS|REFS|STATS|BLOOMS|HISTORY IN [ns.]t; " +
           "SHOW PARTITION SPEC IN [ns.]t; SHOW PARTITIONS IN [ns.]t; " +
           "CREATE TAG name IN [ns.]t AS OF v; FAST FORWARD [ns.]t branch; " +
+          "CHERRY PICK branch INTO [ns.]t; " +
           "DROP BRANCH b IN [ns.]t; ANALYZE [TABLE] [ns.]t (c1, c2); " +
           "CREATE BLOOM INDEX ON [ns.]t (col); " +
           "EXPIRE SNAPSHOTS IN [ns.]t [KEEP n]; REMOVE ORPHANS IN [ns.]t; " +

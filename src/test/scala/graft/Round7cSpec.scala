@@ -122,6 +122,37 @@ class Round7cSpec extends SparkSpec {
       f"mean recall@5 $meanRecall%.2f < 0.4 — beam search lost the neighborhood")
   }
 
+  test("cherry-pick: CHERRY PICK verb works protocol-level; COW snapshots refused") {
+    import org.apache.spark.sql.types._
+    ops.CatalogOps7.cCherryPick(spark, sfDir).collect() // builds li_cherry
+    val cat = new LakeCatalog(spark, scratch)
+    val gw = new graft.catalog.SqlGateway(spark, cat)
+    // a second staged append cherry-picks through the gateway verb
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    cat.appendToBranch("scratch", "li_cherry",
+      li.where(col("l_orderkey") % 3 === 1).limit(10), "hotfix")
+    val before = cat.load("scratch", "li_cherry").count()
+    val status = gw.execute("CHERRY PICK hotfix INTO scratch.li_cherry")
+      .collect().head.getString(0)
+    assert(status.startsWith("Cherry-picked"), s"unexpected status: $status")
+    assert(cat.load("scratch", "li_cherry").count() == before + 10)
+    // a ref pointing at a COW snapshot (parent files removed) must be refused
+    cat.dropTable("scratch", "li_cow")
+    cat.createTable("scratch", "li_cow", StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_extendedprice", DoubleType))))
+    cat.append("scratch", "li_cow", li.where(col("l_orderkey") % 100 === 0))
+    cat.deleteWhere("scratch", "li_cow", col("l_orderkey") % 200 === 0)
+    val cowV = cat.snapshots("scratch", "li_cow").map(_._1).max
+    cat.tagSnapshot("scratch", "li_cow", "cowtag", cowV)
+    val e = intercept[IllegalArgumentException] {
+      cat.cherryPick("scratch", "li_cow", "cowtag")
+    }
+    assert(e.getMessage.contains("not an append"),
+      s"wrong refusal message: ${e.getMessage}")
+  }
+
   test("q_bootstrap_ci: interval brackets the sample mean and is nondegenerate") {
     val r = ops.Relational4.qBootstrapCi(spark, sfDir).collect().head
     val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
