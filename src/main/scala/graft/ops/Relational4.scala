@@ -626,7 +626,89 @@ object Relational4 {
       |  CAST(dau.dau * 1000000 // mau.mau28 AS BIGINT) AS stickiness_ppm
       |FROM dau JOIN mau ON mau.d = dau.day ORDER BY dau.day""".stripMargin
 
+  /** RFM customer segmentation (recency / frequency / monetary quintiles)
+    * — the classic marketing segmentation, built scale-honest: quintile
+    * scores come from cumulative distributions over METRIC-VALUE domains,
+    * never a global sort of users. Recency and frequency have naturally
+    * bounded domains (days, small counts); monetary buckets to $100 before
+    * its cumulative (fixed-width histogram quantiles — the deterministic
+    * approximation production systems use at scale, documented here as
+    * part of the op's contract). score = 1 + ⌊(cum−1)·5/U⌋ per value (ties
+    * share a score by construction), recency inverted so 5 = most recent.
+    * All integer arithmetic; segment money totals in exact CENTS (the
+    * decimal sum never round-trips through a double). Shape: one per-user
+    * aggregate, three value-domain cumulative windows over AGGREGATE rows,
+    * three small broadcast score-map joins, one segment rollup. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.table(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"), col("value"))
+    val perUser = p.groupBy("user_id").agg(
+      max(col("day")).as("last_day"),
+      count(lit(1)).as("f"),
+      expr("CAST(sum(CAST(value AS DECIMAL(30,6))) * 100 AS BIGINT)").as("m_cents"))
+    val maxDay = perUser.agg(max("last_day").as("gmax"), count(lit(1)).as("u"))
+    val pu = perUser.crossJoin(broadcast(maxDay))
+      .select(col("user_id"), (col("gmax") - col("last_day")).as("r"),
+        col("f"), col("m_cents"), expr("m_cents div 10000").as("mb"), col("u"))
+    def scoreMap(metric: String, invert: Boolean): DataFrame = {
+      val counts = pu.groupBy(col(metric).as("v"), col("u"))
+        .agg(count(lit(1)).as("c"))
+      val cum = counts.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val asc = cum.select(col("v"),
+        (lit(1) + expr("(cum - 1) * 5 div u")).as("asc"))
+      asc.select(col("v").as(metric + "_v"),
+        (if (invert) lit(6) - col("asc") else col("asc"))
+          .cast("int").as(metric + "_score"))
+    }
+    pu.join(broadcast(scoreMap("r", invert = true)), col("r") === col("r_v"))
+      .join(broadcast(scoreMap("f", invert = false)), col("f") === col("f_v"))
+      .join(broadcast(scoreMap("mb", invert = false)), col("mb") === col("mb_v"))
+      .groupBy("r_score", "f_score", "mb_score")
+      .agg(count(lit(1)).as("n_users"), sum(col("m_cents")).as("total_cents"))
+      .orderBy("r_score", "f_score", "mb_score")
+  }
+
+  val qRfmSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |per_user AS (
+      |  SELECT user_id, MAX(day) AS last_day, COUNT(*) AS f,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,6))) * 100 AS BIGINT) AS m_cents
+      |  FROM p GROUP BY 1),
+      |g AS (SELECT MAX(last_day) AS gmax, COUNT(*) AS u FROM per_user),
+      |pu AS (
+      |  SELECT user_id, gmax - last_day AS r, f, m_cents,
+      |    m_cents // 10000 AS mb, u
+      |  FROM per_user, g),
+      |rs AS (
+      |  SELECT v AS r_v, CAST(6 - (1 + (cum - 1) * 5 // u) AS INTEGER) AS r_score
+      |  FROM (SELECT r AS v, u, COUNT(*) AS c,
+      |          SUM(COUNT(*)) OVER (ORDER BY r) AS cum
+      |        FROM pu GROUP BY r, u)),
+      |fs AS (
+      |  SELECT v AS f_v, CAST(1 + (cum - 1) * 5 // u AS INTEGER) AS f_score
+      |  FROM (SELECT f AS v, u, COUNT(*) AS c,
+      |          SUM(COUNT(*)) OVER (ORDER BY f) AS cum
+      |        FROM pu GROUP BY f, u)),
+      |ms AS (
+      |  SELECT v AS mb_v, CAST(1 + (cum - 1) * 5 // u AS INTEGER) AS mb_score
+      |  FROM (SELECT mb AS v, u, COUNT(*) AS c,
+      |          SUM(COUNT(*)) OVER (ORDER BY mb) AS cum
+      |        FROM pu GROUP BY mb, u))
+      |SELECT r_score, f_score, mb_score, COUNT(*) AS n_users,
+      |  CAST(SUM(m_cents) AS BIGINT) AS total_cents
+      |FROM pu
+      |JOIN rs ON pu.r = rs.r_v
+      |JOIN fs ON pu.f = fs.f_v
+      |JOIN ms ON pu.mb = ms.mb_v
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> (qRfm _),
     "q_dau_mau" -> (qDauMau _),
     "q_period_over_period" -> (qPeriodOverPeriod _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
@@ -776,6 +858,7 @@ object Relational4 {
       |FROM e LEFT JOIN h ON h.d = e.d, n ORDER BY e.d""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_rfm" -> qRfmSql,
     "q_dau_mau" -> qDauMauSql,
     "q_period_over_period" -> qPeriodOverPeriodSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,

@@ -58,7 +58,8 @@ class PlanAuditSpec extends SparkSpec {
                        //   search itself is frontier equi-joins
     "p_temperature_mix", // one-row corpus/weight-totals broadcast onto |langs| rows
     "q_bootstrap_ci",  // one-row ci_lo/ci_hi broadcasts onto the summary row
-    "q_dau_mau"        // |days|-row spine broadcast range-joined to the user-day grid
+    "q_dau_mau",       // |days|-row spine broadcast range-joined to the user-day grid
+    "q_rfm"            // one-row U/max-day broadcast + value-domain score-map joins
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
@@ -72,7 +73,8 @@ class PlanAuditSpec extends SparkSpec {
     "p_shard_manifest", // prefix-sum over per-bucket token totals (p_pack_sequences' shape)
     "q_skyline",       // prefix-max over per-PRICE-BAND maxes (same two-level scan)
     "q_time_to_event", // prefix-sum over per-HOUR-BUCKET counts (same two-level scan)
-    "q_bootstrap_ci"   // nearest-rank over the B=200 per-REPLICATE means
+    "q_bootstrap_ci",  // nearest-rank over the B=200 per-REPLICATE means
+    "q_rfm"            // cumulatives over METRIC-VALUE-domain aggregate rows
   )
 
   // one planning pass over the whole surface, shared by every assertion
