@@ -297,12 +297,95 @@ object Dedup2 {
        |WHERE r = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** LSH index-quality telemetry: per-similarity-bucket recall of the
+    * banded MinHash index against exact ground truth — the DEDUP side of
+    * s_ann_recall, and the empirical form of the banding S-CURVE every LSH
+    * deployment is tuned by (P[collide] = 1−(1−j^r)^b; with r=4, b=32 the
+    * curve should be near-0 below j≈0.4 and near-1 above j≈0.7 — this op
+    * MEASURES where it actually sits on the corpus). Ground truth = exact
+    * Jaccard ≥ 0.5 over the same shingle set via the blocked h-equi-join
+    * (d_ngram_jaccard's shape — never all-pairs); found = d_minhash_lsh's
+    * verified pairs (a subset by construction, so precision is 1 and
+    * RECALL is the entire story). Buckets are ⌊10·j⌋ clamped to 9;
+    * recall in exact ppm. */
+  def dLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.polyShingles(spark, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val exact = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("shared")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+    val found = Dedup.dMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    exact
+      .withColumn("bucket",
+        least(floor(col("jaccard") * 10), lit(9)).cast("int"))
+      .join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("bucket"), col("n_true"), col("n_found"),
+        expr("n_found * 1000000 div n_true").as("recall_ppm"))
+      .orderBy("bucket")
+  }
+
+  val dLshRecallSql: String = {
+    val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    // the nested SQL is substituted AFTER stripMargin: it contains lines
+    // whose first non-blank char is the `||` concat operator, which
+    // stripMargin would otherwise truncate at
+    s"""WITH lsh AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (@@LSH@@) t),
+       |tok2 AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |sh2 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |sizes2 AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY 1),
+       |exact AS MATERIALIZED (
+       |  SELECT doc_a, doc_b,
+       |    round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+       |  FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |    FROM sh2 a JOIN sh2 b
+       |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) s
+       |  JOIN sizes2 sa ON doc_a = sa.doc_id
+       |  JOIN sizes2 sb ON doc_b = sb.doc_id
+       |  WHERE round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) >= 0.5)
+       |SELECT bucket, n_true, n_found,
+       |  CAST(n_found * 1000000 // n_true AS BIGINT) AS recall_ppm
+       |FROM (
+       |  SELECT CAST(LEAST(CAST(floor(e.jaccard * 10) AS INTEGER), 9) AS INTEGER) AS bucket,
+       |    COUNT(*) AS n_true,
+       |    CAST(SUM(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_found
+       |  FROM exact e LEFT JOIN lsh l
+       |    ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+       |  GROUP BY 1)
+       |ORDER BY bucket""".stripMargin
+      .replace("@@LSH@@", Dedup.dMinhashLshSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_lsh_recall" -> (dLshRecall _),
     "d_bloom_ingest" -> (dBloomIngest _),
     "d_cdc_chunks" -> (dCdcChunks _),
     "d_index_persist" -> (dIndexPersist _))
 
   val oracles: Map[String, String] = Map(
+    "d_lsh_recall" -> dLshRecallSql,
     "d_bloom_ingest" -> dBloomIngestSql,
     "d_cdc_chunks" -> dCdcChunksSql,
     "d_index_persist" -> dIndexPersistSql)

@@ -153,6 +153,17 @@ class Round7cSpec extends SparkSpec {
       s"wrong refusal message: ${e.getMessage}")
   }
 
+  test("d_lsh_recall: the banding S-curve holds — high-similarity recall ≈ 1") {
+    val rows = ops.Dedup2.dLshRecall(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(rows.nonEmpty, "no ground-truth pairs at this sf — fixture broken")
+    rows.get(9).foreach(r9 =>
+      assert(r9 >= 900000L, s"bucket-9 recall $r9 ppm — bands misconfigured"))
+    val worst = rows.values.min
+    assert(worst >= 500000L,
+      s"recall $worst ppm in some bucket ≥ τ — the index misses half its targets")
+  }
+
   test("q_bootstrap_ci: interval brackets the sample mean and is nondegenerate") {
     val r = ops.Relational4.qBootstrapCi(spark, sfDir).collect().head
     val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
