@@ -707,7 +707,89 @@ object Relational4 {
       |JOIN ms ON pu.mb = ms.mb_v
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Exponentially-weighted forecast of daily event volume per type —
+    * simple exponential smoothing with α = 1/2 truncated to a 20-day
+    * window, chosen so the gate is EXACT: the dyadic weights 2^−(k+1) are
+    * carried as INTEGER multiples of 2^−20 (weight unit u_k = 2^(19−k)),
+    * so the level, the absolute errors, and the micro-unit report are pure
+    * BIGINT arithmetic end to end — no decimal-precision capping rules
+    * (which differ between engines above p=38) and no doubles anywhere.
+    * forecast_micro = L_u·10^6 div 2^20 (truncating div matches in both
+    * engines on the positive values here). Missing days contribute zero
+    * mass by construction (their term is absent ≡ y=0); MAE is over days
+    * whose next day is observed; the first 19 days are warm-up and
+    * excluded. Shape: one daily aggregate, a 20-row weight-grid broadcast
+    * (terms = |days|·|types|·20 AGGREGATE rows, never raw events), one
+    * (type, day) rollup. The forecasting loop every capacity dashboard
+    * runs, with a bit-exact cross-engine gate. */
+  def qExpSmooth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.table(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val weights = (0 until 20).map(k => (k.toLong, 1L << (19 - k)))
+      .toDF("k", "u") // u_k = 2^(19-k): weight 2^-(k+1) in units of 2^-20
+    val bounds = daily.agg(min("day").as("dmin"), max("day").as("dmax"))
+    val level = daily.crossJoin(broadcast(weights))
+      .select(col("event_type"), (col("day") + col("k")).as("t"),
+        (col("y") * col("u")).as("term_u"))
+      .groupBy("event_type", "t")
+      .agg(sum(col("term_u")).as("l_u"))
+      .crossJoin(broadcast(bounds))
+      .where(col("t") >= col("dmin") + 19 && col("t") <= col("dmax"))
+    val next = daily.select(col("event_type"), (col("day") - 1).as("t"),
+      col("y").as("y_next"))
+    val fc = level.groupBy("event_type")
+      .agg(max(struct(col("t"), col("l_u"))).as("last"))
+      .select(col("event_type"),
+        expr("last.l_u * 1000000 div 1048576").as("forecast_micro"))
+    level.join(next, Seq("event_type", "t"))
+      .withColumn("abs_err_u", abs(col("y_next") * 1048576 - col("l_u")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("abs_err_u")).as("tot_u"))
+      .select(col("event_type"), col("n_days"),
+        expr("(tot_u * 1000000 div 1048576) div n_days").as("mae_micro"))
+      .join(fc, "event_type")
+      .select(col("event_type"), col("n_days"), col("forecast_micro"),
+        col("mae_micro"))
+      .orderBy("event_type")
+  }
+
+  val qExpSmoothSql: String = {
+    val weightRows = (0 until 20)
+      .map(k => s"($k, ${1L << (19 - k)})").mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+       |    COUNT(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |w(k, u) AS (VALUES $weightRows),
+       |b AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily),
+       |lvl AS (
+       |  SELECT event_type, day + k AS t, CAST(SUM(y * u) AS BIGINT) AS l_u
+       |  FROM daily CROSS JOIN w GROUP BY 1, 2),
+       |lvl_win AS (
+       |  SELECT lvl.* FROM lvl, b WHERE t >= dmin + 19 AND t <= dmax),
+       |nxt AS (
+       |  SELECT event_type, day - 1 AS t, y AS y_next FROM daily),
+       |fc AS (
+       |  SELECT event_type,
+       |    CAST(max_by(l_u, t) * 1000000 // 1048576 AS BIGINT)
+       |      AS forecast_micro
+       |  FROM lvl_win GROUP BY 1)
+       |SELECT s.event_type, s.n_days, fc.forecast_micro, s.mae_micro
+       |FROM (
+       |  SELECT l.event_type, COUNT(*) AS n_days,
+       |    CAST((CAST(SUM(abs(y_next * 1048576 - l.l_u)) AS BIGINT)
+       |          * 1000000 // 1048576) // COUNT(*) AS BIGINT) AS mae_micro
+       |  FROM lvl_win l JOIN nxt USING (event_type, t)
+       |  GROUP BY 1) s
+       |JOIN fc USING (event_type)
+       |ORDER BY s.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exp_smooth" -> (qExpSmooth _),
     "q_rfm" -> (qRfm _),
     "q_dau_mau" -> (qDauMau _),
     "q_period_over_period" -> (qPeriodOverPeriod _),
@@ -858,6 +940,7 @@ object Relational4 {
       |FROM e LEFT JOIN h ON h.d = e.d, n ORDER BY e.d""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_exp_smooth" -> qExpSmoothSql,
     "q_rfm" -> qRfmSql,
     "q_dau_mau" -> qDauMauSql,
     "q_period_over_period" -> qPeriodOverPeriodSql,
