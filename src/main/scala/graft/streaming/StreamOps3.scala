@@ -171,11 +171,139 @@ object StreamOps3 {
       |SELECT day, event_type, CAST(rnk AS INT) AS rnk, user_id, c
       |FROM r WHERE rnk <= 3 ORDER BY day, event_type, rnk""".stripMargin
 
+  // ------------------------------------------------- streaming forecast
+
+  case class FcEvent(event_type: String, day: Long, event_id: Long)
+
+  /** Rolling forecast state: the last ≤20 closed (day, count) pairs, the
+    * currently-open day's running count, the level computed at the last
+    * closed day (integer 2^-20 units), and the first day seen (warm-up). */
+  case class FcState(days: List[Long], counts: List[Long],
+                     curDay: Long, curY: Long,
+                     lastT: Long, lastLu: Long, dmin: Long)
+
+  case class FcOut(event_type: String, t: Long, forecast_micro: Long,
+                   y_next: Long, err_micro: Long)
+
+  private def levelU(days: List[Long], counts: List[Long], t: Long): Long =
+    days.zip(counts).collect {
+      case (d, y) if t - d <= 19 => y * (1L << (19 - (t - d)))
+    }.sum
+
+  /** The same integer-exact EWMA the q_exp_smooth batch plan computes,
+    * folded one event at a time: a closed day D first scores the forecast
+    * made at D−1 (only for consecutive observed days — the batch joins
+    * level(t) to the observed day t+1), then pushes (D, y_D) into the
+    * ≤20-day buffer and recomputes the level in 2^-20 units. Missing days
+    * contribute zero mass in both formulations by construction. */
+  private[streaming] def foldForecast(
+      key: String, it: Iterator[FcEvent], state: GroupState[FcState])
+      : Iterator[FcOut] = {
+    var s = state.getOption.getOrElse(
+      FcState(Nil, Nil, -1L, 0L, -1L, 0L, -1L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[FcOut]
+    def close(): Unit = if (s.curDay >= 0) {
+      val (d, y) = (s.curDay, s.curY)
+      if (s.lastT == d - 1 && s.lastT >= s.dmin + 19) {
+        val lu = s.lastLu
+        out += FcOut(key, s.lastT, lu * 1000000L / 1048576L, y,
+          math.abs(y * 1048576L - lu) * 1000000L / 1048576L)
+      }
+      val days = (s.days :+ d).takeRight(20)
+      val counts = (s.counts :+ y).takeRight(20)
+      s = s.copy(days = days, counts = counts,
+        lastT = d, lastLu = levelU(days, counts, d))
+    }
+    // arrival contract: within a batch, events fold in (day, id) order
+    it.toSeq.sortBy(e => (e.day, e.event_id)).foreach { e =>
+      if (s.curDay < 0) s = s.copy(curDay = e.day, curY = 1L,
+        dmin = if (s.dmin < 0) e.day else s.dmin)
+      else if (e.day == s.curDay) s = s.copy(curY = s.curY + 1)
+      else { close(); s = s.copy(curDay = e.day, curY = 1L) }
+    }
+    // day boundaries are only visible when the NEXT day's first event
+    // arrives, so the open day stays buffered across micro-batches; a
+    // terminal sentinel (day = Long.MaxValue) flushes it for testing
+    state.update(s)
+    out.iterator
+  }
+
+  def forecastStream(events: Dataset[FcEvent]): Dataset[FcOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(foldForecast)
+  }
+
+  /** Shared batch form of the rolling forecast: the q_exp_smooth weight-
+    * grid level, restricted to OBSERVED days (the stream only closes days
+    * that occur) and evaluated against the next observed day — the
+    * per-day forecast/error SEQUENCE an online monitor emits, where
+    * q_exp_smooth ships the summary. Warm-up (first 19 days per type)
+    * excluded; all arithmetic integer 2^-20/micro units (q_exp_smooth's
+    * exactness argument). Round7dSpec proves the flatMapGroupsWithState
+    * fold above replays this plan row-for-row. */
+  def stForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.table(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val weights = (0 until 20).map(k => (k.toLong, 1L << (19 - k)))
+      .toDF("k", "u")
+    val bounds = daily.groupBy("event_type").agg(min("day").as("dmin"))
+    val level = daily.crossJoin(broadcast(weights))
+      .select(col("event_type"), (col("day") + col("k")).as("t"),
+        (col("y") * col("u")).as("term_u"))
+      .groupBy("event_type", "t").agg(sum(col("term_u")).as("l_u"))
+      .join(daily.select(col("event_type"), col("day").as("t")),
+        Seq("event_type", "t")) // observed days only — the stream's closings
+    val next = daily.select(col("event_type"), (col("day") - 1).as("t"),
+      col("y").as("y_next"))
+    level.join(next, Seq("event_type", "t"))
+      .join(bounds, "event_type")
+      .where(col("t") >= col("dmin") + 19)
+      .select(col("event_type"), col("t"),
+        expr("l_u * 1000000 div 1048576").as("forecast_micro"),
+        col("y_next"),
+        expr("abs(y_next * 1048576 - l_u) * 1000000 div 1048576").as("err_micro"))
+      .orderBy("event_type", "t")
+  }
+
+  val stForecastSql: String = {
+    val weightRows = (0 until 20)
+      .map(k => s"($k, ${1L << (19 - k)})").mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+       |    COUNT(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |w(k, u) AS (VALUES $weightRows),
+       |b AS (SELECT event_type, MIN(day) AS dmin FROM daily GROUP BY 1),
+       |lvl AS (
+       |  SELECT event_type, day + k AS t, CAST(SUM(y * u) AS BIGINT) AS l_u
+       |  FROM daily CROSS JOIN w GROUP BY 1, 2),
+       |obs AS (
+       |  SELECT l.event_type, l.t, l.l_u
+       |  FROM lvl l JOIN daily d ON d.event_type = l.event_type AND d.day = l.t),
+       |nxt AS (SELECT event_type, day - 1 AS t, y AS y_next FROM daily)
+       |SELECT o.event_type, o.t,
+       |  CAST(o.l_u * 1000000 // 1048576 AS BIGINT) AS forecast_micro,
+       |  n.y_next,
+       |  CAST(abs(n.y_next * 1048576 - o.l_u) * 1000000 // 1048576 AS BIGINT)
+       |    AS err_micro
+       |FROM obs o
+       |JOIN nxt n USING (event_type, t)
+       |JOIN b USING (event_type)
+       |WHERE o.t >= b.dmin + 19
+       |ORDER BY o.event_type, o.t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_anomaly" -> (stAnomaly _),
-    "st_topk" -> (stTopk _))
+    "st_topk" -> (stTopk _),
+    "st_forecast" -> (stForecast _))
 
   val oracles: Map[String, String] = Map(
     "st_anomaly" -> stAnomalySql,
-    "st_topk" -> stTopkSql)
+    "st_topk" -> stTopkSql,
+    "st_forecast" -> stForecastSql)
 }
