@@ -1308,10 +1308,13 @@ class LakeCatalog(spark: SparkSession, root: String) {
     *
     * Contract (same as Delta's shallow clone): the clone does NOT pin its
     * source files against the SOURCE's own expiry/vacuum — expiring source
-    * history that the clone still references breaks the clone. Deep-clone
-    * (copy files) or source-side ref-pinning is the remedy when clones must
-    * outlive source retention. */
-  def cloneTable(ns: String, src: String, dst: String): Unit = {
+    * history that the clone still references breaks the clone. Pass
+    * `deep = true` for the remedy when clones must outlive source
+    * retention: the referenced files are physically COPIED into the clone
+    * (cost ∝ data, paid once at clone time — Delta's deep clone), after
+    * which the two tables share nothing. */
+  def cloneTable(ns: String, src: String, dst: String,
+                 deep: Boolean = false): Unit = {
     val srcFiles = currentFiles(ns, src).getOrElse(
       throw new IllegalArgumentException(s"no snapshot log for $ns.$src"))
     Files.createDirectories(Paths.get(tablePath(ns, dst)))
@@ -1319,17 +1322,26 @@ class LakeCatalog(spark: SparkSession, root: String) {
     if (Files.exists(srcMeta))
       Files.copy(srcMeta, Paths.get(s"$root/$ns/${dst}_meta.json"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    commitSnapshot(ns, dst, srcFiles.map(f => s"../$src/$f"))
+    if (deep) srcFiles.foreach { f =>
+      Files.copy(Paths.get(tablePath(ns, src)).resolve(f),
+        Paths.get(tablePath(ns, dst)).resolve(f),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val committed =
+      if (deep) srcFiles else srcFiles.map(f => s"../$src/$f")
+    commitSnapshot(ns, dst, committed)
     // manifest stats travel: rekey the source's sidecar lines for files in
     // the cloned snapshot onto their ../ references (string rewrite of the
-    // unique file name — names carry write UUIDs)
+    // unique file name — names carry write UUIDs); a deep clone keeps the
+    // local basename keys its copied files answer to
     val srcStats = fileStatsPath(ns, src)
     if (Files.exists(srcStats)) {
       val inClone = srcFiles.toSet
       val lines = Files.readAllLines(srcStats).asScala.filter(_.nonEmpty)
         .flatMap { line =>
           inClone.find(f => line.contains(s""""file":"$f"""")).map(f =>
-            line.replace(s""""file":"$f"""", s""""file":"../$src/$f""""))
+            if (deep) line
+            else line.replace(s""""file":"$f"""", s""""file":"../$src/$f""""))
         }.mkString("", "\n", "\n")
       Files.writeString(fileStatsPath(ns, dst), lines,
         java.nio.file.StandardOpenOption.CREATE,

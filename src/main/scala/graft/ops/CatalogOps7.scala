@@ -341,7 +341,63 @@ object CatalogOps7 {
       |  5 AS n_snapshots, true AS files_reused
       |FROM lineitem""".stripMargin
 
+  /** Deep clone vs shallow clone under source expiry — the hazard case the
+    * shallow-clone contract documents, EXECUTED: both clone flavors are
+    * taken off a 2-append source, then the source COW-deletes one slice and
+    * expires its history (keep 1), physically deleting the files only the
+    * old snapshots referenced. The shallow clone now has dangling `../`
+    * references (`shallow_dangling` — checked against the filesystem, no
+    * read); the deep clone still owns every byte (`deep_intact`) and its
+    * full recount + decimal sum are hash-gated. src_rows_after pins that
+    * the source itself kept only the surviving slice. This is Delta's
+    * deep/shallow clone trade executed end-to-end: zero-copy clones are
+    * free but coupled to source retention; deep clones pay data-copy cost
+    * once and share nothing. */
+  def cDeepClone(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    Seq("li_dc_src", "li_dc_sh", "li_dc_dp")
+      .foreach(t => cat.dropTable("scratch", t))
+    cat.createTable("scratch", "li_dc_src", StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_extendedprice", DoubleType))))
+    cat.append("scratch", "li_dc_src", li.where(col("l_orderkey") % 4 === 0))
+    cat.append("scratch", "li_dc_src", li.where(col("l_orderkey") % 4 === 1))
+    cat.cloneTable("scratch", "li_dc_src", "li_dc_sh")
+    cat.cloneTable("scratch", "li_dc_src", "li_dc_dp", deep = true)
+    // source moves on: slice B COW-deleted, history expired → the files
+    // only old snapshots referenced are physically gone
+    cat.deleteWhere("scratch", "li_dc_src", col("l_orderkey") % 4 === 1)
+    cat.expireSnapshots("scratch", "li_dc_src", keep = 1)
+    def committedFiles(t: String): Seq[String] =
+      cat.snapshots("scratch", t).lastOption.map(_._2).getOrElse(Seq.empty)
+    def missing(t: String): Int = committedFiles(t).count(f =>
+      !Files.exists(Paths.get(s"$scratch/scratch/$t").resolve(f)))
+    val shallowDangling = missing("li_dc_sh") > 0
+    val deepIntact = missing("li_dc_dp") == 0
+    val srcRows = cat.load("scratch", "li_dc_src").count()
+    cat.load("scratch", "li_dc_dp").agg(
+      count(lit(1)).as("rows_deep"),
+      Tables.dsum(col("l_extendedprice")).as("total_deep"),
+      lit(srcRows).as("src_rows_after"),
+      lit(shallowDangling).as("shallow_dangling"),
+      lit(deepIntact).as("deep_intact"))
+  }
+
+  val cDeepCloneSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 4 IN (0, 1))
+      |    AS rows_deep,
+      |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+      |     FROM lineitem WHERE l_orderkey % 4 IN (0, 1)) AS total_deep,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 4 = 0)
+      |    AS src_rows_after,
+      |  true AS shallow_dangling, true AS deep_intact""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_deep_clone" -> (cDeepClone _),
     "c_cherry_pick" -> (cCherryPick _),
     "c_zorder" -> (cZorder _),
     "c_history_meta" -> (cHistoryMeta _),
@@ -349,6 +405,7 @@ object CatalogOps7 {
     "c_clone_table" -> (cCloneTable _))
 
   val oracles: Map[String, String] = Map(
+    "c_deep_clone" -> cDeepCloneSql,
     "c_cherry_pick" -> cCherryPickSql,
     "c_zorder" -> cZorderSql,
     "c_history_meta" -> cHistoryMetaSql,
