@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, expr, floor, greatest, input_file_name, least, lit, max, min, pmod, shiftleft, substring_index, when, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, count, expr, floor, greatest, input_file_name, least, lit, max, min, pmod, shiftleft, substring_index, sum, when, xxhash64}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -336,6 +336,75 @@ class LakeCatalog(spark: SparkSession, root: String) {
 
   /** The persisted stats as a DataFrame (SHOW STATS surface): one row per
     * analyzed column. Served from the sidecar — no data scan. */
+  private def histPath(ns: String, table: String): Path =
+    Paths.get(s"$root/$ns/${table}_hist.json")
+
+  /** Banded equi-height histogram (the CBO statistic ANALYZE's min/max/ndv
+    * can't provide — selectivity of range predicates on skewed columns).
+    * Values band at `bandW` granularity first (one bounded-fan aggregate),
+    * the cumulative over BAND rows assigns each band its bucket
+    * 1 + ⌊(cum−1)·B/n⌋, and buckets roll up to (lo, hi, rows) — heights
+    * equal to n/B up to band granularity, boundaries always on band edges
+    * (the deterministic banded construction production ANALYZE uses at
+    * scale; an exact equi-height would need a global value sort). Persisted
+    * to a `<table>_hist.json` sidecar; [[showHistogram]] answers from
+    * metadata alone. Only B rows reach the driver. */
+  def analyzeHistogram(ns: String, table: String, colName: String,
+                       buckets: Int = 10, bandW: Double = 100.0): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = load(ns, table)
+      .select(floor(col(colName) / bandW).cast("long").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("c"))
+    val cum = bands.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = cum.agg(max(col("cum")).as("n"))
+    val rows = cum.crossJoin(broadcast(total))
+      .select(col("band"), col("c"),
+        (lit(1) + expr(s"(cum - 1) * $buckets div n")).cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(min(col("band")).as("lo_band"), max(col("band")).as("hi_band"),
+        sum(col("c")).as("rows"))
+      .orderBy("bucket")
+      .collect() // B rows — metadata-scale
+    val lines = rows.map { r =>
+      val lo = r.getAs[Long]("lo_band") * bandW
+      val hi = (r.getAs[Long]("hi_band") + 1) * bandW
+      s"""{"column":"$colName","bucket":${r.getAs[Int]("bucket")},"lo":$lo,"hi":$hi,"rows":${r.getAs[Long]("rows")}}"""
+    }.mkString("", "\n", "\n")
+    // re-analyze replaces this column's lines, keeps other columns'
+    val existing = if (Files.exists(histPath(ns, table)))
+      Files.readAllLines(histPath(ns, table)).asScala
+        .filterNot(_.contains(s""""column":"$colName"""")).toSeq
+    else Seq.empty
+    Files.writeString(histPath(ns, table),
+      (existing ++ lines.split('\n')).mkString("", "\n", "\n"))
+  }
+
+  /** The persisted histogram as (bucket, lo, hi, rows) — pure metadata. */
+  def showHistogram(ns: String, table: String,
+                    colName: String): Seq[(Int, Double, Double, Long)] = {
+    val p = histPath(ns, table)
+    if (!Files.exists(p)) return Seq.empty
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).flatMap { line =>
+      val j = JsonMethods.parse(line)
+      val JString(c) = (j \ "column"): @unchecked
+      if (c != colName) None
+      else {
+        def d(f: String): Double = (j \ f) match {
+          case JDouble(x) => x
+          case JInt(x) => x.toDouble
+          case _ => Double.NaN
+        }
+        val JInt(b) = (j \ "bucket"): @unchecked
+        val JInt(r) = (j \ "rows"): @unchecked
+        Some((b.toInt, d("lo"), d("hi"), r.toLong))
+      }
+    }.sortBy(_._1)
+  }
+
   def showStats(ns: String, table: String): DataFrame = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -1660,6 +1729,9 @@ class LakeCatalog(spark: SparkSession, root: String) {
     // on parquet part-file names never being reused
     val bl = bloomsPath(ns, table)
     if (Files.exists(bl)) Files.delete(bl)
+    // histogram sidecar (same recreate-inheritance hazard)
+    val hg = histPath(ns, table)
+    if (Files.exists(hg)) Files.delete(hg)
     // hidden-partition spec (same recreate-inheritance hazard as blooms)
     val hs = hiddenSpecPath(ns, table)
     if (Files.exists(hs)) Files.delete(hs)

@@ -91,6 +91,10 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*SHOW\s+HISTORY\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val cherryPickVerb =
     """(?is)\s*CHERRY\s+PICK\s+(\w+)\s+INTO\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  private val createHist =
+    """(?is)\s*CREATE\s+HISTOGRAM\s+(?:ON\s+)?(?:(\w+)\.)?(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
+  private val showHist =
+    """(?is)\s*SHOW\s+HISTOGRAM\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -234,6 +238,17 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.recordBlooms(nsName, table, colName)
         Seq(s"Bloom index recorded for $colName").toDF("status")
+
+      case createHist(ns, table, colName) => // banded equi-height histogram:
+        // the range-selectivity CBO statistic min/max/ndv can't provide
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.analyzeHistogram(nsName, table, colName)
+        Seq(s"Histogram recorded for $colName").toDF("status")
+
+      case showHist(ns, table, colName) => // served from the sidecar, no scan
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.showHistogram(nsName, table, colName)
+          .toDF("bucket", "lo", "hi", "n_rows")
 
       case cherryPickVerb(branch, ns, table) => // Iceberg cherrypick_snapshot:
         // land a branch's audited append on a main that moved past the

@@ -396,7 +396,49 @@ object CatalogOps7 {
       |    AS src_rows_after,
       |  true AS shallow_dangling, true AS deep_intact""".stripMargin
 
+  /** Equi-height histogram statistics ([[LakeCatalog.analyzeHistogram]]) —
+    * the range-selectivity CBO input ANALYZE's min/max/ndv can't provide
+    * (a skewed column's min/max says nothing about where the mass sits).
+    * Construction is the scale-honest banded form: values band at $100
+    * granularity (one bounded-fan aggregate), the cumulative runs over
+    * BAND rows (never a global value sort), bands map to buckets by
+    * 1+⌊(cum−1)·10/n⌋, and only the 10 bucket rows reach the driver for
+    * the sidecar write. The emitted rows are the SIDECAR READ-BACK
+    * ([[LakeCatalog.showHistogram]] / SHOW HISTOGRAM verb) — the
+    * persistence path is inside the gate, not just the math. Bucket
+    * bounds are exact multiples of the band width (no representation
+    * risk); heights are n/10 up to band granularity. */
+  def cStatsHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "li_histo")
+    cat.createTable("scratch", "li_histo", StructType(Seq(
+      StructField("l_extendedprice", DoubleType))))
+    cat.append("scratch", "li_histo",
+      Tables.table(spark, dir, "lineitem").select(col("l_extendedprice")))
+    cat.analyzeHistogram("scratch", "li_histo", "l_extendedprice",
+      buckets = 10, bandW = 100.0)
+    cat.showHistogram("scratch", "li_histo", "l_extendedprice")
+      .toDF("bucket", "lo", "hi", "n_rows")
+      .orderBy("bucket")
+  }
+
+  val cStatsHistogramSql: String =
+    """WITH bands AS (
+      |  SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS band,
+      |    COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (SELECT band, c, SUM(c) OVER (ORDER BY band) AS cum FROM bands),
+      |t AS (SELECT MAX(cum) AS n FROM cum)
+      |SELECT bucket, MIN(band) * 100.0 AS lo, (MAX(band) + 1) * 100.0 AS hi,
+      |  CAST(SUM(c) AS BIGINT) AS n_rows
+      |FROM (
+      |  SELECT band, c, CAST(1 + (cum - 1) * 10 // n AS INTEGER) AS bucket
+      |  FROM cum, t)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_stats_histogram" -> (cStatsHistogram _),
     "c_deep_clone" -> (cDeepClone _),
     "c_cherry_pick" -> (cCherryPick _),
     "c_zorder" -> (cZorder _),
@@ -405,6 +447,7 @@ object CatalogOps7 {
     "c_clone_table" -> (cCloneTable _))
 
   val oracles: Map[String, String] = Map(
+    "c_stats_histogram" -> cStatsHistogramSql,
     "c_deep_clone" -> cDeepCloneSql,
     "c_cherry_pick" -> cCherryPickSql,
     "c_zorder" -> cZorderSql,

@@ -57,6 +57,7 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "CHERRY PICK branch INTO [ns.]t; " +
           "DROP BRANCH b IN [ns.]t; ANALYZE [TABLE] [ns.]t (c1, c2); " +
           "CREATE BLOOM INDEX ON [ns.]t (col); " +
+          "CREATE HISTOGRAM ON [ns.]t (col); SHOW HISTOGRAM FOR [ns.]t (col); " +
           "EXPIRE SNAPSHOTS IN [ns.]t [KEEP n]; REMOVE ORPHANS IN [ns.]t; " +
           "ROLLBACK [TABLE] [ns.]t TO VERSION v; " +
           "COMPACT TABLE [ns.]t [INTO n FILES]"),

@@ -153,6 +153,25 @@ class Round7cSpec extends SparkSpec {
       s"wrong refusal message: ${e.getMessage}")
   }
 
+  test("c_stats_histogram: SHOW HISTOGRAM verb serves near-equal heights from metadata") {
+    ops.CatalogOps7.cStatsHistogram(spark, sfDir).collect()
+    val cat = new LakeCatalog(spark, scratch)
+    val gw = new graft.catalog.SqlGateway(spark, cat)
+    val rows = gw.execute("SHOW HISTOGRAM FOR scratch.li_histo (l_extendedprice)")
+      .orderBy("bucket").collect()
+    assert(rows.length == 10, s"expected 10 buckets, got ${rows.length}")
+    val heights = rows.map(_.getLong(3))
+    val n = heights.sum
+    // equi-height up to band granularity: every bucket within 2× of n/10
+    heights.foreach(h => assert(h * 10 <= n * 2 && h * 20 >= n,
+      s"bucket height $h far from n/10 = ${n / 10} — banding degenerated"))
+    // buckets tile the range in order without overlap
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) <= b.getDouble(1) + 1e-9,
+        s"buckets overlap: ${a.getDouble(2)} > ${b.getDouble(1)}")
+    }
+  }
+
   test("d_lsh_recall: the banding S-curve holds — high-similarity recall ≈ 1") {
     val rows = ops.Dedup2.dLshRecall(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getLong(3)).toMap
