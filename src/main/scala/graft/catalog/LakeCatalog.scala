@@ -29,6 +29,11 @@ import scala.jdk.CollectionConverters._
   * reclaims the abandoned files. */
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+/** An incoming batch violated a declared CHECK constraint — refused BEFORE
+  * any file was staged (Delta's write-path constraint check): the table is
+  * untouched, no partial state, no orphans. */
+class ConstraintViolationException(msg: String) extends RuntimeException(msg)
+
 class LakeCatalog(spark: SparkSession, root: String) {
 
   private def rootPath: Path = Paths.get(root)
@@ -1255,8 +1260,28 @@ class LakeCatalog(spark: SparkSession, root: String) {
 
   /** Distributed append — any-size DataFrame, immutable-file commit.
     * Snapshot = previous files + the new ones (pure add, nothing rewritten). */
+  /** CHECK constraints declared as `check.<name>` table properties
+    * (Delta's `delta.constraints.*` analog, declared at CREATE). SQL CHECK
+    * semantics: a row violates only when the predicate is FALSE — NULL
+    * passes. */
+  def checkConstraints(ns: String, table: String): Map[String, String] =
+    tableMeta(ns, table)._3.collect {
+      case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
+    }
+
   def append(ns: String, table: String, df: DataFrame,
              batch: Option[Long] = None): Unit = {
+    // write-path constraint enforcement: validate BEFORE staging anything —
+    // a refused batch leaves no partial state and no orphan files. One
+    // extra pass over the incoming batch per constraint (incoming-batch
+    // scale, not table scale); tables without constraints pay one metadata
+    // read.
+    checkConstraints(ns, table).foreach { case (name, cond) =>
+      val bad = df.where(!coalesce(expr(cond), lit(true))).count()
+      if (bad > 0) throw new ConstraintViolationException(
+        s"CHECK constraint $name ($cond) violated by $bad incoming rows — " +
+          "batch refused, nothing committed")
+    }
     val newFiles = writeNewFiles(ns, table, df)
     commitSnapshot(ns, table,
       currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles, batch)

@@ -437,7 +437,48 @@ object CatalogOps7 {
       |  FROM cum, t)
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** CHECK constraints on the write path ([[LakeCatalog.checkConstraints]],
+    * Delta's `delta.constraints.*` analog): declared at CREATE as
+    * `check.<name>` properties, validated against every incoming append
+    * BEFORE anything is staged — a refused batch leaves no partial state,
+    * no new snapshot, no orphan files (`atomic_refusal` pins the snapshot
+    * count across the failed attempt). The valid batch's content is
+    * hash-gated; the violating batch (the same events with negated values)
+    * is proven refused. SQL CHECK NULL semantics (NULL passes) documented
+    * at the API. */
+  def cCheckConstraint(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "ev_checked")
+    cat.createTable("scratch", "ev_checked", StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("value", DoubleType))),
+      properties = Map("check.nonneg" -> "value >= 0"))
+    val src = Tables.table(spark, dir, "events")
+      .select(col("event_id"), col("value"))
+    cat.append("scratch", "ev_checked", src) // every event value is ≥ 0
+    val snapsBefore = cat.snapshots("scratch", "ev_checked").length
+    val rejected = try {
+      cat.append("scratch", "ev_checked",
+        src.limit(100).withColumn("value", -col("value")))
+      false
+    } catch { case _: graft.catalog.ConstraintViolationException => true }
+    val atomic = cat.snapshots("scratch", "ev_checked").length == snapsBefore
+    cat.load("scratch", "ev_checked").agg(
+      count(lit(1)).as("n"),
+      Tables.dsum(col("value")).as("total_value"),
+      lit(snapsBefore).as("n_snapshots"),
+      lit(rejected).as("rejected"),
+      lit(atomic).as("atomic_refusal"))
+  }
+
+  val cCheckConstraintSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+      |  2 AS n_snapshots, true AS rejected, true AS atomic_refusal
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_check_constraint" -> (cCheckConstraint _),
     "c_stats_histogram" -> (cStatsHistogram _),
     "c_deep_clone" -> (cDeepClone _),
     "c_cherry_pick" -> (cCherryPick _),
@@ -447,6 +488,7 @@ object CatalogOps7 {
     "c_clone_table" -> (cCloneTable _))
 
   val oracles: Map[String, String] = Map(
+    "c_check_constraint" -> cCheckConstraintSql,
     "c_stats_histogram" -> cStatsHistogramSql,
     "c_deep_clone" -> cDeepCloneSql,
     "c_cherry_pick" -> cCherryPickSql,
