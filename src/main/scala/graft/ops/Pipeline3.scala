@@ -395,7 +395,86 @@ object Pipeline3 {
       |  5 AS k
       |FROM g""".stripMargin
 
+  /** Declarative data-expectations suite (the dbt-tests / Great-
+    * Expectations surface): six standing contracts — two referential-
+    * integrity checks (orders→customer, lineitem→orders FKs via left-anti
+    * probes), a primary-key uniqueness check, a range check, a not-null
+    * check, and a derived-column consistency check (documents.n_chars must
+    * equal length(text) — the class of silently-stale denormalized column
+    * a pipeline regression corrupts first). One row per expectation:
+    * (n_checked, n_failed, pass). Every check is a scan + aggregate or a
+    * key-partitioned anti-join — shuffle bounded by key cardinality, the
+    * shape a nightly 100 TB contract run needs. */
+  def pExpectations(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.table(spark, dir, n)
+    val custKeys = t("customer").select(col("c_custkey"))
+    val orderKeys = t("orders").select(col("o_orderkey"))
+    val fkOrders = t("orders")
+      .join(custKeys, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("f"))
+      .select(lit("orders_custkey_fk").as("expectation"),
+        lit(t("orders").count()).as("n_checked"), col("f").as("n_failed"))
+    val fkLineitem = t("lineitem")
+      .join(orderKeys, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("f"))
+      .select(lit("lineitem_orderkey_fk").as("expectation"),
+        lit(t("lineitem").count()).as("n_checked"), col("f").as("n_failed"))
+    val pkUnique = t("customer").agg(
+        count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("d"))
+      .select(lit("customer_pk_unique").as("expectation"),
+        col("n").as("n_checked"), (col("n") - col("d")).as("n_failed"))
+    val priceRange = t("orders").agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("f"))
+      .select(lit("orders_totalprice_nonneg").as("expectation"),
+        col("n").as("n_checked"), col("f").as("n_failed"))
+    val valueNotNull = t("events").agg(count(lit(1)).as("n"),
+        sum(col("value").isNull.cast("long")).as("f"))
+      .select(lit("events_value_not_null").as("expectation"),
+        col("n").as("n_checked"), col("f").as("n_failed"))
+    val derivedConsistent = t("documents").agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("f"))
+      .select(lit("documents_nchars_consistent").as("expectation"),
+        col("n").as("n_checked"), col("f").as("n_failed"))
+    Seq(fkOrders, fkLineitem, pkUnique, priceRange, valueNotNull,
+        derivedConsistent)
+      .reduce(_ union _)
+      .withColumn("pass", col("n_failed") === 0)
+      .orderBy("expectation")
+  }
+
+  val pExpectationsSql: String =
+    """WITH checks AS (
+      |  SELECT 'orders_custkey_fk' AS expectation,
+      |    (SELECT COUNT(*) FROM orders) AS n_checked,
+      |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |      AS n_failed
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_fk',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'customer_pk_unique',
+      |    (SELECT COUNT(*) FROM customer),
+      |    (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+      |  UNION ALL
+      |  SELECT 'orders_totalprice_nonneg',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT COUNT(*) FILTER (o_totalprice < 0) FROM orders)
+      |  UNION ALL
+      |  SELECT 'events_value_not_null',
+      |    (SELECT COUNT(*) FROM events),
+      |    (SELECT COUNT(*) FILTER (value IS NULL) FROM events)
+      |  UNION ALL
+      |  SELECT 'documents_nchars_consistent',
+      |    (SELECT COUNT(*) FROM documents),
+      |    (SELECT COUNT(*) FILTER (n_chars <> length(text)) FROM documents))
+      |SELECT expectation, n_checked, n_failed, n_failed = 0 AS pass
+      |FROM checks ORDER BY expectation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_expectations" -> (pExpectations _),
     "p_k_anonymity" -> (pKAnonymity _),
     "p_temperature_mix" -> (pTemperatureMix _),
     "p_reservoir_sample" -> (pReservoirSample _),
@@ -406,6 +485,7 @@ object Pipeline3 {
     "p_dataset_card" -> (pDatasetCard _))
 
   val oracles: Map[String, String] = Map(
+    "p_expectations" -> pExpectationsSql,
     "p_k_anonymity" -> pKAnonymitySql,
     "p_temperature_mix" -> pTemperatureMixSql,
     "p_reservoir_sample" -> pReservoirSampleSql,
