@@ -187,11 +187,107 @@ object Graph {
       |       (3000000 * n_triangles) // n_wedges AS clustering_ppm
       |FROM tri, wed""".stripMargin
 
+  /** BFS layer census: node counts at hop distance 0..4 from the smallest
+    * node of the co-supply graph (q_triangle_count's deterministic
+    * rank-based edge set), plus the unreachable remainder (distance −1) —
+    * the shortest-path / reachability class (connected components and
+    * PageRank don't answer "how FAR is everything from here"). Each
+    * superstep is one frontier ⋈ bidirectional-edges equi-join + one
+    * anti-join against the reached set — Pregel's BFS as relational
+    * algebra, localCheckpoint bounding lineage. Layers emit as COUNT
+    * aggregates (an empty layer is an explicit 0 row, matching the
+    * oracle's unrolled CTEs). Driver exchange: the single source id. */
+  def qBfsLayers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val pairs = ps.as("a").join(ps.as("b"),
+        col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("lo"), col("b.l_suppkey").as("hi"))
+      .agg(count(lit(1)).as("shared"))
+      .cache()
+    val k = (pairs.count() + 9) / 10
+    val edges = pairs
+      .orderBy(col("shared").desc, col("lo"), col("hi")).limit(k.toInt)
+      .select("lo", "hi")
+      .repartition(col("lo"))
+      .localCheckpoint()
+    val bidir = edges.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(edges.select(col("hi").as("src"), col("lo").as("dst")))
+      .localCheckpoint()
+    val srcId = edges.agg(min(least(col("lo"), col("hi")))).head().getLong(0)
+    var frontier = Seq(srcId).toDF("id").localCheckpoint()
+    var reached = frontier
+    val layers = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]()
+    layers += ((0, frontier))
+    for (t <- 1 to 4) {
+      val next = frontier.join(bidir, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(reached, Seq("id"), "left_anti")
+        .localCheckpoint()
+      layers += ((t, next))
+      reached = reached.union(next).distinct().localCheckpoint()
+      frontier = next
+    }
+    val nodes = edges.select(col("lo").as("id"))
+      .union(edges.select(col("hi").as("id"))).distinct()
+    val unreachable = nodes.join(reached, Seq("id"), "left_anti")
+    val layerRows = layers.map { case (d, df) =>
+      df.agg(count(lit(1)).as("n_nodes")).select(lit(d).as("distance"), col("n_nodes"))
+    }
+    (layerRows :+ unreachable.agg(count(lit(1)).as("n_nodes"))
+        .select(lit(-1).as("distance"), col("n_nodes")))
+      .reduce(_ union _)
+      .orderBy("distance")
+  }
+
+  val qBfsLayersSql: String = {
+    val steps = (1 to 4).map { t =>
+      val p = t - 1
+      s"""d$t AS MATERIALIZED (
+         |  SELECT DISTINCT b.dst AS id FROM d$p f JOIN bidir b ON b.src = f.id
+         |  WHERE b.dst NOT IN (SELECT id FROM r$p)),
+         |r$t AS MATERIALIZED (SELECT id FROM r$p UNION SELECT id FROM d$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
+       |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+       |    AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
+       |         COUNT(*) OVER () AS np
+       |  FROM pairs),
+       |edges AS MATERIALIZED (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+       |bidir AS MATERIALIZED (
+       |  SELECT lo AS src, hi AS dst FROM edges
+       |  UNION ALL SELECT hi, lo FROM edges),
+       |d0 AS (SELECT MIN(LEAST(lo, hi)) AS id FROM edges),
+       |r0 AS (SELECT id FROM d0),
+       |$steps,
+       |nodes AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT lo AS id FROM edges UNION ALL SELECT hi FROM edges))
+       |SELECT distance, n_nodes FROM (
+       |  SELECT 0 AS distance, COUNT(*) AS n_nodes FROM d0
+       |  UNION ALL SELECT 1, COUNT(*) FROM d1
+       |  UNION ALL SELECT 2, COUNT(*) FROM d2
+       |  UNION ALL SELECT 3, COUNT(*) FROM d3
+       |  UNION ALL SELECT 4, COUNT(*) FROM d4
+       |  UNION ALL SELECT -1, (SELECT COUNT(*) FROM nodes)
+       |                       - (SELECT COUNT(*) FROM r4))
+       |ORDER BY distance""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
-    "q_triangle_count" -> (qTriangleCount _))
+    "q_triangle_count" -> (qTriangleCount _),
+    "q_bfs_layers" -> (qBfsLayers _))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
-    "q_triangle_count" -> qTriangleCountSql)
+    "q_triangle_count" -> qTriangleCountSql,
+    "q_bfs_layers" -> qBfsLayersSql)
 }
