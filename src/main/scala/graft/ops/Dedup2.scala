@@ -378,13 +378,52 @@ object Dedup2 {
       .replace("@@LSH@@", Dedup.dMinhashLshSql)
   }
 
+  /** Duplication profile: the histogram of exact-duplicate cluster sizes —
+    * how many fingerprints occur exactly k times, with per-k document and
+    * redundant-copy mass plus corpus-level shares in exact ppm. The first
+    * number a curation run reports ("X% of the corpus is literal
+    * duplicates") and the input to dedup-capacity planning (the k tail
+    * decides whether soft-dedup weights or hard removal is the right
+    * policy). Two map-side-combined aggregates: fingerprint → cluster
+    * size, size → cluster count; fan bounded by the distinct-size domain. */
+  def dDupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val norm2 = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val clusters = Tables.table(spark, dir, "documents")
+      .groupBy(md5(norm2).as("fp")).agg(count(lit(1)).as("k"))
+    val total = clusters.agg(sum(col("k")).as("n_docs"))
+    clusters.groupBy("k").agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_clusters"),
+        (col("k") * col("n_clusters")).as("n_docs_at_k"),
+        ((col("k") - 1) * col("n_clusters")).as("n_redundant"),
+        expr("k * n_clusters * 1000000 div n_docs").as("docs_share_ppm"),
+        expr("(k - 1) * n_clusters * 1000000 div n_docs").as("redundant_share_ppm"))
+      .orderBy("k")
+  }
+
+  val dDupProfileSql: String =
+    """WITH cl AS (
+      |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    COUNT(*) AS k
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(k) AS BIGINT) AS n_docs FROM cl)
+      |SELECT k, COUNT(*) AS n_clusters,
+      |  CAST(k * COUNT(*) AS BIGINT) AS n_docs_at_k,
+      |  CAST((k - 1) * COUNT(*) AS BIGINT) AS n_redundant,
+      |  CAST(k * COUNT(*) * 1000000 // n_docs AS BIGINT) AS docs_share_ppm,
+      |  CAST((k - 1) * COUNT(*) * 1000000 // n_docs AS BIGINT)
+      |    AS redundant_share_ppm
+      |FROM cl, t GROUP BY k, n_docs ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_dup_profile" -> (dDupProfile _),
     "d_lsh_recall" -> (dLshRecall _),
     "d_bloom_ingest" -> (dBloomIngest _),
     "d_cdc_chunks" -> (dCdcChunks _),
     "d_index_persist" -> (dIndexPersist _))
 
   val oracles: Map[String, String] = Map(
+    "d_dup_profile" -> dDupProfileSql,
     "d_lsh_recall" -> dLshRecallSql,
     "d_bloom_ingest" -> dBloomIngestSql,
     "d_cdc_chunks" -> dCdcChunksSql,
