@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_dau_mau",       // |days|-row spine broadcast range-joined to the user-day grid
     "q_rfm",           // one-row U/max-day broadcast + value-domain score-map joins
     "q_exp_smooth",    // 20-row weight-grid + one-row day-bounds broadcasts
-    "st_forecast"      // same 20-row weight-grid broadcast
+    "st_forecast",     // same 20-row weight-grid broadcast
+    "d_dup_profile"    // one-row corpus-total broadcast onto the k-histogram rows
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
