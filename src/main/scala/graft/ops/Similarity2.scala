@@ -524,7 +524,44 @@ object Similarity2 {
        |WHERE t.rnk = 1 ORDER BY t.q_id""".stripMargin
   }
 
+  /** Embedding-space outlier report (OOD / noise detection for curation):
+    * every vector's distance to its NEAREST k-means cell — 1 − max-cell
+    * cosine, 6-dp rounded — ranked to the top-20 most out-of-distribution
+    * vectors. The cheap first pass that catches corrupt embeddings,
+    * wrong-modality rows and encoder failures before they poison training
+    * batches; SemDeDup's complement (that op removes the TOO-similar, this
+    * one flags the TOO-far). Cells come from the shared distributed Lloyd
+    * chain (ModelCache — built once per bench session); scoring is one
+    * scan projection of 8 codegen literal-centroid dots; ranking is
+    * TakeOrderedAndProject (k rows per partition to the driver, never a
+    * global sort). Oracle replays the Lloyd chain + per-vector max-cosine
+    * rollup — hash-gated like every ANN tier. */
+  def sOutlierDetect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val cents = Similarity.ivfCells(spark, dir, kCells = 8)
+    val sims = cents.toSeq.map { case (_, cv) =>
+      val cn = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
+      dot(col("embedding"), typedlit(cv.toSeq)) / (col("nrm") * lit(cn))
+    }
+    e.select(col("vec_id"),
+        round(lit(1.0) - greatest(sims: _*), 6).as("ood_score"))
+      .orderBy(col("ood_score").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  val sOutlierDetectSql: String = {
+    val rounds = 4
+    s"""WITH ${Cluster.lloydCtes(k = 8, rounds = rounds)},
+       |best AS (
+       |  SELECT e.vec_id, MAX(${Cluster.cosSql("e.embedding", "e.nrm", "c.cv")}) AS b
+       |  FROM n e CROSS JOIN c$rounds c GROUP BY 1)
+       |SELECT vec_id, round(1.0 - b, 6) AS ood_score
+       |FROM best ORDER BY ood_score DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_outlier_detect" -> (sOutlierDetect _),
     "s_nsw_search" -> (sNswSearch _),
     "s_tier_report" -> (sTierReport _),
     "s_hamming_topk" -> (sHammingTopk _),
@@ -534,6 +571,7 @@ object Similarity2 {
     "s_tau_sweep" -> (sTauSweep _))
 
   val oracles: Map[String, String] = Map(
+    "s_outlier_detect" -> sOutlierDetectSql,
     "s_nsw_search" -> sNswSearchSql,
     "s_tier_report" -> sTierReportSql,
     "s_hamming_topk" -> sHammingTopkSql,
