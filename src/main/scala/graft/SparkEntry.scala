@@ -32,7 +32,8 @@ object SparkEntry {
       ops.ClassifyOps.queries ++ streaming.StreamOps2.queries ++
       ops.Multimodal2.queries ++ ops.CatalogOps6.queries ++
       ops.Relational4.queries ++ ops.TextOps5.queries ++
-      streaming.StreamOps3.queries ++ ops.CatalogOps7.queries
+      streaming.StreamOps3.queries ++ ops.CatalogOps7.queries ++
+      ops.StatsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -53,5 +54,6 @@ object SparkEntry {
       ops.ClassifyOps.oracles ++ streaming.StreamOps2.oracles ++
       ops.Multimodal2.oracles ++ ops.CatalogOps6.oracles ++
       ops.Relational4.oracles ++ ops.TextOps5.oracles ++
-      streaming.StreamOps3.oracles ++ ops.CatalogOps7.oracles
+      streaming.StreamOps3.oracles ++ ops.CatalogOps7.oracles ++
+      ops.StatsOps.oracles
 }

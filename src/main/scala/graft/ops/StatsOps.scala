@@ -1,0 +1,321 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.2 additions (round 7, batch O): the inferential-statistics family a
+  * reference user runs through the DuckDB post-processor (capability parity
+  * with QueryManager.py:20-36 arbitrary-SQL surface) — chi-square
+  * independence, Mann-Whitney U, two-sample Kolmogorov-Smirnov, the
+  * Gini/Lorenz concentration index, and lagged autocorrelation.
+  *
+  * Every op follows the §4 exactness discipline: observed counts and rank
+  * sums are exact BIGINT algebra (order-independent, partial-agg safe); the
+  * final test statistic is ONE row of double arithmetic written with
+  * IDENTICAL expression text in both engines (IEEE *, /, sqrt are
+  * correctly-rounded, so identical inputs + identical AST = identical
+  * bits — no round() tie exposure). Rank/ECDF machinery uses the two-level
+  * prefix-sum shape (per-BUCKET aggregate rows under the global window,
+  * never raw rows — p_pack_sequences' pattern), so nothing here puts a
+  * corpus-sized partition on one task at 100 TB.
+  */
+object StatsOps {
+
+  // ---------------------------------------------------------------- chi2
+  /** Pearson chi-square test of independence on the order-priority ×
+    * order-status contingency table. Observed, row/column totals and the
+    * grand total are exact BIGINT; each cell's term
+    * (O·n − R·C)²/(n·R·C) is computed in double with identical text both
+    * engines, then floor-scaled to integer ppm so the cross-cell SUM is
+    * exact integer arithmetic (no double-sum ordering, no decimal-cast
+    * rounding rule consulted). 100 TB shape: one map-side-combined
+    * aggregate to ≤ |priorities|·|statuses| cells; everything after is
+    * metadata-scale. */
+  def qChi2Test(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("prio").agg(sum("o").cast("long").as("rt"))
+    val ct = cells.groupBy("status").agg(sum("o").cast("long").as("ct"))
+    val tot = cells.agg(sum("o").cast("long").as("n"),
+      countDistinct("prio").cast("long").as("np"),
+      countDistinct("status").cast("long").as("ns"))
+    cells.join(rt, "prio").join(ct, "status").crossJoin(broadcast(tot))
+      .select(col("n"), col("np"), col("ns"),
+        expr("cast(floor((((cast(o as double)*cast(n as double) - cast(rt as double)*cast(ct as double)) * (cast(o as double)*cast(n as double) - cast(rt as double)*cast(ct as double))) / ((cast(n as double)*cast(rt as double))*cast(ct as double))) * 1000000.0) as long)")
+          .as("term_ppm"))
+      .groupBy("n", "np", "ns")
+      .agg(sum("term_ppm").cast("long").as("chi2_ppm"))
+      .select(col("n"), ((col("np") - lit(1L)) * (col("ns") - lit(1L))).as("dof"),
+        col("chi2_ppm"),
+        expr("cast(chi2_ppm as double) / 1000000.0").as("chi2"))
+  }
+
+  val qChi2TestSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+      |         CAST(count(*) AS BIGINT) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT prio, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT status, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+      |               CAST(COUNT(DISTINCT prio) AS BIGINT) AS np,
+      |               CAST(COUNT(DISTINCT status) AS BIGINT) AS ns
+      |        FROM cells),
+      |t AS (
+      |  SELECT n, np, ns,
+      |    CAST(floor((((CAST(o AS DOUBLE)*CAST(n AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)) * (CAST(o AS DOUBLE)*CAST(n AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE))) / ((CAST(n AS DOUBLE)*CAST(rt AS DOUBLE))*CAST(ct AS DOUBLE))) * 1000000.0) AS BIGINT) AS term_ppm
+      |  FROM cells JOIN rt USING (prio) JOIN ct USING (status) CROSS JOIN tot),
+      |s AS (SELECT n, np, ns, CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm
+      |      FROM t GROUP BY 1, 2, 3)
+      |SELECT n, (np - 1)*(ns - 1) AS dof, chi2_ppm,
+      |       CAST(chi2_ppm AS DOUBLE) / 1000000.0 AS chi2
+      |FROM s""".stripMargin
+
+  // ------------------------------------------------------- rank machinery
+  /** Distinct-value rank table for the two-sample tests, two-level so the
+    * global prefix runs over per-BUCKET aggregate rows (bucket =
+    * floor(value), bounded by the VALUE DOMAIN, not the corpus): per
+    * distinct value v — cnt, c1 (sample-1 rows), rows-before across the
+    * whole joint sample (bucket prefix + within-bucket prefix), and the
+    * inclusive per-sample cumulative counts the ECDF needs. All integer. */
+  private def rankTable(spark: SparkSession, dir: String,
+                        g1: String, g2: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+      .where(col("event_type").isin(g1, g2))
+      .select(col("value"), (col("event_type") === g1).cast("long").as("is1"))
+    val byV = ev.groupBy("value")
+      .agg(count(lit(1)).as("cnt"), sum("is1").as("c1"))
+      .withColumn("bucket", expr("cast(floor(value) as long)"))
+      .withColumn("c2", col("cnt") - col("c1"))
+    val perB = byV.groupBy("bucket")
+      .agg(sum("cnt").as("bcnt"), sum("c1").as("bc1"), sum("c2").as("bc2"))
+    val wg = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = perB.select(col("bucket"),
+      coalesce(sum("bcnt").over(wg), lit(0L)).as("bbefore"),
+      coalesce(sum("bc1").over(wg), lit(0L)).as("bbefore1"),
+      coalesce(sum("bc2").over(wg), lit(0L)).as("bbefore2"))
+    val ww = Window.partitionBy("bucket").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wi = Window.partitionBy("bucket").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byV.join(bpre, "bucket")
+      .select(col("value"), col("cnt"), col("c1"), col("c2"),
+        (col("bbefore") + coalesce(sum("cnt").over(ww), lit(0L))).as("before"),
+        (col("bbefore1") + sum("c1").over(wi)).as("cum1"),
+        (col("bbefore2") + sum("c2").over(wi)).as("cum2"))
+  }
+
+  /** The identical SQL text of `rankTable` (DuckDB windowed SUM returns
+    * HUGEINT — cast back at every use site, §4). */
+  private def rankTableSql(g1: String, g2: String): String =
+    s"""ev AS (
+       |  SELECT value, CAST(event_type = '$g1' AS BIGINT) AS is1
+       |  FROM events WHERE event_type IN ('$g1', '$g2')),
+       |byv AS (
+       |  SELECT value, CAST(floor(value) AS BIGINT) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(is1) AS BIGINT) AS c1,
+       |         CAST(count(*) - SUM(is1) AS BIGINT) AS c2
+       |  FROM ev GROUP BY 1, 2),
+       |perb AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS bcnt,
+       |                CAST(SUM(c1) AS BIGINT) AS bc1,
+       |                CAST(SUM(c2) AS BIGINT) AS bc2
+       |         FROM byv GROUP BY 1),
+       |bpre AS (SELECT bucket,
+       |  CAST(COALESCE(SUM(bcnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bbefore,
+       |  CAST(COALESCE(SUM(bc1) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bbefore1,
+       |  CAST(COALESCE(SUM(bc2) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bbefore2
+       |  FROM perb),
+       |rk AS (
+       |  SELECT value, cnt, c1, c2,
+       |    bbefore + CAST(COALESCE(SUM(cnt) OVER (PARTITION BY byv.bucket ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before,
+       |    bbefore1 + CAST(SUM(c1) OVER (PARTITION BY byv.bucket ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+       |    bbefore2 + CAST(SUM(c2) OVER (PARTITION BY byv.bucket ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+       |  FROM byv JOIN bpre USING (bucket))""".stripMargin
+
+  // -------------------------------------------------------- Mann-Whitney
+  /** Mann-Whitney U (Wilcoxon rank-sum) comparing `value` between the
+    * click and purchase event populations. Tie-corrected: ranks are
+    * midranks, carried ×2 so they stay integer (rank2 = 2·minrank+cnt−1);
+    * U likewise ×2 (u1_x2 = 2·R1 − n1(n1+1)). The normal-approximation z
+    * (with the Σ(t³−t) tie correction) is the single double row. */
+  def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val rk = rankTable(spark, dir, "click", "purchase")
+    rk.select(col("c1"), col("cnt"),
+        (col("c1") * (lit(2L) * col("before") + col("cnt") + lit(1L))).as("r1x2"),
+        (col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("t3"))
+      .agg(sum("c1").cast("long").as("n1"),
+        (sum("cnt") - sum("c1")).cast("long").as("n2"),
+        sum("r1x2").cast("long").as("r1x2"),
+        sum("t3").cast("long").as("tsum"))
+      .select(col("n1"), col("n2"),
+        (col("r1x2") - col("n1") * (col("n1") + lit(1L))).as("u1_x2"),
+        (lit(2L) * col("n1") * col("n2") - (col("r1x2") - col("n1") * (col("n1") + lit(1L)))).as("u2_x2"),
+        col("tsum"))
+      .select(col("n1"), col("n2"), col("u1_x2"), col("u2_x2"),
+        expr("(cast(u1_x2 as double) - cast(n1 as double)*cast(n2 as double)) / (2.0 * sqrt(((cast(n1 as double)*cast(n2 as double))/12.0) * ((cast(n1 as double)+cast(n2 as double)+1.0) - cast(tsum as double)/((cast(n1 as double)+cast(n2 as double))*(cast(n1 as double)+cast(n2 as double)-1.0)))))")
+          .as("z"))
+  }
+
+  val qMannWhitneySql: String =
+    s"""WITH ${rankTableSql("click", "purchase")},
+       |agg AS (
+       |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+       |         CAST(SUM(cnt) - SUM(c1) AS BIGINT) AS n2,
+       |         CAST(SUM(c1 * (2*before + cnt + 1)) AS BIGINT) AS r1x2,
+       |         CAST(SUM(cnt*cnt*cnt - cnt) AS BIGINT) AS tsum
+       |  FROM rk),
+       |u AS (SELECT n1, n2, r1x2 - n1*(n1 + 1) AS u1_x2,
+       |             2*n1*n2 - (r1x2 - n1*(n1 + 1)) AS u2_x2, tsum
+       |      FROM agg)
+       |SELECT n1, n2, u1_x2, u2_x2,
+       |  (CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)) / (2.0 * sqrt(((CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE))/12.0) * ((CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)+1.0) - CAST(tsum AS DOUBLE)/((CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE))*(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)-1.0))))) AS z
+       |FROM u""".stripMargin
+
+  // --------------------------------------------------- Kolmogorov-Smirnov
+  /** Two-sample Kolmogorov-Smirnov D between the same two populations:
+    * D = max over observed points of |F1 − F2|, maximized in EXACT integer
+    * cross-multiplied form (d_num = max|cum1·n2 − cum2·n1|; the sup of a
+    * cadlag step difference is attained at an observed point, inclusive
+    * cums). d = d_num/(n1·n2) is the one double. */
+  def qKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val rk = rankTable(spark, dir, "click", "purchase")
+    val tot = rk.agg(sum("c1").cast("long").as("n1"),
+      sum("c2").cast("long").as("n2"))
+    rk.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dd"))
+      .groupBy("n1", "n2")
+      .agg(max("dd").cast("long").as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        expr("cast(d_num as double) / (cast(n1 as double)*cast(n2 as double))").as("d"))
+  }
+
+  val qKsTestSql: String =
+    s"""WITH ${rankTableSql("click", "purchase")},
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+       |               CAST(SUM(c2) AS BIGINT) AS n2 FROM rk),
+       |m AS (SELECT n1, n2, CAST(MAX(abs(cum1*n2 - cum2*n1)) AS BIGINT) AS d_num
+       |      FROM rk CROSS JOIN tot GROUP BY 1, 2)
+       |SELECT n1, n2, d_num,
+       |       CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)) AS d
+       |FROM m""".stripMargin
+
+  // ----------------------------------------------------------------- Gini
+  /** Gini concentration index of per-customer order revenue (the classic
+    * "how concentrated is spend" audit). Money goes integer at the scan
+    * (cents — §4: no decimal rule consulted, no fp sum); the sorted-rank
+    * identity G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n runs two-level: within
+    * REVENUE-BAND rank (numeric-keyed window) + band prefix over per-band
+    * aggregate rows, so Σ i·xᵢ = Σ_bands (before_b·Σx_b + Σ_j j·x_j).
+    * Equal-revenue tie order cannot change the sum (x constant within a
+    * tie ⇒ Σ i·x invariant), custkey tiebreak pins determinism anyway. */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.table(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(expr("cast(round(o_totalprice * 100, 0) as long)")).as("cents"))
+      .withColumn("band", expr("cents div 10000000"))
+    val wj = Window.partitionBy("band").orderBy("cents", "o_custkey")
+    val inner = rev.withColumn("j", row_number().over(wj).cast("long"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("bn"), sum("cents").as("bsum"),
+        sum(col("j") * col("cents")).as("binner"))
+    val wg = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    inner.select(col("bn"), col("bsum"), col("binner"),
+        coalesce(sum("bn").over(wg), lit(0L)).as("bbefore"))
+      .agg(sum("bn").cast("long").as("n_customers"),
+        sum("bsum").cast("long").as("total_cents"),
+        sum(col("bbefore") * col("bsum") + col("binner")).cast("long").as("s1"))
+      .select(col("n_customers"), col("total_cents"),
+        expr("(2.0*cast(s1 as double)) / (cast(n_customers as double)*cast(total_cents as double)) - (cast(n_customers as double)+1.0)/cast(n_customers as double)")
+          .as("gini"))
+  }
+
+  val qGiniSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |b AS (SELECT o_custkey, cents, cents // 10000000 AS band FROM rev),
+      |j AS (SELECT band, cents,
+      |        CAST(row_number() OVER (PARTITION BY band ORDER BY cents, o_custkey) AS BIGINT) AS j
+      |      FROM b),
+      |inner_ AS (SELECT band, CAST(count(*) AS BIGINT) AS bn,
+      |                  CAST(SUM(cents) AS BIGINT) AS bsum,
+      |                  CAST(SUM(j * cents) AS BIGINT) AS binner
+      |           FROM j GROUP BY 1),
+      |pre AS (SELECT bn, bsum, binner,
+      |  CAST(COALESCE(SUM(bn) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bbefore
+      |  FROM inner_),
+      |agg AS (SELECT CAST(SUM(bn) AS BIGINT) AS n_customers,
+      |               CAST(SUM(bsum) AS BIGINT) AS total_cents,
+      |               CAST(SUM(bbefore * bsum + binner) AS BIGINT) AS s1
+      |        FROM pre)
+      |SELECT n_customers, total_cents,
+      |  (2.0*CAST(s1 AS DOUBLE)) / (CAST(n_customers AS DOUBLE)*CAST(total_cents AS DOUBLE)) - (CAST(n_customers AS DOUBLE)+1.0)/CAST(n_customers AS DOUBLE) AS gini
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------- autocorr
+  /** Lag-1..7 Pearson autocorrelation of the DAILY event-count series —
+    * the seasonality probe behind every traffic forecast. Daily counts are
+    * one map-side-combined aggregate (|days| rows, bounded by the time
+    * range); each lag pairs the series with itself via an equi-join on
+    * day+lag over a broadcast 7-row lag grid. All five moment sums are
+    * exact BIGINT; r per lag is one row of identical-text double math.
+    * Missing days pair only where both endpoints exist (join semantics,
+    * identical both engines). */
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.table(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val grid = spark.range(1, 8).select(col("id").as("lag"))
+    val y = daily.select(col("day").as("yday"), col("x").as("y"))
+    daily.crossJoin(broadcast(grid))
+      .join(y, col("day") + col("lag") === col("yday"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        expr("(cast(n_pairs as double)*cast(sxy as double) - cast(sx as double)*cast(sy as double)) / (sqrt(cast(n_pairs as double)*cast(sxx as double) - cast(sx as double)*cast(sx as double)) * sqrt(cast(n_pairs as double)*cast(syy as double) - cast(sy as double)*cast(sy as double)))")
+          .as("r"))
+      .orderBy("lag")
+  }
+
+  val qAutocorrSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |grid AS (SELECT unnest(generate_series(1, 7)) AS lag),
+      |p AS (SELECT g.lag, a.x, b.x AS y
+      |      FROM daily a CROSS JOIN grid g
+      |      JOIN daily b ON a.day + g.lag = b.day),
+      |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |             CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |             CAST(SUM(x*x) AS BIGINT) AS sxx,
+      |             CAST(SUM(y*y) AS BIGINT) AS syy
+      |      FROM p GROUP BY 1)
+      |SELECT lag, n_pairs,
+      |  (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r
+      |FROM m ORDER BY lag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chi2_test" -> qChi2Test,
+    "q_mann_whitney" -> qMannWhitney,
+    "q_ks_test" -> qKsTest,
+    "q_gini" -> qGini,
+    "q_autocorr" -> qAutocorr)
+
+  val oracles: Map[String, String] = Map(
+    "q_chi2_test" -> qChi2TestSql,
+    "q_mann_whitney" -> qMannWhitneySql,
+    "q_ks_test" -> qKsTestSql,
+    "q_gini" -> qGiniSql,
+    "q_autocorr" -> qAutocorrSql)
+}

@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_rfm",           // one-row U/max-day broadcast + value-domain score-map joins
     "q_exp_smooth",    // 20-row weight-grid + one-row day-bounds broadcasts
     "st_forecast",     // same 20-row weight-grid broadcast
-    "d_dup_profile"    // one-row corpus-total broadcast onto the k-histogram rows
+    "d_dup_profile",   // one-row corpus-total broadcast onto the k-histogram rows
+    "q_chi2_test",     // one-row grand-total broadcast onto the |prio|×|status| cells
+    "q_ks_test",       // one-row n1/n2 broadcast onto the distinct-value rank rows
+    "q_autocorr"       // 7-row lag-grid broadcast over per-DAY aggregate rows
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
@@ -77,7 +80,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_skyline",       // prefix-max over per-PRICE-BAND maxes (same two-level scan)
     "q_time_to_event", // prefix-sum over per-HOUR-BUCKET counts (same two-level scan)
     "q_bootstrap_ci",  // nearest-rank over the B=200 per-REPLICATE means
-    "q_rfm"            // cumulatives over METRIC-VALUE-domain aggregate rows
+    "q_rfm",           // cumulatives over METRIC-VALUE-domain aggregate rows
+    "q_mann_whitney",  // bucket prefix over per-VALUE-BUCKET aggregate rows
+    "q_ks_test",       // same two-level rank table
+    "q_gini"           // band prefix over per-REVENUE-BAND aggregate rows
   )
 
   // one planning pass over the whole surface, shared by every assertion
