@@ -281,13 +281,99 @@ object Graph {
        |ORDER BY distance""".stripMargin
   }
 
+  /** Link prediction on the co-supply graph (q_triangle_count's
+    * deterministic rank-based edge set): for every NON-edge pair with at
+    * least one common neighbor, the three classic similarity scores —
+    * common-neighbor count, Jaccard of neighborhoods, and Adamic-Adar
+    * (carried as Σ 10⁶ div deg(n), the exact-integer rendition — the
+    * harmonic damping without a log() in the gate). Top-20 candidates by
+    * (cn, jaccard, ids).
+    *
+    * Shape: candidate generation is the SAME oriented wedge-join the
+    * triangle census runs (common neighbors are wedge midpoints — never
+    * all-pairs); existing edges leave via one anti-join; degrees join in
+    * by node key. At 100 TB the hub-fan guard is the same df-cap the
+    * wedge-join carries there. */
+  def qLinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val pairs = ps.as("a").join(ps.as("b"),
+        col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("lo"), col("b.l_suppkey").as("hi"))
+      .agg(count(lit(1)).as("shared"))
+      .cache()
+    val k = (pairs.count() + 9) / 10
+    val edges = pairs
+      .orderBy(col("shared").desc, col("lo"), col("hi")).limit(k.toInt)
+      .select("lo", "hi")
+      .repartition(col("lo"))
+      .cache()
+    val adj = edges.select(col("lo").as("node"), col("hi").as("nb"))
+      .union(edges.select(col("hi").as("node"), col("lo").as("nb")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val nbDeg = adj.join(deg.select(col("node").as("nb"), col("deg").as("nbdeg")), "nb")
+    val cand = nbDeg.as("x").join(nbDeg.as("y"),
+        col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("u"), col("y.node").as("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div x.nbdeg")).cast("long").as("aa_ppm"))
+    cand.join(edges, cand("u") === edges("lo") && cand("v") === edges("hi"),
+        "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        expr("(1000000 * cn) div (du + dv - cn)").as("jaccard_ppm"),
+        col("aa_ppm"))
+      .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  val qLinkPredictSql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
+      |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+      |    AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
+      |         COUNT(*) OVER () AS np
+      |  FROM pairs),
+      |edges AS MATERIALIZED (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+      |adj AS MATERIALIZED (
+      |  SELECT lo AS node, hi AS nb FROM edges
+      |  UNION ALL SELECT hi, lo FROM edges),
+      |deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      |                     FROM adj GROUP BY 1),
+      |nbdeg AS MATERIALIZED (
+      |  SELECT a.node, a.nb, d.deg AS nbdeg
+      |  FROM adj a JOIN deg d ON d.node = a.nb),
+      |cand AS (
+      |  SELECT x.node AS u, y.node AS v, CAST(COUNT(*) AS BIGINT) AS cn,
+      |         CAST(SUM(1000000 // x.nbdeg) AS BIGINT) AS aa_ppm
+      |  FROM nbdeg x JOIN nbdeg y ON x.nb = y.nb AND x.node < y.node
+      |  GROUP BY 1, 2),
+      |nonedge AS (
+      |  SELECT c.* FROM cand c
+      |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.lo = c.u AND e.hi = c.v))
+      |SELECT n.u, n.v, n.cn,
+      |       (1000000 * n.cn) // (du.deg + dv.deg - n.cn) AS jaccard_ppm,
+      |       n.aa_ppm
+      |FROM nonedge n
+      |JOIN deg du ON du.node = n.u
+      |JOIN deg dv ON dv.node = n.v
+      |ORDER BY n.cn DESC, jaccard_ppm DESC, n.u, n.v LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_triangle_count" -> (qTriangleCount _),
-    "q_bfs_layers" -> (qBfsLayers _))
+    "q_bfs_layers" -> (qBfsLayers _),
+    "q_link_predict" -> (qLinkPredict _))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_triangle_count" -> qTriangleCountSql,
-    "q_bfs_layers" -> qBfsLayersSql)
+    "q_bfs_layers" -> qBfsLayersSql,
+    "q_link_predict" -> qLinkPredictSql)
 }

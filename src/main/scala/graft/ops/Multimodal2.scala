@@ -305,15 +305,92 @@ object Multimodal2 {
        |  CAST(MAX(len) AS BIGINT) AS longest_scene
        |FROM sl GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Voice-activity detection over stub-decoded audio frames: per-frame
+    * energy (the codec stub's luma fold), level threshold (≥ 96 = speech),
+    * consecutive active frames collapsed into segments (gaps-and-islands
+    * on frame index), 1-frame blips dropped (len ≥ 2 — the hangover floor
+    * every production VAD applies). Per-doc report: frame/active counts,
+    * speech segments, longest run, speech ratio in exact ppm.
+    *
+    * m_scene_split's sibling on the AUDIO path: scene cuts threshold the
+    * inter-frame DELTA; VAD thresholds the LEVEL and needs the island
+    * machinery + minimum-duration filter. Payload chunked inside the task
+    * (mapPartitions batch shape) — only per-frame metadata shuffles; the
+    * per-doc windows key on doc_id (numeric, bounded fan = frames/doc).
+    * Stub boundary: a real decoder swaps in for FakeCodec.frameLuma and
+    * this op reverts to rows-only + spec (the r6 contract, stated at
+    * m_frame_sample). */
+  def mAudioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.table(spark, dir, "documents")
+      .where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          payload.grouped(Multimodal.FakeCodec.FrameBytes).zipWithIndex
+            .map { case (chunk, idx) =>
+              (id, idx, Multimodal.FakeCodec.frameLuma(chunk)) }
+        }
+      }.toDF("doc_id", "frame_id", "luma")
+    val perDoc = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("luma") >= 96, 1L).otherwise(0L)).as("n_active"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_id")
+    val segs = frames.where(col("luma") >= 96)
+      .withColumn("grp", col("frame_id") - row_number().over(w))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
+      .where(col("len") >= 2)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"), max("len").cast("long").as("longest"))
+    perDoc.join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest"), lit(0L)).as("longest_segment"),
+        expr("(1000000 * n_active) div n_frames").as("speech_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val mAudioVadSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, fid,
+       |    ${graft.ops.Multimodal.lumaSql("substr(text, fid*64 + 1, 64)")} AS luma
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS fid
+       |        FROM documents WHERE doc_id % 3 = 1)),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |         CAST(SUM(CASE WHEN luma >= 96 THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+       |  FROM f GROUP BY 1),
+       |act AS (
+       |  SELECT doc_id, fid,
+       |    fid - row_number() OVER (PARTITION BY doc_id ORDER BY fid) AS grp
+       |  FROM f WHERE luma >= 96),
+       |runs AS (
+       |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+       |  FROM act GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |segs AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |         CAST(MAX(len) AS BIGINT) AS longest
+       |  FROM runs GROUP BY 1)
+       |SELECT p.doc_id, p.n_frames, p.n_active,
+       |  COALESCE(s.n_segments, 0) AS n_segments,
+       |  COALESCE(s.longest, 0) AS longest_segment,
+       |  (1000000 * p.n_active) // p.n_frames AS speech_ppm
+       |FROM perdoc p LEFT JOIN segs s ON s.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_scene_split" -> (mSceneSplit _),
     "m_cas_dedup" -> (mCasDedup _),
     "m_av_sync" -> (mAvSync _),
-    "m_phash_dedup" -> (mPhashDedup _))
+    "m_phash_dedup" -> (mPhashDedup _),
+    "m_audio_vad" -> (mAudioVad _))
 
   val oracles: Map[String, String] = Map(
     "m_scene_split" -> mSceneSplitSql,
     "m_cas_dedup" -> mCasDedupSql,
     "m_av_sync" -> mAvSyncSql,
-    "m_phash_dedup" -> mPhashDedupSql)
+    "m_phash_dedup" -> mPhashDedupSql,
+    "m_audio_vad" -> mAudioVadSql)
 }

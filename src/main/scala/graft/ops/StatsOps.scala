@@ -305,17 +305,65 @@ object StatsOps {
       |  (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r
       |FROM m ORDER BY lag""".stripMargin
 
+  // ------------------------------------------------------- basket lift
+  /** Market-basket association: top part pairs by LIFT (observed
+    * co-purchase rate over the independence expectation), the classic
+    * "bought together" co-occurrence mining. Pair generation is an
+    * equi-join on l_orderkey — fan bounded by basket size (≤ 7 lines
+    * here), never a part × part product; lift is exact integer ppm
+    * (10⁶·both·n div (cnt1·cnt2)). The support floor is RELATIVE
+    * (both ≥ 2) because an absolute threshold that's dense at sf0.01 is
+    * empty at sf0.1 (measured: both≥3 → 63 pairs vs 2) — the same
+    * scale-honesty lesson as q_triangle_count's rank-based edge set. */
+  def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val supp = items.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val tot = items.agg(countDistinct("ok").cast("long").as("n"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= 2)
+    pairs
+      .join(supp.select(col("pk").as("p1"), col("cnt").as("cnt1")), "p1")
+      .join(supp.select(col("pk").as("p2"), col("cnt").as("cnt2")), "p2")
+      .crossJoin(broadcast(tot))
+      .select(col("p1"), col("p2"), col("n_both"), col("cnt1"), col("cnt2"),
+        expr("(1000000 * n_both * n) div (cnt1 * cnt2)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  val qBasketLiftSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |supp AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT p1, p2, n_both, s1.cnt AS cnt1, s2.cnt AS cnt2,
+      |       (1000000 * n_both * n) // (s1.cnt * s2.cnt) AS lift_ppm
+      |FROM pairs
+      |JOIN supp s1 ON s1.pk = p1
+      |JOIN supp s2 ON s2.pk = p2
+      |CROSS JOIN tot
+      |ORDER BY lift_ppm DESC, p1, p2 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chi2_test" -> qChi2Test,
     "q_mann_whitney" -> qMannWhitney,
     "q_ks_test" -> qKsTest,
     "q_gini" -> qGini,
-    "q_autocorr" -> qAutocorr)
+    "q_autocorr" -> qAutocorr,
+    "q_basket_lift" -> qBasketLift)
 
   val oracles: Map[String, String] = Map(
     "q_chi2_test" -> qChi2TestSql,
     "q_mann_whitney" -> qMannWhitneySql,
     "q_ks_test" -> qKsTestSql,
     "q_gini" -> qGiniSql,
-    "q_autocorr" -> qAutocorrSql)
+    "q_autocorr" -> qAutocorrSql,
+    "q_basket_lift" -> qBasketLiftSql)
 }

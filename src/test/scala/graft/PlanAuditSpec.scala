@@ -65,7 +65,8 @@ class PlanAuditSpec extends SparkSpec {
     "d_dup_profile",   // one-row corpus-total broadcast onto the k-histogram rows
     "q_chi2_test",     // one-row grand-total broadcast onto the |prio|×|status| cells
     "q_ks_test",       // one-row n1/n2 broadcast onto the distinct-value rank rows
-    "q_autocorr"       // 7-row lag-grid broadcast over per-DAY aggregate rows
+    "q_autocorr",      // 7-row lag-grid broadcast over per-DAY aggregate rows
+    "q_basket_lift"    // one-row basket-total broadcast onto the pair rows
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
