@@ -415,17 +415,71 @@ object Dedup2 {
       |    AS redundant_share_ppm
       |FROM cl, t GROUP BY k, n_docs ORDER BY k""".stripMargin
 
+  /** Asymmetric near-dup: shingle CONTAINMENT C(A→B) = |A∩B|/|A| (Broder's
+    * second resemblance measure). Jaccard under-scores a short document
+    * swallowed whole by a long one (the quote / partial-mirror case:
+    * |A∩B|/|A∪B| is small when |B| ≫ |A| even at full containment), so
+    * dedup pipelines run BOTH thresholds. Directed pairs, C ≥ 0.8, jaccard
+    * reported alongside so the asymmetric catches are visible.
+    *
+    * Same inverted-index candidate generation as d_ngram_jaccard (pairs
+    * only for docs sharing a shingle, df-cap skew guard); one extra
+    * direction doubles the pair rows, nothing else. */
+  def dShingleContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.filteredShingles(spark, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") / col("sa.n_sh"), 6)
+          .as("containment"),
+        round(col("shared").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("shared")), 6).as("jaccard"))
+      .where(col("containment") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dShingleContainmentSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(shared*1.0/sa.n_sh, 6) AS containment,
+       |  round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE round(shared*1.0/sa.n_sh, 6) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dup_profile" -> (dDupProfile _),
     "d_lsh_recall" -> (dLshRecall _),
     "d_bloom_ingest" -> (dBloomIngest _),
     "d_cdc_chunks" -> (dCdcChunks _),
-    "d_index_persist" -> (dIndexPersist _))
+    "d_index_persist" -> (dIndexPersist _),
+    "d_shingle_containment" -> (dShingleContainment _))
 
   val oracles: Map[String, String] = Map(
     "d_dup_profile" -> dDupProfileSql,
     "d_lsh_recall" -> dLshRecallSql,
     "d_bloom_ingest" -> dBloomIngestSql,
     "d_cdc_chunks" -> dCdcChunksSql,
-    "d_index_persist" -> dIndexPersistSql)
+    "d_index_persist" -> dIndexPersistSql,
+    "d_shingle_containment" -> dShingleContainmentSql)
 }

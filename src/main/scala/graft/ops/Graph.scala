@@ -365,15 +365,165 @@ object Graph {
       |JOIN deg dv ON dv.node = n.v
       |ORDER BY n.cn DESC, jaccard_ppm DESC, n.u, n.v LIMIT 20""".stripMargin
 
+  /** Degree assortativity of the co-supply graph — Newman's r: the Pearson
+    * correlation of endpoint degrees over the DIRECTED edge-endpoint list
+    * (each undirected edge contributes both orientations, the standard
+    * undirected treatment; symmetry makes Σx = Σy and the two variance
+    * terms equal). Hub-to-hub wiring → r > 0; hub-to-leaf → r < 0. All
+    * moment sums exact BIGINT (degrees bounded by node count), r is one
+    * identical-text IEEE row. One wedge-free pass: edges ⋈ deg twice. */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val pairs = ps.as("a").join(ps.as("b"),
+        col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("lo"), col("b.l_suppkey").as("hi"))
+      .agg(count(lit(1)).as("shared"))
+      .cache()
+    val k = (pairs.count() + 9) / 10
+    val edges = pairs
+      .orderBy(col("shared").desc, col("lo"), col("hi")).limit(k.toInt)
+      .select("lo", "hi")
+      .repartition(col("lo"))
+      .cache()
+    val bidir = edges.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(edges.select(col("hi").as("src"), col("lo").as("dst")))
+    val deg = bidir.groupBy("src").agg(count(lit(1)).as("deg"))
+    bidir
+      .join(deg.select(col("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+      .agg(count(lit(1)).as("n_endpoints"),
+        sum("dx").as("sx"), sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .select(expr("n_endpoints div 2").as("n_edges"),
+        expr("(cast(n_endpoints as double)*cast(sxy as double) - cast(sx as double)*cast(sx as double)) / (cast(n_endpoints as double)*cast(sxx as double) - cast(sx as double)*cast(sx as double))")
+          .as("assortativity"))
+  }
+
+  val qAssortativitySql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
+      |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+      |    AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
+      |         COUNT(*) OVER () AS np
+      |  FROM pairs),
+      |edges AS MATERIALIZED (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+      |bidir AS MATERIALIZED (
+      |  SELECT lo AS src, hi AS dst FROM edges
+      |  UNION ALL SELECT hi, lo FROM edges),
+      |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+      |                     FROM bidir GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_endpoints,
+      |         CAST(SUM(dx.deg) AS BIGINT) AS sx,
+      |         CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy,
+      |         CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx
+      |  FROM bidir b JOIN deg dx ON dx.src = b.src JOIN deg dy ON dy.src = b.dst)
+      |SELECT n_endpoints // 2 AS n_edges,
+      |  (CAST(n_endpoints AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / (CAST(n_endpoints AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS assortativity
+      |FROM m""".stripMargin
+
+  /** 3-core decomposition by iterative peeling: drop nodes with degree < 3
+    * in the surviving induced subgraph until fixpoint, 6 unrolled rounds
+    * (the BFS/PageRank superstep discipline — one deg-aggregate + one
+    * semi-join per round, localCheckpoint lineage bound). Emits one row
+    * per round (nodes removed, nodes surviving); round 6 removing 0 IS the
+    * in-plan convergence evidence (GraphSpec asserts it at test scale; a
+    * graph needing more rounds shows a non-zero tail row — honest, and the
+    * oracle unrolls identically so the gate still matches). The k-core is
+    * THE cheap structural filter before expensive community/embedding
+    * passes at 100 TB: each round is degree-threshold pruning, cost
+    * proportional to surviving edges. */
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val pairs = ps.as("a").join(ps.as("b"),
+        col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("lo"), col("b.l_suppkey").as("hi"))
+      .agg(count(lit(1)).as("shared"))
+      .cache()
+    val k = (pairs.count() + 9) / 10
+    val edges = pairs
+      .orderBy(col("shared").desc, col("lo"), col("hi")).limit(k.toInt)
+      .select("lo", "hi")
+      .repartition(col("lo"))
+      .localCheckpoint()
+    val bidir = edges.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(edges.select(col("hi").as("src"), col("lo").as("dst")))
+      .localCheckpoint()
+    var surv = bidir.select(col("src").as("id")).distinct().localCheckpoint()
+    val rows = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to 6) {
+      val liveDeg = bidir
+        .join(surv.select(col("id").as("src")), "src")
+        .join(surv.select(col("id").as("dst")), "dst")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      val next = liveDeg.where(col("deg") >= 3)
+        .select(col("src").as("id")).localCheckpoint()
+      val removed = surv.join(next, Seq("id"), "left_anti")
+      rows += removed.agg(count(lit(1)).as("n_removed"))
+        .crossJoin(next.agg(count(lit(1)).as("n_surviving")))
+        .select(lit(r).as("round"), col("n_removed"), col("n_surviving"))
+      surv = next
+    }
+    rows.reduce(_ union _).orderBy("round")
+  }
+
+  val qKcoreSql: String = {
+    val steps = (1 to 6).map { r =>
+      val p = r - 1
+      s"""s$r AS MATERIALIZED (
+         |  SELECT b.src AS id FROM bidir b
+         |  JOIN s$p x ON x.id = b.src JOIN s$p y ON y.id = b.dst
+         |  GROUP BY 1 HAVING COUNT(*) >= 3)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to 6).map { r =>
+      val p = r - 1
+      s"""SELECT $r AS round,
+         |  (SELECT COUNT(*) FROM s$p) - (SELECT COUNT(*) FROM s$r) AS n_removed,
+         |  (SELECT COUNT(*) FROM s$r) AS n_surviving""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
+       |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+       |    AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
+       |         COUNT(*) OVER () AS np
+       |  FROM pairs),
+       |edges AS MATERIALIZED (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+       |bidir AS MATERIALIZED (
+       |  SELECT lo AS src, hi AS dst FROM edges
+       |  UNION ALL SELECT hi, lo FROM edges),
+       |s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM bidir),
+       |$steps
+       |SELECT CAST(round AS INT) AS round, CAST(n_removed AS BIGINT) AS n_removed,
+       |       CAST(n_surviving AS BIGINT) AS n_surviving
+       |FROM ($rows)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_bfs_layers" -> (qBfsLayers _),
-    "q_link_predict" -> (qLinkPredict _))
+    "q_link_predict" -> (qLinkPredict _),
+    "q_assortativity" -> (qAssortativity _),
+    "q_kcore" -> (qKcore _))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_bfs_layers" -> qBfsLayersSql,
-    "q_link_predict" -> qLinkPredictSql)
+    "q_link_predict" -> qLinkPredictSql,
+    "q_assortativity" -> qAssortativitySql,
+    "q_kcore" -> qKcoreSql)
 }
