@@ -261,11 +261,64 @@ object Cluster {
        |ORDER BY c.cell""".stripMargin
   }
 
+  /** IVF index-balance telemetry — the number faiss prints after every
+    * coarse-quantizer build: imbalance factor k·Σc²/(Σc)² (1 = perfectly
+    * balanced; probe cost scales with it because query latency follows the
+    * probed cells' sizes), plus min/max/empty cell counts over the FULL
+    * k-cell spine (an empty cell is an index defect — it must appear, not
+    * vanish from the groupBy). Exact integer end-to-end: counts, squares,
+    * one ppm division. s_ann_recall measures the index's RECALL; this op
+    * measures its COST SHAPE — the two numbers an operator tunes nlist
+    * against. One scan-projection assignment + k-row rollup. */
+  def sIvfImbalance(spark: SparkSession, dir: String): DataFrame = {
+    val cents = train(spark, dir, k = 8, rounds = 3)
+    val e = withNorm(spark, dir)
+    val counts = e
+      .select(argmax(cents)(col("embedding"), col("nrm")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("c"))
+    val spine = spark.range(0, 8).select(col("id").cast("int").as("cell"))
+    spine.join(counts, Seq("cell"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("c"))
+      .agg(count(lit(1)).cast("long").as("n_cells"),
+        sum("c").cast("long").as("n_vectors"),
+        min("c").cast("long").as("min_cell"),
+        max("c").cast("long").as("max_cell"),
+        sum(when(col("c") === 0L, 1L).otherwise(0L)).cast("long").as("n_empty"),
+        sum(col("c") * col("c")).cast("long").as("scc"))
+      .select(col("n_cells"), col("n_vectors"), col("min_cell"),
+        col("max_cell"), col("n_empty"),
+        expr("(8000000 * scc) div (n_vectors * n_vectors)").as("imbalance_ppm"))
+  }
+
+  val sIvfImbalanceSql: String = {
+    val rounds = 3
+    s"""WITH ${lloydCtes(k = 8, rounds = rounds)},
+       |fin AS (
+       |  SELECT e.vec_id,
+       |    max(struct_pack(cos := ${cosSql("e.embedding", "e.nrm", "c.cv")},
+       |                    nc := -c.cell)) AS w
+       |  FROM n e CROSS JOIN c$rounds c GROUP BY 1),
+       |cnt AS (SELECT -(w.nc) AS cell, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM fin GROUP BY 1),
+       |spine AS (SELECT unnest(generate_series(0, 7)) AS cell),
+       |f AS (SELECT s.cell, COALESCE(cnt.c, 0) AS c
+       |      FROM spine s LEFT JOIN cnt ON cnt.cell = s.cell)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  CAST(SUM(c) AS BIGINT) AS n_vectors,
+       |  CAST(MIN(c) AS BIGINT) AS min_cell,
+       |  CAST(MAX(c) AS BIGINT) AS max_cell,
+       |  CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       |  CAST((8000000 * SUM(c*c)) // (SUM(c) * SUM(c)) AS BIGINT) AS imbalance_ppm
+       |FROM f""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_kmeans_train" -> (sKmeansTrain _),
-    "s_index_append" -> (sIndexAppend _))
+    "s_index_append" -> (sIndexAppend _),
+    "s_ivf_imbalance" -> (sIvfImbalance _))
 
   val oracles: Map[String, String] = Map(
     "s_kmeans_train" -> sKmeansTrainSql,
-    "s_index_append" -> sIndexAppendSql)
+    "s_index_append" -> sIndexAppendSql,
+    "s_ivf_imbalance" -> sIvfImbalanceSql)
 }

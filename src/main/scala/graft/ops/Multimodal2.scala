@@ -380,17 +380,77 @@ object Multimodal2 {
        |FROM perdoc p LEFT JOIN segs s ON s.doc_id = p.doc_id
        |ORDER BY p.doc_id""".stripMargin
 
+  /** 2-D patch extraction — the ViT patchify plumbing: treat each payload
+    * as a 16-row image in row-major byte layout (W = ⌈len/16⌉ bytes per
+    * row), cut the 8×8 patch grid, and emit per-patch byte extent + the
+    * stub "decode" (luma fold over the patch bytes, gathered row-slice by
+    * row-slice — the strided memory access a real patchifier does). Ragged
+    * right/bottom edges keep their short patches (real patchifiers pad;
+    * the manifest records the true byte extent so the padding policy stays
+    * downstream).
+    *
+    * Same batch-iterator shape as the frame ops: the 2-D gather runs
+    * inside the task, only (doc_id, pr, pc, n_bytes, luma) manifest rows
+    * ever shuffle. Stub boundary as at m_frame_sample. */
+  def mPatchGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .where(col("doc_id") % 7 === 2)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val w = (payload.length + 15) / 16 // bytes per image row (H=16)
+          val pcs = (w + 7) / 8
+          for {
+            pr <- 0 until 2 // 16 rows / 8-row patches
+            pc <- 0 until pcs
+          } yield {
+            val width = math.min(8, w - pc * 8)
+            val tile = (0 until 8).flatMap { i =>
+              val start = (pr * 8 + i) * w + pc * 8
+              payload.slice(start, start + width)
+            }.toArray
+            (id, pr, pc, tile.length, Multimodal.FakeCodec.frameLuma(tile))
+          }
+        }
+      }.toDF("doc_id", "pr", "pc", "n_bytes", "luma")
+      .orderBy("doc_id", "pr", "pc")
+  }
+
+  val mPatchGridSql: String = {
+    val tile =
+      """array_to_string([substr(text, CAST((pr*8 + i)*w + pc*8 + 1 AS BIGINT),
+        |                        CAST(LEAST(8, w - pc*8) AS BIGINT))
+        |                 for i in generate_series(0, 7)], '')""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, text, (length(text) + 15) // 16 AS w
+       |  FROM documents WHERE doc_id % 7 = 2),
+       |g AS (
+       |  SELECT doc_id, text, w, pr.pr, pc.pc
+       |  FROM d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS pr) pr
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, (w + 7) // 8 - 1)) AS pc) pc),
+       |t AS (SELECT doc_id, pr, pc, $tile AS tile FROM g)
+       |SELECT doc_id, CAST(pr AS INT) AS pr, CAST(pc AS INT) AS pc,
+       |  CAST(length(tile) AS INT) AS n_bytes,
+       |  ${graft.ops.Multimodal.lumaSql("tile")} AS luma
+       |FROM t ORDER BY doc_id, pr, pc""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_scene_split" -> (mSceneSplit _),
     "m_cas_dedup" -> (mCasDedup _),
     "m_av_sync" -> (mAvSync _),
     "m_phash_dedup" -> (mPhashDedup _),
-    "m_audio_vad" -> (mAudioVad _))
+    "m_audio_vad" -> (mAudioVad _),
+    "m_patch_grid" -> (mPatchGrid _))
 
   val oracles: Map[String, String] = Map(
     "m_scene_split" -> mSceneSplitSql,
     "m_cas_dedup" -> mCasDedupSql,
     "m_av_sync" -> mAvSyncSql,
     "m_phash_dedup" -> mPhashDedupSql,
-    "m_audio_vad" -> mAudioVadSql)
+    "m_audio_vad" -> mAudioVadSql,
+    "m_patch_grid" -> mPatchGridSql)
 }

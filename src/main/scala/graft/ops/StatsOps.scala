@@ -351,7 +351,60 @@ object StatsOps {
       |CROSS JOIN tot
       |ORDER BY lift_ppm DESC, p1, p2 LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------ runs test
+  /** Wald–Wolfowitz runs test for randomness of the daily traffic
+    * direction: sign of the day-over-day delta of daily event counts
+    * (zeros dropped, the standard treatment), runs R = 1 + sign changes,
+    * normal approximation z = (R − μ)/σ with μ, σ² the exact two-sample
+    * run moments. Everything integer until the one identical-text IEEE z
+    * row. The series is |days| AGGREGATE rows — the lag/change windows are
+    * global but bounded by the time range (whitelisted two-level shape). */
+  def qRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.table(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val wd = Window.orderBy("day")
+    val signs = daily
+      .withColumn("prev", lag("x", 1).over(wd))
+      .where(col("prev").isNotNull && col("x") =!= col("prev"))
+      .select(col("day"), when(col("x") > col("prev"), 1L).otherwise(-1L).as("s"))
+    val ws = Window.orderBy("day")
+    signs
+      .withColumn("sprev", lag("s", 1).over(ws))
+      .select(col("s"),
+        when(col("sprev").isNull || col("s") =!= col("sprev"), 1L)
+          .otherwise(0L).as("newrun"))
+      .agg(sum(when(col("s") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).cast("long").as("n2"),
+        sum("newrun").cast("long").as("runs"))
+      .select(col("n1"), col("n2"), col("runs"),
+        expr("(cast(runs as double) - ((2.0*cast(n1 as double)*cast(n2 as double))/(cast(n1 as double)+cast(n2 as double)) + 1.0)) / sqrt(((2.0*cast(n1 as double)*cast(n2 as double))*(2.0*cast(n1 as double)*cast(n2 as double) - cast(n1 as double) - cast(n2 as double))) / (((cast(n1 as double)+cast(n2 as double))*(cast(n1 as double)+cast(n2 as double)))*(cast(n1 as double)+cast(n2 as double)-1.0)))")
+          .as("z"))
+  }
+
+  val qRunsTestSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT day, x, lag(x) OVER (ORDER BY day) AS prev FROM daily),
+      |s AS (SELECT day, CASE WHEN x > prev THEN 1 ELSE -1 END AS s
+      |      FROM d WHERE prev IS NOT NULL AND x <> prev),
+      |r AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+      |                       OR s <> lag(s) OVER (ORDER BY day)
+      |                     THEN 1 ELSE 0 END AS newrun
+      |      FROM s),
+      |agg AS (
+      |  SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |         CAST(SUM(newrun) AS BIGINT) AS runs
+      |  FROM r)
+      |SELECT n1, n2, runs,
+      |  (CAST(runs AS DOUBLE) - ((2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE))/(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)) + 1.0)) / sqrt(((2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE))*(2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))) / (((CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE))*(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)))*(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)-1.0))) AS z
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_runs_test" -> qRunsTest,
     "q_chi2_test" -> qChi2Test,
     "q_mann_whitney" -> qMannWhitney,
     "q_ks_test" -> qKsTest,
@@ -360,6 +413,7 @@ object StatsOps {
     "q_basket_lift" -> qBasketLift)
 
   val oracles: Map[String, String] = Map(
+    "q_runs_test" -> qRunsTestSql,
     "q_chi2_test" -> qChi2TestSql,
     "q_mann_whitney" -> qMannWhitneySql,
     "q_ks_test" -> qKsTestSql,

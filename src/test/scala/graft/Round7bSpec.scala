@@ -63,6 +63,43 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("q_runs_test: runs count bounded by sign count; z finite") {
+    val r = ops.StatsOps.qRunsTest(spark, sfDir).collect().head
+    val (n1, n2, runs) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("runs"))
+    assert(n1 > 0 && n2 > 0)
+    assert(runs >= 1 && runs <= n1 + n2, s"runs=$runs out of [1, ${n1 + n2}]")
+    assert(!r.getAs[Double]("z").isNaN)
+  }
+
+  test("s_ivf_imbalance: spine complete; imbalance >= 1 (ppm >= 1e6)") {
+    val r = ops.Cluster.sIvfImbalance(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_cells") == 8L)
+    assert(r.getAs[Long]("min_cell") <= r.getAs[Long]("max_cell"))
+    // Cauchy-Schwarz: k·Σc² >= (Σc)², equality iff perfectly balanced
+    assert(r.getAs[Long]("imbalance_ppm") >= 1000000L,
+      "imbalance factor below 1 is mathematically impossible")
+    assert(r.getAs[Long]("n_empty") >= 0 && r.getAs[Long]("n_empty") < 8)
+  }
+
+  test("m_patch_grid: patch extents tile the payload exactly") {
+    val rows = ops.Multimodal2.mPatchGrid(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per doc: sum of patch byte extents == payload length (no byte lost
+    // or double-counted by the 2-D gather), patches per doc == 2 * ceil(W/8)
+    val docs = Tables.table(spark, sfDir, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id") % 7 === 2)
+      .selectExpr("doc_id", "octet_length(encode(text, 'UTF-8')) AS len")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, ps) =>
+      val len = docs(id)
+      val w = (len + 15) / 16
+      assert(ps.map(_.getAs[Int]("n_bytes")).sum == len,
+        s"doc $id: patch extents don't tile the ${len}-byte payload")
+      assert(ps.length == 2 * ((w + 7) / 8), s"doc $id: wrong patch count")
+    }
+  }
+
   test("m_audio_vad: per-doc counts internally consistent") {
     val rows = ops.Multimodal2.mAudioVad(spark, sfDir).collect()
     assert(rows.nonEmpty)
