@@ -1,10 +1,87 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps3
+
 /** Round-7 batch p: graph analytics (link prediction, assortativity,
-  * k-core peel), basket lift, shingle containment, audio VAD. The DuckDB
-  * hash gate is the correctness authority; these pin the invariants a
-  * wrong-but-deterministic change could smuggle past a stale oracle. */
+  * k-core peel), basket lift, shingle containment, audio VAD — plus the
+  * REAL streaming paths of st_anomaly and st_topk (MemoryStream through
+  * flatMapGroupsWithState / stateful aggregation, asserted ≡ the batch
+  * plans the driver gates). The DuckDB hash gate is the correctness
+  * authority; these pin the invariants a wrong-but-deterministic change
+  * could smuggle past a stale oracle. */
 class Round7bSpec extends SparkSpec {
+
+  test("st_anomaly streaming ≡ batch: Welford decimal state across 3 micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch = StreamOps3.stAnomaly(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("event_type"), col("value"),
+        expr("ts div 1000").as("ts_us"), col("event_id"))
+      .as[StreamOps3.AnomEvent]
+      .collect().sortBy(e => (e.ts_us, e.event_id))
+    val chunks = ev.grouped((ev.length + 2) / 3).toSeq
+    assert(chunks.size == 3)
+    val stream = MemoryStream[StreamOps3.AnomEvent]
+    val q = StreamOps3.anomalyStream(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out").start()
+    try {
+      chunks.foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("anom_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> ((rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).max))
+      }
+    assert(batch.nonEmpty, "no scored types at this sf — fixture broken")
+    batch.foreach { case (t, (ns, na, mz)) =>
+      val (gs, ga, gz) = got(t)
+      assert(gs == ns && ga == na,
+        s"$t: stream scored/anomalies ($gs, $ga) != batch ($ns, $na) — " +
+          "the per-event decimal fold diverged from the window sums")
+      val gz4 = BigDecimal(gz).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gz4 - mz) < 1e-12,
+        s"$t: stream max|z| $gz4 != batch $mz")
+    }
+  }
+
+  test("st_topk: streamed stateful counts rank to the identical board") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val board = StreamOps3.stTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"), col("user_id"))
+      .as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    val chunks = ev.grouped((ev.length + 2) / 3).toSeq
+    val stream = MemoryStream[(Long, String, Long)]
+    val counts = StreamOps3.topkCounts(
+      stream.toDS().toDF("ts", "event_type", "user_id"))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("topk_counts").start()
+    try {
+      chunks.foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // rank DOWNSTREAM of the stateful aggregation, as the op documents
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day", "event_type").orderBy(col("c").desc, col("user_id"))
+    val streamed = spark.table("topk_counts")
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      .select("day", "event_type", "rnk", "user_id", "c")
+      .orderBy("day", "event_type", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(board.nonEmpty && streamed == board,
+      "streamed counts do not rank to the batch board")
+  }
 
   test("q_kcore: peel is monotone and converges inside the unrolled rounds") {
     val rows = ops.Graph.qKcore(spark, sfDir).collect()
