@@ -438,13 +438,83 @@ object Multimodal2 {
        |FROM t ORDER BY doc_id, pr, pc""".stripMargin
   }
 
+  /** Container demux: split each payload's interleaved chunk stream by
+    * stream id (stub: first byte mod 2 → video/audio — a real demuxer
+    * reads the container's packet headers) into per-stream manifests, and
+    * report INTERLEAVE HEALTH: the largest index gap between consecutive
+    * video chunks. A muxer that buffers one stream too long produces
+    * exactly this gap spike — players stall on it, and it's the QA number
+    * container pipelines alert on.
+    *
+    * Same batch-iterator decode shape; per-doc numeric-keyed lag window
+    * over chunk-index METADATA only. Stub boundary as at m_frame_sample. */
+  def mContainerDemux(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = Tables.table(spark, dir, "documents")
+      .where(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          payload.grouped(Multimodal.FakeCodec.FrameBytes).zipWithIndex
+            .map { case (chunk, idx) =>
+              (id, idx, (chunk(0) & 0xff) % 2, chunk.length) }
+        }
+      }.toDF("doc_id", "fid", "sid", "len")
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(sum(when(col("sid") === 0, 1L).otherwise(0L)).as("n_video"),
+        sum(when(col("sid") === 1, 1L).otherwise(0L)).as("n_audio"),
+        sum(when(col("sid") === 0, col("len")).otherwise(0L)).cast("long")
+          .as("video_bytes"),
+        sum(when(col("sid") === 1, col("len")).otherwise(0L)).cast("long")
+          .as("audio_bytes"))
+    val w = Window.partitionBy("doc_id").orderBy("fid")
+    val gaps = chunks.where(col("sid") === 0)
+      .withColumn("prev", lag("fid", 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy("doc_id")
+      .agg(max(col("fid") - col("prev")).cast("long").as("max_video_gap"))
+    perDoc.join(gaps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_video"), col("n_audio"),
+        col("video_bytes"), col("audio_bytes"),
+        coalesce(col("max_video_gap"), lit(0L)).as("max_video_gap"))
+      .orderBy("doc_id")
+  }
+
+  val mContainerDemuxSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, fid, substr(text, fid*64 + 1, 64) AS chunk
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS fid
+      |        FROM documents WHERE doc_id % 4 = 3)),
+      |c AS (SELECT doc_id, fid, unicode(substr(chunk, 1, 1)) % 2 AS sid,
+      |             CAST(length(chunk) AS BIGINT) AS len
+      |      FROM f),
+      |perdoc AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN sid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_video,
+      |    CAST(SUM(CASE WHEN sid = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+      |    CAST(SUM(CASE WHEN sid = 0 THEN len ELSE 0 END) AS BIGINT) AS video_bytes,
+      |    CAST(SUM(CASE WHEN sid = 1 THEN len ELSE 0 END) AS BIGINT) AS audio_bytes
+      |  FROM c GROUP BY 1),
+      |g AS (
+      |  SELECT doc_id, fid, lag(fid) OVER (PARTITION BY doc_id ORDER BY fid) AS prev
+      |  FROM c WHERE sid = 0),
+      |mg AS (SELECT doc_id, CAST(MAX(fid - prev) AS BIGINT) AS max_video_gap
+      |       FROM g WHERE prev IS NOT NULL GROUP BY 1)
+      |SELECT p.doc_id, p.n_video, p.n_audio, p.video_bytes, p.audio_bytes,
+      |  COALESCE(mg.max_video_gap, 0) AS max_video_gap
+      |FROM perdoc p LEFT JOIN mg ON mg.doc_id = p.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_scene_split" -> (mSceneSplit _),
     "m_cas_dedup" -> (mCasDedup _),
     "m_av_sync" -> (mAvSync _),
     "m_phash_dedup" -> (mPhashDedup _),
     "m_audio_vad" -> (mAudioVad _),
-    "m_patch_grid" -> (mPatchGrid _))
+    "m_patch_grid" -> (mPatchGrid _),
+    "m_container_demux" -> (mContainerDemux _))
 
   val oracles: Map[String, String] = Map(
     "m_scene_split" -> mSceneSplitSql,
@@ -452,5 +522,6 @@ object Multimodal2 {
     "m_av_sync" -> mAvSyncSql,
     "m_phash_dedup" -> mPhashDedupSql,
     "m_audio_vad" -> mAudioVadSql,
-    "m_patch_grid" -> mPatchGridSql)
+    "m_patch_grid" -> mPatchGridSql,
+    "m_container_demux" -> mContainerDemuxSql)
 }

@@ -560,7 +560,66 @@ object Similarity2 {
        |FROM best ORDER BY ood_score DESC, vec_id LIMIT 20""".stripMargin
   }
 
+  /** Embedding-health telemetry: per-dimension variance profile collapsed
+    * to the numbers an index/training run is gated on — degenerate
+    * (near-zero-variance) dimension count, variance extremes, and the
+    * participation ratio PR = (Σλ)²/Σλ² (effective dimensionality: 64 for
+    * isotropic embeddings, ≪ 64 when mass collapses onto a few axes — the
+    * anisotropy failure every embedding-collapse postmortem starts with).
+    *
+    * Per-dim moments are the stAnomaly decimal discipline (exact sums,
+    * variance = identical-text IEEE row); the PR sums run over the 64
+    * per-dim variance rows in DECIMAL so cross-dim summation order can't
+    * matter. One posexplode scan + map-side-combined (dim) aggregate:
+    * 64 rows cross the shuffle regardless of corpus size. */
+  def sDimVariance(spark: SparkSession, dir: String): DataFrame = {
+    val perDim = graft.Tables.table(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("pos"), col("vf").cast("double").as("v"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(30,6)")).cast("double").as("sx"),
+        sum(expr("cast(round(v * v, 6) as decimal(30,7))")).cast("double").as("sxx"))
+      .select(col("n"),
+        expr("(sxx - (sx*sx)/cast(n as double)) / (cast(n as double) - 1.0)")
+          .as("variance"))
+    perDim
+      .agg(max("n").cast("long").as("n_vectors"),
+        count(lit(1)).cast("long").as("n_dims"),
+        sum(when(col("variance") < 0.0001, 1L).otherwise(0L)).cast("long")
+          .as("n_degenerate"),
+        min("variance").as("var_min"),
+        max("variance").as("var_max"),
+        sum(expr("cast(variance as decimal(15,8))")).as("sv"),
+        sum(expr("cast(variance as decimal(15,8)) * cast(variance as decimal(15,8))"))
+          .as("svv"))
+      .select(col("n_vectors"), col("n_dims"), col("n_degenerate"),
+        col("var_min"), col("var_max"),
+        expr("(cast(sv as double)*cast(sv as double)) / cast(svv as double)")
+          .as("participation_ratio"))
+  }
+
+  val sDimVarianceSql: String =
+    """WITH x AS (
+      |  SELECT t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
+      |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+      |pd AS (
+      |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(30,7))) AS DOUBLE) AS sxx
+      |  FROM x GROUP BY 1),
+      |pv AS (
+      |  SELECT n, (sxx - (sx*sx)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS variance
+      |  FROM pd)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+      |  CAST(COUNT(*) AS BIGINT) AS n_dims,
+      |  CAST(SUM(CASE WHEN variance < 0.0001 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+      |  MIN(variance) AS var_min, MAX(variance) AS var_max,
+      |  (CAST(SUM(CAST(variance AS DECIMAL(15,8))) AS DOUBLE)*CAST(SUM(CAST(variance AS DECIMAL(15,8))) AS DOUBLE)) / CAST(SUM(CAST(variance AS DECIMAL(15,8)) * CAST(variance AS DECIMAL(15,8))) AS DOUBLE) AS participation_ratio
+      |FROM pv""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_dim_variance" -> (sDimVariance _),
     "s_outlier_detect" -> (sOutlierDetect _),
     "s_nsw_search" -> (sNswSearch _),
     "s_tier_report" -> (sTierReport _),
@@ -571,6 +630,7 @@ object Similarity2 {
     "s_tau_sweep" -> (sTauSweep _))
 
   val oracles: Map[String, String] = Map(
+    "s_dim_variance" -> sDimVarianceSql,
     "s_outlier_detect" -> sOutlierDetectSql,
     "s_nsw_search" -> sNswSearchSql,
     "s_tier_report" -> sTierReportSql,

@@ -297,13 +297,71 @@ object StreamOps3 {
        |ORDER BY o.event_type, o.t""".stripMargin
   }
 
+  /** Kappa-architecture cutover audit: a backfill covers days < d0+20, the
+    * live stream starts at d0+19 — one day of deliberate OVERLAP (the
+    * standard anti-gap margin: starting the stream exactly at the boundary
+    * loses in-flight events; starting earlier double-reads). The audit
+    * proves the seam: per type, backfill + live − overlap must equal the
+    * distinct event total — any gap or double-count breaks the identity.
+    * `gapless` carries that proof in-plan.
+    *
+    * This is the REPORT the handoff runs on its first day; Round7bSpec
+    * runs the handoff itself (batch backfill ∪ MemoryStream live tail,
+    * id-deduped at the seam ≡ the full-range batch). One scan, one
+    * one-row min-day broadcast, one aggregate. */
+  def stBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("ts div 86400000000000").as("day"))
+    val bounds = ev.agg(min("day").as("d0"))
+    ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        (col("day") < col("d0") + lit(20L)).as("bf"),
+        (col("day") >= col("d0") + lit(19L)).as("lv"))
+      .groupBy("event_type")
+      .agg(sum(when(col("bf"), 1L).otherwise(0L)).cast("long").as("backfill_events"),
+        sum(when(col("lv"), 1L).otherwise(0L)).cast("long").as("live_events"),
+        sum(when(col("bf") && col("lv"), 1L).otherwise(0L)).cast("long")
+          .as("overlap_events"),
+        count(lit(1)).cast("long").as("total_events"))
+      .select(col("event_type"), col("backfill_events"), col("live_events"),
+        col("overlap_events"), col("total_events"),
+        (col("backfill_events") + col("live_events") - col("overlap_events")
+          === col("total_events")).as("gapless"))
+      .orderBy("event_type")
+  }
+
+  val stBackfillSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |         epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |b AS (SELECT MIN(day) AS d0 FROM ev),
+      |t AS (SELECT event_type,
+      |        CASE WHEN day < d0 + 20 THEN 1 ELSE 0 END AS bf,
+      |        CASE WHEN day >= d0 + 19 THEN 1 ELSE 0 END AS lv
+      |      FROM ev CROSS JOIN b),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(bf) AS BIGINT) AS backfill_events,
+      |    CAST(SUM(lv) AS BIGINT) AS live_events,
+      |    CAST(SUM(bf * lv) AS BIGINT) AS overlap_events,
+      |    CAST(COUNT(*) AS BIGINT) AS total_events
+      |  FROM t GROUP BY 1)
+      |SELECT event_type, backfill_events, live_events, overlap_events,
+      |  total_events,
+      |  (backfill_events + live_events - overlap_events = total_events) AS gapless
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_anomaly" -> (stAnomaly _),
     "st_topk" -> (stTopk _),
-    "st_forecast" -> (stForecast _))
+    "st_forecast" -> (stForecast _),
+    "st_backfill" -> (stBackfill _))
 
   val oracles: Map[String, String] = Map(
     "st_anomaly" -> stAnomalySql,
     "st_topk" -> stTopkSql,
-    "st_forecast" -> stForecastSql)
+    "st_forecast" -> stForecastSql,
+    "st_backfill" -> stBackfillSql)
 }

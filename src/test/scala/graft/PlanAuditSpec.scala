@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ks_test",       // one-row n1/n2 broadcast onto the distinct-value rank rows
     "q_autocorr",      // 7-row lag-grid broadcast over per-DAY aggregate rows
     "q_basket_lift",   // one-row basket-total broadcast onto the pair rows
-    "q_kcore"          // one-row removed×surviving count assembly per round
+    "q_kcore",         // one-row removed×surviving count assembly per round
+    "st_backfill"      // one-row min-day broadcast onto the event scan
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global

@@ -177,6 +177,45 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("st_backfill: the handoff itself — batch backfill ∪ streamed tail, id-deduped, ≡ full batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("ts div 86400000000000").as("day"))
+    val d0 = ev.agg(min("day")).head().getLong(0)
+    val full = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val backfill = ev.where(col("day") < d0 + 20)
+      .select("event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // live tail streams in (one day of overlap with the backfill)
+    val tail = ev.where(col("day") >= d0 + 19)
+      .select(col("event_id"), col("event_type")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val stream = MemoryStream[(Long, String)]
+    val live = stream.toDS().toDF("event_id", "event_type")
+      .dropDuplicates("event_id")
+    val q = live.writeStream.outputMode("append")
+      .format("memory").queryName("live_tail").start()
+    try {
+      tail.grouped(math.max(1, (tail.length + 2) / 3))
+        .foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("live_tail").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // seam dedup: first-writer-wins on event_id (backfill wrote first)
+    val union = (backfill ++ streamed).distinct
+    assert(union.length == backfill.length + streamed.length -
+      streamed.count(s => backfill.contains(s)), "dedup sanity")
+    val got = union.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(got == full,
+      s"handoff lost or duplicated events: got $got expected $full")
+    // and the op's own report certifies the identity
+    val report = graft.streaming.StreamOps3.stBackfill(spark, sfDir).collect()
+    assert(report.nonEmpty && report.forall(_.getAs[Boolean]("gapless")))
+  }
+
   test("m_audio_vad: per-doc counts internally consistent") {
     val rows = ops.Multimodal2.mAudioVad(spark, sfDir).collect()
     assert(rows.nonEmpty)
