@@ -82,10 +82,15 @@ object StatsOps {
     * whole joint sample (bucket prefix + within-bucket prefix), and the
     * inclusive per-sample cumulative counts the ECDF needs. All integer. */
   private def rankTable(spark: SparkSession, dir: String,
-                        g1: String, g2: String): DataFrame = {
-    val ev = Tables.table(spark, dir, "events")
+                        g1: String, g2: String): DataFrame =
+    rankTableOf(Tables.table(spark, dir, "events")
       .where(col("event_type").isin(g1, g2))
-      .select(col("value"), (col("event_type") === g1).cast("long").as("is1"))
+      .select(col("value"), (col("event_type") === g1).cast("long").as("is1")))
+
+  /** Same machinery over an arbitrary (value: double, is1: 0/1) frame —
+    * lets the property spec drive random samples through the identical
+    * two-level plan the driver ops run. */
+  private[graft] def rankTableOf(ev: DataFrame): DataFrame = {
     val byV = ev.groupBy("value")
       .agg(count(lit(1)).as("cnt"), sum("is1").as("c1"))
       .withColumn("bucket", expr("cast(floor(value) as long)"))
