@@ -91,10 +91,13 @@ object StatsOps {
     * lets the property spec drive random samples through the identical
     * two-level plan the driver ops run. */
   private[graft] def rankTableOf(ev: DataFrame): DataFrame = {
+    // distinct-value aggregate feeds both the bucket prefix and the final
+    // join — cache it instead of re-scanning the source twice
     val byV = ev.groupBy("value")
       .agg(count(lit(1)).as("cnt"), sum("is1").as("c1"))
       .withColumn("bucket", expr("cast(floor(value) as long)"))
       .withColumn("c2", col("cnt") - col("c1"))
+      .cache()
     val perB = byV.groupBy("bucket")
       .agg(sum("cnt").as("bcnt"), sum("c1").as("bc1"), sum("c2").as("bc2"))
     val wg = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -321,8 +324,11 @@ object StatsOps {
     * empty at sf0.1 (measured: both≥3 → 63 pairs vs 2) — the same
     * scale-honesty lesson as q_triangle_count's rank-based edge set. */
   def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    // one distinct-items scan feeds pair generation (twice), supports and
+    // the basket total — cache it instead of re-scanning lineitem 5×
     val items = Tables.table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .cache()
     val supp = items.groupBy("pk").agg(count(lit(1)).as("cnt"))
     val tot = items.agg(countDistinct("ok").cast("long").as("n"))
     val pairs = items.as("a").join(items.as("b"),
