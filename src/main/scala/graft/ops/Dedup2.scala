@@ -467,7 +467,57 @@ object Dedup2 {
        |WHERE round(shared*1.0/sa.n_sh, 6) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Corpus novelty curve: per 100-doc ingest bucket, what fraction of
+    * shingles had never been seen in any EARLIER document (first_seen =
+    * min doc_id per shingle — one map-side-combined aggregate, no ordered
+    * scan). The declining-novelty curve is how corpus collection decides
+    * when a source is mined out — the marginal-value number next to
+    * d_dup_profile's literal-dup rate. Uses the UNfiltered shingle
+    * universe (the df-cap would drop exactly the repeated shingles novelty
+    * measures); hashed shingles are equality-equivalent to the oracle's
+    * strings (the documented 2⁻⁶⁴ contract at Dedup.shingles). */
+  def dNoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(spark, dir).cache()
+    val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+    val perDoc = sh.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    perDoc.groupBy(expr("doc_id div 100").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_sh").cast("long").as("total_shingles"),
+        sum("n_novel").cast("long").as("novel_shingles"))
+      .select(col("bucket"), col("n_docs"), col("total_shingles"),
+        col("novel_shingles"),
+        expr("(1000000 * novel_shingles) div total_shingles").as("novelty_ppm"))
+      .orderBy("bucket")
+  }
+
+  val dNoveltyCurveSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |fs AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+       |pd AS (
+       |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+       |    CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM sh s JOIN fs f ON f.shingle = s.shingle GROUP BY 1)
+       |SELECT doc_id // 100 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_sh) AS BIGINT) AS total_shingles,
+       |  CAST(SUM(n_novel) AS BIGINT) AS novel_shingles,
+       |  (1000000 * CAST(SUM(n_novel) AS BIGINT)) // CAST(SUM(n_sh) AS BIGINT) AS novelty_ppm
+       |FROM pd GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_novelty_curve" -> (dNoveltyCurve _),
     "d_dup_profile" -> (dDupProfile _),
     "d_lsh_recall" -> (dLshRecall _),
     "d_bloom_ingest" -> (dBloomIngest _),
@@ -476,6 +526,7 @@ object Dedup2 {
     "d_shingle_containment" -> (dShingleContainment _))
 
   val oracles: Map[String, String] = Map(
+    "d_novelty_curve" -> dNoveltyCurveSql,
     "d_dup_profile" -> dDupProfileSql,
     "d_lsh_recall" -> dLshRecallSql,
     "d_bloom_ingest" -> dBloomIngestSql,

@@ -511,13 +511,99 @@ object Graph {
        |ORDER BY round""".stripMargin
   }
 
+  /** Newman modularity of the NATION partition on the co-supply graph —
+    * "do suppliers co-supply within their nation more than chance?" Per
+    * community: node count, internal edges e_c, degree sum d_c, and the
+    * exact-ppm modularity contribution (4m·e_c − d_c²)·10⁶ div 4m² (the
+    * e_c/m − (d_c/2m)² term, integer end-to-end; negative = the community
+    * is LESS intra-wired than the configuration-model expectation). The
+    * judge of any community detection run is this number against a
+    * candidate partition; here the partition is the natural metadata one.
+    * Shape: edge set ⋈ supplier nation twice (equi-joins on suppkey), two
+    * map-side-combined aggregates, one-row m broadcast. */
+  def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val pairs = ps.as("a").join(ps.as("b"),
+        col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("lo"), col("b.l_suppkey").as("hi"))
+      .agg(count(lit(1)).as("shared"))
+      .cache()
+    val k = (pairs.count() + 9) / 10
+    val edges = pairs
+      .orderBy(col("shared").desc, col("lo"), col("hi")).limit(k.toInt)
+      .select("lo", "hi")
+      .repartition(col("lo"))
+      .cache()
+    val nat = Tables.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("com"))
+    val tagged = edges
+      .join(nat.select(col("s_suppkey").as("lo"), col("com").as("clo")), "lo")
+      .join(nat.select(col("s_suppkey").as("hi"), col("com").as("chi")), "hi")
+    val m = tagged.agg(count(lit(1)).cast("long").as("m"))
+    val eIn = tagged.where(col("clo") === col("chi"))
+      .groupBy(col("clo").as("com")).agg(count(lit(1)).as("e_in"))
+    val dSum = tagged.select(col("clo").as("com"))
+      .union(tagged.select(col("chi").as("com")))
+      .groupBy("com").agg(count(lit(1)).as("d_sum"))
+    val nNodes = edges.select(col("lo").as("s_suppkey"))
+      .union(edges.select(col("hi").as("s_suppkey"))).distinct()
+      .join(nat, "s_suppkey")
+      .groupBy("com").agg(count(lit(1)).as("n_nodes"))
+    nNodes.join(dSum, "com").join(eIn, Seq("com"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("com"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("internal_edges"),
+        col("d_sum").as("degree_sum"),
+        expr("(1000000 * (4 * m * coalesce(e_in, 0) - d_sum * d_sum)) div (4 * m * m)")
+          .as("contribution_ppm"))
+      .orderBy("com")
+  }
+
+  val qModularitySql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
+      |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+      |    AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
+      |         COUNT(*) OVER () AS np
+      |  FROM pairs),
+      |edges AS MATERIALIZED (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+      |nat AS (SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS com FROM supplier),
+      |tagged AS MATERIALIZED (
+      |  SELECT e.lo, e.hi, nl.com AS clo, nh.com AS chi
+      |  FROM edges e JOIN nat nl ON nl.s_suppkey = e.lo
+      |               JOIN nat nh ON nh.s_suppkey = e.hi),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM tagged),
+      |ein AS (SELECT clo AS com, CAST(COUNT(*) AS BIGINT) AS e_in
+      |        FROM tagged WHERE clo = chi GROUP BY 1),
+      |dsum AS (SELECT com, CAST(COUNT(*) AS BIGINT) AS d_sum FROM (
+      |           SELECT clo AS com FROM tagged
+      |           UNION ALL SELECT chi FROM tagged) GROUP BY 1),
+      |nn AS (SELECT n.com, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+      |         SELECT DISTINCT id FROM (
+      |           SELECT lo AS id FROM edges UNION ALL SELECT hi FROM edges)) s
+      |       JOIN nat n ON n.s_suppkey = s.id GROUP BY 1)
+      |SELECT nn.com, nn.n_nodes, COALESCE(ein.e_in, 0) AS internal_edges,
+      |  dsum.d_sum AS degree_sum,
+      |  (1000000 * (4 * m.m * COALESCE(ein.e_in, 0) - dsum.d_sum * dsum.d_sum)) // (4 * m.m * m.m) AS contribution_ppm
+      |FROM nn JOIN dsum ON dsum.com = nn.com
+      |LEFT JOIN ein ON ein.com = nn.com
+      |CROSS JOIN m
+      |ORDER BY nn.com""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_bfs_layers" -> (qBfsLayers _),
     "q_link_predict" -> (qLinkPredict _),
     "q_assortativity" -> (qAssortativity _),
-    "q_kcore" -> (qKcore _))
+    "q_kcore" -> (qKcore _),
+    "q_modularity" -> (qModularity _))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
@@ -525,5 +611,6 @@ object Graph {
     "q_bfs_layers" -> qBfsLayersSql,
     "q_link_predict" -> qLinkPredictSql,
     "q_assortativity" -> qAssortativitySql,
-    "q_kcore" -> qKcoreSql)
+    "q_kcore" -> qKcoreSql,
+    "q_modularity" -> qModularitySql)
 }

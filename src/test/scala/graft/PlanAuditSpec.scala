@@ -68,7 +68,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_autocorr",      // 7-row lag-grid broadcast over per-DAY aggregate rows
     "q_basket_lift",   // one-row basket-total broadcast onto the pair rows
     "q_kcore",         // one-row removed×surviving count assembly per round
-    "st_backfill"      // one-row min-day broadcast onto the event scan
+    "st_backfill",     // one-row min-day broadcast onto the event scan
+    "q_modularity"     // one-row edge-count broadcast onto the community rows
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
