@@ -313,6 +313,48 @@ object StatsOps {
       |  (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r
       |FROM m ORDER BY lag""".stripMargin
 
+  // ---------------------------------------------------------------- anova
+  /** One-way ANOVA: does mean `value` differ across the five event types?
+    * Completes the classical-test family (Welch t, chi-square, MW, KS,
+    * runs): per-group n/Σv/Σv² in the exact decimal discipline, then the
+    * textbook decomposition SSB = Σ nᵍ·meanᵍ² − n·mean², SSW = SST − SSB
+    * and F = (SSB/(k−1))/(SSW/(n−k)) as ONE identical-text IEEE row over
+    * the k=5 group rows (cross-group sums run in DECIMAL so partial-agg
+    * order can't matter). One map-side-combined aggregate to k rows. */
+  def qAnova(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).as("sx"),
+        sum(expr("cast(round(value * value, 6) as decimal(30,7))")).as("sxx"))
+    g.agg(count(lit(1)).cast("long").as("k"),
+        sum("n").cast("long").as("n"),
+        sum("sx").cast("double").as("tsx"),
+        sum("sxx").cast("double").as("tsxx"),
+        // Σ n_g·mean_g² with the per-group division in double, the
+        // cross-group sum in decimal (identical text both engines)
+        sum(expr("cast((cast(sx as double)*cast(sx as double))/cast(n as double) as decimal(30,6))"))
+          .cast("double").as("sb"))
+      .select(col("k"), col("n"),
+        expr("((sb - (tsx*tsx)/cast(n as double)) / (cast(k as double) - 1.0)) / (((tsxx - sb)) / (cast(n as double) - cast(k as double)))")
+          .as("f_stat"))
+  }
+
+  val qAnovaSql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(value AS DECIMAL(30,6))) AS sx,
+      |    SUM(CAST(round(value * value, 6) AS DECIMAL(30,7))) AS sxx
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+      |    CAST(SUM(sx) AS DOUBLE) AS tsx, CAST(SUM(sxx) AS DOUBLE) AS tsxx,
+      |    CAST(SUM(CAST((CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))/CAST(n AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sb
+      |  FROM g)
+      |SELECT k, n,
+      |  ((sb - (tsx*tsx)/CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) / (((tsxx - sb)) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
+      |FROM t""".stripMargin
+
   // ------------------------------------------------------- basket lift
   /** Market-basket association: top part pairs by LIFT (observed
     * co-purchase rate over the independence expectation), the classic
@@ -416,6 +458,7 @@ object StatsOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_runs_test" -> qRunsTest,
+    "q_anova" -> qAnova,
     "q_chi2_test" -> qChi2Test,
     "q_mann_whitney" -> qMannWhitney,
     "q_ks_test" -> qKsTest,
@@ -425,6 +468,7 @@ object StatsOps {
 
   val oracles: Map[String, String] = Map(
     "q_runs_test" -> qRunsTestSql,
+    "q_anova" -> qAnovaSql,
     "q_chi2_test" -> qChi2TestSql,
     "q_mann_whitney" -> qMannWhitneySql,
     "q_ks_test" -> qKsTestSql,

@@ -31,4 +31,29 @@ class AnnCacheSpec extends SparkSpec {
       ops.ModelCache.clear()
     }
   }
+
+  test("cached co-supply edge set is result-invisible to the graph ops") {
+    // the r7 graph build/query split (coSupplyEdges memo): the edge set is
+    // a deterministic function of (data, recipe), so a graph op over the
+    // cached list must emit the identical rows as the in-query derivation
+    def rows() = ops.Graph.qTriangleCount(spark, sfDir).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    ops.ModelCache.clear()
+    ops.ModelCache.enabled = false
+    val uncached = rows()
+    try {
+      ops.ModelCache.enabled = true
+      val coldCache = rows()
+      val warmCache = rows()
+      assert(coldCache.sameElements(uncached),
+        "first cached run diverged from the in-query edge derivation")
+      assert(warmCache.sameElements(uncached),
+        "edge-list reuse changed query results")
+      assert(ops.ModelCache.buildSecs.exists(_._1.startsWith("cosupply:")),
+        "edge build cost must be reported as a build line")
+    } finally {
+      ops.ModelCache.enabled = false
+      ops.ModelCache.clear()
+    }
+  }
 }
