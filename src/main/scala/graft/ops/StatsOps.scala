@@ -355,6 +355,91 @@ object StatsOps {
       |  ((sb - (tsx*tsx)/CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) / (((tsxx - sb)) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
       |FROM t""".stripMargin
 
+  // ------------------------------------------------------------ spearman
+  /** Midrank table for ONE variable: (value, rank2 = 2·midrank), the same
+    * two-level bucket-prefix shape as [[rankTableOf]] (global window over
+    * per-BUCKET aggregate rows only). `bucket` must be a monotone integer
+    * function of `value` (same text both engines). */
+  private def rank2Of(src: DataFrame, bucketExpr: String): DataFrame = {
+    val byV = src.groupBy("value").agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", expr(bucketExpr))
+      .cache()
+    val perB = byV.groupBy("bucket").agg(sum("cnt").as("bcnt"))
+    val wg = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = perB.select(col("bucket"),
+      coalesce(sum("bcnt").over(wg), lit(0L)).as("bbefore"))
+    val ww = Window.partitionBy("bucket").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byV.join(bpre, "bucket")
+      .select(col("value"),
+        (lit(2L) * (col("bbefore") + coalesce(sum("cnt").over(ww), lit(0L)))
+          + col("cnt") + lit(1L)).as("rank2"))
+  }
+
+  /** Spearman rank correlation between line quantity and extended price —
+    * the monotone-association test Pearson's r (q_corr_matrix) misses when
+    * the relation is nonlinear. Midranks carried ×2 so every rank is an
+    * exact BIGINT (dense ties: quantity has ~50 distinct values); ρ =
+    * Pearson on the rank2 columns, with the five moment sums exact BIGINT
+    * (bounded by 4n³ — fits to ~sf1; the decimal escalation is the
+    * documented path beyond) and the ratio one identical-text IEEE row.
+    * Each variable's rank map is value-domain-sized and joins back by
+    * value (equi-join) — rows never globally sort. */
+  def qSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"))
+    val rq = rank2Of(li.select(col("l_quantity").as("value")),
+      "cast(floor(value) as long)")
+      .select(col("value").as("l_quantity"), col("rank2").as("rx"))
+    val rp = rank2Of(li.select(col("l_extendedprice").as("value")),
+      "cast(floor(value / 1000.0) as long)")
+      .select(col("value").as("l_extendedprice"), col("rank2").as("ry"))
+    li.join(rq, "l_quantity").join(rp, "l_extendedprice")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("rx").cast("long").as("sx"), sum("ry").cast("long").as("sy"),
+        sum(col("rx") * col("ry")).cast("long").as("sxy"),
+        sum(col("rx") * col("rx")).cast("long").as("sxx"),
+        sum(col("ry") * col("ry")).cast("long").as("syy"))
+      .select(col("n"),
+        expr("(cast(n as double)*cast(sxy as double) - cast(sx as double)*cast(sy as double)) / (sqrt(cast(n as double)*cast(sxx as double) - cast(sx as double)*cast(sx as double)) * sqrt(cast(n as double)*cast(syy as double) - cast(sy as double)*cast(sy as double)))")
+          .as("rho"))
+  }
+
+  val qSpearmanSql: String = {
+    def rankCte(src: String, bucket: String, nm: String): String =
+      s"""${nm}v AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM $src GROUP BY 1),
+         |${nm}b AS (SELECT $bucket AS bucket, value, cnt FROM ${nm}v),
+         |${nm}p AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS bcnt
+         |        FROM ${nm}b GROUP BY 1),
+         |${nm}pre AS (SELECT bucket,
+         |  CAST(COALESCE(SUM(bcnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bbefore
+         |  FROM ${nm}p),
+         |${nm}r AS (
+         |  SELECT value,
+         |    2*(bbefore + CAST(COALESCE(SUM(cnt) OVER (PARTITION BY b.bucket ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)) + cnt + 1 AS rank2
+         |  FROM ${nm}b b JOIN ${nm}pre USING (bucket))""".stripMargin
+    s"""WITH ${rankCte("(SELECT l_quantity AS value FROM lineitem)",
+        "CAST(floor(value) AS BIGINT)", "q")},
+       |${rankCte("(SELECT l_extendedprice AS value FROM lineitem)",
+        "CAST(floor(value / 1000.0) AS BIGINT)", "p")},
+       |j AS (
+       |  SELECT qr.rank2 AS rx, pr.rank2 AS ry
+       |  FROM lineitem l
+       |  JOIN qr ON qr.value = l.l_quantity
+       |  JOIN pr ON pr.value = l.l_extendedprice),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+       |    CAST(SUM(rx*ry) AS BIGINT) AS sxy,
+       |    CAST(SUM(rx*rx) AS BIGINT) AS sxx,
+       |    CAST(SUM(ry*ry) AS BIGINT) AS syy
+       |  FROM j)
+       |SELECT n,
+       |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS rho
+       |FROM m""".stripMargin
+  }
+
   // ------------------------------------------------------- basket lift
   /** Market-basket association: top part pairs by LIFT (observed
     * co-purchase rate over the independence expectation), the classic
@@ -459,6 +544,7 @@ object StatsOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_runs_test" -> qRunsTest,
     "q_anova" -> qAnova,
+    "q_spearman" -> qSpearman,
     "q_chi2_test" -> qChi2Test,
     "q_mann_whitney" -> qMannWhitney,
     "q_ks_test" -> qKsTest,
@@ -469,6 +555,7 @@ object StatsOps {
   val oracles: Map[String, String] = Map(
     "q_runs_test" -> qRunsTestSql,
     "q_anova" -> qAnovaSql,
+    "q_spearman" -> qSpearmanSql,
     "q_chi2_test" -> qChi2TestSql,
     "q_mann_whitney" -> qMannWhitneySql,
     "q_ks_test" -> qKsTestSql,

@@ -88,7 +88,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_mann_whitney",  // bucket prefix over per-VALUE-BUCKET aggregate rows
     "q_ks_test",       // same two-level rank table
     "q_gini",          // band prefix over per-REVENUE-BAND aggregate rows
-    "q_runs_test"      // lag/run windows over per-DAY aggregate rows
+    "q_runs_test",     // lag/run windows over per-DAY aggregate rows
+    "q_spearman"       // bucket prefixes over per-VALUE-BUCKET aggregate rows
   )
 
   // one planning pass over the whole surface, shared by every assertion
