@@ -95,6 +95,11 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*CREATE\s+HISTOGRAM\s+(?:ON\s+)?(?:(\w+)\.)?(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
   private val showHist =
     """(?is)\s*SHOW\s+HISTOGRAM\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*""".r
+  // DDL round-trip: reconstruct a CREATE statement from catalog metadata
+  // (schema + partition spec + sort order + CHECK constraints + props) —
+  // the client-side verb every SQL tool expects next to DESCRIBE
+  private val showCreate =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -249,6 +254,25 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.showHistogram(nsName, table, colName)
           .toDF("bucket", "lo", "hi", "n_rows")
+
+      case showCreate(ns, table) => // DDL round-trip from catalog metadata
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val rows = catalog.describeFull(nsName, table)
+        val cols = rows.collect { case ("schema", c, t) => s"  $c ${t.toUpperCase}" }
+        val parts = rows.collect { case ("partition_spec", c, _) => c }
+        val sorts = rows.collect { case ("sort_order", c, d) => s"$c ${d.toUpperCase}" }
+        val checks = catalog.checkConstraints(nsName, table).toSeq.sortBy(_._1)
+          .map { case (name, pred) => s"  CONSTRAINT $name CHECK ($pred)" }
+        val props = rows.collect {
+          case ("properties", k, v) if !k.startsWith("check.") => s"'$k' = '$v'"
+        }
+        val ddl = new StringBuilder(s"CREATE TABLE $nsName.$table (\n")
+        ddl ++= (cols ++ checks).mkString(",\n")
+        ddl ++= "\n)"
+        if (parts.nonEmpty) ddl ++= s"\nPARTITIONED BY (${parts.mkString(", ")})"
+        if (sorts.nonEmpty) ddl ++= s"\nSORTED BY (${sorts.mkString(", ")})"
+        if (props.nonEmpty) ddl ++= s"\nTBLPROPERTIES (${props.mkString(", ")})"
+        Seq(ddl.toString).toDF("create_stmt")
 
       case cherryPickVerb(branch, ns, table) => // Iceberg cherrypick_snapshot:
         // land a branch's audited append on a main that moved past the

@@ -51,6 +51,7 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
       tool("query_catalog", "Interact with the lake catalog",
         "Catalog and maintenance verbs: LIST NAMESPACES [IN ns]; " +
           "LIST TABLES [IN ns]; DESCRIBE TABLE [ns.]t; " +
+          "SHOW CREATE TABLE [ns.]t; " +
           "SHOW SNAPSHOTS|FILES|BOUNDS|REFS|STATS|BLOOMS|HISTORY IN [ns.]t; " +
           "SHOW PARTITION SPEC IN [ns.]t; SHOW PARTITIONS IN [ns.]t; " +
           "CREATE TAG name IN [ns.]t AS OF v; FAST FORWARD [ns.]t branch; " +
