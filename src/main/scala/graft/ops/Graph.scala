@@ -425,19 +425,24 @@ object Graph {
     * THE cheap structural filter before expensive community/embedding
     * passes at 100 TB: each round is degree-threshold pruning, cost
     * proportional to surviving edges. */
-  def qKcore(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coSupplyEdges(spark, dir).localCheckpoint()
+  def qKcore(spark: SparkSession, dir: String): DataFrame =
+    kcorePeel(coSupplyEdges(spark, dir).localCheckpoint(), k = 3, rounds = 6)
+
+  /** The peel loop over an arbitrary (lo, hi) edge frame — GraphPropSpec
+    * drives random graphs through the identical distributed plan and
+    * checks each round against an in-memory reference peel. */
+  private[graft] def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val bidir = edges.select(col("lo").as("src"), col("hi").as("dst"))
       .union(edges.select(col("hi").as("src"), col("lo").as("dst")))
       .localCheckpoint()
     var surv = bidir.select(col("src").as("id")).distinct().localCheckpoint()
     val rows = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    for (r <- 1 to 6) {
+    for (r <- 1 to rounds) {
       val liveDeg = bidir
         .join(surv.select(col("id").as("src")), "src")
         .join(surv.select(col("id").as("dst")), "dst")
         .groupBy("src").agg(count(lit(1)).as("deg"))
-      val next = liveDeg.where(col("deg") >= 3)
+      val next = liveDeg.where(col("deg") >= k)
         .select(col("src").as("id")).localCheckpoint()
       val removed = surv.join(next, Seq("id"), "left_anti")
       rows += removed.agg(count(lit(1)).as("n_removed"))
