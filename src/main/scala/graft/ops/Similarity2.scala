@@ -618,8 +618,66 @@ object Similarity2 {
       |  (CAST(SUM(CAST(variance AS DECIMAL(15,8))) AS DOUBLE)*CAST(SUM(CAST(variance AS DECIMAL(15,8))) AS DOUBLE)) / CAST(SUM(CAST(variance AS DECIMAL(15,8)) * CAST(variance AS DECIMAL(15,8))) AS DOUBLE) AS participation_ratio
       |FROM pv""".stripMargin
 
+  /** Embedding drift between two corpus cohorts (vec_id parity as the
+    * stand-in for "last month vs this month"): per-dimension decimal-exact
+    * mean shift, L2² of the mean-shift vector (cross-dim sum in DECIMAL so
+    * order can't matter), the largest single-dimension shift, and the
+    * count of dimensions shifted beyond 0.01 — the drift gate an embedding
+    * pipeline runs before trusting a frozen ANN index on new data
+    * (s_index_append watches per-cell counts; this watches the SPACE).
+    * Two map-side-combined (dim) aggregates + one 64-row join. */
+  def sEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
+    def dimMeans(half: DataFrame): DataFrame = half
+      .select(posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("pos"), col("vf").cast("double").as("v"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(30,6)")).cast("double").as("sx"))
+      .select(col("pos"), col("n"),
+        expr("sx / cast(n as double)").as("m"))
+    val e = graft.Tables.table(spark, dir, "embeddings")
+    val a = dimMeans(e.where(col("vec_id") % 2 === 0))
+      .select(col("pos"), col("n").as("n_a"), col("m").as("ma"))
+    val b = dimMeans(e.where(col("vec_id") % 2 === 1))
+      .select(col("pos"), col("n").as("n_b"), col("m").as("mb"))
+    a.join(b, "pos")
+      .select(col("n_a"), col("n_b"),
+        expr("ma - mb").as("shift"),
+        expr("cast((ma - mb)*(ma - mb) as decimal(25,12))").as("sh2"))
+      .groupBy()
+      .agg(max("n_a").cast("long").as("n_a"),
+        max("n_b").cast("long").as("n_b"),
+        sum("sh2").cast("double").as("l2_sq"),
+        max(abs(col("shift"))).as("max_dim_shift"),
+        sum(when(abs(col("shift")) > 0.01, 1L).otherwise(0L)).cast("long")
+          .as("n_drifted_dims"))
+  }
+
+  val sEmbedDriftSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
+      |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+      |a AS (
+      |  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n_a,
+      |    CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ma
+      |  FROM x WHERE vec_id % 2 = 0 GROUP BY 1),
+      |b AS (
+      |  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n_b,
+      |    CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mb
+      |  FROM x WHERE vec_id % 2 = 1 GROUP BY 1),
+      |j AS (
+      |  SELECT n_a, n_b, ma - mb AS shift,
+      |         CAST((ma - mb)*(ma - mb) AS DECIMAL(25,12)) AS sh2
+      |  FROM a JOIN b USING (pos))
+      |SELECT CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+      |  CAST(SUM(sh2) AS DOUBLE) AS l2_sq,
+      |  MAX(abs(shift)) AS max_dim_shift,
+      |  CAST(SUM(CASE WHEN abs(shift) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted_dims
+      |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_dim_variance" -> (sDimVariance _),
+    "s_embed_drift" -> (sEmbedDrift _),
     "s_outlier_detect" -> (sOutlierDetect _),
     "s_nsw_search" -> (sNswSearch _),
     "s_tier_report" -> (sTierReport _),
@@ -631,6 +689,7 @@ object Similarity2 {
 
   val oracles: Map[String, String] = Map(
     "s_dim_variance" -> sDimVarianceSql,
+    "s_embed_drift" -> sEmbedDriftSql,
     "s_outlier_detect" -> sOutlierDetectSql,
     "s_nsw_search" -> sNswSearchSql,
     "s_tier_report" -> sTierReportSql,

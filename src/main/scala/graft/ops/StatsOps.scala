@@ -440,6 +440,124 @@ object StatsOps {
        |FROM m""".stripMargin
   }
 
+  // ------------------------------------------------------------ abc
+  /** ABC / Pareto analysis of part revenue: class A = parts covering the
+    * first 70% of revenue (descending), B to 90%, C the tail — the 80/20
+    * classification every inventory/curation triage runs. Money integer at
+    * the scan (cents); the descending cumulative uses the two-level band
+    * identity (prefix of REVENUE-BAND aggregate sums + within-band prefix,
+    * both exact BIGINT), class cuts compare 10·cum_before against 7·T/9·T
+    * — all integer, no share division until the 3-row report. */
+  def qAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.table(spark, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100, 0) as long)")).as("cents"))
+      .withColumn("band", expr("cents div 100000"))
+    val perB = rev.groupBy("band").agg(sum("cents").as("bsum"))
+    val wg = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = perB.select(col("band"),
+      coalesce(sum("bsum").over(wg), lit(0L)).as("bbefore"))
+    val ww = Window.partitionBy("band")
+      .orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = rev.agg(sum("cents").cast("long").as("t"))
+    rev.join(bpre, "band")
+      .withColumn("before",
+        col("bbefore") + coalesce(sum("cents").over(ww), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("cents"),
+        when(col("before") * 10 < col("t") * 7, "A")
+          .when(col("before") * 10 < col("t") * 9, "B")
+          .otherwise("C").as("abc_class"),
+        col("t"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        sum("cents").cast("long").as("revenue_cents"),
+        expr("(1000000 * cast(sum(cents) as bigint)) div max(t)").as("share_ppm"))
+      .orderBy("abc_class")
+  }
+
+  val qAbcAnalysisSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |         CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |b AS (SELECT l_partkey, cents, cents // 100000 AS band FROM rev),
+      |perb AS (SELECT band, CAST(SUM(cents) AS BIGINT) AS bsum FROM b GROUP BY 1),
+      |bpre AS (SELECT band,
+      |  CAST(COALESCE(SUM(bsum) OVER (ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bbefore
+      |  FROM perb),
+      |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+      |pre AS (
+      |  SELECT cents,
+      |    bbefore + CAST(COALESCE(SUM(cents) OVER (PARTITION BY b.band ORDER BY cents DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+      |  FROM b JOIN bpre USING (band)),
+      |cls AS (
+      |  SELECT cents, t,
+      |    CASE WHEN before * 10 < t * 7 THEN 'A'
+      |         WHEN before * 10 < t * 9 THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM pre CROSS JOIN tot)
+      |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+      |  (1000000 * CAST(SUM(cents) AS BIGINT)) // MAX(t) AS share_ppm
+      |FROM cls GROUP BY 1 ORDER BY abc_class""".stripMargin
+
+  // --------------------------------------------------------- control chart
+  /** XmR (individuals + moving range) control chart on the daily event
+    * count series — the SPC standard for low-frequency process monitoring
+    * (st_anomaly is its per-event high-frequency sibling). Exact integer
+    * Σx and ΣMR; the limits x̄ ± 2.66·M̄R and the violation count are one
+    * identical-text IEEE pass over the |days| aggregate rows. */
+  def qControlChart(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.table(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val wd = Window.orderBy("day")
+    val mr = daily.withColumn("prev", lag("x", 1).over(wd))
+      .withColumn("mr", abs(col("x") - col("prev")))
+    val lim = mr.agg(count(lit(1)).cast("long").as("n_days"),
+        sum("x").cast("long").as("sx"),
+        sum("mr").cast("long").as("smr"))
+      .select(col("n_days"), col("sx"), col("smr"),
+        expr("cast(sx as double)/cast(n_days as double) + 2.66 * (cast(smr as double)/(cast(n_days as double) - 1.0))").as("ucl"),
+        expr("cast(sx as double)/cast(n_days as double) - 2.66 * (cast(smr as double)/(cast(n_days as double) - 1.0))").as("lcl"))
+    daily.crossJoin(broadcast(lim))
+      .groupBy("n_days", "sx", "smr", "ucl", "lcl")
+      .agg(sum(when(col("x").cast("double") > col("ucl"), 1L)
+          .when(col("x").cast("double") < col("lcl"), 1L)
+          .otherwise(0L)).cast("long").as("n_violations"))
+      .select(col("n_days"),
+        expr("cast(sx as double)/cast(n_days as double)").as("mean_x"),
+        expr("cast(smr as double)/(cast(n_days as double) - 1.0)").as("mr_bar"),
+        col("ucl"), col("lcl"), col("n_violations"))
+  }
+
+  val qControlChartSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT day, x, abs(x - lag(x) OVER (ORDER BY day)) AS mr FROM daily),
+      |lim AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(mr) AS BIGINT) AS smr
+      |  FROM m),
+      |l2 AS (
+      |  SELECT n_days, sx, smr,
+      |    CAST(sx AS DOUBLE)/CAST(n_days AS DOUBLE) + 2.66 * (CAST(smr AS DOUBLE)/(CAST(n_days AS DOUBLE) - 1.0)) AS ucl,
+      |    CAST(sx AS DOUBLE)/CAST(n_days AS DOUBLE) - 2.66 * (CAST(smr AS DOUBLE)/(CAST(n_days AS DOUBLE) - 1.0)) AS lcl
+      |  FROM lim)
+      |SELECT n_days,
+      |  CAST(sx AS DOUBLE)/CAST(n_days AS DOUBLE) AS mean_x,
+      |  CAST(smr AS DOUBLE)/(CAST(n_days AS DOUBLE) - 1.0) AS mr_bar,
+      |  ucl, lcl,
+      |  (SELECT CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > l2.ucl THEN 1
+      |                        WHEN CAST(x AS DOUBLE) < l2.lcl THEN 1
+      |                        ELSE 0 END) AS BIGINT) FROM daily) AS n_violations
+      |FROM l2""".stripMargin
+
   // ------------------------------------------------------- basket lift
   /** Market-basket association: top part pairs by LIFT (observed
     * co-purchase rate over the independence expectation), the classic
@@ -545,6 +663,8 @@ object StatsOps {
     "q_runs_test" -> qRunsTest,
     "q_anova" -> qAnova,
     "q_spearman" -> qSpearman,
+    "q_abc_analysis" -> qAbcAnalysis,
+    "q_control_chart" -> qControlChart,
     "q_chi2_test" -> qChi2Test,
     "q_mann_whitney" -> qMannWhitney,
     "q_ks_test" -> qKsTest,
@@ -556,6 +676,8 @@ object StatsOps {
     "q_runs_test" -> qRunsTestSql,
     "q_anova" -> qAnovaSql,
     "q_spearman" -> qSpearmanSql,
+    "q_abc_analysis" -> qAbcAnalysisSql,
+    "q_control_chart" -> qControlChartSql,
     "q_chi2_test" -> qChi2TestSql,
     "q_mann_whitney" -> qMannWhitneySql,
     "q_ks_test" -> qKsTestSql,

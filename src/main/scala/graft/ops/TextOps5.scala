@@ -154,13 +154,58 @@ object TextOps5 {
       |  CAST(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS BIGINT) AS hapax_ppm
       |FROM wc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Word burstiness (Church & Gale): variance-to-mean ratio of per-doc
+    * occurrence counts across the docs that CONTAIN the word. Content
+    * words burst (a doc about X says X many times → VMR ≫ 1); function
+    * words approach Poisson (VMR ≈ 1) — the signal that separates topical
+    * vocabulary from glue, orthogonal to raw frequency (t_zipf_slope) and
+    * to contrastive weight (t_tfidf). Per-(word, doc) counts are exact
+    * BIGINT, so Σc and Σc² are exact and VMR is one identical-text IEEE
+    * row per word; report = top-30 by document frequency (df ≥ 20),
+    * TakeOrderedAndProject. */
+  def tBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val wd = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+    wd.groupBy("w")
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum("c").cast("long").as("tf"),
+        sum(col("c") * col("c")).cast("long").as("scc"))
+      .where(col("df") >= 20)
+      .select(col("w"), col("df"), col("tf"),
+        expr("((cast(scc as double) - (cast(tf as double)*cast(tf as double))/cast(df as double)) / (cast(df as double) - 1.0)) / (cast(tf as double)/cast(df as double))")
+          .as("burstiness"))
+      .orderBy(col("df").desc, col("w"))
+      .limit(30)
+  }
+
+  val tBurstinessSql: String =
+    """WITH wd AS (
+      |  SELECT doc_id, w.word AS w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word) w
+      |  WHERE length(w.word) > 0
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(c) AS BIGINT) AS tf,
+      |    CAST(SUM(c*c) AS BIGINT) AS scc
+      |  FROM wd GROUP BY 1 HAVING COUNT(*) >= 20)
+      |SELECT w, df, tf,
+      |  ((CAST(scc AS DOUBLE) - (CAST(tf AS DOUBLE)*CAST(tf AS DOUBLE))/CAST(df AS DOUBLE)) / (CAST(df AS DOUBLE) - 1.0)) / (CAST(tf AS DOUBLE)/CAST(df AS DOUBLE)) AS burstiness
+      |FROM agg ORDER BY df DESC, w LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_gopher_filter" -> (tGopherFilter _),
     "t_pmi_bigrams" -> (tPmiBigrams _),
-    "t_lexical_diversity" -> (tLexicalDiversity _))
+    "t_lexical_diversity" -> (tLexicalDiversity _),
+    "t_burstiness" -> (tBurstiness _))
 
   val oracles: Map[String, String] = Map(
     "t_gopher_filter" -> tGopherFilterSql,
     "t_pmi_bigrams" -> tPmiBigramsSql,
-    "t_lexical_diversity" -> tLexicalDiversitySql)
+    "t_lexical_diversity" -> tLexicalDiversitySql,
+    "t_burstiness" -> tBurstinessSql)
 }

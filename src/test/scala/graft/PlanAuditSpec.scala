@@ -69,7 +69,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_basket_lift",   // one-row basket-total broadcast onto the pair rows
     "q_kcore",         // one-row removed×surviving count assembly per round
     "st_backfill",     // one-row min-day broadcast onto the event scan
-    "q_modularity"     // one-row edge-count broadcast onto the community rows
+    "q_modularity",    // one-row edge-count broadcast onto the community rows
+    "q_abc_analysis",  // one-row revenue-total broadcast onto the part rows
+    "q_control_chart"  // one-row control-limits broadcast onto the day rows
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
@@ -89,7 +91,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_ks_test",       // same two-level rank table
     "q_gini",          // band prefix over per-REVENUE-BAND aggregate rows
     "q_runs_test",     // lag/run windows over per-DAY aggregate rows
-    "q_spearman"       // bucket prefixes over per-VALUE-BUCKET aggregate rows
+    "q_spearman",      // bucket prefixes over per-VALUE-BUCKET aggregate rows
+    "q_abc_analysis",  // band prefix over per-REVENUE-BAND aggregate sums
+    "q_control_chart"  // lag window over per-DAY aggregate rows
   )
 
   // one planning pass over the whole surface, shared by every assertion
