@@ -558,6 +558,79 @@ object StatsOps {
       |                        ELSE 0 END) AS BIGINT) FROM daily) AS n_violations
       |FROM l2""".stripMargin
 
+  // ------------------------------------------------------ growth accounting
+  /** Weekly growth accounting: every active user classified as NEW (first
+    * week), RETAINED (also active last week), or RESURRECTED (seen before,
+    * inactive last week), plus last week's CHURN (active then, not now) —
+    * the standard decomposition that explains a flat DAU line (q_dau_mau
+    * measures the level; this explains its movement). Identity
+    * active_w = new + retained + resurrected is carried in-plan.
+    *
+    * Shape: raw events collapse to the (user, week) GRID first (one
+    * distinct — never raw events in the joins); classification is three
+    * self-joins of the grid on (user, week±1) + one first-week min-agg,
+    * all map-side-combinable equi-joins. */
+  def qGrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.table(spark, dir, "events")
+      .select(col("user_id"), expr("(ts div 86400000000000) div 7").as("w"))
+      .distinct().cache()
+    val first = uw.groupBy("user_id").agg(min("w").as("fw"))
+    val prev = uw.select(col("user_id"), (col("w") + 1).as("w"),
+      lit(1L).as("was_prev"))
+    val cls = uw.join(first, "user_id")
+      .join(prev, Seq("user_id", "w"), "left")
+      .select(col("w"),
+        when(col("fw") === col("w"), "new")
+          .when(col("was_prev").isNotNull, "retained")
+          .otherwise("resurrected").as("cls"))
+      .groupBy("w").pivot("cls", Seq("new", "retained", "resurrected"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("new", "n_new")
+      .withColumnRenamed("retained", "n_retained")
+      .withColumnRenamed("resurrected", "n_resurrected")
+    val nxt = uw.select(col("user_id"), (col("w") - 1).as("w"))
+    val churn = uw.join(nxt.withColumn("still", lit(1L)),
+        Seq("user_id", "w"), "left")
+      .where(col("still").isNull)
+      .groupBy((col("w") + 1).as("w"))
+      .agg(count(lit(1)).as("churned_in"))
+    cls.join(churn, Seq("w"), "left")
+      .select(col("w"), col("n_new"), col("n_retained"), col("n_resurrected"),
+        (col("n_new") + col("n_retained") + col("n_resurrected")).as("active"),
+        coalesce(col("churned_in"), lit(0L)).as("churned_from_prev"))
+      .orderBy("w")
+  }
+
+  val qGrowthAccountingSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |         (epoch_ns(ts) // 86400000000000) // 7 AS w
+      |  FROM events),
+      |first_ AS (SELECT user_id, MIN(w) AS fw FROM uw GROUP BY 1),
+      |cls AS (
+      |  SELECT u.w,
+      |    CASE WHEN f.fw = u.w THEN 'new'
+      |         WHEN p.user_id IS NOT NULL THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM uw u JOIN first_ f USING (user_id)
+      |  LEFT JOIN uw p ON p.user_id = u.user_id AND p.w = u.w - 1),
+      |piv AS (
+      |  SELECT w,
+      |    CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM cls GROUP BY 1),
+      |churn AS (
+      |  SELECT u.w + 1 AS w, CAST(COUNT(*) AS BIGINT) AS churned_in
+      |  FROM uw u LEFT JOIN uw n ON n.user_id = u.user_id AND n.w = u.w + 1
+      |  WHERE n.user_id IS NULL GROUP BY 1)
+      |SELECT p.w, p.n_new, p.n_retained, p.n_resurrected,
+      |  p.n_new + p.n_retained + p.n_resurrected AS active,
+      |  COALESCE(c.churned_in, 0) AS churned_from_prev
+      |FROM piv p LEFT JOIN churn c ON c.w = p.w
+      |ORDER BY p.w""".stripMargin
+
   // ------------------------------------------------------- basket lift
   /** Market-basket association: top part pairs by LIFT (observed
     * co-purchase rate over the independence expectation), the classic
@@ -664,6 +737,7 @@ object StatsOps {
     "q_anova" -> qAnova,
     "q_spearman" -> qSpearman,
     "q_abc_analysis" -> qAbcAnalysis,
+    "q_growth_accounting" -> qGrowthAccounting,
     "q_control_chart" -> qControlChart,
     "q_chi2_test" -> qChi2Test,
     "q_mann_whitney" -> qMannWhitney,
@@ -677,6 +751,7 @@ object StatsOps {
     "q_anova" -> qAnovaSql,
     "q_spearman" -> qSpearmanSql,
     "q_abc_analysis" -> qAbcAnalysisSql,
+    "q_growth_accounting" -> qGrowthAccountingSql,
     "q_control_chart" -> qControlChartSql,
     "q_chi2_test" -> qChi2TestSql,
     "q_mann_whitney" -> qMannWhitneySql,

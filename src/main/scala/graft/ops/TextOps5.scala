@@ -197,15 +197,82 @@ object TextOps5 {
       |  ((CAST(scc AS DOUBLE) - (CAST(tf AS DOUBLE)*CAST(tf AS DOUBLE))/CAST(df AS DOUBLE)) / (CAST(df AS DOUBLE) - 1.0)) / (CAST(tf AS DOUBLE)/CAST(df AS DOUBLE)) AS burstiness
       |FROM agg ORDER BY df DESC, w LIMIT 30""".stripMargin
 
+  /** Code-vs-prose routing: per-source counts of documents that read as
+    * source code — the modality router a mixed web crawl runs before
+    * sending docs to the code or prose pipeline (tokenizers, quality
+    * rules and dedup keys all differ by branch). Signals, all exact
+    * integer ppm: code-symbol density ({}();=[]<>), digit density, and
+    * language-keyword hits (def/class/import/return/function/var/const) —
+    * is_code when symbols ≥ 2% of chars with ≥ 2 keyword hits, or
+    * symbols ≥ 5% alone. Scan-projection regex algebra, one map-side
+    * rollup to |sources| rows. */
+  def tCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[{}();=\\[\\]<>]", "")))
+          .cast("long").as("n_sym"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_dig"),
+        expr("regexp_count(text, '\\\\b(def|class|import|return|function|var|const)\\\\b')")
+          .cast("long").as("kw_hits"))
+      .where(col("n_chars") > 0)
+      .select(col("source"), col("n_chars"),
+        expr("(1000000 * n_sym) div n_chars").as("sym_ppm"),
+        expr("(1000000 * n_dig) div n_chars").as("dig_ppm"),
+        col("kw_hits"))
+      .withColumn("is_code",
+        (col("sym_ppm") >= 20000 && col("kw_hits") >= 2) ||
+          col("sym_ppm") >= 50000)
+    docs.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("is_code"), 1L).otherwise(0L)).cast("long").as("n_code"),
+        sum("sym_ppm").cast("long").as("sym_ppm_sum"),
+        sum("dig_ppm").cast("long").as("dig_ppm_sum"),
+        sum("kw_hits").cast("long").as("kw_hits_total"))
+      .select(col("source"), col("n_docs"), col("n_code"),
+        expr("sym_ppm_sum div n_docs").as("mean_sym_ppm"),
+        expr("dig_ppm_sum div n_docs").as("mean_dig_ppm"),
+        col("kw_hits_total"))
+      .orderBy("source")
+  }
+
+  val tCodeDetectSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[{}();=\[\]<>]', '', 'g')) AS BIGINT) AS n_sym,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_dig,
+      |    CAST(len(regexp_extract_all(text, '\b(def|class|import|return|function|var|const)\b')) AS BIGINT) AS kw_hits
+      |  FROM documents WHERE length(text) > 0),
+      |p AS (
+      |  SELECT source, n_chars,
+      |    (1000000 * n_sym) // n_chars AS sym_ppm,
+      |    (1000000 * n_dig) // n_chars AS dig_ppm,
+      |    kw_hits,
+      |    ((1000000 * n_sym) // n_chars >= 20000 AND kw_hits >= 2)
+      |      OR (1000000 * n_sym) // n_chars >= 50000 AS is_code
+      |  FROM d)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+      |  CAST(SUM(sym_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_sym_ppm,
+      |  CAST(SUM(dig_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_dig_ppm,
+      |  CAST(SUM(kw_hits) AS BIGINT) AS kw_hits_total
+      |FROM p GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_gopher_filter" -> (tGopherFilter _),
     "t_pmi_bigrams" -> (tPmiBigrams _),
     "t_lexical_diversity" -> (tLexicalDiversity _),
-    "t_burstiness" -> (tBurstiness _))
+    "t_burstiness" -> (tBurstiness _),
+    "t_code_detect" -> (tCodeDetect _))
 
   val oracles: Map[String, String] = Map(
     "t_gopher_filter" -> tGopherFilterSql,
     "t_pmi_bigrams" -> tPmiBigramsSql,
     "t_lexical_diversity" -> tLexicalDiversitySql,
-    "t_burstiness" -> tBurstinessSql)
+    "t_burstiness" -> tBurstinessSql,
+    "t_code_detect" -> tCodeDetectSql)
 }
