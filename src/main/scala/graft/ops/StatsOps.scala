@@ -631,6 +631,95 @@ object StatsOps {
       |FROM piv p LEFT JOIN churn c ON c.w = p.w
       |ORDER BY p.w""".stripMargin
 
+  // ------------------------------------------------------- cycle time
+  /** Order-to-ship cycle time per priority class: exact day deltas from
+    * the orders⋈lineitem equi-join, nearest-rank p50/p90 WITHOUT a global
+    * sort (the q_time_to_event two-level identity over DAY-DELTA buckets —
+    * the delta domain is bounded by business rules, not data volume), plus
+    * mean in exact ppm-days. The ops dashboard number behind every
+    * "are we shipping slower?" question. */
+  def qCycleTime(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "orders")
+      .join(Tables.table(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        expr("datediff(l_shipdate, o_orderdate)").cast("long").as("dd"))
+    val byDelta = d.groupBy("prio", "dd").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("prio").orderBy("dd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = d.groupBy("prio").agg(count(lit(1)).as("n"),
+      sum("dd").cast("long").as("sdd"))
+    val cum = byDelta.withColumn("cum", sum("cnt").over(wc))
+      .join(tot, "prio")
+    def rankAt(q: Long, of: Long): org.apache.spark.sql.Column =
+      (col("cum") * of >= col("n") * q) && ((col("cum") - col("cnt")) * of < col("n") * q)
+    cum.groupBy("prio")
+      .agg(max("n").cast("long").as("n_lines"),
+        max(when(rankAt(50, 100), col("dd"))).cast("long").as("p50_days"),
+        max(when(rankAt(90, 100), col("dd"))).cast("long").as("p90_days"),
+        expr("(1000000 * max(sdd)) div max(n)").as("mean_ppm_days"))
+      .orderBy("prio")
+  }
+
+  val qCycleTimeSql: String =
+    """WITH d AS (
+      |  SELECT o_orderpriority AS prio,
+      |         CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS dd
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |bd AS (SELECT prio, dd, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+      |tot AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+      |               CAST(SUM(dd) AS BIGINT) AS sdd FROM d GROUP BY 1),
+      |cum AS (
+      |  SELECT bd.prio, dd, cnt, n, sdd,
+      |    CAST(SUM(cnt) OVER (PARTITION BY bd.prio ORDER BY dd
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM bd JOIN tot ON tot.prio = bd.prio)
+      |SELECT prio, CAST(MAX(n) AS BIGINT) AS n_lines,
+      |  CAST(MAX(CASE WHEN cum * 100 >= n * 50 AND (cum - cnt) * 100 < n * 50 THEN dd END) AS BIGINT) AS p50_days,
+      |  CAST(MAX(CASE WHEN cum * 100 >= n * 90 AND (cum - cnt) * 100 < n * 90 THEN dd END) AS BIGINT) AS p90_days,
+      |  (1000000 * MAX(sdd)) // MAX(n) AS mean_ppm_days
+      |FROM cum GROUP BY 1 ORDER BY prio""".stripMargin
+
+  // ------------------------------------------------------- backlog age
+  /** Open-order backlog aging as of the corpus horizon (max order date):
+    * orders still in status 'O' bucketed into the standard 0-30/31-60/
+    * 61-90/90+ day aging bands, with counts and exact open value in cents
+    * per band — the receivables-style aging report. One scan + one-row
+    * horizon broadcast + one map-side rollup. */
+  def qBacklogAge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(spark, dir, "orders")
+    val hor = o.agg(max(expr("cast(o_orderdate as date)")).as("h"))
+    o.where(col("o_orderstatus") === "O")
+      .crossJoin(broadcast(hor))
+      .select(expr("datediff(h, cast(o_orderdate as date))").cast("long").as("age"),
+        expr("cast(round(o_totalprice * 100, 0) as long)").as("cents"))
+      .select(when(col("age") <= 30, "00-30")
+          .when(col("age") <= 60, "31-60")
+          .when(col("age") <= 90, "61-90")
+          .otherwise("90+").as("age_band"),
+        col("cents"))
+      .groupBy("age_band")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum("cents").cast("long").as("open_cents"))
+      .orderBy("age_band")
+  }
+
+  val qBacklogAgeSql: String =
+    """WITH hor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders),
+      |a AS (
+      |  SELECT CAST(datediff('day', CAST(o_orderdate AS DATE), h) AS BIGINT) AS age,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders CROSS JOIN hor WHERE o_orderstatus = 'O'),
+      |b AS (
+      |  SELECT CASE WHEN age <= 30 THEN '00-30'
+      |              WHEN age <= 60 THEN '31-60'
+      |              WHEN age <= 90 THEN '61-90'
+      |              ELSE '90+' END AS age_band, cents
+      |  FROM a)
+      |SELECT age_band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS open_cents
+      |FROM b GROUP BY 1 ORDER BY age_band""".stripMargin
+
   // ------------------------------------------------------- basket lift
   /** Market-basket association: top part pairs by LIFT (observed
     * co-purchase rate over the independence expectation), the classic
@@ -738,6 +827,8 @@ object StatsOps {
     "q_spearman" -> qSpearman,
     "q_abc_analysis" -> qAbcAnalysis,
     "q_growth_accounting" -> qGrowthAccounting,
+    "q_cycle_time" -> qCycleTime,
+    "q_backlog_age" -> qBacklogAge,
     "q_control_chart" -> qControlChart,
     "q_chi2_test" -> qChi2Test,
     "q_mann_whitney" -> qMannWhitney,
@@ -752,6 +843,8 @@ object StatsOps {
     "q_spearman" -> qSpearmanSql,
     "q_abc_analysis" -> qAbcAnalysisSql,
     "q_growth_accounting" -> qGrowthAccountingSql,
+    "q_cycle_time" -> qCycleTimeSql,
+    "q_backlog_age" -> qBacklogAgeSql,
     "q_control_chart" -> qControlChartSql,
     "q_chi2_test" -> qChi2TestSql,
     "q_mann_whitney" -> qMannWhitneySql,

@@ -71,7 +71,8 @@ class PlanAuditSpec extends SparkSpec {
     "st_backfill",     // one-row min-day broadcast onto the event scan
     "q_modularity",    // one-row edge-count broadcast onto the community rows
     "q_abc_analysis",  // one-row revenue-total broadcast onto the part rows
-    "q_control_chart"  // one-row control-limits broadcast onto the day rows
+    "q_control_chart", // one-row control-limits broadcast onto the day rows
+    "q_backlog_age"    // one-row horizon-date broadcast onto the open orders
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
