@@ -1,0 +1,87 @@
+package graft
+
+/** Round-7 batch q: operational/statistical analytics invariants — ABC
+  * classes, growth accounting conservation, cycle-time monotonicity,
+  * control-chart limits, burstiness floor, ANOVA/Spearman ranges. */
+class Round7cSpec2 extends SparkSpec {
+
+  test("q_abc_analysis: classes partition revenue; shares ordered A >= B-range >= C-tail") {
+    val rows = ops.StatsOps.qAbcAnalysis(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet.subsetOf(Set("A", "B", "C")) && rows.contains("A"))
+    val shares = rows.view.mapValues(_._3).toMap
+    // A covers ~70% (boundary part may overshoot), B ~20, C ~10
+    assert(shares("A") >= 650000 && shares("A") <= 800000, s"A share ${shares("A")}")
+    assert(shares.values.sum >= 999998 && shares.values.sum <= 1000002,
+      s"shares must sum to ~1e6 ppm: $shares")
+    // every part classified exactly once: n_parts sums to the part count
+    val nParts = Tables.table(spark, sfDir, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.values.map(_._1).sum == nParts)
+  }
+
+  test("q_growth_accounting: conservation + first week is all-new") {
+    val rows = ops.StatsOps.qGrowthAccounting(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"))
+    }
+    val first = rows.minBy(_.getAs[Long]("w"))
+    assert(first.getAs[Long]("n_retained") == 0 && first.getAs[Long]("n_resurrected") == 0,
+      "week 0 must classify everyone as new")
+  }
+
+  test("q_cycle_time: p50 <= p90 and both within the observed delta range") {
+    val rows = ops.StatsOps.qCycleTime(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (p50, p90) = (r.getAs[Long]("p50_days"), r.getAs[Long]("p90_days"))
+      assert(p50 <= p90, s"${r.getString(0)}: p50 $p50 > p90 $p90")
+      assert(p50 >= 0 && p90 <= 3660, "ship delay out of sane range")
+    }
+  }
+
+  test("q_backlog_age: bands partition the open orders") {
+    val rows = ops.StatsOps.qBacklogAge(spark, sfDir).collect()
+    val openCount = Tables.table(spark, sfDir, "orders")
+      .where(org.apache.spark.sql.functions.col("o_orderstatus") === "O").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == openCount)
+  }
+
+  test("q_control_chart: lcl < mean < ucl; violations bounded by day count") {
+    val r = ops.StatsOps.qControlChart(spark, sfDir).collect().head
+    assert(r.getAs[Double]("lcl") < r.getAs[Double]("mean_x"))
+    assert(r.getAs[Double]("mean_x") < r.getAs[Double]("ucl"))
+    assert(r.getAs[Long]("n_violations") <= r.getAs[Long]("n_days"))
+  }
+
+  test("t_burstiness: VMR > 0; df floor held; top list ordered by df") {
+    val rows = ops.TextOps5.tBurstiness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") >= 20)
+      assert(r.getAs[Long]("tf") >= r.getAs[Long]("df"))
+      assert(r.getAs[Double]("burstiness") >= 0.0)
+    }
+    val dfs = rows.map(_.getAs[Long]("df")).toSeq
+    assert(dfs == dfs.sortBy(-_), "not ordered by df desc")
+  }
+
+  test("s_embed_drift: parity cohorts of one corpus drift ~nothing") {
+    val r = ops.Similarity2.sEmbedDrift(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    // vec_id parity is a random split of ONE distribution: the L2 shift
+    // must be tiny relative to the unit-scale embeddings
+    assert(r.getAs[Double]("l2_sq") < 1.0, s"parity drift ${r.getAs[Double]("l2_sq")}")
+  }
+
+  test("t_code_detect: synthetic prose corpus routes almost nothing to code") {
+    val rows = ops.TextOps5.tCodeDetect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val code = rows.map(_.getAs[Long]("n_code")).sum
+    assert(code.toDouble / total < 0.05,
+      s"prose corpus flagged $code/$total as code")
+  }
+}
