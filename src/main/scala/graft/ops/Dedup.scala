@@ -648,7 +648,118 @@ object Dedup {
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** LSH banding sweep — the (b, r) tuning table for d_minhash_lsh: from
+    * ONE 128-permutation signature build, band three configurations
+    * (r=2/b=64, r=4/b=32, r=8/b=16) and measure, per config, candidate
+    * volume and recall against the exact-jaccard truth set. The S-curve
+    * trade made MEASURABLE: small r → high recall at high candidate cost,
+    * large r → cheap but leaky; this is the table that picks r before a
+    * 100 TB dedup run (d_lsh_recall plots one config's curve; this
+    * compares configs at fixed permutation budget — rebanding reuses the
+    * signatures, so the sweep costs 3 band-joins, not 3 sig builds). */
+  def dBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sh = polyShingles(spark, dir).cache()
+    val minh = sh.groupBy("doc_id")
+      .agg(graft.functions.Poly.minhash(col("h"), 128).as("m")).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val truth = {
+      val shared = sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .where(round(col("shared").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("shared")), 6) >= 0.5)
+        .select("doc_a", "doc_b").cache()
+    }
+    val tcount = truth.agg(count(lit(1)).cast("long").as("n_true"))
+    Seq(2, 4, 8).map { r =>
+      val sigs = minh.select(col("doc_id"),
+        posexplode(graft.functions.Poly.bandSigs(col("m"), r))
+          .as(Seq("band", "sig")))
+      val cand = sigs.as("x").join(sigs.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct().cache()
+      val hits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      cand.agg(count(lit(1)).cast("long").as("n_candidates"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).cast("long").as("n_hits"))))
+        .crossJoin(broadcast(tcount))
+        .select(lit(r).as("band_rows"), lit(128 / r).as("n_bands"),
+          col("n_candidates"), col("n_hits"), col("n_true"),
+          expr("(1000000 * n_hits) div n_true").as("recall_ppm"))
+    }.reduce(_ union _).orderBy("band_rows")
+  }
+
+  val dBandSweepSql: String = {
+    val M = graft.functions.PolyHash.M
+    val (b2, phi, psi) = (graft.functions.PolyHash.B2,
+      graft.functions.PolyHash.PHI, graft.functions.PolyHash.PSI)
+    def bandCtes(r: Int): String = {
+      val b = 128 / r
+      s"""sg$r AS (
+         |  SELECT doc_id, b.b AS band,
+         |    CAST(list_reduce([0::HUGEINT, CAST(b.b+1 AS HUGEINT)] ||
+         |           [CAST(ml[b.b*$r + j] + 1 AS HUGEINT) for j in generate_series(1, $r)],
+         |         (acc, x) -> (acc * $b2 + x) % $M::HUGEINT) AS BIGINT) AS sig
+         |  FROM ml CROSS JOIN generate_series(0, ${b - 1}) b(b)),
+         |cand$r AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM sg$r x JOIN sg$r y ON x.band = y.band AND x.sig = y.sig
+         |                         AND x.doc_id < y.doc_id)""".stripMargin
+    }
+    def row(r: Int): String =
+      s"""SELECT $r AS band_rows, ${128 / r} AS n_bands,
+         |  (SELECT COUNT(*) FROM cand$r) AS n_candidates,
+         |  (SELECT COUNT(*) FROM cand$r c JOIN truth t
+         |     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits,
+         |  (SELECT COUNT(*) FROM truth) AS n_true""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |truth AS MATERIALIZED (
+       |  SELECT p.doc_a, p.doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) p
+       |  JOIN sizes sa ON p.doc_a = sa.doc_id
+       |  JOIN sizes sb ON p.doc_b = sb.doc_id
+       |  WHERE round(shared*1.0/(sa.n_sh + sb.n_sh - shared), 6) >= 0.5),
+       |ph AS (SELECT doc_id, ${polySql("shingle")} AS h FROM sh),
+       |mh AS (
+       |  SELECT doc_id, t.p AS p,
+       |    min((((CAST(2*t.p+1 AS HUGEINT) * $phi) % $M) * CAST(h AS HUGEINT)
+       |         + ((CAST(t.p+1 AS HUGEINT) * $psi) % $M)) % $M) AS mv
+       |  FROM ph CROSS JOIN generate_series(0, 127) t(p) GROUP BY 1, 2),
+       |ml AS MATERIALIZED (SELECT doc_id, list(mv ORDER BY p) AS ml FROM mh GROUP BY 1),
+       |${bandCtes(2)},
+       |${bandCtes(4)},
+       |${bandCtes(8)}
+       |SELECT CAST(band_rows AS INT) AS band_rows, CAST(n_bands AS INT) AS n_bands,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_hits AS BIGINT) AS n_hits, CAST(n_true AS BIGINT) AS n_true,
+       |  (1000000 * CAST(n_hits AS BIGINT)) // CAST(n_true AS BIGINT) AS recall_ppm
+       |FROM (${row(2)}
+       |UNION ALL
+       |${row(4)}
+       |UNION ALL
+       |${row(8)})
+       |ORDER BY band_rows""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_band_sweep" -> (dBandSweep _),
     "d_semantic_dedup" -> (dSemanticDedup _),
     "d_fuzzy_name" -> (dFuzzyName _),
     "d_substring_span" -> (dSubstringSpan _),
@@ -660,6 +771,7 @@ object Dedup {
     "d_embed_neardup" -> (dEmbedNeardup _))
 
   val oracles: Map[String, String] = Map(
+    "d_band_sweep" -> dBandSweepSql,
     "d_semantic_dedup" -> dSemanticDedupSql,
     "d_fuzzy_name" -> dFuzzyNameSql,
     "d_substring_span" -> dSubstringSpanSql,

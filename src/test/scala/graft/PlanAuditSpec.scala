@@ -72,7 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_modularity",    // one-row edge-count broadcast onto the community rows
     "q_abc_analysis",  // one-row revenue-total broadcast onto the part rows
     "q_control_chart", // one-row control-limits broadcast onto the day rows
-    "q_backlog_age"    // one-row horizon-date broadcast onto the open orders
+    "q_backlog_age",   // one-row horizon-date broadcast onto the open orders
+    "d_band_sweep"     // one-row hit/true-count broadcasts per (b,r) config row
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
