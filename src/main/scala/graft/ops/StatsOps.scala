@@ -720,6 +720,95 @@ object StatsOps {
       |  CAST(SUM(cents) AS BIGINT) AS open_cents
       |FROM b GROUP BY 1 ORDER BY age_band""".stripMargin
 
+  // ------------------------------------------------------- hazard curve
+  /** Discrete-time survival hazard for view→purchase conversion with
+    * RIGHT-CENSORING: users who never purchase exit the risk set at their
+    * last observed event (the censoring Kaplan-Meier exists to handle;
+    * q_time_to_event ranks only the converters). Reported as the hazard
+    * CURVE h(t) = events_t / at-risk_t in exact ppm per day-since-first-
+    * view — the same information as the KM product-limit survival curve
+    * but with NO floating-point product chain anywhere in the gate (S(t)
+    * = Π(1−h) follows offline). At-risk counts come from cumulative
+    * exit counts (two-level over DAY buckets), never a per-user scan.
+    *
+    * 100 TB shape: events collapse to per-user (first_view, first_purchase,
+    * last_seen) — one min/max aggregate; the curve is |days| rows. */
+  def qHazardCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 86400000000000").as("day"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("day"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("day"))).as("fp"),
+        max("day").as("last"))
+      .where(col("fv").isNotNull)
+      // exit time: conversion day for converters (event), last-seen day
+      // for the censored; both relative to first view, non-negative
+      .select(
+        when(col("fp").isNotNull && col("fp") >= col("fv"),
+          col("fp") - col("fv")).as("t_event"),
+        when(col("fp").isNull, col("last") - col("fv")).as("t_cens"))
+      .where(col("t_event").isNotNull || col("t_cens").isNotNull)
+    val events = perUser.where(col("t_event").isNotNull)
+      .groupBy(col("t_event").as("t")).agg(count(lit(1)).as("d"))
+    val cens = perUser.where(col("t_cens").isNotNull)
+      .groupBy(col("t_cens").as("t")).agg(count(lit(1)).as("c"))
+    val tot = perUser.agg(count(lit(1)).cast("long").as("n0"))
+    // at-risk at t = n0 − (events with t' < t) − (censored with t' < t):
+    // exits BEFORE t leave the risk set; same-day exits still count at t
+    val spine = events.select("t").union(cens.select("t")).distinct()
+    val exits = spine.join(events, Seq("t"), "left")
+      .join(cens, Seq("t"), "left")
+      .select(col("t"), coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wg = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    exits
+      .withColumn("exited_before",
+        coalesce(sum(col("d") + col("c")).over(wg), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("d").as("n_events"), col("c").as("n_censored"),
+        (col("n0") - col("exited_before")).as("n_at_risk"),
+        expr("(1000000 * d) div (n0 - exited_before)").as("hazard_ppm"))
+      .where(col("n_events") > 0)
+      .orderBy("t")
+  }
+
+  val qHazardCurveSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN day END) AS fv,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN day END) AS fp,
+      |    MAX(day) AS last
+      |  FROM ev GROUP BY 1),
+      |x AS (
+      |  SELECT CASE WHEN fp IS NOT NULL AND fp >= fv THEN fp - fv END AS t_event,
+      |         CASE WHEN fp IS NULL THEN last - fv END AS t_cens
+      |  FROM pu WHERE fv IS NOT NULL),
+      |x2 AS (SELECT * FROM x WHERE t_event IS NOT NULL OR t_cens IS NOT NULL),
+      |e AS (SELECT t_event AS t, CAST(COUNT(*) AS BIGINT) AS d
+      |      FROM x2 WHERE t_event IS NOT NULL GROUP BY 1),
+      |c AS (SELECT t_cens AS t, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM x2 WHERE t_cens IS NOT NULL GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM x2),
+      |spine AS (SELECT t FROM e UNION SELECT t FROM c),
+      |ex AS (
+      |  SELECT s.t, COALESCE(e.d, 0) AS d, COALESCE(c.c, 0) AS c
+      |  FROM spine s LEFT JOIN e ON e.t = s.t LEFT JOIN c ON c.t = s.t),
+      |cum AS (
+      |  SELECT t, d, c,
+      |    CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS exited_before
+      |  FROM ex)
+      |SELECT t, d AS n_events, c AS n_censored,
+      |  n0 - exited_before AS n_at_risk,
+      |  (1000000 * d) // (n0 - exited_before) AS hazard_ppm
+      |FROM cum CROSS JOIN tot
+      |WHERE d > 0 ORDER BY t""".stripMargin
+
   // ------------------------------------------------------- basket lift
   /** Market-basket association: top part pairs by LIFT (observed
     * co-purchase rate over the independence expectation), the classic
@@ -828,6 +917,7 @@ object StatsOps {
     "q_abc_analysis" -> qAbcAnalysis,
     "q_growth_accounting" -> qGrowthAccounting,
     "q_cycle_time" -> qCycleTime,
+    "q_hazard_curve" -> qHazardCurve,
     "q_backlog_age" -> qBacklogAge,
     "q_control_chart" -> qControlChart,
     "q_chi2_test" -> qChi2Test,
@@ -844,6 +934,7 @@ object StatsOps {
     "q_abc_analysis" -> qAbcAnalysisSql,
     "q_growth_accounting" -> qGrowthAccountingSql,
     "q_cycle_time" -> qCycleTimeSql,
+    "q_hazard_curve" -> qHazardCurveSql,
     "q_backlog_age" -> qBacklogAgeSql,
     "q_control_chart" -> qControlChartSql,
     "q_chi2_test" -> qChi2TestSql,
