@@ -5,11 +5,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** §2.2 additions (round 7, batch O): the inferential-statistics family a
-  * reference user runs through the DuckDB post-processor (capability parity
-  * with QueryManager.py:20-36 arbitrary-SQL surface) — chi-square
-  * independence, Mann-Whitney U, two-sample Kolmogorov-Smirnov, the
-  * Gini/Lorenz concentration index, and lagged autocorrelation.
+/** §2.2 additions (round 7, batches O-Q): the statistics and operational
+  * analytics a reference user runs through the DuckDB post-processor
+  * (capability parity with QueryManager.py:20-36 arbitrary-SQL surface).
+  *
+  * The CLASSICAL-TEST family — chi-square independence, Mann-Whitney U,
+  * two-sample Kolmogorov-Smirnov, Wald-Wolfowitz runs, one-way ANOVA,
+  * Spearman ρ — plus the concentration/association measures (Gini, lagged
+  * autocorrelation, market-basket lift) and the operational reports
+  * (ABC/Pareto triage, XmR control chart, weekly growth accounting,
+  * cycle-time percentiles, backlog aging, censored survival hazard).
   *
   * Every op follows the §4 exactness discipline: observed counts and rank
   * sums are exact BIGINT algebra (order-independent, partial-agg safe); the
@@ -18,7 +23,8 @@ import org.apache.spark.sql.functions._
   * correctly-rounded, so identical inputs + identical AST = identical
   * bits — no round() tie exposure). Rank/ECDF machinery uses the two-level
   * prefix-sum shape (per-BUCKET aggregate rows under the global window,
-  * never raw rows — p_pack_sequences' pattern), so nothing here puts a
+  * never raw rows — p_pack_sequences' pattern; property-swept against
+  * textbook brute force in StatsPropSpec), so nothing here puts a
   * corpus-sized partition on one task at 100 TB.
   */
 object StatsOps {
