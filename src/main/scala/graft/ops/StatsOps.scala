@@ -815,6 +815,149 @@ object StatsOps {
       |FROM cum CROSS JOIN tot
       |WHERE d > 0 ORDER BY t""".stripMargin
 
+  // ----------------------------------------------- position attribution
+  /** Position-based (U-shaped) multi-touch attribution — q_attribution's
+    * last-touch sibling: within the same 7-day lookback path, the first
+    * and last touch each take 40% of the conversion credit and the middle
+    * splits 20% evenly (1-touch paths take 100%, 2-touch 50/50 — the
+    * standard degenerate cases). Credit is INTEGER MICRO-UNITS per
+    * conversion (middle share = 200000 div (n−2), truncation documented —
+    * totals are exact, order-free sums). Pathless purchases credit
+    * 'organic' in full. Windows key on purchase id (numeric; fan = the
+    * lookback path length, bounded by user activity × horizon). */
+  def qAttributionPosition(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+    val touches = ev.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("channel"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val horizon = 7L * 86400000000000L
+    val joined = purchases.join(touches,
+      purchases("user_id") === touches("user_id") &&
+        col("t_ts") < col("p_ts") && col("t_ts") >= col("p_ts") - horizon,
+      "left").cache()
+    val wo = Window.partitionBy("p_id")
+      .orderBy(expr("t_ts div 1000"), col("t_id"))
+    val wn = Window.partitionBy("p_id")
+    val credited = joined.where(col("t_id").isNotNull)
+      .withColumn("rn", row_number().over(wo).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(col("channel"),
+        when(col("n") === 1, lit(1000000L))
+          .when(col("n") === 2, lit(500000L))
+          .when(col("rn") === 1 || col("rn") === col("n"), lit(400000L))
+          .otherwise(expr("200000 div (n - 2)")).as("credit"))
+    val organic = joined.groupBy("p_id").agg(max("t_id").as("any_touch"))
+      .where(col("any_touch").isNull)
+      .select(lit("organic").as("channel"), lit(1000000L).as("credit"))
+    credited.union(organic)
+      .groupBy("channel")
+      .agg(count(lit(1)).cast("long").as("n_credits"),
+        sum("credit").cast("long").as("credit_micro"))
+      .orderBy("channel")
+  }
+
+  val qAttributionPositionSql: String =
+    """WITH touches AS (
+      |  SELECT user_id, epoch_ns(ts) AS t_ts, event_id AS t_id,
+      |         event_type AS channel
+      |  FROM events WHERE event_type <> 'purchase'),
+      |purchases AS (
+      |  SELECT user_id, event_id AS p_id, epoch_ns(ts) AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS MATERIALIZED (
+      |  SELECT p.p_id, t.t_ts, t.t_id, t.channel
+      |  FROM purchases p LEFT JOIN touches t
+      |    ON t.user_id = p.user_id AND t.t_ts < p.p_ts
+      |   AND t.t_ts >= p.p_ts - 604800000000000),
+      |ranked AS (
+      |  SELECT channel,
+      |    CAST(row_number() OVER (PARTITION BY p_id
+      |         ORDER BY t_ts // 1000, t_id) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS n
+      |  FROM j WHERE t_id IS NOT NULL),
+      |credited AS (
+      |  SELECT channel,
+      |    CASE WHEN n = 1 THEN 1000000
+      |         WHEN n = 2 THEN 500000
+      |         WHEN rn = 1 OR rn = n THEN 400000
+      |         ELSE 200000 // (n - 2) END AS credit
+      |  FROM ranked),
+      |organic AS (
+      |  SELECT 'organic' AS channel, 1000000 AS credit
+      |  FROM (SELECT p_id, MAX(t_id) AS any_touch FROM j GROUP BY 1)
+      |  WHERE any_touch IS NULL),
+      |u AS (SELECT * FROM credited UNION ALL SELECT * FROM organic)
+      |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+      |  CAST(SUM(credit) AS BIGINT) AS credit_micro
+      |FROM u GROUP BY 1 ORDER BY channel""".stripMargin
+
+  // ------------------------------------------------------- tukey fences
+  /** Tukey box-plot outlier fences on order value: exact nearest-rank
+    * Q1/Q3 (two-level over CENTS-BAND buckets — no global sort), fences at
+    * Q1 − 1.5·IQR / Q3 + 1.5·IQR compared in DOUBLED integer units
+    * (2·fence = 5·Q1 − 3·Q3 and 5·Q3 − 3·Q1 — no halves, no doubles
+    * anywhere), and the outlier counts each side. The box-plot numbers
+    * behind every order-value anomaly report. */
+  def qTukeyFence(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.table(spark, dir, "orders")
+      .select(expr("cast(round(o_totalprice * 100, 0) as long)").as("cents"))
+      .cache()
+    val byV = cents.groupBy("cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("band", expr("cents div 10000000"))
+    val perB = byV.groupBy("band").agg(sum("cnt").as("bcnt"))
+    val wg = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = perB.select(col("band"),
+      coalesce(sum("bcnt").over(wg), lit(0L)).as("bbefore"))
+    val wi = Window.partitionBy("band").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cents.agg(count(lit(1)).cast("long").as("n"))
+    val cum = byV.join(bpre, "band")
+      .withColumn("cum", col("bbefore") + sum("cnt").over(wi))
+      .crossJoin(broadcast(tot))
+    def rankAt(q: Long): org.apache.spark.sql.Column =
+      (col("cum") * 100 >= col("n") * q) &&
+        ((col("cum") - col("cnt")) * 100 < col("n") * q)
+    val qs = cum.agg(
+      max(when(rankAt(25), col("cents"))).cast("long").as("q1_cents"),
+      max(when(rankAt(75), col("cents"))).cast("long").as("q3_cents"))
+    cents.crossJoin(broadcast(qs)).crossJoin(broadcast(tot))
+      .groupBy("n", "q1_cents", "q3_cents")
+      .agg(sum(when(col("cents") * 2 < col("q1_cents") * 5 - col("q3_cents") * 3, 1L)
+          .otherwise(0L)).cast("long").as("n_low_outliers"),
+        sum(when(col("cents") * 2 > col("q3_cents") * 5 - col("q1_cents") * 3, 1L)
+          .otherwise(0L)).cast("long").as("n_high_outliers"))
+      .select(col("n"), col("q1_cents"), col("q3_cents"),
+        (col("q3_cents") - col("q1_cents")).as("iqr_cents"),
+        col("n_low_outliers"), col("n_high_outliers"))
+  }
+
+  val qTukeyFenceSql: String =
+    """WITH cents AS (
+      |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+      |byv AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM cents GROUP BY 1),
+      |b AS (SELECT cents, cnt, cents // 10000000 AS band FROM byv),
+      |perb AS (SELECT band, CAST(SUM(cnt) AS BIGINT) AS bcnt FROM b GROUP BY 1),
+      |bpre AS (SELECT band,
+      |  CAST(COALESCE(SUM(bcnt) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bbefore
+      |  FROM perb),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+      |cum AS (
+      |  SELECT cents, cnt,
+      |    bbefore + CAST(SUM(cnt) OVER (PARTITION BY b.band ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM b JOIN bpre USING (band)),
+      |qs AS (
+      |  SELECT
+      |    CAST(MAX(CASE WHEN cum * 100 >= n * 25 AND (cum - cnt) * 100 < n * 25 THEN cents END) AS BIGINT) AS q1_cents,
+      |    CAST(MAX(CASE WHEN cum * 100 >= n * 75 AND (cum - cnt) * 100 < n * 75 THEN cents END) AS BIGINT) AS q3_cents
+      |  FROM cum CROSS JOIN tot)
+      |SELECT n, q1_cents, q3_cents, q3_cents - q1_cents AS iqr_cents,
+      |  (SELECT CAST(SUM(CASE WHEN c.cents * 2 < qs.q1_cents * 5 - qs.q3_cents * 3 THEN 1 ELSE 0 END) AS BIGINT) FROM cents c) AS n_low_outliers,
+      |  (SELECT CAST(SUM(CASE WHEN c.cents * 2 > qs.q3_cents * 5 - qs.q1_cents * 3 THEN 1 ELSE 0 END) AS BIGINT) FROM cents c) AS n_high_outliers
+      |FROM qs CROSS JOIN tot""".stripMargin
+
   // ------------------------------------------------------- basket lift
   /** Market-basket association: top part pairs by LIFT (observed
     * co-purchase rate over the independence expectation), the classic
@@ -924,6 +1067,8 @@ object StatsOps {
     "q_growth_accounting" -> qGrowthAccounting,
     "q_cycle_time" -> qCycleTime,
     "q_hazard_curve" -> qHazardCurve,
+    "q_attribution_position" -> qAttributionPosition,
+    "q_tukey_fence" -> qTukeyFence,
     "q_backlog_age" -> qBacklogAge,
     "q_control_chart" -> qControlChart,
     "q_chi2_test" -> qChi2Test,
@@ -941,6 +1086,8 @@ object StatsOps {
     "q_growth_accounting" -> qGrowthAccountingSql,
     "q_cycle_time" -> qCycleTimeSql,
     "q_hazard_curve" -> qHazardCurveSql,
+    "q_attribution_position" -> qAttributionPositionSql,
+    "q_tukey_fence" -> qTukeyFenceSql,
     "q_backlog_age" -> qBacklogAgeSql,
     "q_control_chart" -> qControlChartSql,
     "q_chi2_test" -> qChi2TestSql,

@@ -74,7 +74,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_control_chart", // one-row control-limits broadcast onto the day rows
     "q_backlog_age",   // one-row horizon-date broadcast onto the open orders
     "d_band_sweep",    // one-row hit/true-count broadcasts per (b,r) config row
-    "q_hazard_curve"   // one-row initial-risk-set broadcast onto the day spine
+    "q_hazard_curve",  // one-row initial-risk-set broadcast onto the day spine
+    "q_tukey_fence"    // one-row quartile/total broadcasts onto the cents scan
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
@@ -97,7 +98,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_spearman",      // bucket prefixes over per-VALUE-BUCKET aggregate rows
     "q_abc_analysis",  // band prefix over per-REVENUE-BAND aggregate sums
     "q_control_chart", // lag window over per-DAY aggregate rows
-    "q_hazard_curve"   // exit prefix over per-DAY aggregate rows
+    "q_hazard_curve",  // exit prefix over per-DAY aggregate rows
+    "q_tukey_fence"    // band prefix over per-CENTS-BAND aggregate rows
   )
 
   // one planning pass over the whole surface, shared by every assertion
