@@ -191,7 +191,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
     v
   }
 
-  private def currentFiles(ns: String, table: String): Option[Seq[String]] = {
+  private[catalog] def currentFiles(ns: String, table: String): Option[Seq[String]] = {
     val snaps = snapshots(ns, table)
     refs(ns, table).get("main") match {
       case Some(v) => snaps.find(_._1 == v).map(_._2)

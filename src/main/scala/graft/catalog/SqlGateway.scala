@@ -100,6 +100,12 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   // the client-side verb every SQL tool expects next to DESCRIBE
   private val showCreate =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  // composite maintenance pass (Delta OPTIMIZE / Iceberg maintenance-job
+  // analog): compact small files, expire old snapshots, sweep orphans —
+  // the nightly job every lake table runs, as one verb with a per-action
+  // report
+  private val maintainTb =
+    """(?is)\s*MAINTAIN\s+TABLE\s+(?:(\w+)\.)?(\w+)(?:\s+INTO\s+(\d+)\s+FILES?)?(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -254,6 +260,23 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.showHistogram(nsName, table, colName)
           .toDF("bucket", "lo", "hi", "n_rows")
+
+      case maintainTb(ns, table, files, keep) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val target = Option(files).map(_.toInt).getOrElse(4)
+        val keepN = Option(keep).map(_.toInt).getOrElse(3)
+        val filesBefore = catalog.currentFiles(nsName, table)
+          .map(_.size).getOrElse(-1)
+        catalog.compact(nsName, table, target)
+        val filesAfter = catalog.currentFiles(nsName, table)
+          .map(_.size).getOrElse(-1)
+        catalog.expireSnapshots(nsName, table, keepN)
+        val orphans = catalog.removeOrphans(nsName, table)
+        Seq(
+          ("compact", s"$filesBefore -> $filesAfter files (target $target)"),
+          ("expire_snapshots", s"kept last $keepN"),
+          ("remove_orphans", s"${orphans.size} files swept"))
+          .toDF("action", "result")
 
       case showCreate(ns, table) => // DDL round-trip from catalog metadata
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

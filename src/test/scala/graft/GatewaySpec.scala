@@ -264,6 +264,35 @@ class GatewaySpec extends SparkSpec {
     assert(cat.load("scratch", "st").count() == 20)
   }
 
+  test("MAINTAIN TABLE runs compact + expire + orphan sweep as one verb") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_maint").toString
+    val cat = new LakeCatalog(spark, root)
+    val gw = new SqlGateway(spark, cat)
+    cat.createTable("scratch", "mt", StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))))
+    // several small appends -> several snapshots + small files
+    (1 to 5).foreach { i =>
+      cat.append("scratch", "mt",
+        (1L to 10L).map(k => (i * 100L + k, k * 1.0)).toDF("id", "v").coalesce(1))
+    }
+    // plant an orphan
+    val tdir = java.nio.file.Paths.get(s"$root/scratch/mt")
+    val any = java.nio.file.Files.list(tdir).iterator()
+    val first = Iterator.continually(any).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).find(_.endsWith(".parquet")).get
+    java.nio.file.Files.copy(tdir.resolve(first), tdir.resolve("part-orphan.parquet"))
+    val report = gw.execute("MAINTAIN TABLE scratch.mt INTO 2 FILES KEEP 2")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(report.keySet == Set("compact", "expire_snapshots", "remove_orphans"))
+    assert(report("compact").contains("-> 2 files"), report("compact"))
+    // the data survives intact and the orphan is gone
+    assert(cat.load("scratch", "mt").count() == 50)
+    assert(!java.nio.file.Files.exists(tdir.resolve("part-orphan.parquet")),
+      "orphan survived the maintenance pass")
+  }
+
   test("SHOW CREATE TABLE reconstructs DDL from metadata — and the DDL re-executes") {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("graft_gw_ddl").toString
