@@ -507,7 +507,65 @@ object Multimodal2 {
       |FROM perdoc p LEFT JOIN mg ON mg.doc_id = p.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  /** Keyframe (thumbnail) selection: per asset, the interior frame whose
+    * luma CONTRAST against its neighbours is largest — the cheap heuristic
+    * thumbnailers run before any learned scorer. Contrast carried DOUBLED
+    * so it stays integer (score2 = |2·luma − prev − next|); winner by
+    * max(struct(score2, −fid)) — one map-side-combined aggregate, ties to
+    * the earliest frame; edge frames (missing a neighbour) can't win.
+    * Same payload discipline as every frame op. */
+  def mKeyframeSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.table(spark, dir, "documents")
+      .where(col("doc_id") % 5 === 2)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          payload.grouped(Multimodal.FakeCodec.FrameBytes).zipWithIndex
+            .map { case (chunk, idx) =>
+              (id, idx.toLong, Multimodal.FakeCodec.frameLuma(chunk).toLong) }
+        }
+      }.toDF("doc_id", "fid", "luma")
+    val w = Window.partitionBy("doc_id").orderBy("fid")
+    frames
+      .withColumn("prev", lag("luma", 1).over(w))
+      .withColumn("nxt", lead("luma", 1).over(w))
+      .where(col("prev").isNotNull && col("nxt").isNotNull)
+      .select(col("doc_id"), col("fid"),
+        abs(lit(2L) * col("luma") - col("prev") - col("nxt")).as("score2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_interior"),
+        max(struct(col("score2"), (-col("fid")).as("nf"))).as("win"))
+      .select(col("doc_id"), col("n_interior"),
+        (-col("win.nf")).as("keyframe"), col("win.score2").as("contrast_x2"))
+      .orderBy("doc_id")
+  }
+
+  val mKeyframeSelectSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, fid,
+       |    ${graft.ops.Multimodal.lumaSql("substr(text, fid*64 + 1, 64)")} AS luma
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS fid
+       |        FROM documents WHERE doc_id % 5 = 2)),
+       |n AS (
+       |  SELECT doc_id, fid, luma,
+       |    lag(luma) OVER w AS prev, lead(luma) OVER w AS nxt
+       |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY fid)),
+       |s AS (
+       |  SELECT doc_id, CAST(fid AS BIGINT) AS fid,
+       |    CAST(abs(2*luma - prev - nxt) AS BIGINT) AS score2
+       |  FROM n WHERE prev IS NOT NULL AND nxt IS NOT NULL),
+       |win AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_interior,
+       |    max(struct_pack(score2 := score2, nf := -fid)) AS w
+       |  FROM s GROUP BY 1)
+       |SELECT doc_id, n_interior, -(w.nf) AS keyframe, w.score2 AS contrast_x2
+       |FROM win ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_keyframe_select" -> (mKeyframeSelect _),
     "m_scene_split" -> (mSceneSplit _),
     "m_cas_dedup" -> (mCasDedup _),
     "m_av_sync" -> (mAvSync _),
@@ -517,6 +575,7 @@ object Multimodal2 {
     "m_container_demux" -> (mContainerDemux _))
 
   val oracles: Map[String, String] = Map(
+    "m_keyframe_select" -> mKeyframeSelectSql,
     "m_scene_split" -> mSceneSplitSql,
     "m_cas_dedup" -> mCasDedupSql,
     "m_av_sync" -> mAvSyncSql,

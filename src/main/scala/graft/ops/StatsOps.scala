@@ -958,6 +958,48 @@ object StatsOps {
       |  (SELECT CAST(SUM(CASE WHEN c.cents * 2 > qs.q3_cents * 5 - qs.q1_cents * 3 THEN 1 ELSE 0 END) AS BIGINT) FROM cents c) AS n_high_outliers
       |FROM qs CROSS JOIN tot""".stripMargin
 
+  // ------------------------------------------------------- purchase cadence
+  /** Repeat-purchase cadence: the distribution of days between a user's
+    * consecutive purchases — the replenishment-cycle number behind every
+    * reorder nudge (q_time_to_event measures first conversion; this
+    * measures the repeat rhythm). Per-user lag over purchase events
+    * (user-keyed window, µs+id order), day-delta histogram in exact
+    * counts + share ppm, deltas capped into a 15+ tail bucket so the
+    * report is fixed-width at any scale. */
+  def qPurchaseCadence(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
+    val deltas = Tables.table(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(expr("ts div 86400000000000"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select((expr("ts div 86400000000000") - col("prev")).as("dd"))
+      .select(least(col("dd"), lit(15L)).cast("long").as("gap_days"))
+    val tot = deltas.agg(count(lit(1)).cast("long").as("n"))
+    deltas.groupBy("gap_days").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col("gap_days"), col("cnt").cast("long").as("n_intervals"),
+        expr("(1000000 * cnt) div n").as("share_ppm"))
+      .orderBy("gap_days")
+  }
+
+  val qPurchaseCadenceSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ns(ts) AS tns, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |d AS (
+      |  SELECT (tns // 86400000000000)
+      |       - lag(tns // 86400000000000) OVER (PARTITION BY user_id
+      |           ORDER BY tns // 1000, event_id) AS dd
+      |  FROM p),
+      |g AS (SELECT CAST(LEAST(dd, 15) AS BIGINT) AS gap_days
+      |      FROM d WHERE dd IS NOT NULL),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g)
+      |SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  (1000000 * CAST(COUNT(*) AS BIGINT)) // MAX(n) AS share_ppm
+      |FROM g CROSS JOIN tot GROUP BY 1 ORDER BY gap_days""".stripMargin
+
   // ------------------------------------------------------- basket lift
   /** Market-basket association: top part pairs by LIFT (observed
     * co-purchase rate over the independence expectation), the classic
@@ -1069,6 +1111,7 @@ object StatsOps {
     "q_hazard_curve" -> qHazardCurve,
     "q_attribution_position" -> qAttributionPosition,
     "q_tukey_fence" -> qTukeyFence,
+    "q_purchase_cadence" -> qPurchaseCadence,
     "q_backlog_age" -> qBacklogAge,
     "q_control_chart" -> qControlChart,
     "q_chi2_test" -> qChi2Test,
@@ -1088,6 +1131,7 @@ object StatsOps {
     "q_hazard_curve" -> qHazardCurveSql,
     "q_attribution_position" -> qAttributionPositionSql,
     "q_tukey_fence" -> qTukeyFenceSql,
+    "q_purchase_cadence" -> qPurchaseCadenceSql,
     "q_backlog_age" -> qBacklogAgeSql,
     "q_control_chart" -> qControlChartSql,
     "q_chi2_test" -> qChi2TestSql,

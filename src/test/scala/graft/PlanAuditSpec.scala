@@ -75,7 +75,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_backlog_age",   // one-row horizon-date broadcast onto the open orders
     "d_band_sweep",    // one-row hit/true-count broadcasts per (b,r) config row
     "q_hazard_curve",  // one-row initial-risk-set broadcast onto the day spine
-    "q_tukey_fence"    // one-row quartile/total broadcasts onto the cents scan
+    "q_tukey_fence",   // one-row quartile/total broadcasts onto the cents scan
+    "q_purchase_cadence" // one-row interval-total broadcast onto the gap histogram
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
