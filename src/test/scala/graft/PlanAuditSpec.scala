@@ -76,7 +76,8 @@ class PlanAuditSpec extends SparkSpec {
     "d_band_sweep",    // one-row hit/true-count broadcasts per (b,r) config row
     "q_hazard_curve",  // one-row initial-risk-set broadcast onto the day spine
     "q_tukey_fence",   // one-row quartile/total broadcasts onto the cents scan
-    "q_purchase_cadence" // one-row interval-total broadcast onto the gap histogram
+    "q_purchase_cadence", // one-row interval-total broadcast onto the gap histogram
+    "q_cuped"          // one-row window-start broadcast onto the event scan
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
