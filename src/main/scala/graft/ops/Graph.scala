@@ -306,8 +306,12 @@ object Graph {
     * all-pairs); existing edges leave via one anti-join; degrees join in
     * by node key. At 100 TB the hub-fan guard is the same df-cap the
     * wedge-join carries there. */
-  def qLinkPredict(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coSupplyEdges(spark, dir)
+  def qLinkPredict(spark: SparkSession, dir: String): DataFrame =
+    linkPredictOf(coSupplyEdges(spark, dir))
+
+  /** Scoring over an arbitrary (lo, hi) edge frame — GraphPropSpec checks
+    * random graphs against an in-memory reference scorer. */
+  private[graft] def linkPredictOf(edges: DataFrame): DataFrame = {
     val adj = edges.select(col("lo").as("node"), col("hi").as("nb"))
       .union(edges.select(col("hi").as("node"), col("lo").as("nb")))
     val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
@@ -503,6 +507,13 @@ object Graph {
     val edges = coSupplyEdges(spark, dir)
     val nat = Tables.table(spark, dir, "supplier")
       .select(col("s_suppkey"), col("s_nationkey").cast("long").as("com"))
+    modularityOf(edges, nat)
+  }
+
+  /** Modularity over arbitrary (lo, hi) edges and (s_suppkey, com) labels
+    * — GraphPropSpec sweeps random partitions against an in-memory
+    * reference. */
+  private[graft] def modularityOf(edges: DataFrame, nat: DataFrame): DataFrame = {
     val tagged = edges
       .join(nat.select(col("s_suppkey").as("lo"), col("com").as("clo")), "lo")
       .join(nat.select(col("s_suppkey").as("hi"), col("com").as("chi")), "hi")

@@ -43,6 +43,69 @@ class GraphPropSpec extends SparkSpec {
     }
   }
 
+  test("link prediction ≡ in-memory reference scorer on 8 seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (t <- 1 to 8) {
+      val n = 8 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        // reference: adjacency sets, candidate = non-edge with >=1 common nb
+        val adj = (edges ++ edges.map(_.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val deg = adj.view.mapValues(_.size.toLong).toMap
+        val eset = edges.toSet
+        val ref = (for {
+          u <- adj.keys; v <- adj.keys if u < v && !eset((u, v))
+          common = adj(u) intersect adj(v) if common.nonEmpty
+        } yield {
+          val cn = common.size.toLong
+          val j = 1000000L * cn / (deg(u) + deg(v) - cn)
+          val aa = common.toSeq.map(nb => 1000000L / deg(nb)).sum
+          (u, v, cn, j, aa)
+        }).toSeq.sortBy { case (u, v, cn, j, _) => (-cn, -j, u, v) }.take(20)
+        val got = ops.Graph.linkPredictOf(edges.toDF("lo", "hi")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSeq
+        assert(got == ref,
+          s"trial $t (n=$n, |E|=${edges.size}):\n got $got\n ref $ref")
+      }
+    }
+  }
+
+  test("modularity contributions ≡ in-memory reference on random partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (t <- 1 to 6) {
+      val n = 10 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      val coms = (0L until n).map(i => (i, rnd.nextInt(3).toLong))
+      if (edges.nonEmpty) {
+        val comMap = coms.toMap
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val m = edges.size.toLong
+        val dSum = (edges.map(_._1) ++ edges.map(_._2))
+          .groupBy(comMap).view.mapValues(_.size.toLong).toMap
+        val eIn = edges.filter(e => comMap(e._1) == comMap(e._2))
+          .groupBy(e => comMap(e._1)).view.mapValues(_.size.toLong).toMap
+        val nN = nodes.groupBy(comMap).view.mapValues(_.size.toLong).toMap
+        val ref = nN.keys.toSeq.sorted.map { c =>
+          val e = eIn.getOrElse(c, 0L); val d = dSum(c)
+          (c, nN(c), e, d, 1000000L * (4 * m * e - d * d) / (4 * m * m))
+        }
+        val got = ops.Graph.modularityOf(edges.toDF("lo", "hi"),
+            coms.toDF("s_suppkey", "com")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSeq
+        assert(got == ref, s"trial $t:\n got $got\n ref $ref")
+      }
+    }
+  }
+
   test("peel is idempotent at the fixpoint: a converged survivor set has min degree >= k") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
