@@ -1061,7 +1061,68 @@ object Similarity {
        |  round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / ne.n_exact, 6) AS recall
        |FROM ne LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
 
+  /** PQ quantization distortion — faiss's OTHER index-quality number
+    * (s_ann_recall measures what the index misses; this measures how much
+    * each stored vector is DAMAGED by 32× compression): per-vector squared
+    * reconstruction error ‖x − q(x)‖², reported as exact-decimal MSE +
+    * max. Per-subspace errors recompute the assigned-centroid distance
+    * (the identical in-order fold PqEncode minimized, against the
+    * broadcast m×k codebook rows) and combine IN SUB ORDER via a
+    * sort_array fold — so the oracle's per-sub negd list_sum matches
+    * bit-for-bit. One code scan + one m×k broadcast join; training rides
+    * the shared PqTrain chain (ModelCache at bench time). */
+  def sPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val m = 8
+    val sub = 8
+    val e = withNorm(spark, dir)
+    val codebook: Seq[Seq[Seq[Float]]] =
+      PqTrain.train(e, 64, m, kCent = 16, rounds = 4, space = s"$dir:raw")
+    val coded = e.select(col("vec_id"), col("embedding"),
+      graft.functions.Sketch.pqEncode(col("embedding"), codebook).as("codes"))
+    val cbRows = for {
+      s <- codebook.indices; c <- codebook(s).indices
+    } yield (s, c, codebook(s)(c).map(_.toDouble))
+    val cbDf = spark.createDataFrame(cbRows).toDF("sub", "cell", "cv")
+    val perSub = coded
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("codes")).as(Seq("sub", "cell")))
+      .join(broadcast(cbDf), Seq("sub", "cell"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"aggregate(sequence(1, $sub), 0D, (acc, j) -> acc + (cast(element_at(embedding, sub*$sub + j) as double) - element_at(cv, j)) * (cast(element_at(embedding, sub*$sub + j) as double) - element_at(cv, j)))")
+          .as("suberr"))
+    perSub.groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("sub"), col("suberr")))).as("parts"))
+      .select(expr("aggregate(parts, 0D, (acc, p) -> acc + p.suberr)").as("err"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        sum(expr("cast(err as decimal(25,10))")).cast("double").as("sse"),
+        max("err").as("max_err"))
+      .select(col("n_vectors"),
+        expr("sse / cast(n_vectors as double)").as("mse"),
+        col("max_err"))
+  }
+
+  val sPqDistortionSql: String =
+    s"""WITH ${PqTrain.srcCte(64)},
+       |${PqTrain.pqCtes("pn", 64, 8, 16, 4)},
+       |enc AS (
+       |  SELECT e.vec_id, c.sub,
+       |    max(struct_pack(negd := -list_sum([(e.emb[c.sub*8+j] - c.cv[j]) * (e.emb[c.sub*8+j] - c.cv[j])
+       |                 for j in generate_series(1, 8)]),
+       |                    nc := -c.cell)) AS w
+       |  FROM pn e CROSS JOIN pc4 c GROUP BY 1, 2),
+       |pv AS (
+       |  SELECT vec_id, list_sum(list(-(w.negd) ORDER BY sub)) AS err
+       |  FROM enc GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |    CAST(SUM(CAST(err AS DECIMAL(25,10))) AS DOUBLE) AS sse,
+       |    MAX(err) AS max_err
+       |  FROM pv)
+       |SELECT n_vectors, sse / CAST(n_vectors AS DOUBLE) AS mse, max_err
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_pq_distortion" -> (sPqDistortion _),
     "s_ann_recall" -> (sAnnRecall _),
     "s_mmr_diversify" -> (sMmrDiversify _),
     "s_rrf_fusion" -> (sRrfFusion _),
@@ -1089,5 +1150,6 @@ object Similarity {
     "s_ivfpq_topk" -> sIvfPqTopkSql,
     "s_lsh_ann" -> sLshAnnSql,
     "s_multiprobe" -> sMultiprobeSql,
-    "s_ann_recall" -> sAnnRecallSql)
+    "s_ann_recall" -> sAnnRecallSql,
+    "s_pq_distortion" -> sPqDistortionSql)
 }
