@@ -76,6 +76,82 @@ class Round7cSpec2 extends SparkSpec {
     assert(r.getAs[Double]("l2_sq") < 1.0, s"parity drift ${r.getAs[Double]("l2_sq")}")
   }
 
+  test("q_hazard_curve: at-risk never increases; hazard within [0, 1e6]") {
+    val rows = ops.StatsOps.qHazardCurve(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val risk = rows.map(_.getAs[Long]("n_at_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b <= a },
+      "risk set must shrink monotonically")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") <= r.getAs[Long]("n_at_risk"))
+      val h = r.getAs[Long]("hazard_ppm")
+      assert(h >= 0 && h <= 1000000)
+    }
+  }
+
+  test("q_attribution_position: per-conversion credit conserved up to middle truncation") {
+    val rows = ops.StatsOps.qAttributionPosition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalCredit = rows.map(_.getAs[Long]("credit_micro")).sum
+    // every purchase distributes <= 1e6 micro (equality except the
+    // truncated middle shares), and never more
+    val nPurchases = Tables.table(spark, sfDir, "events")
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(totalCredit <= 1000000L * nPurchases)
+    assert(totalCredit > 900000L * nPurchases,
+      "credit lost to truncation should be a sliver")
+  }
+
+  test("q_tukey_fence: quartiles ordered; outliers a small minority") {
+    val r = ops.StatsOps.qTukeyFence(spark, sfDir).collect().head
+    assert(r.getAs[Long]("q1_cents") <= r.getAs[Long]("q3_cents"))
+    val out = r.getAs[Long]("n_low_outliers") + r.getAs[Long]("n_high_outliers")
+    assert(out * 10 < r.getAs[Long]("n"), "more than 10% flagged as outliers")
+  }
+
+  test("q_purchase_cadence: shares sum to ~1e6 ppm; gaps within [0, 15]") {
+    val rows = ops.StatsOps.qPurchaseCadence(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gap_days")
+      assert(g >= 0 && g <= 15)
+    }
+    val total = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(total >= 999900 && total <= 1000000, s"shares sum to $total")
+  }
+
+  test("q_ab_srm: parity split of sequential ids is exactly balanced -> no SRM") {
+    val r = ops.StatsOps.qAbSrm(spark, sfDir).collect().head
+    assert(math.abs(r.getAs[Long]("n_a") - r.getAs[Long]("n_b")) <= 1)
+    assert(!r.getAs[Boolean]("srm_detected"))
+  }
+
+  test("q_cuped: variance reduction ratio = theta-normalized correlation^2, in [0, 1]") {
+    val r = ops.StatsOps.qCuped(spark, sfDir).collect().head
+    val vr = r.getAs[Double]("variance_reduction")
+    assert(vr >= 0.0 && vr <= 1.0, s"reduction ratio $vr out of [0,1]")
+  }
+
+  test("d_band_sweep: candidate volume non-increasing in r; recall perfect at r=2 implies >= at smaller r") {
+    val rows = ops.Dedup.dBandSweep(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("band_rows") ->
+        ((r.getAs[Long]("n_candidates"), r.getAs[Long]("recall_ppm")))).toMap
+    assert(rows.keySet == Set(2, 4, 8))
+    // smaller r = more permissive banding: candidates(r=2) >= candidates(r=4) >= candidates(r=8)
+    assert(rows(2)._1 >= rows(4)._1 && rows(4)._1 >= rows(8)._1,
+      s"candidate monotonicity violated: $rows")
+    assert(rows(2)._2 >= rows(4)._2 && rows(4)._2 >= rows(8)._2,
+      s"recall monotonicity violated: $rows")
+  }
+
+  test("s_pq_distortion: MSE positive and bounded by max; max below the unit-scale ceiling") {
+    val r = ops.Similarity.sPqDistortion(spark, sfDir).collect().head
+    val (mse, mx) = (r.getAs[Double]("mse"), r.getAs[Double]("max_err"))
+    assert(r.getAs[Long]("n_vectors") > 0)
+    assert(mse > 0.0 && mse <= mx)
+  }
+
   test("t_code_detect: synthetic prose corpus routes almost nothing to code") {
     val rows = ops.TextOps5.tCodeDetect(spark, sfDir).collect()
     assert(rows.nonEmpty)
