@@ -656,7 +656,12 @@ object Dedup {
     * large r → cheap but leaky; this is the table that picks r before a
     * 100 TB dedup run (d_lsh_recall plots one config's curve; this
     * compares configs at fixed permutation budget — rebanding reuses the
-    * signatures, so the sweep costs 3 band-joins, not 3 sig builds). */
+    * signatures, so the sweep costs 3 band-joins, not 3 sig builds).
+    *
+    * Structural guarantee the spec pins: an r=2k band is the concatenation
+    * of two r=k bands, so an r=2k band match implies both halves match —
+    * candidates(r=8) ⊆ candidates(r=4) ⊆ candidates(r=2), and recall is
+    * monotone in 1/r by SET CONTAINMENT, not just in expectation. */
   def dBandSweep(spark: SparkSession, dir: String): DataFrame = {
     val sh = polyShingles(spark, dir).cache()
     val minh = sh.groupBy("doc_id")
