@@ -124,6 +124,13 @@ class McpServerSpec extends SparkSpec {
     assert(specTxt.contains("bucket") && specTxt.contains("\"k\""), specTxt.take(300))
     val partsTxt = drive("query_catalog", "SHOW PARTITIONS IN scratch.mcp_b")
     assert(partsTxt.contains("_bucket="), partsTxt.take(300))
+    // r7 DDL + maintenance-composite verbs, protocol-level
+    val ddlTxt = drive("query_catalog", "SHOW CREATE TABLE scratch.mcp_t")
+    assert(ddlTxt.contains("CREATE TABLE scratch.mcp_t") &&
+      ddlTxt.contains("k BIGINT"), ddlTxt.take(300))
+    val maintTxt = drive("query_catalog", "MAINTAIN TABLE scratch.mcp_t INTO 1 FILES KEEP 2")
+    assert(maintTxt.contains("compact") && maintTxt.contains("remove_orphans"),
+      maintTxt.take(300))
   }
 
   test("row cap: payload truncation is explicit, never silent") {
