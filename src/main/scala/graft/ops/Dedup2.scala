@@ -516,7 +516,60 @@ object Dedup2 {
        |  (1000000 * CAST(SUM(n_novel) AS BIGINT)) // CAST(SUM(n_sh) AS BIGINT) AS novelty_ppm
        |FROM pd GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Cross-source duplication matrix — the provenance contamination map:
+    * for every ordered source pair (a, b), how many of a's documents have
+    * an exact-dup twin in b (ppm of a's docs). The matrix that answers
+    * "is crawl X just a mirror of dump Y?" before anyone weights sources
+    * independently. Exact-dup fingerprints (d_exact's md5 canonical key)
+    * reduced to per-(fp, source) presence, then one self-join on fp —
+    * candidate fan bounded by sources-per-fingerprint, never docs². */
+  def dCrossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.table(spark, dir, "documents")
+      .select(col("source"), md5(norm(col("text"))).as("fp"))
+    val bySrc = fps.groupBy("source", "fp").agg(count(lit(1)).as("n_docs"))
+      .cache()
+    val srcTot = bySrc.groupBy("source")
+      .agg(sum("n_docs").cast("long").as("total_docs"))
+    val overlap = bySrc.as("a").join(bySrc.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(col("a.n_docs")).cast("long").as("dup_docs"))
+    // complete ordered-pair spine: a clean matrix reports its ZEROS (the
+    // "no contamination" cells are the answer most pairs give)
+    val spine = srcTot.select(col("source").as("src_a"),
+        col("total_docs").as("a_total"))
+      .crossJoin(srcTot.select(col("source").as("src_b")))
+      .where(col("src_a") =!= col("src_b"))
+    spine.join(overlap, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"), col("a_total"),
+        expr("(1000000 * coalesce(dup_docs, 0)) div a_total").as("dup_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val dCrossSourceDupSql: String =
+    s"""WITH fps AS (
+       |  SELECT source, md5($normSql) AS fp FROM documents),
+       |bys AS (SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |        FROM fps GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS total_docs
+       |        FROM bys GROUP BY 1),
+       |ov AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         CAST(SUM(a.n_docs) AS BIGINT) AS dup_docs
+       |  FROM bys a JOIN bys b ON a.fp = b.fp AND a.source <> b.source
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT ta.source AS src_a, ta.total_docs AS a_total, tb.source AS src_b
+       |  FROM tot ta CROSS JOIN tot tb WHERE ta.source <> tb.source)
+       |SELECT s.src_a, s.src_b, COALESCE(ov.dup_docs, 0) AS dup_docs,
+       |  s.a_total,
+       |  (1000000 * COALESCE(ov.dup_docs, 0)) // s.a_total AS dup_ppm
+       |FROM spine s LEFT JOIN ov ON ov.src_a = s.src_a AND ov.src_b = s.src_b
+       |ORDER BY s.src_a, s.src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_cross_source_dup" -> (dCrossSourceDup _),
     "d_novelty_curve" -> (dNoveltyCurve _),
     "d_dup_profile" -> (dDupProfile _),
     "d_lsh_recall" -> (dLshRecall _),
@@ -526,6 +579,7 @@ object Dedup2 {
     "d_shingle_containment" -> (dShingleContainment _))
 
   val oracles: Map[String, String] = Map(
+    "d_cross_source_dup" -> dCrossSourceDupSql,
     "d_novelty_curve" -> dNoveltyCurveSql,
     "d_dup_profile" -> dDupProfileSql,
     "d_lsh_recall" -> dLshRecallSql,

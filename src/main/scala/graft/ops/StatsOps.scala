@@ -1087,6 +1087,45 @@ object StatsOps {
       |  ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))) / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS variance_reduction
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- HHI
+  /** Herfindahl–Hirschman concentration index of revenue by customer —
+    * Gini's regulatory sibling (HHI = Σ shareᵢ², 1e6 = monopoly in ppm;
+    * the antitrust thresholds live at 0.15/0.25). Per-customer revenue in
+    * exact cents; Σcᵢ² carried in DECIMAL(19,0)² = DECIMAL(38,0) — exact
+    * for any cent total below 10¹⁹ — so the one IEEE division at the end
+    * is the only double. Also reports the top-1 share in exact ppm
+    * (max(cᵢ) — an order-free aggregate). */
+  def qHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.table(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(expr("cast(round(o_totalprice * 100, 0) as long)")).as("cents"))
+    rev.agg(count(lit(1)).cast("long").as("n_customers"),
+        sum("cents").cast("long").as("t"),
+        max("cents").cast("long").as("max_cents"),
+        sum(expr("cast(cents as decimal(19,0)) * cast(cents as decimal(19,0))"))
+          .as("scc"))
+      .select(col("n_customers"),
+        expr("cast(floor((cast(scc as double) / (cast(t as double)*cast(t as double))) * 1000000.0) as long)")
+          .as("hhi_ppm"),
+        expr("(1000000 * max_cents) div t").as("top1_share_ppm"))
+  }
+
+  val qHhiSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(cents) AS BIGINT) AS t,
+      |    CAST(MAX(cents) AS BIGINT) AS max_cents,
+      |    SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS scc
+      |  FROM rev)
+      |SELECT n_customers,
+      |  CAST(floor((CAST(scc AS DOUBLE) / (CAST(t AS DOUBLE)*CAST(t AS DOUBLE))) * 1000000.0) AS BIGINT) AS hhi_ppm,
+      |  (1000000 * max_cents) // t AS top1_share_ppm
+      |FROM agg""".stripMargin
+
   // ------------------------------------------------------- basket lift
   /** Market-basket association: top part pairs by LIFT (observed
     * co-purchase rate over the independence expectation), the classic
@@ -1201,6 +1240,7 @@ object StatsOps {
     "q_purchase_cadence" -> qPurchaseCadence,
     "q_ab_srm" -> qAbSrm,
     "q_cuped" -> qCuped,
+    "q_hhi" -> qHhi,
     "q_backlog_age" -> qBacklogAge,
     "q_control_chart" -> qControlChart,
     "q_chi2_test" -> qChi2Test,
@@ -1223,6 +1263,7 @@ object StatsOps {
     "q_purchase_cadence" -> qPurchaseCadenceSql,
     "q_ab_srm" -> qAbSrmSql,
     "q_cuped" -> qCupedSql,
+    "q_hhi" -> qHhiSql,
     "q_backlog_age" -> qBacklogAgeSql,
     "q_control_chart" -> qControlChartSql,
     "q_chi2_test" -> qChi2TestSql,

@@ -77,7 +77,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_hazard_curve",  // one-row initial-risk-set broadcast onto the day spine
     "q_tukey_fence",   // one-row quartile/total broadcasts onto the cents scan
     "q_purchase_cadence", // one-row interval-total broadcast onto the gap histogram
-    "q_cuped"          // one-row window-start broadcast onto the event scan
+    "q_cuped",         // one-row window-start broadcast onto the event scan
+    "d_cross_source_dup" // |sources|x|sources| pair spine (bounded by the source domain)
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
