@@ -152,6 +152,28 @@ class Round7cSpec2 extends SparkSpec {
     assert(mse > 0.0 && mse <= mx)
   }
 
+  test("q_hhi: many-customer corpus concentrates nowhere near the 0.15 threshold") {
+    val r = ops.StatsOps.qHhi(spark, sfDir).collect().head
+    val hhi = r.getAs[Long]("hhi_ppm")
+    // lower bound: perfectly equal shares give 1e6/n
+    assert(hhi >= 1000000L / r.getAs[Long]("n_customers"))
+    assert(hhi < 150000L, s"uniform-ish TPC-H customers can't be concentrated: $hhi")
+    assert(r.getAs[Long]("top1_share_ppm") >= hhi / 1000,
+      "top-1 share sanity")
+  }
+
+  test("d_cross_source_dup: complete pair spine; diagonal excluded; ppm bounded") {
+    val rows = ops.Dedup2.dCrossSourceDup(spark, sfDir).collect()
+    val srcs = rows.map(_.getString(0)).distinct.length
+    assert(rows.length == srcs * (srcs - 1), "matrix spine incomplete")
+    rows.foreach { r =>
+      assert(r.getString(0) != r.getString(1))
+      val ppm = r.getAs[Long]("dup_ppm")
+      assert(ppm >= 0 && ppm <= 1000000)
+      assert(r.getAs[Long]("dup_docs") <= r.getAs[Long]("a_total"))
+    }
+  }
+
   test("t_code_detect: synthetic prose corpus routes almost nothing to code") {
     val rows = ops.TextOps5.tCodeDetect(spark, sfDir).collect()
     assert(rows.nonEmpty)
