@@ -1126,6 +1126,54 @@ object StatsOps {
       |  (1000000 * max_cents) // t AS top1_share_ppm
       |FROM agg""".stripMargin
 
+  // ----------------------------------------------------- interarrival
+  /** Traffic burstiness per event type from inter-arrival times: the
+    * coefficient of variation and the Goh–Barabási burstiness
+    * B = (σ−μ)/(σ+μ) (−1 = metronome, 0 = Poisson, →1 = heavy bursts) —
+    * the number capacity planning reads before sizing stream consumers.
+    * Deltas are exact integer MICROSECONDS (µs-truncated event time, §4
+    * ordering contract) from one type-keyed lag window; moments are exact
+    * BIGINT/decimal (Σd² via DECIMAL(19,0)² — deltas can reach minutes of
+    * µs, squares overflow int64); CV and B are one identical-text IEEE
+    * row per type. */
+  def qInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("tus"), col("event_id"))
+    val deltas = Tables.table(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 1000").as("tus"), col("event_id"))
+      .withColumn("prev", lag("tus", 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"), (col("tus") - col("prev")).as("d"))
+    deltas.groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("d").cast("long").as("sd"),
+        sum(expr("cast(d as decimal(19,0)) * cast(d as decimal(19,0))")).as("sdd"))
+      .select(col("event_type"), col("n"),
+        expr("sd div n").as("mean_us"),
+        expr("sqrt((cast(sdd as double) - (cast(sd as double)*cast(sd as double))/cast(n as double)) / (cast(n as double) - 1.0)) / (cast(sd as double)/cast(n as double))")
+          .as("cv"),
+        expr("(sqrt((cast(sdd as double) - (cast(sd as double)*cast(sd as double))/cast(n as double)) / (cast(n as double) - 1.0)) - cast(sd as double)/cast(n as double)) / (sqrt((cast(sdd as double) - (cast(sd as double)*cast(sd as double))/cast(n as double)) / (cast(n as double) - 1.0)) + cast(sd as double)/cast(n as double))")
+          .as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  val qInterarrivalSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000 AS tus, event_id FROM events),
+      |d AS (
+      |  SELECT event_type,
+      |    tus - lag(tus) OVER (PARTITION BY event_type ORDER BY tus, event_id) AS d
+      |  FROM e),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(d) AS BIGINT) AS sd,
+      |    SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS sdd
+      |  FROM d WHERE d IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n, sd // n AS mean_us,
+      |  sqrt((CAST(sdd AS DOUBLE) - (CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) / (CAST(sd AS DOUBLE)/CAST(n AS DOUBLE)) AS cv,
+      |  (sqrt((CAST(sdd AS DOUBLE) - (CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) - CAST(sd AS DOUBLE)/CAST(n AS DOUBLE)) / (sqrt((CAST(sdd AS DOUBLE) - (CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) + CAST(sd AS DOUBLE)/CAST(n AS DOUBLE)) AS burstiness
+      |FROM m ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------- basket lift
   /** Market-basket association: top part pairs by LIFT (observed
     * co-purchase rate over the independence expectation), the classic
@@ -1241,6 +1289,7 @@ object StatsOps {
     "q_ab_srm" -> qAbSrm,
     "q_cuped" -> qCuped,
     "q_hhi" -> qHhi,
+    "q_interarrival" -> qInterarrival,
     "q_backlog_age" -> qBacklogAge,
     "q_control_chart" -> qControlChart,
     "q_chi2_test" -> qChi2Test,
@@ -1264,6 +1313,7 @@ object StatsOps {
     "q_ab_srm" -> qAbSrmSql,
     "q_cuped" -> qCupedSql,
     "q_hhi" -> qHhiSql,
+    "q_interarrival" -> qInterarrivalSql,
     "q_backlog_age" -> qBacklogAgeSql,
     "q_control_chart" -> qControlChartSql,
     "q_chi2_test" -> qChi2TestSql,
