@@ -37,13 +37,19 @@ object CatalogOps7 {
     *    user_id sort: every user band spans ~the full time range; expected
     *    ~32/32, threshold 3/4 absorbs small-file sampling noise at
     *    sf0.001) but prunes the z-ordered table below half
-    *    (`zorder_time_prunes` — each z-file is a small (user, time)
-    *    rectangle ~1/8 of the time range tall, so the central-quarter time
-    *    slab touches ~8-12 of 32 files);
-    *  - the 2-D box (central quarter of each dimension, bounds derived
-    *    from global min/max by integer arithmetic so the recipe is
+    *    (`zorder_time_prunes`). The probe slab is the [3/8, 4/8) eighth of
+    *    the time range — ONE of the layout's 8 time strips (ts holds 3 of
+    *    the top-5 curve bits), so the ideal read is 4/32 files and even
+    *    with range-partition sampling bleed (file boundaries land a little
+    *    off the exact curve marks, so curve-adjacent files leak into
+    *    neighbouring strips) it stays ~8-12 of 32. A quarter-wide slab
+    *    would span TWO strips and sit knife-edge at ~16/32 — observed
+    *    flipping 15↔16 across runs at sf0.1 — so the probe is deliberately
+    *    aligned to the layout's actual time resolution;
+    *  - the 2-D box (central user quarter × the same time eighth, bounds
+    *    derived from global min/max by integer arithmetic so the recipe is
     *    scale-free AND representation-exact) prunes the z-ordered table
-    *    below half its files (`zorder_box_prunes`, expected ~4-8 of 32).
+    *    below half its files (`zorder_box_prunes`, expected ~2-8 of 32).
     *
     * The box aggregates (n / decimal sum of value / distinct users) are
     * computed from the PRUNED z-ordered scan plus the row predicate —
@@ -70,15 +76,15 @@ object CatalogOps7 {
     cat.createTable("scratch", "ev_linear", schema)
     cat.appendClustered("scratch", "ev_linear", src, Seq("user_id"), 32)
 
-    // central-quarter box per dimension from global min/max — pure long
-    // arithmetic, so Spark and DuckDB derive bit-identical bounds
+    // central user quarter × one time eighth, from global min/max — pure
+    // long arithmetic, so Spark and DuckDB derive bit-identical bounds
     val r = src.agg(min("user_id"), max("user_id"), min("ts_us"), max("ts_us")).head()
     val (umn, umx) = (r.getLong(0), r.getLong(1))
     val (tmn, tmx) = (r.getLong(2), r.getLong(3))
     val uLo = umn + (umx - umn) * 3 / 8
     val uHi = umn + (umx - umn) * 5 / 8
     val tLo = tmn + (tmx - tmn) * 3 / 8
-    val tHi = tmn + (tmx - tmn) * 5 / 8
+    val tHi = tmn + (tmx - tmn) * 4 / 8
 
     val timeSlab = Seq(("ts_us", tLo.toDouble, tHi.toDouble))
     val box = Seq(("user_id", uLo.toDouble, uHi.toDouble),
@@ -110,7 +116,7 @@ object CatalogOps7 {
       |  SELECT umn + ((umx - umn) * 3) // 8 AS ulo,
       |         umn + ((umx - umn) * 5) // 8 AS uhi,
       |         tmn + ((tmx - tmn) * 3) // 8 AS tlo,
-      |         tmn + ((tmx - tmn) * 5) // 8 AS thi FROM b)
+      |         tmn + ((tmx - tmn) * 4) // 8 AS thi FROM b)
       |SELECT COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
