@@ -73,7 +73,10 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "DELETE MOR FROM [ns.]t WHERE cond (deletion vectors); " +
           "UPDATE [ns.]t SET c = v WHERE cond; " +
           "MERGE INTO [ns.]t USING [ns.]s ON keycol; " +
-          "COPY (SELECT ...) TO 'path' [FORMAT csv|json|parquet]")))
+          "COPY (SELECT ...) TO 'path' [FORMAT csv|json|parquet]; " +
+          "EXPLAIN [FORMATTED|EXTENDED] SELECT ... (plan audit: verify " +
+          "filter pushdown / column pruning / join strategy before paying " +
+          "for a large scan)")))
   }
 
   /** One result row → JSON object, default-string for non-JSON types

@@ -133,6 +133,20 @@ class McpServerSpec extends SparkSpec {
       maintTxt.take(300))
   }
 
+  test("EXPLAIN over the protocol: pushdown is auditable before paying for a scan") {
+    // the advertised plan-audit verb: an MCP client can verify a predicate
+    // reaches the parquet scan (PushedFilters) and the projection prunes
+    // columns (ReadSchema) WITHOUT executing the query — the check §6 runs
+    // locally, reachable from an unmodified client
+    val resp = call("""{"jsonrpc":"2.0","id":40,"method":"tools/call","params":{"name":"query_table","arguments":{"query":"EXPLAIN FORMATTED SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey = 1"}}}""")
+    assert(resp \ "result" \ "isError" == JBool(false))
+    val text = toolText(resp)
+    assert(text.contains("PushedFilters"), s"no pushdown visible: ${text.take(400)}")
+    assert(text.contains("l_orderkey"), text.take(400))
+    assert(!text.toLowerCase.contains("l_comment"),
+      "ReadSchema not pruned — full-width scan for a 2-column projection")
+  }
+
   test("row cap: payload truncation is explicit, never silent") {
     val small = new McpServer(spark, sfDir, maxRows = 5)
     val resp = JsonMethods.parse(small.handleLine(
