@@ -56,4 +56,29 @@ class AnnCacheSpec extends SparkSpec {
       ops.ModelCache.clear()
     }
   }
+
+  test("persisted NSW graph index is result-invisible to the beam search") {
+    // the NSW graph is DATA-scale (N x degree), so its cache is a parquet
+    // index table (write once, read per query) rather than driver rows —
+    // the d_index_persist shape; rows must match the in-query derivation
+    def rows() = ops.Similarity2.sNswSearch(spark, sfDir).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    ops.ModelCache.clear()
+    ops.ModelCache.enabled = false
+    val uncached = rows()
+    try {
+      ops.ModelCache.enabled = true
+      val coldCache = rows()
+      val warmCache = rows()
+      assert(coldCache.sameElements(uncached),
+        "first cached run diverged from the in-query graph build")
+      assert(warmCache.sameElements(uncached),
+        "persisted-index reuse changed query results")
+      assert(ops.ModelCache.buildSecs.exists(_._1.startsWith("nswgraph:")),
+        "graph build cost must be reported as a build line")
+    } finally {
+      ops.ModelCache.enabled = false
+      ops.ModelCache.clear()
+    }
+  }
 }
