@@ -1275,7 +1275,80 @@ object StatsOps {
       |  (CAST(runs AS DOUBLE) - ((2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE))/(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)) + 1.0)) / sqrt(((2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE))*(2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))) / (((CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE))*(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)))*(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)-1.0))) AS z
       |FROM agg""".stripMargin
 
+  // ------------------------------------------------ seasonal decomposition
+  /** Additive seasonal decomposition of the daily revenue series — the
+    * classic trend / day-of-week-seasonal / residual split (STL's additive
+    * skeleton) the time-series family was still missing: q_exp_smooth
+    * forecasts the level, q_autocorr measures periodicity, q_control_chart
+    * bounds noise — this one EXPLAINS a series by separating the weekly
+    * rhythm from the trend before anomaly hunting. Per full-window day:
+    * cents (exact), trend = centered 7-day mean, seasonal = mean day-of-week
+    * deviation, residual = cents − trend − seasonal.
+    *
+    * Numeric contract (the q_control_chart pattern): everything that
+    * crosses an aggregation is an exact BIGINT — daily cents, the centered
+    * 7-day SUM, and the ×7-scaled detrended value (7·cents − sum7, exact
+    * integer — no double ever sums across rows); every double is derived
+    * from those integers by identical-text IEEE expressions in both
+    * engines, so the gate hash-matches bit-exact.
+    *
+    * Shape: one shuffle to |days| aggregate rows; the centered window and
+    * the 7-row day-of-week join run over that aggregate frame (two-level —
+    * no raw-row global window, PlanAuditSpec-whitelisted like
+    * q_control_chart's lag). At 100 TB the daily rollup is the only
+    * data-scale pass. */
+  def qSeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.table(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"),
+        expr("cast(round(value * 100, 0) as long)").as("c"))
+      .groupBy("day").agg(sum("c").cast("long").as("cents"))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val full = daily
+      .withColumn("s7", sum("cents").over(w7).cast("long"))
+      .withColumn("n7", count(lit(1)).over(w7).cast("long"))
+      .where(col("n7") === 7) // edge days lack a centered window
+      .withColumn("dx7", expr("7 * cents - s7")) // detrended ×7, exact int
+      .withColumn("dow", expr("day % 7"))
+    val seas = full.groupBy("dow")
+      .agg(sum("dx7").cast("long").as("sdx"),
+        count(lit(1)).cast("long").as("cnt"))
+      .select(col("dow"),
+        expr("cast(sdx as double) / (7.0 * cast(cnt as double))").as("seasonal"))
+    full.join(broadcast(seas), "dow")
+      .select(col("day"), col("cents"),
+        expr("cast(s7 as double) / 7.0").as("trend"),
+        col("seasonal"),
+        expr("cast(dx7 as double) / 7.0 - seasonal").as("residual"))
+      .orderBy("day")
+  }
+
+  val qSeasonalDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT day, cents,
+      |    CAST(SUM(cents) OVER w AS BIGINT) AS s7,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n7
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |f AS (
+      |  SELECT day, cents, s7, 7 * cents - s7 AS dx7, day % 7 AS dow
+      |  FROM t WHERE n7 = 7),
+      |seas AS (
+      |  SELECT dow,
+      |    CAST(SUM(dx7) AS DOUBLE) / (7.0 * CAST(COUNT(*) AS DOUBLE)) AS seasonal
+      |  FROM f GROUP BY 1)
+      |SELECT day, cents,
+      |  CAST(s7 AS DOUBLE) / 7.0 AS trend,
+      |  seasonal,
+      |  CAST(dx7 AS DOUBLE) / 7.0 - seasonal AS residual
+      |FROM f JOIN seas USING (dow)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_decompose" -> qSeasonalDecompose,
     "q_runs_test" -> qRunsTest,
     "q_anova" -> qAnova,
     "q_spearman" -> qSpearman,
@@ -1300,6 +1373,7 @@ object StatsOps {
     "q_basket_lift" -> qBasketLift)
 
   val oracles: Map[String, String] = Map(
+    "q_seasonal_decompose" -> qSeasonalDecomposeSql,
     "q_runs_test" -> qRunsTestSql,
     "q_anova" -> qAnovaSql,
     "q_spearman" -> qSpearmanSql,

@@ -102,7 +102,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_abc_analysis",  // band prefix over per-REVENUE-BAND aggregate sums
     "q_control_chart", // lag window over per-DAY aggregate rows
     "q_hazard_curve",  // exit prefix over per-DAY aggregate rows
-    "q_tukey_fence"    // band prefix over per-CENTS-BAND aggregate rows
+    "q_tukey_fence",   // band prefix over per-CENTS-BAND aggregate rows
+    "q_seasonal_decompose" // centered 7-day window over per-DAY aggregate rows
   )
 
   // one planning pass over the whole surface, shared by every assertion

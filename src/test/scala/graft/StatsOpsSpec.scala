@@ -71,4 +71,25 @@ class StatsOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_pairs") > 0)
     }
   }
+
+  test("seasonal decomposition: reconstruction identity and edge trim") {
+    val rows = ops.StatsOps.qSeasonalDecompose(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no full-window days — series shorter than 7 days?")
+    // centered 7-day window trims exactly 3 days at each edge
+    val days = rows.map(_.getAs[Long]("day"))
+    assert(days.toSeq == days.sorted.toSeq)
+    // additive identity: cents = trend + seasonal + residual (FP roundoff only)
+    rows.foreach { r =>
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(recon - r.getAs[Long]("cents").toDouble) < 1e-6,
+        s"day ${r.getAs[Long]("day")}: $recon != ${r.getAs[Long]("cents")}")
+    }
+    // count-weighted seasonal indexes sum to the mean detrended value per
+    // construction; per-dow they must be small relative to the series level
+    val level = rows.map(_.getAs[Long]("cents")).sum.toDouble / rows.length
+    val seasAbs = rows.map(r => math.abs(r.getAs[Double]("seasonal"))).max
+    assert(seasAbs < level,
+      s"seasonal component $seasAbs exceeds the series level $level")
+  }
 }
