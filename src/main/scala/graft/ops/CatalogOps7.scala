@@ -61,7 +61,15 @@ object CatalogOps7 {
     * from manifest metadata only, and file count scales with data under
     * maxRecordsPerFile without touching the geometry argument (finer splits
     * only shrink each rectangle). */
-  def cZorder(spark: SparkSession, dir: String): DataFrame = {
+  /** Build both layouts (z-ordered + linear, 32 files each) in the scratch
+    * catalog and derive the probe-box bounds (central user quarter × one
+    * time eighth) from global min/max by pure long arithmetic, so Spark and
+    * DuckDB derive bit-identical bounds. ONE definition shared by the op,
+    * Round7cSpec's margin guard, and the ZProbe tool — the probed geometry
+    * can never drift between them (the 15↔16/32 knife-edge fix had to edit
+    * the slab bound in several copies at once; this removes the copies). */
+  private[graft] def zorderLayoutAndBounds(spark: SparkSession, dir: String)
+      : (LakeCatalog, Long, Long, Long, Long) = {
     val cat = new LakeCatalog(spark, scratch)
     val src = Tables.table(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"),
@@ -75,17 +83,16 @@ object CatalogOps7 {
     cat.dropTable("scratch", "ev_linear")
     cat.createTable("scratch", "ev_linear", schema)
     cat.appendClustered("scratch", "ev_linear", src, Seq("user_id"), 32)
-
-    // central user quarter × one time eighth, from global min/max — pure
-    // long arithmetic, so Spark and DuckDB derive bit-identical bounds
     val r = src.agg(min("user_id"), max("user_id"), min("ts_us"), max("ts_us")).head()
     val (umn, umx) = (r.getLong(0), r.getLong(1))
     val (tmn, tmx) = (r.getLong(2), r.getLong(3))
-    val uLo = umn + (umx - umn) * 3 / 8
-    val uHi = umn + (umx - umn) * 5 / 8
-    val tLo = tmn + (tmx - tmn) * 3 / 8
-    val tHi = tmn + (tmx - tmn) * 4 / 8
+    (cat,
+      umn + (umx - umn) * 3 / 8, umn + (umx - umn) * 5 / 8,
+      tmn + (tmx - tmn) * 3 / 8, tmn + (tmx - tmn) * 4 / 8)
+  }
 
+  def cZorder(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, uLo, uHi, tLo, tHi) = zorderLayoutAndBounds(spark, dir)
     val timeSlab = Seq(("ts_us", tLo.toDouble, tHi.toDouble))
     val box = Seq(("user_id", uLo.toDouble, uHi.toDouble),
       ("ts_us", tLo.toDouble, tHi.toDouble))

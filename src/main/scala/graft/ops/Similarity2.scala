@@ -432,8 +432,10 @@ object Similarity2 {
       build().localCheckpoint()
     else {
       val path = ModelCache.memo(s"nswgraph:$dir") {
+        // path keyed by the SANITIZED full dir, not a 32-bit hash — two
+        // data dirs must never share (and overwrite) one index directory
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_nsw_index/" +
-          java.lang.Integer.toHexString(dir.hashCode)
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")
         build().write.mode("overwrite").parquet(p)
         p
       }

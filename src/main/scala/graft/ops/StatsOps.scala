@@ -1302,11 +1302,15 @@ object StatsOps {
       .select(expr("ts div 86400000000000").as("day"),
         expr("cast(round(value * 100, 0) as long)").as("c"))
       .groupBy("day").agg(sum("c").cast("long").as("cents"))
-    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    // RANGE frame over the day VALUE, not a 7-ROW frame: with a calendar
+    // gap a row frame would silently mix non-adjacent weeks into one
+    // "week" and the n7 guard could not tell; RANGE + n7=7 enforces that
+    // all seven calendar days exist (identical frame text in the oracle)
+    val w7 = Window.orderBy("day").rangeBetween(-3, 3)
     val full = daily
       .withColumn("s7", sum("cents").over(w7).cast("long"))
       .withColumn("n7", count(lit(1)).over(w7).cast("long"))
-      .where(col("n7") === 7) // edge days lack a centered window
+      .where(col("n7") === 7) // edge days / gapped weeks lack a full window
       .withColumn("dx7", expr("7 * cents - s7")) // detrended ×7, exact int
       .withColumn("dow", expr("day % 7"))
     val seas = full.groupBy("dow")
@@ -1332,7 +1336,7 @@ object StatsOps {
       |    CAST(SUM(cents) OVER w AS BIGINT) AS s7,
       |    CAST(COUNT(*) OVER w AS BIGINT) AS n7
       |  FROM daily
-      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |  WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
       |f AS (
       |  SELECT day, cents, s7, 7 * cents - s7 AS dx7, day % 7 AS dow
       |  FROM t WHERE n7 = 7),

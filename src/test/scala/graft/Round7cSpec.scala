@@ -19,23 +19,20 @@ class Round7cSpec extends SparkSpec {
     assert(r.getBoolean(5), "z-order failed to prune the 2-D box below half")
   }
 
-  test("c_zorder: prune margins are wide, not knife-edge (flake guard)") {
+  test("c_zorder: prune margins are wide, not knife-edge (flake guard, sf0.1)") {
     // The op's booleans gate at `read < 16 of 32`. The one sf0.1 flake this
     // round was a quarter-wide probe slab flipping 15<->16 with the range
     // partitioner's run-dependent sampled boundaries; the strip-aligned slab
     // reads 8 ideal + bounded bleed. Assert the MARGIN (<= 12 slab, <= 10
     // box) so erosion surfaces here before it ever flips the driver gate.
-    ops.CatalogOps7.cZorder(spark, sfDir).collect() // (re)build both layouts
-    val cat = new LakeCatalog(spark, scratch)
-    val src = Tables.table(spark, sfDir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
-    val r = src.agg(min("user_id"), max("user_id"), min("ts_us"), max("ts_us")).head()
-    val (umn, umx) = (r.getLong(0), r.getLong(1))
-    val (tmn, tmx) = (r.getLong(2), r.getLong(3))
-    val uLo = umn + (umx - umn) * 3 / 8
-    val uHi = umn + (umx - umn) * 5 / 8
-    val tLo = tmn + (tmx - tmn) * 3 / 8
-    val tHi = tmn + (tmx - tmn) * 4 / 8
+    // Deliberately at sf0.1 — the scale the flake appeared at (sampling
+    // bleed is scale-dependent; a small-sf guard could stay green while
+    // the driver-gate scale erodes) — and through the op's OWN
+    // zorderLayoutAndBounds, so the guarded geometry is the gated one.
+    val dir01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$dir01/events.parquet").exists, s"$dir01 absent")
+    val (cat, uLo, uHi, tLo, tHi) =
+      ops.CatalogOps7.zorderLayoutAndBounds(spark, dir01)
     val (slabRead, slabSkip) = cat.pruneFilesBox("scratch", "ev_zorder",
       Seq(("ts_us", tLo.toDouble, tHi.toDouble)))
     val total = slabRead.size + slabSkip.size

@@ -75,7 +75,13 @@ class StatsOpsSpec extends SparkSpec {
   test("seasonal decomposition: reconstruction identity and edge trim") {
     val rows = ops.StatsOps.qSeasonalDecompose(spark, sfDir).collect()
     assert(rows.nonEmpty, "no full-window days — series shorter than 7 days?")
-    // centered 7-day window trims exactly 3 days at each edge
+    // the centered RANGE window trims exactly 3 days at each edge of a
+    // contiguous series — pin it, so a loosened n7 guard (or a silent
+    // frame change) that keeps partial-window days cannot pass unnoticed
+    val nDays = Tables.table(spark, sfDir, "events")
+      .select(expr("ts div 86400000000000").as("day")).distinct().count()
+    assert(rows.length == nDays - 6,
+      s"expected ${nDays - 6} full-window days of $nDays, got ${rows.length}")
     val days = rows.map(_.getAs[Long]("day"))
     assert(days.toSeq == days.sorted.toSeq)
     // additive identity: cents = trend + seasonal + residual (FP roundoff only)
