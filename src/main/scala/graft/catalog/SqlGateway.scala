@@ -263,6 +263,10 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
 
       case maintainTb(ns, table, files, keep) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        // defaults differ from bare COMPACT TABLE (which targets 1 file —
+        // a full rewrite): nightly maintenance keeps a small multi-file
+        // layout (4) so the rewrite stays incremental. Both defaults are
+        // advertised in the MCP tool description.
         val target = Option(files).map(_.toInt).getOrElse(4)
         val keepN = Option(keep).map(_.toInt).getOrElse(3)
         val filesBefore = catalog.currentFiles(nsName, table)

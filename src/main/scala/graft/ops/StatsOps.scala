@@ -755,6 +755,10 @@ object StatsOps {
           col("fp") - col("fv")).as("t_event"),
         when(col("fp").isNull, col("last") - col("fv")).as("t_cens"))
       .where(col("t_event").isNotNull || col("t_cens").isNotNull)
+      // events + cens + tot all branch from this frame (~5 references):
+      // without the cache Spark re-runs the full scan + per-user min/max
+      // aggregate per branch (sub-plans are not shared across reuse)
+      .cache()
     val events = perUser.where(col("t_event").isNotNull)
       .groupBy(col("t_event").as("t")).agg(count(lit(1)).as("d"))
     val cens = perUser.where(col("t_cens").isNotNull)
@@ -1017,11 +1021,12 @@ object StatsOps {
         sum(when(col("arm_a"), 0L).otherwise(1L)).cast("long").as("n_b"))
       .select(col("n_a"), col("n_b"),
         expr("cast(floor((((cast(n_a as double) - cast(n_b as double)) * (cast(n_a as double) - cast(n_b as double))) / (cast(n_a as double) + cast(n_b as double))) * 1000000.0) as long)")
-          .as("chi2_ppm"),
-        // 1-dof chi2 critical value at alpha=0.001 is 10.828: SRM fires
-        // above it (both engines compare the same exact integer)
-        (expr("cast(floor((((cast(n_a as double) - cast(n_b as double)) * (cast(n_a as double) - cast(n_b as double))) / (cast(n_a as double) + cast(n_b as double))) * 1000000.0) as long)")
-          > 10828000L).as("srm_detected"))
+          .as("chi2_ppm"))
+      // 1-dof chi2 critical value at alpha=0.001 is 10.828: SRM fires
+      // above it. Derived from the ONE computed chi2_ppm column (both
+      // engines compare the same exact integer) — a second verbatim copy
+      // of the statistic could silently drift from the flag.
+      .withColumn("srm_detected", col("chi2_ppm") > 10828000L)
   }
 
   val qAbSrmSql: String =
@@ -1029,11 +1034,13 @@ object StatsOps {
       |a AS (
       |  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
       |         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
-      |  FROM u)
-      |SELECT n_a, n_b,
-      |  CAST(floor((((CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE)) * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * 1000000.0) AS BIGINT) AS chi2_ppm,
-      |  CAST(floor((((CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE)) * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * 1000000.0) AS BIGINT) > 10828000 AS srm_detected
-      |FROM a""".stripMargin
+      |  FROM u),
+      |c AS (
+      |  SELECT n_a, n_b,
+      |    CAST(floor((((CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE)) * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * 1000000.0) AS BIGINT) AS chi2_ppm
+      |  FROM a)
+      |SELECT n_a, n_b, chi2_ppm, chi2_ppm > 10828000 AS srm_detected
+      |FROM c""".stripMargin
 
   // ------------------------------------------------------------ CUPED
   /** CUPED variance reduction (Deng et al., public): adjust each user's
@@ -1059,10 +1066,16 @@ object StatsOps {
         sum(col("x") * col("y")).cast("long").as("sxy"),
         sum(col("x") * col("x")).cast("long").as("sxx"),
         sum(col("y") * col("y")).cast("long").as("syy"))
+      // name the three scaled moments ONCE (cov_n = n·Σxy − Σx·Σy etc.),
+      // then derive θ and the ratio from them — verbatim copies of the
+      // covariance text in two output columns could silently drift apart
       .select(col("n"),
-        expr("(cast(n as double)*cast(sxy as double) - cast(sx as double)*cast(sy as double)) / (cast(n as double)*cast(sxx as double) - cast(sx as double)*cast(sx as double))")
-          .as("theta"),
-        expr("((cast(n as double)*cast(sxy as double) - cast(sx as double)*cast(sy as double)) * (cast(n as double)*cast(sxy as double) - cast(sx as double)*cast(sy as double))) / ((cast(n as double)*cast(sxx as double) - cast(sx as double)*cast(sx as double)) * (cast(n as double)*cast(syy as double) - cast(sy as double)*cast(sy as double)))")
+        expr("cast(n as double)*cast(sxy as double) - cast(sx as double)*cast(sy as double)").as("cov_n"),
+        expr("cast(n as double)*cast(sxx as double) - cast(sx as double)*cast(sx as double)").as("varx_n"),
+        expr("cast(n as double)*cast(syy as double) - cast(sy as double)*cast(sy as double)").as("vary_n"))
+      .select(col("n"),
+        (col("cov_n") / col("varx_n")).as("theta"),
+        ((col("cov_n") * col("cov_n")) / (col("varx_n") * col("vary_n")))
           .as("variance_reduction"))
   }
 
@@ -1081,11 +1094,17 @@ object StatsOps {
       |    CAST(SUM(x*y) AS BIGINT) AS sxy,
       |    CAST(SUM(x*x) AS BIGINT) AS sxx,
       |    CAST(SUM(y*y) AS BIGINT) AS syy
-      |  FROM pu)
+      |  FROM pu),
+      |v AS (
+      |  SELECT n,
+      |    CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS cov_n,
+      |    CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS varx_n,
+      |    CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vary_n
+      |  FROM m)
       |SELECT n,
-      |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS theta,
-      |  ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))) / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS variance_reduction
-      |FROM m""".stripMargin
+      |  cov_n / varx_n AS theta,
+      |  (cov_n * cov_n) / (varx_n * vary_n) AS variance_reduction
+      |FROM v""".stripMargin
 
   // ---------------------------------------------------------------- HHI
   /** Herfindahl–Hirschman concentration index of revenue by customer —
@@ -1135,7 +1154,16 @@ object StatsOps {
     * ordering contract) from one type-keyed lag window; moments are exact
     * BIGINT/decimal (Σd² via DECIMAL(19,0)² — deltas can reach minutes of
     * µs, squares overflow int64); CV and B are one identical-text IEEE
-    * row per type. */
+    * row per type.
+    *
+    * Scale honesty (the qQuantileExact precedent): the lag window sorts
+    * RAW event rows per event_type — a bounded-fan shuffle whose per-task
+    * volume is corpus/|types| at 100 TB. That is this op's calibration
+    * cost, accepted because exact inter-arrival deltas need per-type
+    * order; the streaming monitor (st_anomaly) is the 100 TB default and
+    * THIS op is what you run offline to size it. A windowed variant
+    * (per-(type, hour) lags, dropping one boundary delta per hour) is the
+    * scale-out escape hatch if the calibration corpus itself grows. */
   def qInterarrival(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type")
       .orderBy(col("tus"), col("event_id"))

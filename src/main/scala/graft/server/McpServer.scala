@@ -61,8 +61,9 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "CREATE HISTOGRAM ON [ns.]t (col); SHOW HISTOGRAM FOR [ns.]t (col); " +
           "EXPIRE SNAPSHOTS IN [ns.]t [KEEP n]; REMOVE ORPHANS IN [ns.]t; " +
           "ROLLBACK [TABLE] [ns.]t TO VERSION v; " +
-          "COMPACT TABLE [ns.]t [INTO n FILES]; " +
-          "MAINTAIN TABLE [ns.]t [INTO n FILES] [KEEP k]"),
+          "COMPACT TABLE [ns.]t [INTO n FILES] (default 1 file); " +
+          "MAINTAIN TABLE [ns.]t [INTO n FILES] [KEEP k] " +
+          "(defaults: 4 files, keep 3 snapshots)"),
       tool("query_table", "Execute a query on lake tables",
         "Table reads and writes: any Spark SELECT over registered tables " +
           "(joins, aggregates, window functions), with time travel via " +

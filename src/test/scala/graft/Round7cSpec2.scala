@@ -49,6 +49,25 @@ class Round7cSpec2 extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_orders")).sum == openCount)
   }
 
+  test("q_interarrival: moments positive; burstiness in [-1, 1); counts tie out") {
+    val rows = ops.StatsOps.qInterarrival(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val perType = Tables.table(spark, sfDir, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      // n intervals = n events of the type - 1 (one lag per ordered pair)
+      assert(r.getAs[Long]("n") == perType(t) - 1,
+        s"$t: ${r.getAs[Long]("n")} intervals for ${perType(t)} events")
+      assert(r.getAs[Long]("mean_us") > 0, s"$t: non-positive mean gap")
+      assert(r.getAs[Double]("cv") > 0.0, s"$t: non-positive cv")
+      val b = r.getAs[Double]("burstiness")
+      // B = (sigma-mu)/(sigma+mu) with sigma,mu > 0 is strictly inside
+      assert(b > -1.0 && b < 1.0, s"$t: burstiness $b out of (-1, 1)")
+    }
+  }
+
   test("q_control_chart: lcl < mean < ucl; violations bounded by day count") {
     val r = ops.StatsOps.qControlChart(spark, sfDir).collect().head
     assert(r.getAs[Double]("lcl") < r.getAs[Double]("mean_x"))
