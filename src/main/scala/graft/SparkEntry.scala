@@ -24,7 +24,7 @@ object SparkEntry {
       ops.CatalogOps2.queries ++
       ops.Multimodal.queries ++ streaming.StreamOps.queries ++
       ops.Pipeline.queries ++ ops.ChunkOps.queries ++ ops.Events.queries ++
-      ops.Graph.queries ++
+      ops.Graph.queries ++ ops.Graph2.queries ++
       ops.Pipeline2.queries ++ ops.Pipeline3.queries ++ ops.Cluster.queries ++
       ops.CatalogOps3.queries ++ ops.CatalogOps4.queries ++
       ops.CatalogOps5.queries ++ ops.Dedup2.queries ++
@@ -46,7 +46,7 @@ object SparkEntry {
       ops.CatalogOps2.oracles ++
       ops.Multimodal.oracles ++ streaming.StreamOps.oracles ++
       ops.Pipeline.oracles ++ ops.ChunkOps.oracles ++ ops.Events.oracles ++
-      ops.Graph.oracles ++
+      ops.Graph.oracles ++ ops.Graph2.oracles ++
       ops.Pipeline2.oracles ++ ops.Pipeline3.oracles ++ ops.Cluster.oracles ++
       ops.CatalogOps3.oracles ++ ops.CatalogOps4.oracles ++
       ops.CatalogOps5.oracles ++ ops.Dedup2.oracles ++

@@ -106,6 +106,74 @@ class GraphPropSpec extends SparkSpec {
     }
   }
 
+  test("sssp ≡ in-memory Bellman-Ford on 10 seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    for (t <- 1 to 10) {
+      val n = 8 + rnd.nextInt(14)
+      val p = 0.1 + rnd.nextDouble() * 0.3
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < p
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val rounds = 6
+        // reference: synchronous relaxation over the same weighted bidir list
+        val w = edges.map { case (lo, hi) => ((lo, hi), 1L + (lo * 7 + hi * 3) % 9) }.toMap
+        val bidir = edges.flatMap { case (lo, hi) =>
+          Seq((lo, hi, w((lo, hi))), (hi, lo, w((lo, hi)))) }
+        val src = edges.flatMap(e => Seq(e._1, e._2)).min
+        var dist = Map(src -> 0L)
+        for (_ <- 1 to rounds) {
+          val relax = bidir.flatMap { case (s, d, wt) =>
+            dist.get(s).map(x => (d, x + wt)) }
+          dist = (dist.toSeq ++ relax).groupBy(_._1)
+            .view.mapValues(_.map(_._2).min).toMap
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        val hist = dist.values.groupBy(identity)
+          .map { case (d, xs) => (d, xs.size.toLong) }
+        val ref = (hist + (-1L -> (nodes.size - dist.size).toLong))
+          .toSeq.sortBy(_._1)
+        val got = ops.Graph2.ssspOf(edges.toDF("lo", "hi"), rounds).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == ref,
+          s"trial $t (n=$n, |E|=${edges.size}):\n got $got\n ref $ref")
+      }
+    }
+  }
+
+  test("label propagation ≡ in-memory synchronous LPA on 10 seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (t <- 1 to 10) {
+      val n = 8 + rnd.nextInt(14)
+      val p = 0.1 + rnd.nextDouble() * 0.3
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < p
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val rounds = 4
+        val adj = (edges ++ edges.map(_.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var lab = adj.keys.map(i => (i, i)).toMap
+        val ref = (1 to rounds).map { r =>
+          lab = adj.map { case (node, nbs) =>
+            val counts = nbs.map(lab).groupBy(identity)
+              .view.mapValues(_.size.toLong).toMap
+            val mc = counts.values.max
+            (node, counts.collect { case (l, c) if c == mc => l }.min)
+          }
+          val sizes = lab.values.groupBy(identity).map(_._2.size.toLong)
+          (r, sizes.size.toLong, sizes.max)
+        }
+        val got = ops.Graph2.communitiesOf(edges.toDF("lo", "hi"), rounds)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got == ref,
+          s"trial $t (n=$n, |E|=${edges.size}):\n got $got\n ref $ref")
+      }
+    }
+  }
+
   test("peel is idempotent at the fixpoint: a converged survivor set has min degree >= k") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
