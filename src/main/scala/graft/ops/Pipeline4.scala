@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.8 addition (round 7): privacy-noised statistics release — the
+  * governance step between a curated corpus and a PUBLISHED dataset card.
+  * p_k_anonymity suppresses small groups; this op instead perturbs every
+  * released count with seeded symmetric noise, the differential-privacy
+  * release shape (noisy counts survive where suppression would delete).
+  *
+  * Honest boundary (the FakeCodec discipline): this gates the release
+  * PLUMBING — group → seeded per-group noise → clamped release — not a
+  * formal ε accounting. The noise is sign × Geometric(1/2) magnitude
+  * (from the hash's trailing-one run length), TRUNCATED at 5, and the
+  * "randomness" is the portable GF(2^61−1) cubic PolyHash of the group's
+  * min doc_id (the q_hll_merge recipe) so both engines replay it
+  * bit-for-bit. A production deployment swaps the seed for a
+  * cryptographic RNG and the truncated geometric for a discrete
+  * Laplace/Gaussian with a real ε budget — one expression, same plan.
+  *
+  * Scale shape: ONE map-side-combined aggregate to |sources|×|langs|
+  * rows; everything after is per-row scalar integer arithmetic. The
+  * released table also carries n_true and the noise term so the gate and
+  * audits can see the mechanism; the production projection drops both. */
+object Pipeline4 {
+
+  def pDpRelease(spark: SparkSession, dir: String): DataFrame = {
+    val M = graft.functions.PolyHash.M
+    val PHI = graft.functions.PolyHash.PHI
+    val PSI = graft.functions.PolyHash.PSI
+    Tables.table(spark, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_true"), min("doc_id").as("k"))
+      .withColumn("h1", expr(
+        s"cast((cast($PHI as decimal(19,0)) * cast(k as decimal(19,0)) + $PSI) % $M as decimal(19,0))"))
+      .withColumn("h", expr(s"cast((cast((h1 * h1) % $M as decimal(19,0)) * h1) % $M as bigint)"))
+      .withColumn("mag", expr(
+        """case when h % 2 = 0 then 0 when h % 4 = 1 then 1
+          |     when h % 8 = 3 then 2 when h % 16 = 7 then 3
+          |     when h % 32 = 15 then 4 else 5 end""".stripMargin))
+      .withColumn("noise", expr(
+        "cast(case when (h div 1099511627776) % 2 = 0 then mag else -mag end as bigint)"))
+      .select(col("source"), col("lang"), col("n_true"), col("noise"),
+        expr("greatest(cast(0 as bigint), n_true + noise)").as("released_n"))
+      .orderBy("source", "lang")
+  }
+
+  val pDpReleaseSql: String = {
+    val M = graft.functions.PolyHash.M
+    val PHI = graft.functions.PolyHash.PHI
+    val PSI = graft.functions.PolyHash.PSI
+    s"""WITH g AS (
+       |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_true,
+       |         MIN(doc_id) AS k
+       |  FROM documents GROUP BY 1, 2),
+       |h0 AS (
+       |  SELECT source, lang, n_true,
+       |    CAST((CAST($PHI AS HUGEINT) * k + $PSI) % $M AS HUGEINT) AS h1
+       |  FROM g),
+       |hh AS (
+       |  SELECT source, lang, n_true,
+       |    CAST((h1 * h1 % $M) * h1 % $M AS BIGINT) AS h
+       |  FROM h0),
+       |n AS (
+       |  SELECT source, lang, n_true,
+       |    CAST((CASE WHEN (h // 1099511627776) % 2 = 0 THEN 1 ELSE -1 END) *
+       |      (CASE WHEN h % 2 = 0 THEN 0 WHEN h % 4 = 1 THEN 1
+       |            WHEN h % 8 = 3 THEN 2 WHEN h % 16 = 7 THEN 3
+       |            WHEN h % 32 = 15 THEN 4 ELSE 5 END) AS BIGINT) AS noise
+       |  FROM hh)
+       |SELECT source, lang, n_true, noise,
+       |  GREATEST(CAST(0 AS BIGINT), n_true + noise) AS released_n
+       |FROM n ORDER BY source, lang""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_dp_release" -> (pDpRelease _))
+
+  val oracles: Map[String, String] = Map(
+    "p_dp_release" -> pDpReleaseSql)
+}

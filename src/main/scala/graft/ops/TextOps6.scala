@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.3 addition (round 7, third text batch): TextRank — graph-based
+  * keyword extraction (Mihalcea & Tarau 2004, public). Ranks corpus
+  * vocabulary by CENTRALITY in the word co-occurrence graph, the signal
+  * RAKE's stopword-delimited phrase heuristic (t_rake_keywords) and PMI's
+  * pairwise association score (t_pmi_bigrams) both miss: a word matters
+  * because it co-occurs with words that matter, recursively.
+  *
+  * Composition of two already-gated disciplines: the bigram extraction is
+  * t_pmi_bigrams' position-explode (never slice-in-transform, §4.1), and
+  * the iteration is q_pagerank's decimal-exact power method (12-dp
+  * round-then-DECIMAL-accumulate per superstep, all literals identical
+  * text in both engines) over the weighted undirected co-occurrence graph
+  * — weight = bigram count, support ≥ 25 so the vocabulary graph is the
+  * Zipf head, not the long tail.
+  *
+  * Scale shape at 100 TB: one tokenizing scan → (lo, hi) count aggregate
+  * (vocabulary-keyed, map-side combined); 3 supersteps, each ONE shuffle
+  * keyed on edge dst + a wdeg equi-join; node/edge cardinality is
+  * vocabulary-scale (Zipf-bounded), not corpus-scale — the graph FITS
+  * because the support threshold caps it. No dangling-mass path needed:
+  * every node of an undirected edge-induced graph has wdeg ≥ 1. */
+object TextOps6 {
+
+  private val damping = "0.85"
+  private val iters = 3
+  private val support = 25
+
+  /** Decimal-exact sum of 12-dp-rounded terms (the q_pagerank dsum12). */
+  private def dsum12(c: Column): Column =
+    sum(round(c, 12).cast("decimal(30,13)")).cast("double")
+
+  def tTextrank(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toks = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .where(length(col("text")) > 0)
+      .select(split(norm, " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+    val big = toks
+      .select(explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+      .select(expr("element_at(ws, cast(i as int))").as("w1"),
+        expr("element_at(ws, cast(i as int) + 1)").as("w2"))
+      .where(col("w1") =!= col("w2"))
+    val e0 = big
+      .select(least(col("w1"), col("w2")).as("lo"),
+        greatest(col("w1"), col("w2")).as("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("w"))
+      .where(col("w") >= support)
+    val bidir = e0.select(col("lo").as("src"), col("hi").as("dst"), col("w"))
+      .union(e0.select(col("hi"), col("lo"), col("w")))
+      .localCheckpoint()
+    val wdeg = bidir.groupBy("src").agg(sum("w").cast("long").as("wdeg"))
+      .localCheckpoint()
+    // one scalar to the driver (metadata scale — the qPagerank n precedent)
+    val n = wdeg.count()
+    var pr = wdeg.select(col("src").as("id"), (lit(1.0) / lit(n)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = bidir.join(wdeg, "src")
+        .join(pr, pr("id") === bidir("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(dsum12(col("pr") * col("w") / col("wdeg")).as("cin"))
+      pr = wdeg.select(col("src").as("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          round(expr(s"0.15e0 / $n + $damping * coalesce(cin, 0e0)"), 12)
+            .as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("id").as("word"), round(col("pr"), 6).as("textrank"))
+      .orderBy(col("textrank").desc, col("word")).limit(20)
+  }
+
+  val tTextrankSql: String = {
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""in$k AS (
+         |  SELECT b.dst AS id,
+         |    CAST(SUM(CAST(round(p.pr * b.w / d.wdeg, 12) AS DECIMAL(30,13))) AS DOUBLE) AS cin
+         |  FROM bidir b JOIN pr$p p ON p.id = b.src JOIN wdeg d ON d.src = b.src
+         |  GROUP BY 1),
+         |pr$k AS (
+         |  SELECT w.src AS id,
+         |    round(0.15e0 / nn.n + $damping * COALESCE(i.cin, 0e0), 12) AS pr
+         |  FROM wdeg w LEFT JOIN in$k i ON i.id = w.src, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents
+       |  WHERE length(text) > 0
+       |    AND len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) >= 2),
+       |big AS (
+       |  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+       |  FROM toks, unnest(range(1, len(ws))) AS t(i)),
+       |e0 AS (
+       |  SELECT LEAST(w1, w2) AS lo, GREATEST(w1, w2) AS hi,
+       |         CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM big WHERE w1 <> w2
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $support),
+       |bidir AS MATERIALIZED (
+       |  SELECT lo AS src, hi AS dst, w FROM e0
+       |  UNION ALL SELECT hi, lo, w FROM e0),
+       |wdeg AS MATERIALIZED (
+       |  SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM bidir GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wdeg),
+       |pr0 AS (SELECT src AS id, CAST(1 AS DOUBLE) / nn.n AS pr FROM wdeg, nn),
+       |$rounds
+       |SELECT id AS word, round(pr, 6) AS textrank FROM pr$iters
+       |ORDER BY textrank DESC, word LIMIT 20""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_textrank" -> (tTextrank _))
+
+  val oracles: Map[String, String] = Map(
+    "t_textrank" -> tTextrankSql)
+}

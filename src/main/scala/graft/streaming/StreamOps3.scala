@@ -353,15 +353,49 @@ object StreamOps3 {
       |  (backfill_events + live_events - overlap_events = total_events) AS gapless
       |FROM agg ORDER BY event_type""".stripMargin
 
+  /** Hopping (sliding) windows: 10-minute windows advancing every 5
+    * minutes — each event lands in exactly TWO windows, giving the
+    * overlap a tumbling aggregate (st_window_agg) can't: a spike
+    * straddling a tumbling boundary splits in half; some hop window
+    * always sees it whole. Identical transform batch/stream (the
+    * StreamOps.windowAgg discipline — StreamingSpec asserts MemoryStream
+    * parity); state per key holds duration/slide = 2 live windows, still
+    * watermark-bounded. The oracle replays the window-assignment
+    * arithmetic directly: an event at second t belongs to window starts
+    * {⌊t/300⌋·300 − k·300, k ∈ {0,1}} — the two multiples of the 300 s
+    * slide within 600 s of t. */
+  def hoppingAgg(df: DataFrame): DataFrame = {
+    val t = StreamOps.withEventTime(df)
+    val w = if (t.isStreaming) t.withWatermark("event_time", "10 minutes") else t
+    w.groupBy(window(col("event_time"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  def stHopping(spark: SparkSession, dir: String): DataFrame =
+    hoppingAgg(Tables.table(spark, dir, "events"))
+      .orderBy("win_start", "event_type")
+
+  val stHoppingSql: String =
+    """SELECT (epoch_ns(ts) // 300000000000 - k.k) * 300 AS win_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM events, (VALUES (0), (1)) AS k(k)
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_anomaly" -> (stAnomaly _),
     "st_topk" -> (stTopk _),
     "st_forecast" -> (stForecast _),
-    "st_backfill" -> (stBackfill _))
+    "st_backfill" -> (stBackfill _),
+    "st_hopping" -> (stHopping _))
 
   val oracles: Map[String, String] = Map(
     "st_anomaly" -> stAnomalySql,
     "st_topk" -> stTopkSql,
     "st_forecast" -> stForecastSql,
-    "st_backfill" -> stBackfillSql)
+    "st_backfill" -> stBackfillSql,
+    "st_hopping" -> stHoppingSql)
 }

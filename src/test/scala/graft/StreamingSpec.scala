@@ -65,6 +65,20 @@ class StreamingSpec extends SparkSpec {
         batch.zip(stream).find { case (a, b) => a != b })
   }
 
+  test("hoppingAgg: sliding windows, stream (complete mode) == batch, 2 windows per event") {
+    import graft.streaming.StreamOps3
+    val batch = StreamOps3.hoppingAgg(eventsBatch)
+      .orderBy("win_start", "event_type").collect().toSeq
+    val stream = runStream("complete")(StreamOps3.hoppingAgg)
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(batch.nonEmpty && batch == stream,
+      s"batch ${batch.size} rows vs stream ${stream.size} rows")
+    // every event lands in exactly 2 hop windows: Σn = 2·|events|
+    val totalN = batch.map(_.getLong(2)).sum
+    assert(totalN == 2 * eventsBatch.count(),
+      s"hop multiplicity broken: sum(n)=$totalN, events=${eventsBatch.count()}")
+  }
+
   test("dedup: streaming dropDuplicates preserves the distinct event count") {
     val expect = eventsBatch.select("event_id").distinct().count()
     val got = runStream("append")(StreamOps.dedup).count()
