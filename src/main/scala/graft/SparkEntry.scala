@@ -33,7 +33,8 @@ object SparkEntry {
       ops.Multimodal2.queries ++ ops.CatalogOps6.queries ++
       ops.Relational4.queries ++ ops.TextOps5.queries ++
       streaming.StreamOps3.queries ++ ops.CatalogOps7.queries ++
-      ops.StatsOps.queries ++ ops.TextOps6.queries ++ ops.Pipeline4.queries
+      ops.StatsOps.queries ++ ops.TextOps6.queries ++
+      ops.Pipeline4.queries ++ ops.Similarity3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -55,5 +56,6 @@ object SparkEntry {
       ops.Multimodal2.oracles ++ ops.CatalogOps6.oracles ++
       ops.Relational4.oracles ++ ops.TextOps5.oracles ++
       streaming.StreamOps3.oracles ++ ops.CatalogOps7.oracles ++
-      ops.StatsOps.oracles ++ ops.TextOps6.oracles ++ ops.Pipeline4.oracles
+      ops.StatsOps.oracles ++ ops.TextOps6.oracles ++
+      ops.Pipeline4.oracles ++ ops.Similarity3.oracles
 }
