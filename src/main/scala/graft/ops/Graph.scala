@@ -138,7 +138,7 @@ object Graph {
     * data scale); Verify and the oracle gate keep the full in-query
     * derivation (enabled=false), and determinism makes the results
     * identical either way. */
-  private[ops] def coSupplyEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def coSupplyEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def build(): DataFrame = {
       val ps = Tables.table(spark, dir, "lineitem")

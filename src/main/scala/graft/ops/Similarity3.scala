@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * embeds as literals in the DuckDB oracle (the s_lsh_ann plane
   * precedent), and the float32 output boundary of MatVecMul replays via
   * the OPQ CAST(CAST(… AS REAL) AS DOUBLE) idiom, so the gate is
-  * bit-exact end-to-end. Signs come from a fixed LCG parity — a
-  * deterministic stand-in with the statistics JL needs (balanced,
-  * uncorrelated-enough); a production build draws them from a seeded
-  * cryptographic stream, same plan. */
+  * bit-exact end-to-end. Signs come from the cubic GF(2^61−1) PolyHash
+  * parity — a deterministic stand-in with the statistics JL needs
+  * (balanced, well-mixed; Round7eSpec pins both); a production build
+  * draws them from a seeded cryptographic stream, same plan. */
 object Similarity3 {
 
   private val dIn = 64
@@ -33,7 +33,7 @@ object Similarity3 {
     * the HLL register build uses (an LCG's bit pattern over sequential
     * indices is visibly structured; measured here as distortion ratios
     * drifting to mean 0.86 — the cubic centers them at 1). */
-  private[ops] val jlMatrix: Seq[Seq[Double]] = {
+  private[graft] val jlMatrix: Seq[Seq[Double]] = {
     import graft.functions.PolyHash.{M, PHI, PSI, mulmod}
     (0 until dOut).map { i =>
       (0 until dIn).map { j =>
