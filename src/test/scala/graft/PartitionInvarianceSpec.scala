@@ -1,0 +1,38 @@
+package graft
+
+/** Results must be a function of (data, recipe) — NOT of the cluster shape.
+  * Every double-bearing op in the registry claims order-independent
+  * arithmetic (decimal-exact partial sums, deterministic tie-breaks); this
+  * spec pins the claim by re-running representative ops on a sibling
+  * session with a DIFFERENT (prime, non-divisor) shuffle-partition count
+  * and asserting bit-identical output. At 100 TB the same property is what
+  * makes a backfill on 200 executors agree with the nightly run on 1000.
+  *
+  * Representatives cover each arithmetic family: decimal-rounded power
+  * iteration (q_pagerank, t_textrank), HLL register algebra (q_hll_merge),
+  * prefix-window Welford (st_anomaly), banded MinHash-LSH (d_minhash_lsh),
+  * the sort-based skyline identity (q_skyline), and hash-seeded noise
+  * (p_dp_release). */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val opsUnderTest = Seq(
+    "q_pagerank", "t_textrank", "q_hll_merge", "st_anomaly",
+    "d_minhash_lsh", "q_skyline", "p_dp_release")
+
+  test("outputs are invariant to spark.sql.shuffle.partitions (4 vs 7)") {
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    assert(alt.conf.get("spark.sql.shuffle.partitions") == "7" &&
+      spark.conf.get("spark.sql.shuffle.partitions") == "4")
+    opsUnderTest.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val base = fn(spark, sfDir).collect().map(_.toString).toSeq
+      val other = fn(alt, sfDir).collect().map(_.toString).toSeq
+      assert(base.nonEmpty, s"$name returned no rows")
+      assert(base == other,
+        s"$name differs across shuffle-partition counts: " +
+          base.zip(other).find { case (a, b) => a != b })
+      spark.catalog.clearCache(); alt.catalog.clearCache()
+    }
+  }
+}
