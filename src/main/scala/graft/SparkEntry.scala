@@ -34,7 +34,7 @@ object SparkEntry {
       ops.Relational4.queries ++ ops.TextOps5.queries ++
       streaming.StreamOps3.queries ++ ops.CatalogOps7.queries ++
       ops.StatsOps.queries ++ ops.TextOps6.queries ++
-      ops.Pipeline4.queries ++ ops.Similarity3.queries
+      ops.Pipeline4.queries ++ ops.Similarity3.queries ++ ops.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -57,5 +57,5 @@ object SparkEntry {
       ops.Relational4.oracles ++ ops.TextOps5.oracles ++
       streaming.StreamOps3.oracles ++ ops.CatalogOps7.oracles ++
       ops.StatsOps.oracles ++ ops.TextOps6.oracles ++
-      ops.Pipeline4.oracles ++ ops.Similarity3.oracles
+      ops.Pipeline4.oracles ++ ops.Similarity3.oracles ++ ops.Sketches.oracles
 }
