@@ -29,9 +29,29 @@ object Graph {
   private val iters = 5
 
   /** Decimal-exact sum of 12-dp-rounded terms (finer-scaled sibling of
-    * Tables.dsum — pageranks are O(1/N) and need the extra digits). */
-  private def dsum12(c: Column): Column =
+    * Tables.dsum — pageranks are O(1/N) and need the extra digits).
+    * Shared with TextOps6's TextRank iteration — ONE definition of the
+    * load-bearing rounding rule. */
+  private[ops] def dsum12(c: Column): Column =
     sum(round(c, 12).cast("decimal(30,13)")).cast("double")
+
+  /** The co-supply edge-set derivation as oracle CTEs — ONE copy of the
+    * pair-generation/rank/cap recipe every graph oracle interpolates
+    * (8 call sites; a recipe change must not be able to miss one). The
+    * `materialized` dial mirrors the historical per-oracle text exactly
+    * (the triangle census predates the MATERIALIZED hints). */
+  private[ops] def coSupplyCteSql(materialized: Boolean = true): String =
+    s"""ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
+       |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+       |    AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
+       |         COUNT(*) OVER () AS np
+       |  FROM pairs),
+       |edges AS ${if (materialized) "MATERIALIZED " else ""}(SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10)""".stripMargin
 
   /** PageRank over the customer→supplier trade graph (distinct
     * (o_custkey → l_suppkey) pairs via the orders⋈lineitem equi-join):
@@ -187,17 +207,7 @@ object Graph {
   }
 
   val qTriangleCountSql: String =
-    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-      |pairs AS (
-      |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
-      |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
-      |    AND a.l_suppkey < b.l_suppkey
-      |  GROUP BY 1, 2),
-      |ranked AS (
-      |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
-      |         COUNT(*) OVER () AS np
-      |  FROM pairs),
-      |edges AS (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+    s"""WITH ${coSupplyCteSql(materialized = false)},
       |deg AS (
       |  SELECT id, COUNT(*) AS deg FROM (
       |    SELECT lo AS id FROM edges UNION ALL SELECT hi FROM edges) GROUP BY 1),
@@ -262,17 +272,7 @@ object Graph {
          |  WHERE b.dst NOT IN (SELECT id FROM r$p)),
          |r$t AS MATERIALIZED (SELECT id FROM r$p UNION SELECT id FROM d$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-       |pairs AS (
-       |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
-       |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
-       |    AND a.l_suppkey < b.l_suppkey
-       |  GROUP BY 1, 2),
-       |ranked AS (
-       |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
-       |         COUNT(*) OVER () AS np
-       |  FROM pairs),
-       |edges AS MATERIALIZED (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+    s"""WITH ${coSupplyCteSql()},
        |bidir AS MATERIALIZED (
        |  SELECT lo AS src, hi AS dst FROM edges
        |  UNION ALL SELECT hi, lo FROM edges),
@@ -333,17 +333,7 @@ object Graph {
   }
 
   val qLinkPredictSql: String =
-    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-      |pairs AS (
-      |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
-      |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
-      |    AND a.l_suppkey < b.l_suppkey
-      |  GROUP BY 1, 2),
-      |ranked AS (
-      |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
-      |         COUNT(*) OVER () AS np
-      |  FROM pairs),
-      |edges AS MATERIALIZED (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+    s"""WITH ${coSupplyCteSql()},
       |adj AS MATERIALIZED (
       |  SELECT lo AS node, hi AS nb FROM edges
       |  UNION ALL SELECT hi, lo FROM edges),
@@ -392,17 +382,7 @@ object Graph {
   }
 
   val qAssortativitySql: String =
-    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-      |pairs AS (
-      |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
-      |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
-      |    AND a.l_suppkey < b.l_suppkey
-      |  GROUP BY 1, 2),
-      |ranked AS (
-      |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
-      |         COUNT(*) OVER () AS np
-      |  FROM pairs),
-      |edges AS MATERIALIZED (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+    s"""WITH ${coSupplyCteSql()},
       |bidir AS MATERIALIZED (
       |  SELECT lo AS src, hi AS dst FROM edges
       |  UNION ALL SELECT hi, lo FROM edges),
@@ -471,17 +451,7 @@ object Graph {
          |  (SELECT COUNT(*) FROM s$p) - (SELECT COUNT(*) FROM s$r) AS n_removed,
          |  (SELECT COUNT(*) FROM s$r) AS n_surviving""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-       |pairs AS (
-       |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
-       |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
-       |    AND a.l_suppkey < b.l_suppkey
-       |  GROUP BY 1, 2),
-       |ranked AS (
-       |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
-       |         COUNT(*) OVER () AS np
-       |  FROM pairs),
-       |edges AS MATERIALIZED (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+    s"""WITH ${coSupplyCteSql()},
        |bidir AS MATERIALIZED (
        |  SELECT lo AS src, hi AS dst FROM edges
        |  UNION ALL SELECT hi, lo FROM edges),
@@ -538,17 +508,7 @@ object Graph {
   }
 
   val qModularitySql: String =
-    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-      |pairs AS (
-      |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
-      |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
-      |    AND a.l_suppkey < b.l_suppkey
-      |  GROUP BY 1, 2),
-      |ranked AS (
-      |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
-      |         COUNT(*) OVER () AS np
-      |  FROM pairs),
-      |edges AS MATERIALIZED (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+    s"""WITH ${coSupplyCteSql()},
       |nat AS (SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS com FROM supplier),
       |tagged AS MATERIALIZED (
       |  SELECT e.lo, e.hi, nl.com AS clo, nh.com AS chi

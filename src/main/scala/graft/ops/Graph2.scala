@@ -62,8 +62,14 @@ object Graph2 {
     val bidir = weighted.select(col("lo").as("src"), col("hi").as("dst"), col("w"))
       .union(weighted.select(col("hi"), col("lo"), col("w")))
       .localCheckpoint()
-    // one scalar to the driver (metadata scale — the qBfsLayers precedent)
-    val srcId = edges.agg(min(least(col("lo"), col("hi")))).head().getLong(0)
+    // one scalar to the driver (metadata scale — the qBfsLayers precedent);
+    // an empty edge frame yields a NULL min → return the empty histogram
+    // instead of an NPE (review r7: defensive, the gated corpora are never
+    // empty but GraphPropSpec-style callers can be)
+    val srcRow = edges.agg(min(least(col("lo"), col("hi")))).head()
+    if (srcRow.isNullAt(0))
+      return Seq.empty[(Long, Long)].toDF("dist", "n_nodes")
+    val srcId = srcRow.getLong(0)
     var dist = Seq((srcId, 0L)).toDF("id", "dist").localCheckpoint()
     for (_ <- 1 to rounds) {
       val relax = dist.join(bidir, col("id") === col("src"))
@@ -92,17 +98,7 @@ object Graph2 {
          |    FROM d$p f JOIN bidir b ON b.src = f.id)
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-       |pairs AS (
-       |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
-       |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
-       |    AND a.l_suppkey < b.l_suppkey
-       |  GROUP BY 1, 2),
-       |ranked AS (
-       |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
-       |         COUNT(*) OVER () AS np
-       |  FROM pairs),
-       |edges AS MATERIALIZED (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+    s"""WITH ${Graph.coSupplyCteSql()},
        |bidir AS MATERIALIZED (
        |  SELECT lo AS src, hi AS dst, CAST($weightExpr AS BIGINT) AS w FROM edges
        |  UNION ALL SELECT hi, lo, CAST($weightExpr AS BIGINT) FROM edges),
@@ -189,17 +185,7 @@ object Graph2 {
     val trace = (1 to lpaRounds).map { t =>
       s"SELECT $t AS round, n_communities, top_size FROM s$t"
     }.mkString("\nUNION ALL\n")
-    s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-       |pairs AS (
-       |  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi, COUNT(*) AS shared
-       |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
-       |    AND a.l_suppkey < b.l_suppkey
-       |  GROUP BY 1, 2),
-       |ranked AS (
-       |  SELECT lo, hi, row_number() OVER (ORDER BY shared DESC, lo, hi) AS rnk,
-       |         COUNT(*) OVER () AS np
-       |  FROM pairs),
-       |edges AS MATERIALIZED (SELECT lo, hi FROM ranked WHERE rnk <= (np + 9) // 10),
+    s"""WITH ${Graph.coSupplyCteSql()},
        |bidir AS MATERIALIZED (
        |  SELECT lo AS src, hi AS dst FROM edges
        |  UNION ALL SELECT hi, lo FROM edges),

@@ -52,8 +52,12 @@ object Similarity3 {
     val a = e.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         col("proj").as("a_proj"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      col("proj").as("b_proj"))
+    // only vec_ids ≡ 1,2,3 (mod 50) can match the exploded pair keys —
+    // the map-side filter that keeps ~94% of the corpus out of the join
+    // shuffle at scale (result-invariant; review r7)
+    val b = e.where(col("vec_id") % 50 <= 3 && col("vec_id") % 50 >= 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("proj").as("b_proj"))
     // Column-based (not expr-string) lambdas: the self-join re-resolves
     // attribute ids, and string exprs bind too late. zip_with + aggregate
     // folds left-to-right, value-identical to the oracle's list_sum

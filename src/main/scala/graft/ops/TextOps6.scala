@@ -31,9 +31,9 @@ object TextOps6 {
   private val iters = 3
   private val support = 25
 
-  /** Decimal-exact sum of 12-dp-rounded terms (the q_pagerank dsum12). */
-  private def dsum12(c: Column): Column =
-    sum(round(c, 12).cast("decimal(30,13)")).cast("double")
+  /** The q_pagerank decimal-exact accumulator — ONE shared definition of
+    * the load-bearing rounding rule (Graph.dsum12). */
+  private def dsum12(c: Column): Column = Graph.dsum12(c)
 
   def tTextrank(spark: SparkSession, dir: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))

@@ -26,7 +26,7 @@ object StreamOps {
 
   /** Tumbling 5-min window + watermark — THE canonical streaming aggregate.
     * Works identically on batch input (watermark is a no-op there). */
-  private def watermarked(df: DataFrame, delay: String): DataFrame = {
+  private[streaming] def watermarked(df: DataFrame, delay: String): DataFrame = {
     val t = withEventTime(df)
     if (t.isStreaming) t.withWatermark("event_time", delay) else t
   }

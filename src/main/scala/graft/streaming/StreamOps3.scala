@@ -364,15 +364,13 @@ object StreamOps3 {
     * arithmetic directly: an event at second t belongs to window starts
     * {⌊t/300⌋·300 − k·300, k ∈ {0,1}} — the two multiples of the 300 s
     * slide within 600 s of t. */
-  def hoppingAgg(df: DataFrame): DataFrame = {
-    val t = StreamOps.withEventTime(df)
-    val w = if (t.isStreaming) t.withWatermark("event_time", "10 minutes") else t
-    w.groupBy(window(col("event_time"), "10 minutes", "5 minutes"),
+  def hoppingAgg(df: DataFrame): DataFrame =
+    StreamOps.watermarked(df, "10 minutes")
+      .groupBy(window(col("event_time"), "10 minutes", "5 minutes"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
-  }
 
   def stHopping(spark: SparkSession, dir: String): DataFrame =
     hoppingAgg(Tables.table(spark, dir, "events"))

@@ -27,12 +27,19 @@ class PartitionInvarianceSpec extends SparkSpec {
     opsUnderTest.foreach { name =>
       val fn = SparkEntry.queries(name)
       val base = fn(spark, sfDir).collect().map(_.toString).toSeq
+      // the sibling session SHARES the SparkContext's CacheManager: without
+      // clearing here, the 7-partition run would silently reuse any
+      // intermediate the 4-partition run .cache()d (q_pagerank's edge set,
+      // q_hll_merge's registers …) and never execute the cached segment at
+      // the alternate partitioning — exactly the vacuity this spec exists
+      // to avoid (review r7)
+      spark.catalog.clearCache()
       val other = fn(alt, sfDir).collect().map(_.toString).toSeq
       assert(base.nonEmpty, s"$name returned no rows")
       assert(base == other,
         s"$name differs across shuffle-partition counts: " +
           base.zip(other).find { case (a, b) => a != b })
-      spark.catalog.clearCache(); alt.catalog.clearCache()
+      alt.catalog.clearCache()
     }
   }
 }
