@@ -17,7 +17,10 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   private val opsUnderTest = Seq(
     "q_pagerank", "t_textrank", "q_hll_merge", "st_anomaly",
-    "d_minhash_lsh", "q_skyline", "p_dp_release")
+    "d_minhash_lsh", "q_skyline", "p_dp_release",
+    // second wave: integer iterative relaxation, hash-rank reservoir
+    // windows, float32 mat-vec projection, BM25 idf/tf scoring
+    "q_sssp", "q_quantile_merge", "s_jl_project", "t_bm25")
 
   test("outputs are invariant to spark.sql.shuffle.partitions (4 vs 7)") {
     val alt = spark.newSession()
