@@ -1407,6 +1407,111 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * retention: the referenced files are physically COPIED into the clone
     * (cost ∝ data, paid once at clone time — Delta's deep clone), after
     * which the two tables share nothing. */
+  /** In-place import (Iceberg `add_files` / Delta CONVERT analog): register
+    * parquet files that already exist OUTSIDE the table — written by some
+    * other engine into a landing directory under the same namespace — with
+    * ONE metadata commit and ZERO data movement. The files join the
+    * snapshot log as `../<srcDir>/<name>` relative references (the
+    * [[cloneTable]] mechanism), their footer row counts and zone maps enter
+    * the manifest-stats sidecar at registration time (one bounded footer
+    * pass, so [[countStar]] and file pruning stay metadata-only over the
+    * imported files), and every reader — time travel, incremental scan,
+    * snapshot diff — is import-blind. This is the onboarding path that
+    * matters at 100 TB: adopting an existing parquet corpus costs footer
+    * metadata IO, never a rewrite. The caller owns schema compatibility
+    * (exactly Iceberg's add_files contract); the landing files are NOT
+    * pinned against external deletion — shallow-clone rules apply.
+    * Returns the number of files registered. */
+  def addFiles(ns: String, table: String, srcDir: String): Int = {
+    val landing = Paths.get(s"$root/$ns/$srcDir")
+    val imported = listParquet(landing).map(f => s"../$srcDir/$f")
+    if (imported.nonEmpty) {
+      recordFileStats(ns, table, imported)
+      commitSnapshot(ns, table,
+        currentFiles(ns, table).getOrElse(Seq.empty) ++ imported)
+    }
+    imported.size
+  }
+
+  // ------------------------------------------------- column rename (evolution)
+  // Iceberg renames columns by FIELD ID: a pure metadata operation, after
+  // which files written before the rename still resolve (their physical
+  // column name maps to the new logical name at scan time) and no data is
+  // rewritten. The flat parquet warehouse has no field ids, so the same
+  // contract is kept with a rename sidecar recording (old, new, version):
+  // files committed at or before the rename version carry the OLD physical
+  // name and reconcile via a per-generation scan projection; files written
+  // after carry the new name natively. Scan cost is unchanged — the two
+  // generations are disjoint file lists read with their own (pushdown-
+  // friendly) schemas and unioned by name, which is exactly what an
+  // id-based reader does per file.
+
+  private def renamesPath(ns: String, table: String): Path =
+    Paths.get(s"$root/$ns/${table}_renames.json")
+
+  /** All recorded renames, oldest first: (oldName, newName, renameVersion). */
+  def renames(ns: String, table: String): Seq[(String, String, Int)] = {
+    val p = renamesPath(ns, table)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+        val j = JsonMethods.parse(line)
+        val JString(o) = (j \ "old"): @unchecked
+        val JString(n) = (j \ "new"): @unchecked
+        val JInt(v) = (j \ "v"): @unchecked
+        (o, n, v.toInt)
+      }.toSeq
+    }
+  }
+
+  /** RENAME COLUMN — metadata-only (one sidecar line); zero files move.
+    * Subsequent appends write the NEW name; [[loadRenamed]] reconciles the
+    * generations. Chained renames compose in recording order. */
+  def renameColumn(ns: String, table: String, oldName: String,
+                   newName: String): Unit = {
+    val v = currentVersion(ns, table)
+    Files.writeString(renamesPath(ns, table),
+      s"""{"old":"$oldName","new":"$newName","v":$v}\n""",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Rename-aware read of the current snapshot: files added at or before
+    * each rename's version are read under their physical (old) name and
+    * projected to the logical name; later files read natively. Both
+    * generations stay separate parquet scans (pushdown intact) unioned by
+    * name — the flat-warehouse rendition of Iceberg's per-file field-id
+    * resolution. Tables with no recorded rename take the plain
+    * [[load]] path untouched. */
+  def loadRenamed(ns: String, table: String): DataFrame = {
+    val rs = renames(ns, table)
+    if (rs.isEmpty) load(ns, table)
+    else {
+      val v = currentVersion(ns, table)
+      val cur = currentFiles(ns, table).getOrElse(Seq.empty)
+      // first version whose committed list contains the file = its add version
+      val addedAt: Map[String, Int] = {
+        val snaps = snapshots(ns, table)
+        cur.map(f => f -> snaps.collectFirst {
+          case (sv, fs) if fs.contains(f) => sv
+        }.getOrElse(0)).toMap
+      }
+      // one generation per distinct rename boundary: files with addV <= rv
+      // still carry the pre-rename physical name for that rename
+      val gens = cur.groupBy(f => rs.count { case (_, _, rv) => addedAt(f) <= rv })
+      gens.map { case (nPending, files) =>
+        val df = readFilesDv(ns, table, files, v)
+        // the LAST nPending renames (newest-recorded) are still physical
+        // in this generation — apply them oldest-first
+        rs.takeRight(nPending).foldLeft(df) { case (d, (o, n, _)) =>
+          d.withColumnRenamed(o, n)
+        }
+      }.reduce(_ unionByName _)
+    }
+  }
+
   def cloneTable(ns: String, src: String, dst: String,
                  deep: Boolean = false): Unit = {
     val srcFiles = currentFiles(ns, src).getOrElse(
@@ -1757,6 +1862,10 @@ class LakeCatalog(spark: SparkSession, root: String) {
     // histogram sidecar (same recreate-inheritance hazard)
     val hg = histPath(ns, table)
     if (Files.exists(hg)) Files.delete(hg)
+    // rename sidecar (same recreate-inheritance hazard: a recreated table
+    // must not inherit the old table's column-name mapping)
+    val rn = renamesPath(ns, table)
+    if (Files.exists(rn)) Files.delete(rn)
     // hidden-partition spec (same recreate-inheritance hazard as blooms)
     val hs = hiddenSpecPath(ns, table)
     if (Files.exists(hs)) Files.delete(hs)

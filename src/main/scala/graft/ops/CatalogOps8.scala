@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.Tables
+import graft.catalog.LakeCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.1 round-7 closing batch: the two onboarding/evolution verbs the lake
+  * layer was still missing next to its clone/evolve/overwrite family —
+  * in-place file adoption (Iceberg `add_files` / Delta CONVERT) and
+  * metadata-only column rename (Iceberg's field-id rename).
+  *
+  * Reference capability anchor: the reference creates tables only through
+  * its own INSERT path (IcebergConnection.py:133-216) — existing parquet
+  * corpora and schema drift are outside its surface entirely; both are
+  * table stakes for a 100 TB lake.
+  */
+object CatalogOps8 {
+
+  private def scratch: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+
+  /** Adopt an externally-written parquet corpus into a catalog table with
+    * ONE metadata commit ([[LakeCatalog.addFiles]]): slice A arrives through
+    * the normal append path, slice B is written by "another engine" (a plain
+    * `df.write.parquet`, 2 files) into a landing directory the table does
+    * not own, then registered by reference — the op proves, structurally,
+    * that adoption moved nothing (the table directory's parquet set is
+    * byte-identical across the import) and cost exactly one snapshot, and
+    * proves through the hash gate that the imported rows are fully served:
+    * the total and the incremental read of JUST the import commit both
+    * replay from lineitem. countStar stays metadata-only over imported
+    * files because registration records their footer stats — the property
+    * that keeps adopted corpora first-class at 100 TB (manifest-pruned,
+    * never special-cased). */
+  def cAddFiles(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    cat.dropTable("scratch", "li_addf")
+    cat.dropTable("scratch", "li_landing")
+    cat.createTable("scratch", "li_addf", StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_extendedprice", DoubleType))))
+    cat.append("scratch", "li_addf", li.where(col("l_orderkey") % 4 === 0))
+    // the externally-produced corpus: 2 parquet files nobody copied
+    li.where(col("l_orderkey") % 4 === 1).repartition(2)
+      .write.parquet(s"$scratch/scratch/li_landing")
+    def tableParquet(): Seq[String] = {
+      val d = Paths.get(s"$scratch/scratch/li_addf")
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    }
+    val before = tableParquet()
+    val vBefore = cat.headVersion("scratch", "li_addf")
+    val nImported = cat.addFiles("scratch", "li_addf", "li_landing")
+    val vAfter = cat.headVersion("scratch", "li_addf")
+    val zeroCopied = tableParquet() == before
+    val oneCommit = vAfter == vBefore + 1
+    val full = cat.load("scratch", "li_addf")
+    val metaCount = cat.countStar("scratch", "li_addf")
+    val imported = cat.loadIncremental("scratch", "li_addf", vBefore, vAfter)
+    val imp = imported.agg(count(lit(1)).as("rows_imported"),
+      Tables.dsum(col("l_extendedprice")).as("imported_price"))
+    full.agg(count(lit(1)).as("rows_total"),
+        Tables.dsum(col("l_extendedprice")).as("total_price"))
+      .crossJoin(broadcast(imp))
+      .select(col("rows_total"), col("total_price"),
+        col("rows_imported"), col("imported_price"),
+        lit(nImported).as("n_files_imported"),
+        lit(zeroCopied).as("zero_copied"),
+        lit(oneCommit).as("one_commit"),
+        lit(metaCount.nonEmpty).as("meta_served"),
+        lit(metaCount.getOrElse(-1L)).as("meta_count"))
+  }
+
+  val cAddFilesSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 4 IN (0, 1))
+      |    AS rows_total,
+      |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+      |     FROM lineitem WHERE l_orderkey % 4 IN (0, 1)) AS total_price,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 4 = 1)
+      |    AS rows_imported,
+      |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+      |     FROM lineitem WHERE l_orderkey % 4 = 1) AS imported_price,
+      |  2 AS n_files_imported, true AS zero_copied, true AS one_commit,
+      |  true AS meta_served,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 4 IN (0, 1))
+      |    AS meta_count""".stripMargin
+
+  /** Metadata-only column rename ([[LakeCatalog.renameColumn]], the Iceberg
+    * field-id rename contract): generation 1 lands as `qty`, the column is
+    * renamed to `quantity` with ONE sidecar line — the op proves zero data
+    * movement structurally (the committed file list and the snapshot count
+    * are both unchanged across the rename) — then generation 2 appends
+    * under the NEW name natively. [[LakeCatalog.loadRenamed]] reconciles:
+    * pre-rename files are read with their physical schema and projected to
+    * the logical name (per-generation scans, pushdown intact — the flat-
+    * warehouse rendition of per-file field-id resolution), post-rename
+    * files read natively, unioned by name. The cross-generation count and
+    * decimal sum hash-gate the reconciliation; the schema booleans pin
+    * that the logical schema shows only the new name. */
+  def cRenameColumn(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, dir, "lineitem")
+    cat.dropTable("scratch", "li_ren")
+    cat.createTable("scratch", "li_ren", StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("qty", DoubleType))))
+    cat.append("scratch", "li_ren",
+      li.where(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_quantity").as("qty")))
+    val filesBefore = cat.snapshots("scratch", "li_ren").last._2
+    val snapsBefore = cat.snapshots("scratch", "li_ren").size
+    cat.renameColumn("scratch", "li_ren", "qty", "quantity")
+    val filesAfter = cat.snapshots("scratch", "li_ren").last._2
+    val snapsAfter = cat.snapshots("scratch", "li_ren").size
+    cat.append("scratch", "li_ren",
+      li.where(col("l_orderkey") % 4 === 1)
+        .select(col("l_orderkey"), col("l_quantity").as("quantity")))
+    val out = cat.loadRenamed("scratch", "li_ren")
+    val names = out.schema.fieldNames.toSet
+    out.agg(count(lit(1)).as("rows_total"),
+        Tables.dsum(col("quantity")).as("sum_qty"))
+      .select(col("rows_total"), col("sum_qty"),
+        lit(filesAfter == filesBefore &&
+          snapsAfter == snapsBefore).as("zero_rewrite"),
+        lit(names.contains("quantity")).as("has_new_name"),
+        lit(!names.contains("qty")).as("old_name_gone"))
+  }
+
+  val cRenameColumnSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 4 IN (0, 1))
+      |    AS rows_total,
+      |  (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+      |     FROM lineitem WHERE l_orderkey % 4 IN (0, 1)) AS sum_qty,
+      |  true AS zero_rewrite, true AS has_new_name,
+      |  true AS old_name_gone""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_add_files" -> (cAddFiles _),
+    "c_rename_column" -> (cRenameColumn _))
+
+  val oracles: Map[String, String] = Map(
+    "c_add_files" -> cAddFilesSql,
+    "c_rename_column" -> cRenameColumnSql)
+}

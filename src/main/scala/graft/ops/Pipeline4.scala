@@ -75,9 +75,51 @@ object Pipeline4 {
        |FROM n ORDER BY source, lang""".stripMargin
   }
 
+  /** Tokenizer fertility report — the table a tokenizer-sizing decision
+    * reads: per language, UTF-8 bytes per token (×10⁴, exact integer) and
+    * tokens per document under the corpus's BPE-ish pre-tokenization (the
+    * t_token_count regex: letter runs | digit runs | single other-glyphs).
+    * High-fertility languages burn context window; the mix designer
+    * re-weights or re-trains the tokenizer on exactly this evidence.
+    * Bytes come from octet_length (UTF-8 octets, NOT chars — fertility is
+    * a byte-budget question), token counts from one regexp_extract_all in
+    * the scan projection; everything reduces in a single map-side-combined
+    * aggregate to |langs| rows. Integer-exact throughout — no doubles
+    * cross the gate. */
+  def pFertility(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.table(spark, dir, "documents")
+      .select(col("lang"),
+        octet_length(col("text")).cast("long").as("b"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("b").as("n_bytes"), sum("t").as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_bytes"), col("n_tokens"),
+        expr("(10000 * n_bytes) div n_tokens").as("bytes_per_token_x1e4"),
+        expr("n_tokens div n_docs").as("tokens_per_doc"))
+      .orderBy("lang")
+
+  val pFertilitySql: String =
+    """WITH d AS (
+      |  SELECT lang, CAST(strlen(text) AS BIGINT) AS b,
+      |    CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(b) AS BIGINT) AS n_bytes,
+      |         CAST(SUM(t) AS BIGINT) AS n_tokens
+      |  FROM d GROUP BY 1)
+      |SELECT lang, n_docs, n_bytes, n_tokens,
+      |  (10000 * n_bytes) // n_tokens AS bytes_per_token_x1e4,
+      |  n_tokens // n_docs AS tokens_per_doc
+      |FROM g ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p_dp_release" -> (pDpRelease _))
+    "p_dp_release" -> (pDpRelease _),
+    "p_fertility" -> (pFertility _))
 
   val oracles: Map[String, String] = Map(
-    "p_dp_release" -> pDpReleaseSql)
+    "p_dp_release" -> pDpReleaseSql,
+    "p_fertility" -> pFertilitySql)
 }

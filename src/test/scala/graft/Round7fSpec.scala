@@ -1,0 +1,129 @@
+package graft
+
+import graft.catalog.LakeCatalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Invariants for the sixth-pass round-7 ops (c_add_files, c_rename_column,
+  * q_harmonic_centrality, q_xcorr, p_fertility): structural properties the
+  * oracle hash can't articulate. */
+class Round7fSpec extends SparkSpec {
+
+  private def scratch: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+
+  test("addFiles: adoption is by reference; drop of the table spares the landing corpus") {
+    import java.nio.file.{Files, Paths}
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    cat.dropTable("scratch", "af_spec")
+    cat.dropTable("scratch", "af_landing")
+    cat.createTable("scratch", "af_spec", StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_extendedprice", DoubleType))))
+    li.where(col("l_orderkey") % 7 === 0).repartition(2)
+      .write.parquet(s"$scratch/scratch/af_landing")
+    val n = cat.addFiles("scratch", "af_spec", "af_landing")
+    assert(n == 2, s"expected 2 registered files, got $n")
+    // registered by ../ reference, not by copy (the table's own initial
+    // empty file from createTable is also in the snapshot)
+    val head = cat.snapshots("scratch", "af_spec").last._2
+    assert(head.count(_.startsWith("../af_landing/")) == 2,
+      s"expected 2 reference files in the head snapshot: $head")
+    val expect = li.where(col("l_orderkey") % 7 === 0).count()
+    assert(cat.load("scratch", "af_spec").count() == expect)
+    // countStar metadata-only over purely-imported tables
+    assert(cat.countStar("scratch", "af_spec").contains(expect))
+    // dropping the adopting table must NOT delete the external corpus it
+    // referenced (the shallow-clone ownership rule)
+    cat.dropTable("scratch", "af_spec")
+    assert(Files.exists(Paths.get(s"$scratch/scratch/af_landing")),
+      "dropTable of the adopter deleted the external landing corpus")
+    cat.dropTable("scratch", "af_landing")
+  }
+
+  test("renameColumn: chained renames compose and recreate does not inherit the mapping") {
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, sfDir, "lineitem")
+    cat.dropTable("scratch", "rn_spec")
+    cat.createTable("scratch", "rn_spec", StructType(Seq(
+      StructField("k", LongType), StructField("a", DoubleType))))
+    cat.append("scratch", "rn_spec",
+      li.where(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("a")))
+    cat.renameColumn("scratch", "rn_spec", "a", "b")
+    cat.append("scratch", "rn_spec",
+      li.where(col("l_orderkey") % 5 === 1)
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("b")))
+    cat.renameColumn("scratch", "rn_spec", "b", "c")
+    cat.append("scratch", "rn_spec",
+      li.where(col("l_orderkey") % 5 === 2)
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("c")))
+    val out = cat.loadRenamed("scratch", "rn_spec")
+    assert(out.schema.fieldNames.toSeq == Seq("k", "c"),
+      s"chained rename surfaced ${out.schema.fieldNames.toSeq}")
+    val expect = li.where(col("l_orderkey") % 5 <= 2).count()
+    assert(out.count() == expect, "rows lost across two rename generations")
+    assert(out.where(col("c").isNull).count() == 0,
+      "nulls leaked from generation misalignment")
+    // recreate must not inherit the old mapping (the bloom-sidecar rule)
+    cat.dropTable("scratch", "rn_spec")
+    cat.createTable("scratch", "rn_spec", StructType(Seq(
+      StructField("k", LongType), StructField("a", DoubleType))))
+    assert(cat.renames("scratch", "rn_spec").isEmpty,
+      "recreated table inherited the dropped table's rename sidecar")
+    cat.dropTable("scratch", "rn_spec")
+  }
+
+  test("q_harmonic_centrality: bounds hold and sources dominate their own estimate") {
+    val rows = ops.Graph3.qHarmonicCentrality(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getLong(2); val nSrc = r.getLong(3)
+      assert(nSrc >= 1 && nSrc <= 4, s"sources reached out of range: $r")
+      // ceiling: every reached source contributes at most 2520 (distance 1)
+      assert(h <= 2520L * nSrc, s"harmonic exceeds per-source ceiling: $r")
+      // floor: distance <= 4 means each reached source contributes >= 630
+      assert(h >= 630L * nSrc, s"harmonic below per-source floor: $r")
+    }
+    // ranking is by the estimate, descending
+    val hs = rows.map(_.getLong(2)).toSeq
+    assert(hs == hs.sortBy(-_), "rows not ordered by estimate")
+  }
+
+  test("q_xcorr: lag 0 equals the direct aligned-day Pearson correlation") {
+    val rows = ops.StatsOps2.qXcorr(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (-3L to 3L).toSeq)
+    val lag0 = rows.find(_.getLong(0) == 0L).get
+    // direct recomputation from the two day-grain series
+    val x = Tables.table(spark, sfDir, "orders")
+      .select(expr("datediff(cast(o_orderdate as date), date '1970-01-01')").cast("long").as("day"))
+      .groupBy("day").agg(count(lit(1)).cast("double").as("x"))
+    val y = Tables.table(spark, sfDir, "lineitem")
+      .select(expr("datediff(cast(l_shipdate as date), date '1970-01-01')").cast("long").as("day"))
+      .groupBy("day").agg(count(lit(1)).cast("double").as("y"))
+    val j = x.join(y, "day").select(corr("x", "y").as("r")).head()
+    assert(math.abs(lag0.getDouble(2) - j.getDouble(0)) < 1e-9,
+      s"lag-0 CCF ${lag0.getDouble(2)} != direct Pearson ${j.getDouble(0)}")
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12,
+      s"|r| > 1 at lag ${r.getLong(0)}"))
+  }
+
+  test("p_fertility: per-lang identities and exact integer division") {
+    val rows = ops.Pipeline4.pFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var docs = 0L
+    rows.foreach { r =>
+      val (nd, nb, nt) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nd > 0 && nb > 0 && nt > 0)
+      assert(r.getLong(4) == 10000L * nb / nt, s"fertility not the exact div: $r")
+      assert(r.getLong(5) == nt / nd, s"tokens/doc not the exact div: $r")
+      // a token is at least one byte: fertility >= 1 byte/token
+      assert(r.getLong(4) >= 10000L, s"fertility below 1 byte/token: $r")
+      docs += nd
+    }
+    assert(docs == Tables.table(spark, sfDir, "documents").count(),
+      "language partition does not tile the corpus")
+  }
+}
