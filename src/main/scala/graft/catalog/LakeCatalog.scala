@@ -1407,6 +1407,53 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * retention: the referenced files are physically COPIED into the clone
     * (cost ∝ data, paid once at clone time — Delta's deep clone), after
     * which the two tables share nothing. */
+  // --------------------------------------------------- row lineage (v3)
+  // Iceberg v3 row lineage: every row carries a durable `_row_id`, assigned
+  // at its FIRST commit and never re-issued. The flat warehouse derives the
+  // assignment from metadata it already keeps: walking the snapshot log in
+  // version order, each newly-added file receives a base id = the running
+  // total of previously-assigned rows (its manifest row count advances the
+  // counter — Iceberg's `next-row-id` table field, re-derived rather than
+  // stored), and a row's id is base + its position in the file
+  // (`_metadata.row_index`). Pure metadata: no data column is written, no
+  // file rewritten, and the id survives later appends untouched. Scope
+  // (documented honest boundary): append-only lineage — a COW rewrite or
+  // compaction re-files surviving rows, which in real Iceberg v3 keeps ids
+  // by MATERIALIZING the lineage columns into the rewritten files; this
+  // warehouse would do the same at that point (one extra column in the
+  // rewrite projection, same plan shape).
+
+  /** file → first_row_id assignment, derived from the snapshot log +
+    * manifest row counts (metadata only; no data IO). */
+  def rowLineageBases(ns: String, table: String): Map[String, Long] = {
+    val stats = fileStats(ns, table)
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var next = 0L
+    snapshots(ns, table).foreach { case (_, files) =>
+      files.filterNot(seen.contains).foreach { f =>
+        seen(f) = next
+        next += stats.getOrElse(f, 0L)
+      }
+    }
+    seen.toMap
+  }
+
+  /** Current snapshot with the derived `_row_id` column (base +
+    * `_metadata.row_index` via one broadcast file→base join — the same
+    * metadata-join shape the DV path uses). */
+  def loadWithLineage(ns: String, table: String): DataFrame = {
+    val files = currentFiles(ns, table).getOrElse(Seq.empty)
+    val bases = rowLineageBases(ns, table)
+    val baseDf = spark.createDataFrame(
+      files.map(f => (Paths.get(f).getFileName.toString,
+        bases.getOrElse(f, 0L))))
+      .toDF("__dv_file", "__base")
+    readFilesWithPos(tablePath(ns, table), files)
+      .join(broadcast(baseDf), Seq("__dv_file"))
+      .withColumn("_row_id", col("__base") + col("__dv_pos"))
+      .drop("__dv_file", "__dv_pos", "__base")
+  }
+
   /** In-place import (Iceberg `add_files` / Delta CONVERT analog): register
     * parquet files that already exist OUTSIDE the table — written by some
     * other engine into a landing directory under the same namespace — with

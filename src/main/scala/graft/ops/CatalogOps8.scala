@@ -144,11 +144,70 @@ object CatalogOps8 {
       |  true AS zero_rewrite, true AS has_new_name,
       |  true AS old_name_gone""".stripMargin
 
+  /** Iceberg v3 row lineage ([[LakeCatalog.loadWithLineage]]): every row's
+    * durable `_row_id` derived purely from metadata — file bases walk the
+    * snapshot log in commit order (the re-derived `next-row-id` counter),
+    * position comes from `_metadata.row_index`, and one broadcast
+    * file→base join surfaces the column without writing anything. Two
+    * appends land as contiguous id ranges ([0,|A|) then [|A|,|A|+|B|));
+    * the op hash-gates the per-batch (count, min, max, sum-of-ids) —
+    * the sums force every individual id to be exactly the arithmetic
+    * series, not just the right endpoints — and pins structurally that
+    * batch A's file bases were untouched by batch B's commit (id
+    * durability, THE v3 lineage contract) and that ids are globally
+    * dense. Append-only scope documented at the API: a COW rewrite keeps
+    * ids by materializing the lineage column into rewritten files. */
+  def cRowLineage(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice").as("price"))
+    cat.dropTable("scratch", "li_rl")
+    cat.createTable("scratch", "li_rl", StructType(Seq(
+      StructField("k", LongType), StructField("price", DoubleType))))
+    cat.append("scratch", "li_rl", li.where(col("k") % 4 === 0))
+    val basesA = cat.rowLineageBases("scratch", "li_rl")
+    cat.append("scratch", "li_rl", li.where(col("k") % 4 === 1))
+    val basesB = cat.rowLineageBases("scratch", "li_rl")
+    val stable = basesA.forall { case (f, b) => basesB.get(f).contains(b) }
+    val lin = cat.loadWithLineage("scratch", "li_rl")
+    val d = lin.agg(countDistinct("_row_id").as("nd"), count(lit(1)).as("n"),
+      max("_row_id").as("mx")).head()
+    val dense = d.getLong(0) == d.getLong(1) && d.getLong(2) == d.getLong(1) - 1
+    lin.groupBy((col("k") % 4).cast("long").as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("_row_id").cast("long").as("min_id"),
+        max("_row_id").cast("long").as("max_id"),
+        sum("_row_id").cast("long").as("sum_id"))
+      .withColumn("bases_stable", lit(stable))
+      .withColumn("ids_dense", lit(dense))
+      .orderBy("grp")
+  }
+
+  val cRowLineageSql: String =
+    """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+      |           WHERE l_orderkey % 4 = 0),
+      |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+      |      WHERE l_orderkey % 4 = 1)
+      |SELECT grp, n_rows, min_id, max_id, sum_id,
+      |       true AS bases_stable, true AS ids_dense
+      |FROM (
+      |  SELECT CAST(0 AS BIGINT) AS grp, a.n AS n_rows,
+      |         CAST(0 AS BIGINT) AS min_id, a.n - 1 AS max_id,
+      |         a.n * (a.n - 1) // 2 AS sum_id
+      |  FROM a
+      |  UNION ALL
+      |  SELECT 1, b.n, a.n, a.n + b.n - 1,
+      |         (2 * a.n + b.n - 1) * b.n // 2
+      |  FROM a, b)
+      |ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_add_files" -> (cAddFiles _),
-    "c_rename_column" -> (cRenameColumn _))
+    "c_rename_column" -> (cRenameColumn _),
+    "c_row_lineage" -> (cRowLineage _))
 
   val oracles: Map[String, String] = Map(
     "c_add_files" -> cAddFilesSql,
-    "c_rename_column" -> cRenameColumnSql)
+    "c_rename_column" -> cRenameColumnSql,
+    "c_row_lineage" -> cRowLineageSql)
 }

@@ -109,9 +109,130 @@ object Similarity3 {
        |FROM pairs WHERE r_orig > 0 ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ------------------------------------------------- power-iteration PCA
+  // The dominant principal direction of the embedding corpus, computed
+  // MATRIX-FREE: the covariance/second-moment matrix is never materialized
+  // (64×64 would be cheap here, but the recipe must survive d where d² rows
+  // per partition isn't — and the matrix-free form is also how everyone
+  // actually runs power iteration at scale). Each round is one pass:
+  //   score_r = ⟨x, v⟩ in the scan projection (codegen FloatVecDot),
+  //   v'_j    = Σ_rows x_j·score — posexplode → groupBy(dim), a map-side-
+  //             combined DECIMAL aggregate to d rows (the Lloyd update
+  //             discipline: decimal sums are associative, so training is
+  //             bit-stable at any partitioning),
+  //   normalize on the driver (d doubles — model-parameter exchange, the
+  //   k×d Lloyd precedent) and store at float32 (CAST AS REAL mirror).
+  // Five rounds from the deterministic e₁ start; the sign is canonicalized
+  // by the max-|w| component so the eigenvector's inherent ± ambiguity
+  // can't flip between engines. Uncentered (second-moment) direction: the
+  // honest-boundary note — mean-centering adds one more aggregate and a
+  // subtraction in the scan, same plan shape; the gate covers the
+  // iteration algebra either way.
+
+  private[graft] def pcaVector(spark: SparkSession, dir: String,
+                             rounds: Int): Array[Float] =
+    ModelCache.memo(s"pca:$dir:rounds=$rounds") {
+      val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      var v = Array.tabulate(dIn)(j => if (j == 0) 1.0f else 0.0f)
+      for (_ <- 1 to rounds) {
+        val raw = e
+          .select(graft.functions.Vec.vdot(col("embedding"),
+            typedlit(v.toSeq)).as("score"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("dim")
+          .agg(sum((col("x").cast("double") * col("score"))
+            .cast("decimal(30,6)")).cast("double").as("raw"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+        val arr = Array.tabulate(dIn)(j => raw.getOrElse(j, 0.0))
+        val n = math.sqrt(arr.foldLeft(0.0)((a, x) => a + x * x))
+        v = arr.map(x => (x / n).toFloat)
+      }
+      v
+    }
+
+  /** Top principal direction by 5 matrix-free power-iteration rounds:
+    * top-8 loading dims (by |weight|, sign-canonicalized) + the Rayleigh
+    * quotient (mean squared projection — the variance captured along the
+    * direction) and corpus size. Every scalar the model touches is either
+    * an exact decimal sum or an identical-text IEEE expression, so the
+    * whole 5-round chain replays bit-for-bit in the DuckDB oracle. */
+  def sPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = pcaVector(spark, dir, rounds = 5)
+    val jstar = v.indices.minBy(j => (-math.abs(v(j)), j))
+    val vc = if (v(jstar) < 0f) v.map(x => -x) else v
+    val top = vc.zipWithIndex
+      .sortBy { case (w, j) => (-math.abs(w), j) }.take(8).zipWithIndex
+      .map { case ((w, j), r) => (r + 1, j, w.toDouble) }.toSeq
+      .toDF("rnk", "dim", "weight")
+    val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
+    val ray = e
+      .select(graft.functions.Vec.vdot(col("embedding"),
+        typedlit(vc.toSeq)).as("s"))
+      .agg((sum((col("s") * col("s")).cast("decimal(30,6)")).cast("double")
+        / count(lit(1))).as("rayleigh"),
+        count(lit(1)).as("n_vectors"))
+    top.crossJoin(broadcast(ray)).orderBy("rnk")
+  }
+
+  val sPcaPowerSql: String = {
+    val rounds = 5
+    val iter = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""sc$r AS (
+         |  SELECT e.vec_id,
+         |    list_sum([CAST(e.embedding[i] AS DOUBLE) * v.vw[i]
+         |              for i in generate_series(1, $dIn)]) AS score
+         |  FROM n e CROSS JOIN v${p}l v),
+         |u$r AS (
+         |  SELECT t.i AS dim,
+         |    CAST(SUM(CAST(CAST(e.embedding[t.i] AS DOUBLE) * s.score
+         |             AS DECIMAL(30,6))) AS DOUBLE) AS raw
+         |  FROM sc$r s JOIN n e USING (vec_id)
+         |  CROSS JOIN generate_series(1, $dIn) t(i)
+         |  GROUP BY 1),
+         |ul$r AS (SELECT list(raw ORDER BY dim) AS rl FROM u$r),
+         |v${r}l AS (
+         |  SELECT [CAST(CAST(rl[i] / sqrt(list_sum([rl[j]*rl[j]
+         |            for j in generate_series(1, $dIn)])) AS REAL) AS DOUBLE)
+         |          for i in generate_series(1, $dIn)] AS vw
+         |  FROM ul$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+       |v0l AS (
+       |  SELECT [CASE WHEN i = 1 THEN 1.0e0 ELSE 0.0e0 END
+       |          for i in generate_series(1, $dIn)] AS vw),
+       |$iter,
+       |wq AS (
+       |  SELECT CAST(t.i - 1 AS INTEGER) AS dim, v.vw[t.i] AS w
+       |  FROM v${rounds}l v CROSS JOIN generate_series(1, $dIn) t(i)),
+       |fl AS (
+       |  SELECT CASE WHEN (SELECT w FROM wq ORDER BY abs(w) DESC, dim LIMIT 1) < 0
+       |         THEN -1.0e0 ELSE 1.0e0 END AS f),
+       |wf AS (SELECT dim, w * f AS weight FROM wq, fl),
+       |top AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY abs(weight) DESC, dim) AS INTEGER) AS rnk,
+       |         dim, weight
+       |  FROM wf),
+      |scf AS (
+       |  SELECT list_sum([CAST(e.embedding[i] AS DOUBLE) * v.vw[i]
+       |                   for i in generate_series(1, $dIn)]) AS score
+       |  FROM n e CROSS JOIN v${rounds}l v),
+       |ray AS (
+       |  SELECT CAST(SUM(CAST(s.score * s.score AS DECIMAL(30,6))) AS DOUBLE)
+       |           / COUNT(*) AS rayleigh,
+       |         CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM scf s)
+       |SELECT rnk, dim, weight, rayleigh, n_vectors
+       |FROM top, ray WHERE rnk <= 8 ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s_jl_project" -> (sJlProject _))
+    "s_jl_project" -> (sJlProject _),
+    "s_pca_power" -> (sPcaPower _))
 
   val oracles: Map[String, String] = Map(
-    "s_jl_project" -> sJlProjectSql)
+    "s_jl_project" -> sJlProjectSql,
+    "s_pca_power" -> sPcaPowerSql)
 }

@@ -73,9 +73,114 @@ object StatsOps2 {
       |  (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r
       |FROM m ORDER BY lag""".stripMargin
 
+  /** Mann–Kendall trend test on the daily event-count series — the
+    * NONPARAMETRIC "is there a monotone trend?" answer (q_linreg's slope
+    * assumes linear+normal; MK only asks about pairwise order, so one
+    * outlier day can't buy a trend). S = Σ_{i<j} sign(x_j − x_i) and the
+    * tie-corrected variance are EXACT integers (var carried ×18 to clear
+    * the /18); only the final z-score divides, identical-text IEEE.
+    *
+    * Scale shape: the day-grain reduction is the only table-scale work;
+    * the pair frame is |days|² — a calendar-bounded constant (3650 days of
+    * a decade = 6.6M pairs) that does NOT grow with data volume, the same
+    * justification as q_theil_sen/q_spearman. The continuity-corrected
+    * z uses S∓1 by sign (the standard normal approximation). */
+  def qMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.table(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val pairs = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .agg(sum(signum(col("b.c") - col("a.c"))).cast("long").as("s_stat"))
+    val ties = daily.groupBy("c").agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).cast("long").as("tie_term"))
+    val n = daily.agg(count(lit(1)).cast("long").as("n_days"))
+    n.crossJoin(broadcast(pairs)).crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")
+          .as("var_x18"))
+      .select(col("n_days"), col("s_stat"), col("var_x18"),
+        expr("""case when s_stat > 0 then (cast(s_stat as double) - 1.0) / sqrt(cast(var_x18 as double) / 18.0)
+               |     when s_stat < 0 then (cast(s_stat as double) + 1.0) / sqrt(cast(var_x18 as double) / 18.0)
+               |     else 0.0 end""".stripMargin).as("z"))
+  }
+
+  val qMannKendallSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+      |                       ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |t AS (
+      |  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1)),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+      |m AS (
+      |  SELECT n_days, s_stat,
+      |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var_x18
+      |  FROM n, p, t)
+      |SELECT n_days, s_stat, var_x18,
+      |  CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(CAST(var_x18 AS DOUBLE) / 18.0)
+      |       WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(CAST(var_x18 AS DOUBLE) / 18.0)
+      |       ELSE 0.0 END AS z
+      |FROM m""".stripMargin
+
+  /** Theil–Sen robust slope of the daily event-count series: the MEDIAN of
+    * all pairwise slopes — the estimator that shrugs off the outlier days
+    * that drag an OLS fit (q_linreg's counterpart, as q_mann_kendall is
+    * the robust counterpart of its t-test). The median pair is selected by
+    * ordering the pair frame on the IEEE slope (identical-text division in
+    * both engines) with a total (day₁, day₂) tiebreak, taking the lower
+    * median by row_number — and the emitted slope is re-derived from that
+    * pair's exact INTEGER rise/run, so the gate hashes integers plus one
+    * identical-text divide, never a sort-order artifact. Same calendar-
+    * bounded |days|² pair frame as q_mann_kendall. */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.table(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val pairs = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .select(col("a.day").as("d1"), col("b.day").as("d2"),
+        (col("b.c") - col("a.c")).as("rise"),
+        (col("b.day") - col("a.day")).as("run"))
+      .withColumn("slope", col("rise").cast("double") / col("run").cast("double"))
+    val w = Window.orderBy(col("slope"), col("d1"), col("d2"))
+    pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .where(col("rnk") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("rise").as("med_rise"), col("run").as("med_run"),
+        (col("rise").cast("double") / col("run").cast("double")).as("slope_per_day"))
+  }
+
+  val qTheilSenSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT a.day AS d1, b.day AS d2,
+      |         b.c - a.c AS rise, b.day - a.day AS run,
+      |         CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY slope, d1, d2) AS BIGINT) AS rnk,
+      |         CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+      |  FROM p)
+      |SELECT n_pairs, rise AS med_rise, run AS med_run,
+      |       CAST(rise AS DOUBLE) / CAST(run AS DOUBLE) AS slope_per_day
+      |FROM r WHERE rnk = (n_pairs + 1) // 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_xcorr" -> (qXcorr _))
+    "q_xcorr" -> (qXcorr _),
+    "q_mann_kendall" -> (qMannKendall _),
+    "q_theil_sen" -> (qTheilSen _))
 
   val oracles: Map[String, String] = Map(
-    "q_xcorr" -> qXcorrSql)
+    "q_xcorr" -> qXcorrSql,
+    "q_mann_kendall" -> qMannKendallSql,
+    "q_theil_sen" -> qTheilSenSql)
 }

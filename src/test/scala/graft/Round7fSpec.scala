@@ -110,6 +110,63 @@ class Round7fSpec extends SparkSpec {
       s"|r| > 1 at lag ${r.getLong(0)}"))
   }
 
+  test("c_row_lineage: ids survive a COW-free append and never collide") {
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("k"))
+    cat.dropTable("scratch", "rl_spec")
+    cat.createTable("scratch", "rl_spec",
+      StructType(Seq(StructField("k", LongType))))
+    cat.append("scratch", "rl_spec", li.where(col("k") % 9 === 0))
+    val idsA = cat.loadWithLineage("scratch", "rl_spec")
+      .select("_row_id").collect().map(_.getLong(0)).sorted.toSeq
+    cat.append("scratch", "rl_spec", li.where(col("k") % 9 === 1))
+    val after = cat.loadWithLineage("scratch", "rl_spec")
+    // batch A's rows keep their exact ids after batch B lands
+    val idsA2 = after.where(col("k") % 9 === 0)
+      .select("_row_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsA2 == idsA, "existing row ids changed when a new batch committed")
+    // global uniqueness + density
+    val all = after.select("_row_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == (0L until all.size).toSeq, "ids not dense/unique")
+    cat.dropTable("scratch", "rl_spec")
+  }
+
+  test("s_pca_power: Rayleigh quotient dominates any coordinate direction's variance") {
+    val rows = ops.Similarity3.sPcaPower(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val ray = rows.head.getDouble(3)
+    assert(ray > 0.0)
+    // unit norm: the full 64-dim model should have |v| = 1 (float boundary)
+    val v = ops.Similarity3.pcaVector(spark, sfDir, rounds = 5)
+    val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(n - 1.0) < 1e-3, s"model not unit-norm: $n")
+    // the dominant direction captures at least as much second moment as the
+    // best single coordinate (power iteration can't do worse after 5 rounds
+    // from e1 on this corpus; coordinate variance = mean x_j^2)
+    val e = Tables.table(spark, sfDir, "embeddings")
+    val coord = e.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(avg(col("x") * col("x")).as("m2"))
+      .agg(max("m2")).head().getDouble(0)
+    assert(ray >= coord * 0.99,
+      s"Rayleigh $ray below best coordinate variance $coord")
+  }
+
+  test("q_mann_kendall and q_theil_sen agree on trend direction") {
+    val mk = ops.StatsOps2.qMannKendall(spark, sfDir).head()
+    val ts = ops.StatsOps2.qTheilSen(spark, sfDir).head()
+    val s = mk.getLong(1)
+    val slope = ts.getDouble(3)
+    // same-sign (or both ~flat): the two robust estimators must not
+    // contradict each other on the same series
+    assert(s == 0L || slope == 0.0 || (s > 0) == (slope > 0),
+      s"MK S=$s vs Theil-Sen slope=$slope disagree")
+    assert(mk.getLong(2) > 0, "tie-corrected variance must be positive")
+    val n = ts.getLong(0)
+    val days = mk.getLong(0)
+    assert(n == days * (days - 1) / 2, "pair frame size != C(n_days, 2)")
+  }
+
   test("p_fertility: per-lang identities and exact integer division") {
     val rows = ops.Pipeline4.pFertility(spark, sfDir).collect()
     assert(rows.nonEmpty)
