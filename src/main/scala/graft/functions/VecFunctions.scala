@@ -196,5 +196,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_norm"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_norm"),
       (args: Seq[Expression]) => NfcNormalize(args.head)))
+    // planning-time zone-map file pruning over graft table directories —
+    // the transparent (no-API) half of the manifest-pruning story; guarded
+    // to fire only on single-dir parquet relations with a _filestats.json
+    // sidecar, so foreign datasets are untouched
+    ext.injectOptimizerRule(s => graft.plans.ZoneMapPruneRule(s))
   }
 }

@@ -201,13 +201,80 @@ object CatalogOps8 {
       |  FROM a, b)
       |ORDER BY grp""".stripMargin
 
+  /** Transparent planning-time file pruning via the injected
+    * [[graft.plans.ZoneMapPruneRule]] Catalyst rule — the NO-API rendition
+    * of c_zone_skip: a plain `spark.read.parquet(tableDir)` with a range
+    * predicate (what any SQL view over the warehouse compiles to) gets its
+    * file list narrowed during optimization from the manifest sidecar
+    * alone. The op clusters lineitem into 16 key-banded files
+    * (appendClustered — the writer that makes zone maps emerge), issues
+    * the raw-directory read with a quarter-range predicate whose bounds
+    * derive from table min/max by integer arithmetic (scale-free recipe,
+    * same in both engines), and emits:
+    *   - the range aggregates computed FROM the rule-pruned scan — prune
+    *     soundness is hash-gated against the oracle's full-table scan;
+    *   - `rule_prunes`: the physical scan's file count, read from the
+    *     executed FileSourceScanExec, is at most half the directory's
+    *     parquet population (structural proof the rule fired).
+    * At 100 TB this is the difference between scheduling tasks for every
+    * file and scheduling only the predicate's band — decided at plan
+    * time, zero footer IO. */
+  def cPruneRule(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    cat.dropTable("scratch", "li_zrule")
+    cat.createTable("scratch", "li_zrule", StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_extendedprice", DoubleType))))
+    cat.appendClustered("scratch", "li_zrule", li, Seq("l_partkey"), 16)
+    val r = li.agg(min("l_partkey"), max("l_partkey")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val (pLo, pHi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+    val tableDir = s"$scratch/scratch/li_zrule"
+    val scan = spark.read.parquet(tableDir)
+      .where(col("l_partkey") >= pLo && col("l_partkey") < pHi)
+    val scanned = scan.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.sum
+    val total = {
+      val s = Files.list(Paths.get(tableDir))
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    scan.agg(count(lit(1)).as("n"),
+        Tables.dsum(col("l_extendedprice")).as("sum_price"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"))
+      .select(col("n"), col("sum_price"), col("min_pk"), col("max_pk"),
+        lit(scanned * 2 <= total).as("rule_prunes"))
+  }
+
+  val cPruneRuleSql: String =
+    """WITH b AS (SELECT MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+      |           FROM lineitem),
+      |r AS (SELECT mn + (mx - mn) // 4 AS lo, mn + (mx - mn) // 2 AS hi
+      |      FROM b)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+      |    AS sum_price,
+      |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+      |  true AS rule_prunes
+      |FROM lineitem, r
+      |WHERE l_partkey >= lo AND l_partkey < hi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_add_files" -> (cAddFiles _),
     "c_rename_column" -> (cRenameColumn _),
-    "c_row_lineage" -> (cRowLineage _))
+    "c_row_lineage" -> (cRowLineage _),
+    "c_prune_rule" -> (cPruneRule _))
 
   val oracles: Map[String, String] = Map(
     "c_add_files" -> cAddFilesSql,
     "c_rename_column" -> cRenameColumnSql,
-    "c_row_lineage" -> cRowLineageSql)
+    "c_row_lineage" -> cRowLineageSql,
+    "c_prune_rule" -> cPruneRuleSql)
 }

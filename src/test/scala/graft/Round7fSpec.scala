@@ -167,6 +167,52 @@ class Round7fSpec extends SparkSpec {
     assert(n == days * (days - 1) / 2, "pair frame size != C(n_days, 2)")
   }
 
+  test("ZoneMapPruneRule: sound (pruned == full result), effective, and foreign-data-blind") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    cat.dropTable("scratch", "zr_spec")
+    cat.createTable("scratch", "zr_spec", StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_extendedprice", DoubleType))))
+    cat.appendClustered("scratch", "zr_spec", li, Seq("l_partkey"), 16)
+    val r = li.agg(min("l_partkey"), max("l_partkey")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+    val dirPath = s"$scratch/scratch/zr_spec"
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s.relation.location.inputFiles.length
+      }.sum
+    val pred = col("l_partkey") >= lo && col("l_partkey") < hi
+    val ruled = spark.read.parquet(dirPath).where(pred)
+    // soundness: identical result set vs the explicit-file-list path the
+    // rule never touches (LakeCatalog.load reads by file list, not dir)
+    val full = cat.load("scratch", "zr_spec").where(pred)
+    assert(ruled.count() == full.count(), "rule changed the result")
+    // effectiveness: strictly fewer files in the physical scan
+    val n = scannedFiles(ruled)
+    val totalScan = scannedFiles(spark.read.parquet(dirPath))
+    assert(n < totalScan, s"rule did not prune: $n of $totalScan")
+    // a point lookup prunes at least as hard as the quarter-range
+    val point = spark.read.parquet(dirPath).where(col("l_partkey") === mn)
+    assert(scannedFiles(point) <= n, "equality predicate pruned worse than range")
+    assert(point.count() ==
+      cat.load("scratch", "zr_spec").where(col("l_partkey") === mn).count())
+    // foreign datasets (no sidecar) are untouched: same dir name trick —
+    // a plain parquet dir next to the warehouse
+    val foreign = s"$scratch/scratch/zr_foreign_plain"
+    cat.dropTable("scratch", "zr_foreign_plain")
+    li.limit(100).repartition(4).write.parquet(foreign)
+    val f = spark.read.parquet(foreign).where(col("l_partkey") >= lo)
+    assert(scannedFiles(f) == scannedFiles(spark.read.parquet(foreign)),
+      "rule touched a non-catalog dataset")
+    cat.dropTable("scratch", "zr_foreign_plain")
+    cat.dropTable("scratch", "zr_spec")
+  }
+
   test("p_fertility: per-lang identities and exact integer division") {
     val rows = ops.Pipeline4.pFertility(spark, sfDir).collect()
     assert(rows.nonEmpty)
