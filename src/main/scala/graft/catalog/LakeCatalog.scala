@@ -667,6 +667,85 @@ class LakeCatalog(spark: SparkSession, root: String) {
     hits.map(_._2.length.toLong).sum
   }
 
+  /** MOR UPDATE (the Iceberg v3 deletion-vector + delta-file pattern —
+    * [[deleteWhereMor]]'s sibling): matched rows are DV-marked in their
+    * ORIGINAL files and their updated versions land as new delta files,
+    * all in ONE snapshot — zero copy-on-write, so a sparse update of a
+    * huge table costs ∝ matched rows, never ∝ touched files. Reads are
+    * already MOR-correct ([[readFilesDv]] subtracts the vectors, the delta
+    * files are ordinary members of the file list), updates CHAIN (updating
+    * an updated row DV-marks the delta file's copy and appends a fresh
+    * delta), and [[countStar]] stays metadata-only. Crash order matches
+    * [[deleteWhereMor]]: delta files staged first (unreferenced debris on
+    * crash — the orphan sweep's department), DV lines written with the
+    * pre-allocated version second, the snapshot commit last.
+    * Returns the number of rows updated. */
+  def updateWhereMor(ns: String, table: String, cond: Column,
+                     setCol: String, setExpr: Column): Long = {
+    val cur = currentFiles(ns, table)
+      .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    if (cur.isEmpty) return 0L
+    val v = currentVersion(ns, table)
+    // the delta = CURRENT-VISIBILITY matched rows (DV-aware: a row already
+    // vector-deleted must not resurrect as an "updated" copy)
+    val updated = readFilesDv(ns, table, cur, v)
+      .where(coalesce(cond, lit(false)))
+      .withColumn(setCol, setExpr)
+    val deltaFiles = writeNewFiles(ns, table, updated)
+    // DV-mark the superseded physical rows (same mechanics as MOR delete)
+    val already = dvEntries(ns, table).filter(_._1 <= v)
+      .flatMap { case (_, f, ps) => ps.map(p => (f, p)) }.toSet
+    val hits = readFilesWithPos(tablePath(ns, table), cur)
+      .where(coalesce(cond, lit(false)))
+      .groupBy(col("__dv_file"))
+      .agg(collect_list(col("__dv_pos")).as("ps"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](1).filterNot(p => already((r.getString(0), p))).sorted)
+      .filter(_._2.nonEmpty)
+    val nextV = snapshots(ns, table).map(_._1).maxOption.getOrElse(-1) + 1
+    if (hits.nonEmpty) {
+      val lines = hits.sortBy(_._1).map { case (f, ps) =>
+        s"""{"v":$nextV,"file":"$f","pos":[${ps.mkString(",")}]}"""
+      }.mkString("", "\n", "\n")
+      Files.writeString(dvPath(ns, table), lines,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    val committed = commitSnapshot(ns, table, cur ++ deltaFiles)
+    require(committed == nextV,
+      s"concurrent commit: DV written for v$nextV but log advanced to v$committed")
+    hits.map(_._2.length.toLong).sum
+  }
+
+  /** Manifest compaction (Iceberg `rewrite_manifests`): the stats sidecar
+    * is append-only — every write, rewrite, and re-index adds lines, and
+    * after heavy COW/compaction/expiry traffic most lines describe files
+    * no snapshot references. This maintenance pass rewrites the sidecar to
+    * one line per file still referenced by ANY snapshot (later-lines-win
+    * dedup preserved), atomically (temp + move). Pure metadata: cost ∝
+    * sidecar size, zero data IO; every reader answer (countStar, zone
+    * maps, filesMeta) is unchanged because dropped lines were unreachable.
+    * Returns (lines_before, lines_after). */
+  def rewriteManifests(ns: String, table: String): (Int, Int) = {
+    val p = fileStatsPath(ns, table)
+    if (!Files.exists(p)) return (0, 0)
+    val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
+    val referenced = snapshots(ns, table).flatMap(_._2).toSet
+    val kept = lines.zipWithIndex
+      .flatMap { case (line, i) =>
+        referenced.find(f => line.contains(s""""file":"$f""""))
+          .map(f => (f, i, line))
+      }
+      .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2) }
+      .toSeq.sortBy(_._2).map(_._3)
+    val tmp = p.resolveSibling(s"${p.getFileName}.tmp")
+    Files.writeString(tmp, kept.mkString("", "\n", "\n"))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    (lines.size, kept.size)
+  }
+
   /** Iceberg-style `files` metadata table: one row per LIVE data file —
     * (file, added_in = the first snapshot whose list contains it, row_count,
     * size_bytes). Served ENTIRELY from catalog metadata: the file list and

@@ -266,15 +266,120 @@ object CatalogOps8 {
       |FROM lineitem, r
       |WHERE l_partkey >= lo AND l_partkey < hi""".stripMargin
 
+  /** Merge-on-read UPDATE ([[LakeCatalog.updateWhereMor]], the Iceberg v3
+    * DV + delta-file pattern): every fifth row of the table gets its price
+    * doubled in ONE snapshot that rewrites NOTHING — the originals are
+    * deletion-vector-marked in place, the updated copies land as delta
+    * files. Structural pins: every pre-update file survives verbatim in
+    * the head file list (`zero_rewrite`), the commit is exactly one
+    * snapshot, and countStar still answers from metadata (physical counts
+    * minus vectors). The hash gate replays the content: total count
+    * unchanged, decimal sum equals the CASE-updated recomputation, and
+    * the updated slice appears exactly once (no resurrection, no
+    * duplicate). Cost ∝ matched rows — the sparse-update path a COW
+    * rewrite can't give at 100 TB. */
+  def cMorUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice").as("price"))
+    cat.dropTable("scratch", "li_moru")
+    cat.createTable("scratch", "li_moru", StructType(Seq(
+      StructField("k", LongType), StructField("price", DoubleType))))
+    cat.append("scratch", "li_moru", li.where(col("k") % 3 === 0))
+    val filesBefore = cat.snapshots("scratch", "li_moru").last._2.toSet
+    val vBefore = cat.headVersion("scratch", "li_moru")
+    val nUpd = cat.updateWhereMor("scratch", "li_moru",
+      col("k") % 5 === 0, "price", col("price") * 2)
+    val vAfter = cat.headVersion("scratch", "li_moru")
+    val filesAfter = cat.snapshots("scratch", "li_moru").last._2.toSet
+    val zeroRewrite = filesBefore.subsetOf(filesAfter) &&
+      vAfter == vBefore + 1
+    val metaCount = cat.countStar("scratch", "li_moru")
+    cat.load("scratch", "li_moru")
+      .agg(count(lit(1)).as("rows_total"),
+        Tables.dsum(col("price")).as("sum_price"),
+        sum(when(col("k") % 5 === 0, 1L).otherwise(0L)).cast("long")
+          .as("rows_updated_slice"))
+      .select(col("rows_total"), col("sum_price"), col("rows_updated_slice"),
+        lit(nUpd).as("n_updated"),
+        lit(zeroRewrite).as("zero_rewrite"),
+        lit(metaCount.getOrElse(-1L)).as("meta_count"))
+  }
+
+  val cMorUpdateSql: String =
+    """WITH a AS (SELECT l_orderkey AS k, l_extendedprice AS price
+      |           FROM lineitem WHERE l_orderkey % 3 = 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+      |  CAST(SUM(CAST(CASE WHEN k % 5 = 0 THEN price * 2 ELSE price END
+      |           AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS rows_updated_slice,
+      |  CAST((SELECT COUNT(*) FROM a WHERE k % 5 = 0) AS BIGINT)
+      |    AS n_updated,
+      |  true AS zero_rewrite,
+      |  CAST(COUNT(*) AS BIGINT) AS meta_count
+      |FROM a""".stripMargin
+
+  /** Manifest compaction ([[LakeCatalog.rewriteManifests]], Iceberg
+    * `rewrite_manifests`): after append → COW delete (file rewrites) →
+    * history expiry, the append-only stats sidecar carries lines for files
+    * no snapshot references; the maintenance pass rewrites it to exactly
+    * the referenced set, atomically. The op pins that lines strictly
+    * shrank to the referenced-file count, and hash-gates that every reader
+    * answer survived compaction: countStar (still metadata-only), the
+    * table aggregates, and zone-map pruning (a range probe's file
+    * partition is unchanged — asserted in Round7fSpec). Pure metadata
+    * maintenance: cost ∝ sidecar lines, zero data IO — at 100 TB the
+    * difference between a manifest set that grows with write HISTORY and
+    * one that tracks live state. */
+  def cRewriteManifests(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice").as("price"))
+    cat.dropTable("scratch", "li_rwm")
+    cat.createTable("scratch", "li_rwm", StructType(Seq(
+      StructField("k", LongType), StructField("price", DoubleType))))
+    cat.append("scratch", "li_rwm", li.where(col("k") % 4 === 0))
+    cat.append("scratch", "li_rwm", li.where(col("k") % 4 === 1))
+    // COW delete rewrites every touched file → stale lines for the originals
+    cat.deleteWhere("scratch", "li_rwm", col("k") % 8 === 0)
+    cat.expireSnapshots("scratch", "li_rwm", keep = 1)
+    val (before, after) = cat.rewriteManifests("scratch", "li_rwm")
+    val referenced = cat.snapshots("scratch", "li_rwm")
+      .flatMap(_._2).toSet.size
+    val metaCount = cat.countStar("scratch", "li_rwm")
+    cat.load("scratch", "li_rwm")
+      .agg(count(lit(1)).as("rows_total"),
+        Tables.dsum(col("price")).as("sum_price"))
+      .select(col("rows_total"), col("sum_price"),
+        lit(before > after).as("compacted"),
+        lit(after == referenced).as("exactly_referenced"),
+        lit(metaCount.getOrElse(-1L)).as("meta_count"))
+  }
+
+  val cRewriteManifestsSql: String =
+    """WITH t AS (
+      |  SELECT l_orderkey AS k, l_extendedprice AS price FROM lineitem
+      |  WHERE (l_orderkey % 4 IN (0, 1)) AND l_orderkey % 8 <> 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+      |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+      |  true AS compacted, true AS exactly_referenced,
+      |  CAST(COUNT(*) AS BIGINT) AS meta_count
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_add_files" -> (cAddFiles _),
     "c_rename_column" -> (cRenameColumn _),
     "c_row_lineage" -> (cRowLineage _),
-    "c_prune_rule" -> (cPruneRule _))
+    "c_prune_rule" -> (cPruneRule _),
+    "c_mor_update" -> (cMorUpdate _),
+    "c_rewrite_manifests" -> (cRewriteManifests _))
 
   val oracles: Map[String, String] = Map(
     "c_add_files" -> cAddFilesSql,
     "c_rename_column" -> cRenameColumnSql,
     "c_row_lineage" -> cRowLineageSql,
-    "c_prune_rule" -> cPruneRuleSql)
+    "c_prune_rule" -> cPruneRuleSql,
+    "c_mor_update" -> cMorUpdateSql,
+    "c_rewrite_manifests" -> cRewriteManifestsSql)
 }

@@ -213,6 +213,69 @@ class Round7fSpec extends SparkSpec {
     cat.dropTable("scratch", "zr_spec")
   }
 
+  test("updateWhereMor: updates chain, never resurrect, and survive compaction") {
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity").as("q"))
+    cat.dropTable("scratch", "mu_spec")
+    cat.createTable("scratch", "mu_spec", StructType(Seq(
+      StructField("k", LongType), StructField("q", DoubleType))))
+    cat.append("scratch", "mu_spec", li.where(col("k") % 6 === 0))
+    val n0 = cat.load("scratch", "mu_spec").count()
+    // delete a sub-slice first: the update must NOT resurrect those rows
+    cat.deleteWhereMor("scratch", "mu_spec", col("k") % 12 === 0)
+    val n1 = cat.load("scratch", "mu_spec").count()
+    // two chained MOR updates on the same predicate → q × 4
+    cat.updateWhereMor("scratch", "mu_spec", col("k") % 6 === 0, "q", col("q") * 2)
+    cat.updateWhereMor("scratch", "mu_spec", col("k") % 6 === 0, "q", col("q") * 2)
+    val out = cat.load("scratch", "mu_spec")
+    assert(out.count() == n1, "MOR update changed the row count")
+    assert(out.where(col("k") % 12 === 0).count() == 0,
+      "MOR update resurrected vector-deleted rows")
+    val expected = li.where(col("k") % 6 === 0 && col("k") % 12 =!= 0)
+      .agg(sum(col("q") * 4)).head().getDouble(0)
+    val got = out.agg(sum("q")).head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-6, s"chained update sum $got != $expected")
+    assert(cat.countStar("scratch", "mu_spec").contains(n1),
+      "countStar lost metadata-only answer after MOR updates")
+    // compaction materializes: same content, vectors retired
+    cat.compact("scratch", "mu_spec", 4)
+    val after = cat.load("scratch", "mu_spec")
+    assert(after.count() == n1)
+    assert(math.abs(after.agg(sum("q")).head().getDouble(0) - expected) < 1e-6,
+      "compaction changed MOR-updated content")
+    assert(n0 == n1 + li.where(col("k") % 12 === 0).count(),
+      "precondition: the deleted sub-slice was non-empty")
+    cat.dropTable("scratch", "mu_spec")
+  }
+
+  test("rewriteManifests: zone-map pruning and countStar identical across compaction") {
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice").as("price"))
+    cat.dropTable("scratch", "rm_spec")
+    cat.createTable("scratch", "rm_spec", StructType(Seq(
+      StructField("k", LongType), StructField("price", DoubleType))))
+    cat.appendClustered("scratch", "rm_spec", li, Seq("k"), 8)
+    cat.deleteWhere("scratch", "rm_spec", col("k") % 10 === 3)
+    cat.expireSnapshots("scratch", "rm_spec", keep = 1)
+    val r = li.agg(min("k"), max("k")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) = ((mn + (mx - mn) / 4).toDouble, (mn + (mx - mn) / 2).toDouble)
+    val beforePrune = cat.pruneFiles("scratch", "rm_spec", "k", lo, hi)
+    val csBefore = cat.countStar("scratch", "rm_spec")
+    val (nb, na) = cat.rewriteManifests("scratch", "rm_spec")
+    assert(nb > na, s"nothing compacted: $nb -> $na")
+    assert(cat.pruneFiles("scratch", "rm_spec", "k", lo, hi) == beforePrune,
+      "manifest rewrite changed the prune partition")
+    assert(cat.countStar("scratch", "rm_spec") == csBefore,
+      "manifest rewrite changed countStar")
+    // idempotent: a second pass keeps everything
+    val (nb2, na2) = cat.rewriteManifests("scratch", "rm_spec")
+    assert(nb2 == na && na2 == na, "rewrite not idempotent")
+    cat.dropTable("scratch", "rm_spec")
+  }
+
   test("p_fertility: per-lang identities and exact integer division") {
     val rows = ops.Pipeline4.pFertility(spark, sfDir).collect()
     assert(rows.nonEmpty)
