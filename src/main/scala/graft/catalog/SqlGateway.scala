@@ -106,6 +106,20 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   // report
   private val maintainTb =
     """(?is)\s*MAINTAIN\s+TABLE\s+(?:(\w+)\.)?(\w+)(?:\s+INTO\s+(\d+)\s+FILES?)?(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
+  // merge-on-read UPDATE (DELETE MOR's sibling): DV-mark + delta files,
+  // zero copy-on-write — single-assignment form (the common sparse fix-up)
+  private val updateMor =
+    """(?is)\s*UPDATE\s+MOR\s+(?:(\w+)\.)?(\w+)\s+SET\s+(\w+)\s*=\s*(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  // manifest compaction (Iceberg rewrite_manifests)
+  private val rewriteManifests =
+    """(?is)\s*REWRITE\s+MANIFESTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  // in-place parquet adoption (Iceberg add_files): the landing dir is a
+  // sibling directory in the same namespace
+  private val addFiles =
+    """(?is)\s*ADD\s+FILES\s+(?:TO|INTO)\s+(?:(\w+)\.)?(\w+)\s+FROM\s+'([^']+)'\s*;?\s*""".r
+  // metadata-only column rename (Iceberg field-id rename)
+  private val renameCol =
+    """(?is)\s*ALTER\s+TABLE\s+(?:(\w+)\.)?(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -204,6 +218,29 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.deleteWhere(nsName, table, org.apache.spark.sql.functions.expr(cond))
         Seq("Delete committed").toDF("status")
+
+      case updateMor(ns, table, setCol, setExpr, cond) => // precedes COW UPDATE
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val n = catalog.updateWhereMor(nsName, table,
+          org.apache.spark.sql.functions.expr(cond), setCol,
+          org.apache.spark.sql.functions.expr(setExpr))
+        Seq(s"Updated $n rows (merge-on-read)").toDF("status")
+
+      case rewriteManifests(ns, table) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val (before, after) = catalog.rewriteManifests(nsName, table)
+        Seq(s"Manifests rewritten: $before -> $after lines").toDF("status")
+
+      case addFiles(ns, table, srcDir) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val n = catalog.addFiles(nsName, table, srcDir)
+        Seq(s"Registered $n files from $srcDir (zero-copy)").toDF("status")
+
+      case renameCol(ns, table, oldName, newName) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.renameColumn(nsName, table, oldName, newName)
+        Seq(s"Column $oldName renamed to $newName (metadata-only)")
+          .toDF("status")
 
       case updateTb(ns, table, assignments, cond) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

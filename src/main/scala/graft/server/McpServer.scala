@@ -63,7 +63,10 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "ROLLBACK [TABLE] [ns.]t TO VERSION v; " +
           "COMPACT TABLE [ns.]t [INTO n FILES] (default 1 file); " +
           "MAINTAIN TABLE [ns.]t [INTO n FILES] [KEEP k] " +
-          "(defaults: 4 files, keep 3 snapshots)"),
+          "(defaults: 4 files, keep 3 snapshots); " +
+          "REWRITE MANIFESTS IN [ns.]t (compact the stats sidecar); " +
+          "ADD FILES TO [ns.]t FROM 'landing_dir' (zero-copy adoption); " +
+          "ALTER TABLE [ns.]t RENAME COLUMN a TO b (metadata-only)"),
       tool("query_table", "Execute a query on lake tables",
         "Table reads and writes: any Spark SELECT over registered tables " +
           "(joins, aggregates, window functions), with time travel via " +
@@ -72,7 +75,9 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "INSERT INTO [ns.]t [(cols)] VALUES (...); " +
           "DELETE FROM [ns.]t WHERE cond (copy-on-write); " +
           "DELETE MOR FROM [ns.]t WHERE cond (deletion vectors); " +
-          "UPDATE [ns.]t SET c = v WHERE cond; " +
+          "UPDATE [ns.]t SET c = v WHERE cond (copy-on-write); " +
+          "UPDATE MOR [ns.]t SET c = expr WHERE cond (deletion vectors " +
+          "+ delta files, zero rewrite); " +
           "MERGE INTO [ns.]t USING [ns.]s ON keycol; " +
           "COPY (SELECT ...) TO 'path' [FORMAT csv|json|parquet]; " +
           "EXPLAIN [FORMATTED|EXTENDED] SELECT ... (plan audit: verify " +

@@ -133,6 +133,64 @@ class McpServerSpec extends SparkSpec {
       maintTxt.take(300))
   }
 
+  test("r7 closing verbs over the protocol: MOR update, manifest rewrite, add files, rename") {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_mcp_wh2"
+    val dir = java.nio.file.Paths.get(wh)
+    if (java.nio.file.Files.exists(dir)) {
+      val w = java.nio.file.Files.walk(dir)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    val srv2 = new McpServer(spark, wh)
+    var nextId = 200
+    def drive(tool: String, q: String): String = {
+      nextId += 1
+      val frame = JsonMethods.compact(JsonMethods.render(JObject(
+        "jsonrpc" -> JString("2.0"), "id" -> JInt(nextId),
+        "method" -> JString("tools/call"),
+        "params" -> JObject("name" -> JString(tool),
+          "arguments" -> JObject("query" -> JString(q))))))
+      val resp = JsonMethods.parse(srv2.handleLine(frame).getOrElse(fail(s"no reply: $q")))
+      assert(resp \ "result" \ "isError" == JBool(false),
+        s"$q failed: ${(resp \ "result" \ "content") (0) \ "text"}")
+      (resp \ "result" \ "content") (0) \ "text" match {
+        case JString(t) => t
+        case other => fail(s"no text content for $q: $other")
+      }
+    }
+    drive("query_table", "CREATE TABLE scratch.mcp_v (k BIGINT, v DOUBLE)")
+    drive("query_table", "INSERT INTO scratch.mcp_v VALUES (1, 10.0)")
+    drive("query_table", "INSERT INTO scratch.mcp_v VALUES (2, 20.0)")
+    // MOR update through the protocol: zero rewrite, visible immediately
+    val updTxt = drive("query_table",
+      "UPDATE MOR scratch.mcp_v SET v = v * 2 WHERE k = 1")
+    assert(updTxt.contains("Updated 1 rows (merge-on-read)"), updTxt.take(200))
+    val cat2 = new graft.catalog.LakeCatalog(spark, wh)
+    val sumAfter = cat2.load("scratch", "mcp_v")
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0)
+    assert(sumAfter == 40.0, s"MOR update not visible: $sumAfter")
+    // manifest rewrite: compacts and reports line counts
+    val rwTxt = drive("query_catalog", "REWRITE MANIFESTS IN scratch.mcp_v")
+    assert(rwTxt.contains("Manifests rewritten"), rwTxt.take(200))
+    // zero-copy adoption from a landing dir in the same namespace
+    import spark.implicits._
+    Seq((7L, 70.0)).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$wh/scratch/mcp_landing")
+    val addTxt = drive("query_catalog",
+      "ADD FILES TO scratch.mcp_v FROM 'mcp_landing'")
+    assert(addTxt.contains("Registered 1 files"), addTxt.take(200))
+    val cntTxt = drive("query_table",
+      "SELECT COUNT(*) AS n FROM scratch.mcp_v")
+    assert(cntTxt.contains("\"n\" : 3"), s"adopted rows missing: ${cntTxt.take(200)}")
+    // metadata-only rename recorded (loadRenamed serves the logical schema)
+    val rnTxt = drive("query_catalog",
+      "ALTER TABLE scratch.mcp_v RENAME COLUMN v TO val")
+    assert(rnTxt.contains("metadata-only"), rnTxt.take(200))
+    assert(cat2.renames("scratch", "mcp_v").map(r => (r._1, r._2)) ==
+      Seq(("v", "val")), "rename sidecar not recorded through the protocol")
+    assert(cat2.loadRenamed("scratch", "mcp_v").schema.fieldNames.contains("val"))
+  }
+
   test("EXPLAIN over the protocol: pushdown is auditable before paying for a scan") {
     // the advertised plan-audit verb: an MCP client can verify a predicate
     // reaches the parquet scan (PushedFilters) and the projection prunes
