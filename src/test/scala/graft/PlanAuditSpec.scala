@@ -78,7 +78,14 @@ class PlanAuditSpec extends SparkSpec {
     "q_tukey_fence",   // one-row quartile/total broadcasts onto the cents scan
     "q_purchase_cadence", // one-row interval-total broadcast onto the gap histogram
     "q_cuped",         // one-row window-start broadcast onto the event scan
-    "d_cross_source_dup" // |sources|x|sources| pair spine (bounded by the source domain)
+    "d_cross_source_dup", // |sources|x|sources| pair spine (bounded by the source domain)
+    "q_xcorr",         // 7-row lag-grid broadcast onto per-DAY aggregate rows
+    "q_mann_kendall",  // |days|² calendar-bounded day-pair BNLJ (a.day < b.day over
+                       //   per-DAY aggregates — grows with the calendar, not the data)
+                       //   + one-row S/tie-term broadcasts onto the summary row
+    "q_theil_sen",     // same calendar-bounded |days|² day-pair BNLJ
+    "c_add_files",     // one-row adopted-file-count broadcast onto the count row
+    "s_pca_power"      // one-row k×d component-matrix broadcast onto the corpus scan
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
@@ -103,7 +110,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_control_chart", // lag window over per-DAY aggregate rows
     "q_hazard_curve",  // exit prefix over per-DAY aggregate rows
     "q_tukey_fence",   // band prefix over per-CENTS-BAND aggregate rows
-    "q_seasonal_decompose" // centered 7-day window over per-DAY aggregate rows
+    "q_seasonal_decompose", // centered 7-day window over per-DAY aggregate rows
+    "q_theil_sen",     // median-rank windows over the calendar-bounded |days|²
+                       //   day-pair frame (both inputs per-DAY aggregates)
+    "q_harmonic_centrality" // row_number over a post-limit(20) frame
   )
 
   // one planning pass over the whole surface, shared by every assertion
@@ -152,13 +162,30 @@ class PlanAuditSpec extends SparkSpec {
     // partition — fine on 60k rows, fatal on a 100 TB vocabulary. Every
     // global ranking in the surface must bound its input first (top-k via
     // TakeOrderedAndProject) or partition the window.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate => LAggregate, GlobalLimit => LGlobalLimit, LeafNode => LLeaf,
+      LocalLimit => LLocalLimit, LocalRelation => LLocalRel,
+      OneRowRelation => LOneRow, Range => LRange, Window => LWindow}
+    // Structural boundedness proof: TRUE iff every path from the window down
+    // to a data-bearing leaf passes through a cardinality-reducing node
+    // (Aggregate or Limit) first — i.e. NO raw table rows can reach the
+    // global window. Literal leaves (LocalRelation / Range spines /
+    // OneRowRelation) are bounded by construction. Joins/unions between
+    // bounded inputs stay bounded (|days|²-style frames grow with the key
+    // domain, never with data volume) — which is exactly the exemption's
+    // claim, and exactly what dies if an op ever windows over a raw scan.
+    def boundedInput(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
+      case _: LAggregate | _: LGlobalLimit | _: LLocalLimit => true
+      case _: LLocalRel | _: LOneRow | _: LRange => true
+      case leaf: LLeaf => false // raw relation reached without reduction
+      case other => other.children.forall(boundedInput)
+    }
     val offenders = optimized.flatMap { case (name, plan) =>
       val global = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
       if (boundedGlobalWindow(name)) {
-        assert(global.forall(
-            _.child.collectFirst { case a: LAggregate => a }.isDefined),
-          s"$name: whitelisted global window no longer consumes an aggregate")
+        assert(global.forall(w => boundedInput(w.child)),
+          s"$name: whitelisted global window no longer consumes a " +
+            "cardinality-bounded input (raw rows reach the single partition)")
         None
       } else if (global.nonEmpty) Some(name) else None
     }
