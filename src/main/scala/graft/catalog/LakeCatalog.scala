@@ -661,7 +661,9 @@ class LakeCatalog(spark: SparkSession, root: String) {
     }.mkString("", "\n", "\n")
     Files.writeString(dvPath(ns, table), lines,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    val committed = commitSnapshot(ns, table, cur)
+    // expectedBase CAS: conflict detected BEFORE the log append — the DV
+    // lines written above stay inert (their version never commits)
+    val committed = commitSnapshot(ns, table, cur, expectedBase = Some(v))
     require(committed == nextV,
       s"concurrent commit: DV written for v$nextV but log advanced to v$committed")
     hits.map(_._2.length.toLong).sum
@@ -686,22 +688,31 @@ class LakeCatalog(spark: SparkSession, root: String) {
       .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
     if (cur.isEmpty) return 0L
     val v = currentVersion(ns, table)
-    // the delta = CURRENT-VISIBILITY matched rows (DV-aware: a row already
-    // vector-deleted must not resurrect as an "updated" copy)
-    val updated = readFilesDv(ns, table, cur, v)
-      .where(coalesce(cond, lit(false)))
+    // ONE DV-aware matched scan, MATERIALIZED (localCheckpoint) so the
+    // predicate is evaluated exactly once: the delta rows and the DV
+    // positions both derive from the same pinned (row, file, pos) result —
+    // a nondeterministic cond can no longer desync delta rows from DV marks
+    // (which would lose or duplicate rows).
+    val already = dvEntries(ns, table).filter(_._1 <= v)
+      .flatMap { case (_, f, ps) => ps.map(p => (f, p)) }.distinct
+    val scanned = readFilesWithPos(tablePath(ns, table), cur)
+    val visible =
+      if (already.isEmpty) scanned
+      else scanned.join(
+        broadcast(spark.createDataFrame(already).toDF("__dv_file", "__dv_pos")),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    val matched = visible
+      .where(coalesce(cond, lit(false))) // 3VL: NULL predicate updates nothing
+      .localCheckpoint()
+    val updated = matched.drop("__dv_file", "__dv_pos")
       .withColumn(setCol, setExpr)
     val deltaFiles = writeNewFiles(ns, table, updated)
     // DV-mark the superseded physical rows (same mechanics as MOR delete)
-    val already = dvEntries(ns, table).filter(_._1 <= v)
-      .flatMap { case (_, f, ps) => ps.map(p => (f, p)) }.toSet
-    val hits = readFilesWithPos(tablePath(ns, table), cur)
-      .where(coalesce(cond, lit(false)))
+    val hits = matched
       .groupBy(col("__dv_file"))
       .agg(collect_list(col("__dv_pos")).as("ps"))
       .collect()
-      .map(r => r.getString(0) ->
-        r.getSeq[Long](1).filterNot(p => already((r.getString(0), p))).sorted)
+      .map(r => r.getString(0) -> r.getSeq[Long](1).sorted)
       .filter(_._2.nonEmpty)
     val nextV = snapshots(ns, table).map(_._1).maxOption.getOrElse(-1) + 1
     if (hits.nonEmpty) {
@@ -712,7 +723,13 @@ class LakeCatalog(spark: SparkSession, root: String) {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
-    val committed = commitSnapshot(ns, table, cur ++ deltaFiles)
+    // conflict check BEFORE the log append (expectedBase CAS): a concurrent
+    // commit now fails this update while the log is still unpublished —
+    // the staged delta files and the uncommitted-version DV lines are inert
+    // debris (orphan sweep / reader version-filter territory), never a
+    // published stale-file-list snapshot.
+    val committed = commitSnapshot(ns, table, cur ++ deltaFiles,
+      expectedBase = Some(v))
     require(committed == nextV,
       s"concurrent commit: DV written for v$nextV but log advanced to v$committed")
     hits.map(_._2.length.toLong).sum
@@ -1549,7 +1566,13 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * pinned against external deletion — shallow-clone rules apply.
     * Returns the number of files registered. */
   def addFiles(ns: String, table: String, srcDir: String): Int = {
-    val landing = Paths.get(s"$root/$ns/$srcDir")
+    // the landing dir must stay INSIDE the namespace: the verb is exposed
+    // over the gateway/MCP, and an unnormalized '../…' srcDir would let a
+    // client register arbitrary filesystem parquet into a table by reference
+    val nsRoot = Paths.get(s"$root/$ns").toAbsolutePath.normalize
+    val landing = nsRoot.resolve(srcDir).normalize
+    require(landing.startsWith(nsRoot) && landing != nsRoot,
+      s"ADD FILES landing dir must be a subdirectory of namespace $ns (got '$srcDir')")
     val imported = listParquet(landing).map(f => s"../$srcDir/$f")
     if (imported.nonEmpty) {
       recordFileStats(ns, table, imported)
@@ -1734,7 +1757,11 @@ class LakeCatalog(spark: SparkSession, root: String) {
   /** Single typed-row INSERT (the reference's whole INSERT surface,
     * IcebergConnection.py:133-187) — a degenerate one-row append. */
   def insertRow(ns: String, table: String, values: Seq[Any]): Unit = {
-    val schema = load(ns, table).schema
+    // LOGICAL schema (rename-aware): after ALTER TABLE … RENAME COLUMN the
+    // new row must land under the NEW physical name — writing the old name
+    // would put a pre-rename column into a post-rename-generation file,
+    // which the per-generation reconciliation cannot repair
+    val schema = loadRenamed(ns, table).schema
     append(ns, table, spark.createDataFrame(
       java.util.List.of(Row.fromSeq(values)), schema))
   }

@@ -432,7 +432,9 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
 
       case insertTb(ns, table, colSpec, values) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
-        val schema = catalog.load(nsName, table).schema
+        // logical (rename-aware) schema: INSERT accepts the renamed column
+        // names and the row lands under the new physical name
+        val schema = catalog.loadRenamed(nsName, table).schema
         val parsed = parseValues(values)
         val typed: Seq[Any] = Option(colSpec) match {
           case None =>
@@ -488,10 +490,20 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val tables = catalog.listTables()
         tables.foreach { case (ns, t) =>
           // qualified view always; bare name only when unambiguous — two
-          // namespaces holding the same table name must not silently shadow
-          catalog.load(ns, t).createOrReplaceTempView(s"${ns}_$t")
-          if (tables.count(_._2 == t) == 1)
-            catalog.load(ns, t).createOrReplaceTempView(t)
+          // namespaces holding the same table name must not silently shadow.
+          // loadRenamed (not load): after ALTER TABLE … RENAME COLUMN the
+          // physical schemas differ per generation; the rename-aware read
+          // reconciles them, and it falls back to the plain load when the
+          // table has no recorded rename.
+          // A directory listTables surfaces but load can't read (foreign
+          // non-parquet data parked in the warehouse) must not poison EVERY
+          // SELECT — skip it; referencing it still fails with
+          // TABLE_OR_VIEW_NOT_FOUND, which names the actual problem.
+          try {
+            catalog.loadRenamed(ns, t).createOrReplaceTempView(s"${ns}_$t")
+            if (tables.count(_._2 == t) == 1)
+              catalog.loadRenamed(ns, t).createOrReplaceTempView(t)
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
         spark.sql(rewritten)
     }

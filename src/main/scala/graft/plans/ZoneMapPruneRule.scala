@@ -54,6 +54,12 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def prune(f: Filter, cond: Expression,
                     lr: LogicalRelation): LogicalPlan = {
     val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+    // hive-partitioned layouts (appendEvolved's _p=<v>/ dirs) derive column
+    // values from DIRECTORY names; replacing the index with a leaf-file
+    // InMemoryFileIndex would drop the partition spec while the relation
+    // still declares the column — bail out, mirroring countStar's
+    // hasPartitionDirs guard (partition pruning already covers these)
+    if (rel.partitionSchema.nonEmpty) return f
     val roots = rel.location.rootPaths
     if (roots.length != 1) return f
     val dir = Paths.get(roots.head.toUri.getPath)

@@ -189,6 +189,34 @@ class McpServerSpec extends SparkSpec {
     assert(cat2.renames("scratch", "mcp_v").map(r => (r._1, r._2)) ==
       Seq(("v", "val")), "rename sidecar not recorded through the protocol")
     assert(cat2.loadRenamed("scratch", "mcp_v").schema.fieldNames.contains("val"))
+    // the rename is USABLE over the protocol, not just recorded: an INSERT
+    // under the NEW name lands in a post-rename generation file, and a
+    // SELECT of the renamed column spans BOTH physical generations with no
+    // NULL leakage (the gateway registers views rename-aware)
+    drive("query_table", "INSERT INTO scratch.mcp_v VALUES (9, 90.0)")
+    val selTxt = drive("query_table",
+      "SELECT k, val FROM scratch_mcp_v ORDER BY k")
+    assert(selTxt.contains("\"val\""), selTxt.take(300))
+    assert(!selTxt.contains("null"),
+      s"renamed column NULL across generations: ${selTxt.take(400)}")
+    Seq("20.0", "70.0", "90.0").foreach(v =>
+      assert(selTxt.contains(v), s"missing $v in: ${selTxt.take(400)}"))
+    val sumTxt = drive("query_table",
+      "SELECT CAST(sum(val) AS DOUBLE) AS s FROM scratch_mcp_v")
+    assert(sumTxt.contains("200.0"),
+      s"sum over renamed column wrong: ${sumTxt.take(200)}")
+    // ADD FILES is namespace-jailed: a '../' traversal srcDir is rejected
+    // (an MCP client must not register arbitrary filesystem parquet)
+    nextId += 1
+    val trav = JsonMethods.parse(srv2.handleLine(JsonMethods.compact(
+      JsonMethods.render(JObject(
+        "jsonrpc" -> JString("2.0"), "id" -> JInt(nextId),
+        "method" -> JString("tools/call"),
+        "params" -> JObject("name" -> JString("query_catalog"),
+          "arguments" -> JObject("query" -> JString(
+            "ADD FILES TO scratch.mcp_v FROM '../../../../root/testdata/sf0.001'"))))))).get)
+    assert(trav \ "result" \ "isError" == JBool(true),
+      "path-traversal ADD FILES was accepted")
   }
 
   test("EXPLAIN over the protocol: pushdown is auditable before paying for a scan") {

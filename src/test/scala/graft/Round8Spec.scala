@@ -1,0 +1,161 @@
+package graft
+
+import graft.catalog.LakeCatalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-8 hardening invariants: the review findings on the round-7 closing
+  * ops — rename-aware gateway reads, MOR-update single-scan atomicity under
+  * a nondeterministic predicate, the zone-map rule's partitioned-layout
+  * bail, and the ADD FILES namespace jail. */
+class Round8Spec extends SparkSpec {
+
+  private def scratch: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+
+  test("updateWhereMor: a nondeterministic predicate cannot desync delta rows from DV marks") {
+    // pre-fix, the predicate was evaluated in TWO independent scans (delta
+    // write vs DV collection): with rand() the matched sets could differ,
+    // losing rows (DV-marked but no delta) or duplicating them (delta
+    // without DV). The single materialized matched-scan makes the key
+    // multiset invariant under ANY predicate.
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity").as("q"))
+      .groupBy("k").agg(sum("q").as("q")) // unique keys
+    cat.dropTable("scratch", "nd_spec")
+    cat.createTable("scratch", "nd_spec", StructType(Seq(
+      StructField("k", LongType), StructField("q", DoubleType))))
+    cat.append("scratch", "nd_spec", li.where(col("k") % 4 === 0))
+    val before = cat.load("scratch", "nd_spec")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val n = cat.updateWhereMor("scratch", "nd_spec",
+      rand() < 0.5, "q", col("q") + 1000000.0)
+    val after = cat.load("scratch", "nd_spec")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before,
+      s"nondeterministic update desynced rows: ${before.size} -> ${after.size}")
+    // the reported count matches the rows that actually changed
+    val changed = cat.load("scratch", "nd_spec")
+      .where(col("q") >= 1000000.0).count()
+    assert(changed == n, s"reported $n updates but $changed rows changed")
+    cat.dropTable("scratch", "nd_spec")
+  }
+
+  test("conflicting mutation fails BEFORE publication (expectedBase CAS pre-append)") {
+    // updateWhereMor/deleteWhereMor now route their conflict check through
+    // commitSnapshot's expectedBase CAS — the same pre-append check
+    // deleteWhereAt exposes directly. A stale writer must throw WITHOUT
+    // appending a snapshot line, leaving the head exactly as the concurrent
+    // writer left it (the pre-fix behavior published the stale file list
+    // first and detected the conflict after).
+    val cat = new LakeCatalog(spark, scratch)
+    import spark.implicits._
+    cat.dropTable("scratch", "cc_spec")
+    cat.createTable("scratch", "cc_spec", StructType(Seq(
+      StructField("k", LongType), StructField("q", DoubleType))))
+    cat.append("scratch", "cc_spec", Seq((1L, 1.0), (2L, 2.0)).toDF("k", "q"))
+    val vPlanned = cat.headVersion("scratch", "cc_spec")
+    // the concurrent writer lands between planning and commit
+    cat.append("scratch", "cc_spec", Seq((3L, 3.0)).toDF("k", "q"))
+    val snapsBefore = cat.snapshots("scratch", "cc_spec").map(_._1)
+    intercept[graft.catalog.CommitConflictException] {
+      cat.deleteWhereAt("scratch", "cc_spec", col("k") === 1L, vPlanned)
+    }
+    // nothing published: no new snapshot line, head content intact
+    assert(cat.snapshots("scratch", "cc_spec").map(_._1) == snapsBefore,
+      "conflicting commit appended a snapshot line before failing")
+    assert(cat.load("scratch", "cc_spec").count() == 3,
+      "conflicting delete mutated the published table state")
+    cat.dropTable("scratch", "cc_spec")
+  }
+
+  test("ZoneMapPruneRule: bails out on hive-partitioned table layouts") {
+    // appendEvolved's _p=<v>/ layout has BOTH a partition schema and a
+    // filestats sidecar: the rule must not replace the partition-aware
+    // FileIndex with a flat leaf-file index (which would drop or corrupt
+    // the directory-derived _p values) — partition pruning already covers
+    // these scans.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val cat = new LakeCatalog(spark, scratch)
+    import spark.implicits._
+    cat.dropTable("scratch", "zp_spec")
+    cat.createTable("scratch", "zp_spec", StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    val df = (1L to 1000L).map(i => (i, i.toDouble, (i % 4).toString))
+      .toDF("k", "v", "grp")
+    cat.appendEvolved("scratch", "zp_spec", df, "grp")
+    val dirPath = s"$scratch/scratch/zp_spec"
+    val read = spark.read.parquet(dirPath).where(col("k") >= 900L)
+    // correct under the numeric filter the rule would otherwise act on
+    assert(read.count() == 101)
+    // partition column intact (directory-derived values survive planning)
+    assert(read.where(col("_p").isNull).count() == 0,
+      "partition values lost — the prune rule replaced a partitioned index")
+    // and the rule really did leave the file list alone
+    val scanned = read.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.relation.location.inputFiles.length
+    }.sum
+    val total = spark.read.parquet(dirPath).queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.relation.location.inputFiles.length
+    }.sum
+    assert(scanned == total,
+      s"rule pruned a partitioned layout: $scanned of $total files")
+    cat.dropTable("scratch", "zp_spec")
+  }
+
+  test("addFiles: landing dirs outside the namespace are rejected") {
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "aj_spec")
+    cat.createTable("scratch", "aj_spec", StructType(Seq(
+      StructField("k", LongType))))
+    Seq("../main", "../../testdata", "/root/testdata/sf0.001", "..", ".")
+      .foreach { dir =>
+        intercept[IllegalArgumentException] { cat.addFiles("scratch", "aj_spec", dir) }
+      }
+    // a legitimate nested landing dir still works
+    import spark.implicits._
+    cat.dropTable("scratch", "aj_land")
+    Seq(1L, 2L).toDF("k").coalesce(1)
+      .write.parquet(s"$scratch/scratch/aj_land")
+    assert(cat.addFiles("scratch", "aj_spec", "aj_land") == 1)
+    assert(cat.load("scratch", "aj_spec").count() == 2)
+    cat.dropTable("scratch", "aj_spec")
+    cat.dropTable("scratch", "aj_land")
+  }
+
+  test("gateway SELECT and INSERT are rename-aware across physical generations") {
+    // dedicated warehouse: the gateway SELECT path registers a view for
+    // EVERY catalog table, so the shared scratch warehouse's multi-format
+    // debris would pollute this test
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_gw_rename_wh"
+    val dir = java.nio.file.Paths.get(wh)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(dir)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    val cat = new LakeCatalog(spark, wh)
+    val gw = new graft.catalog.SqlGateway(spark, cat)
+    import spark.implicits._
+    cat.dropTable("scratch", "gr_spec")
+    cat.createTable("scratch", "gr_spec", StructType(Seq(
+      StructField("k", LongType), StructField("amount", DoubleType))))
+    cat.append("scratch", "gr_spec", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amount"))
+    gw.execute("ALTER TABLE scratch.gr_spec RENAME COLUMN amount TO amt")
+    // SELECT immediately after the rename (no new append yet) resolves the
+    // NEW name — pre-fix this failed outright
+    val r0 = gw.execute("SELECT CAST(sum(amt) AS DOUBLE) AS s FROM scratch_gr_spec").head()
+    assert(r0.getDouble(0) == 30.0, s"post-rename SELECT wrong: $r0")
+    // INSERT under the new name lands in a new-generation file
+    gw.execute("INSERT INTO scratch.gr_spec VALUES (3, 30.0)")
+    val rows = gw.execute(
+      "SELECT k, amt FROM scratch_gr_spec ORDER BY k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.forall(!_.isNullAt(1)),
+      "renamed column NULL for one generation — mixed-schema read desynced")
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(10.0, 20.0, 30.0))
+    cat.dropTable("scratch", "gr_spec")
+  }
+}
