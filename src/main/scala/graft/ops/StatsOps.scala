@@ -153,22 +153,31 @@ object StatsOps {
   /** Mann-Whitney U (Wilcoxon rank-sum) comparing `value` between the
     * click and purchase event populations. Tie-corrected: ranks are
     * midranks, carried ×2 so they stay integer (rank2 = 2·minrank+cnt−1);
-    * U likewise ×2 (u1_x2 = 2·R1 − n1(n1+1)). The normal-approximation z
-    * (with the Σ(t³−t) tie correction) is the single double row. */
+    * U likewise ×2 (u1_x2 = 2·R1 − n1(n1+1)). The rank-sum and Σ(t³−t) tie
+    * term grow as n² / t³ (t = per-value tie counts, data-volume-scale) —
+    * past ~sf1 they clear BIGINT, so the moments run in exact DECIMAL(38,0)
+    * (HUGEINT on the oracle side) and the U statistics emit as doubles
+    * converted from the same exact integers in both engines. The
+    * normal-approximation z (with the tie correction) is identical-text
+    * IEEE. */
   def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val rk = rankTable(spark, dir, "click", "purchase")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     rk.select(col("c1"), col("cnt"),
-        (col("c1") * (lit(2L) * col("before") + col("cnt") + lit(1L))).as("r1x2"),
-        (col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("t3"))
+        (dec(col("c1")) * (lit(2L) * col("before") + col("cnt") + lit(1L))).as("r1x2"),
+        (dec(col("cnt")) * col("cnt") * col("cnt") - col("cnt")).as("t3"))
       .agg(sum("c1").cast("long").as("n1"),
         (sum("cnt") - sum("c1")).cast("long").as("n2"),
-        sum("r1x2").cast("long").as("r1x2"),
-        sum("t3").cast("long").as("tsum"))
+        sum("r1x2").as("r1x2"),
+        sum("t3").as("tsum"))
       .select(col("n1"), col("n2"),
-        (col("r1x2") - col("n1") * (col("n1") + lit(1L))).as("u1_x2"),
-        (lit(2L) * col("n1") * col("n2") - (col("r1x2") - col("n1") * (col("n1") + lit(1L)))).as("u2_x2"),
+        (col("r1x2") - dec(col("n1")) * (col("n1") + lit(1L))).as("u1_x2"),
+        (lit(2L) * dec(col("n1")) * col("n2") - (col("r1x2") - dec(col("n1")) * (col("n1") + lit(1L)))).as("u2_x2"),
         col("tsum"))
-      .select(col("n1"), col("n2"), col("u1_x2"), col("u2_x2"),
+      .select(col("n1"), col("n2"),
+        col("u1_x2").cast("double").as("u1_x2"),
+        col("u2_x2").cast("double").as("u2_x2"),
+        col("tsum").cast("double").as("tsum"),
         expr("(cast(u1_x2 as double) - cast(n1 as double)*cast(n2 as double)) / (2.0 * sqrt(((cast(n1 as double)*cast(n2 as double))/12.0) * ((cast(n1 as double)+cast(n2 as double)+1.0) - cast(tsum as double)/((cast(n1 as double)+cast(n2 as double))*(cast(n1 as double)+cast(n2 as double)-1.0)))))")
           .as("z"))
   }
@@ -178,13 +187,15 @@ object StatsOps {
        |agg AS (
        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
        |         CAST(SUM(cnt) - SUM(c1) AS BIGINT) AS n2,
-       |         CAST(SUM(c1 * (2*before + cnt + 1)) AS BIGINT) AS r1x2,
-       |         CAST(SUM(cnt*cnt*cnt - cnt) AS BIGINT) AS tsum
+       |         SUM(CAST(c1 AS HUGEINT) * (2*before + cnt + 1)) AS r1x2,
+       |         SUM(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS tsum
        |  FROM rk),
-       |u AS (SELECT n1, n2, r1x2 - n1*(n1 + 1) AS u1_x2,
-       |             2*n1*n2 - (r1x2 - n1*(n1 + 1)) AS u2_x2, tsum
+       |u AS (SELECT n1, n2, r1x2 - CAST(n1 AS HUGEINT)*(n1 + 1) AS u1_x2,
+       |             2*CAST(n1 AS HUGEINT)*n2 - (r1x2 - CAST(n1 AS HUGEINT)*(n1 + 1)) AS u2_x2, tsum
        |      FROM agg)
-       |SELECT n1, n2, u1_x2, u2_x2,
+       |SELECT n1, n2,
+       |  CAST(u1_x2 AS DOUBLE) AS u1_x2, CAST(u2_x2 AS DOUBLE) AS u2_x2,
+       |  CAST(tsum AS DOUBLE) AS tsum,
        |  (CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)) / (2.0 * sqrt(((CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE))/12.0) * ((CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)+1.0) - CAST(tsum AS DOUBLE)/((CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE))*(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)-1.0))))) AS z
        |FROM u""".stripMargin
 
@@ -386,11 +397,14 @@ object StatsOps {
     * the monotone-association test Pearson's r (q_corr_matrix) misses when
     * the relation is nonlinear. Midranks carried ×2 so every rank is an
     * exact BIGINT (dense ties: quantity has ~50 distinct values); ρ =
-    * Pearson on the rank2 columns, with the five moment sums exact BIGINT
-    * (bounded by 4n³ — fits to ~sf1; the decimal escalation is the
-    * documented path beyond) and the ratio one identical-text IEEE row.
-    * Each variable's rank map is value-domain-sized and joins back by
-    * value (equi-join) — rows never globally sort. */
+    * Pearson on the rank2 columns, with the five moment sums exact
+    * DECIMAL(38,0) — bounded by 4n³, which clears BIGINT past ~sf1, so the
+    * products and sums run in 128-bit space (HUGEINT on the oracle side;
+    * good to ~10³⁸, i.e. any conceivable corpus) — and the ratio one
+    * identical-text IEEE row (the exact integers convert to the same
+    * nearest double in both engines). Each variable's rank map is
+    * value-domain-sized and joins back by value (equi-join) — rows never
+    * globally sort. */
   def qSpearman(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.table(spark, dir, "lineitem")
       .select(col("l_quantity"), col("l_extendedprice"))
@@ -400,12 +414,13 @@ object StatsOps {
     val rp = rank2Of(li.select(col("l_extendedprice").as("value")),
       "cast(floor(value / 1000.0) as long)")
       .select(col("value").as("l_extendedprice"), col("rank2").as("ry"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     li.join(rq, "l_quantity").join(rp, "l_extendedprice")
       .agg(count(lit(1)).cast("long").as("n"),
-        sum("rx").cast("long").as("sx"), sum("ry").cast("long").as("sy"),
-        sum(col("rx") * col("ry")).cast("long").as("sxy"),
-        sum(col("rx") * col("rx")).cast("long").as("sxx"),
-        sum(col("ry") * col("ry")).cast("long").as("syy"))
+        sum(dec(col("rx"))).as("sx"), sum(dec(col("ry"))).as("sy"),
+        sum(dec(col("rx")) * col("ry")).as("sxy"),
+        sum(dec(col("rx")) * col("rx")).as("sxx"),
+        sum(dec(col("ry")) * col("ry")).as("syy"))
       .select(col("n"),
         expr("(cast(n as double)*cast(sxy as double) - cast(sx as double)*cast(sy as double)) / (sqrt(cast(n as double)*cast(sxx as double) - cast(sx as double)*cast(sx as double)) * sqrt(cast(n as double)*cast(syy as double) - cast(sy as double)*cast(sy as double)))")
           .as("rho"))
@@ -436,10 +451,10 @@ object StatsOps {
        |  JOIN pr ON pr.value = l.l_extendedprice),
        |m AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
-       |    CAST(SUM(rx*ry) AS BIGINT) AS sxy,
-       |    CAST(SUM(rx*rx) AS BIGINT) AS sxx,
-       |    CAST(SUM(ry*ry) AS BIGINT) AS syy
+       |    SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+       |    SUM(CAST(rx AS HUGEINT)*ry) AS sxy,
+       |    SUM(CAST(rx AS HUGEINT)*rx) AS sxx,
+       |    SUM(CAST(ry AS HUGEINT)*ry) AS syy
        |  FROM j)
        |SELECT n,
        |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS rho

@@ -83,8 +83,12 @@ object StatsOps2 {
     * Scale shape: the day-grain reduction is the only table-scale work;
     * the pair frame is |days|² — a calendar-bounded constant (3650 days of
     * a decade = 6.6M pairs) that does NOT grow with data volume, the same
-    * justification as q_theil_sen/q_spearman. The continuity-corrected
-    * z uses S∓1 by sign (the standard normal approximation). */
+    * justification as q_theil_sen. Unlike q_spearman/q_mann_whitney (whose
+    * moment sums grow with data volume and run in DECIMAL), every integer
+    * here is |days|-scale: |S| ≤ |days|², var_x18 ≤ |days|³·2 — BIGINT is
+    * exact to a ~2-million-day calendar, so no escalation is needed. The
+    * continuity-corrected z uses S∓1 by sign (the standard normal
+    * approximation). */
   def qMannKendall(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.table(spark, dir, "events")
       .groupBy(expr("ts div 86400000000000").as("day"))

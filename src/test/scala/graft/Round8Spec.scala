@@ -124,6 +124,32 @@ class Round8Spec extends SparkSpec {
     cat.dropTable("scratch", "aj_land")
   }
 
+  test("decimal moment sums are exact past the BIGINT cliff (q_spearman/q_mann_whitney class)") {
+    // the escalated arithmetic shape: Σ rank2² where rank2 ≤ 2n. At
+    // n = 3M the sum is ~4.8e19 > Long.MaxValue (9.22e18) — a BIGINT sum
+    // would wrap. The DECIMAL(38,0) path must reproduce the closed form
+    // 4·Σi² = 2n(n+1)(2n+1)/3 exactly.
+    import spark.implicits._
+    val n = 3000000L
+    val ranks = spark.range(1, n + 1)
+      .select((col("id") * 2).as("rank2")) // tie-free rank2 = 2·i
+    val got = ranks
+      .agg(sum(col("rank2").cast("decimal(38,0)") * col("rank2")).as("sxx"))
+      .head().getDecimal(0)
+    val expect = BigInt(2) * BigInt(n) * BigInt(n + 1) * BigInt(2 * n + 1) / 3
+    assert(expect > BigInt(Long.MaxValue),
+      "test series too small to prove anything past the BIGINT cliff")
+    assert(BigInt(got.toBigInteger) == expect,
+      s"decimal moment sum inexact: $got != $expect")
+    // sanity: the live ops still produce finite statistics at spec scale
+    val sp = ops.StatsOps.qSpearman(spark, sfDir).head()
+    assert(!sp.isNullAt(1) && math.abs(sp.getDouble(1)) <= 1.0)
+    val mw = ops.StatsOps.qMannWhitney(spark, sfDir).head()
+    assert(!mw.isNullAt(5) && java.lang.Double.isFinite(mw.getDouble(5)))
+    assert(mw.getDouble(2) + mw.getDouble(3) ==
+      2.0 * mw.getLong(0) * mw.getLong(1), "U1 + U2 != n1·n2 identity (×2)")
+  }
+
   test("gateway SELECT and INSERT are rename-aware across physical generations") {
     // dedicated warehouse: the gateway SELECT path registers a view for
     // EVERY catalog table, so the shared scratch warehouse's multi-format

@@ -23,9 +23,11 @@ class StatsOpsSpec extends SparkSpec {
   test("mann-whitney: U1+U2 = 2*n1*n2 (x2 scale) and both U in range") {
     val row = ops.StatsOps.qMannWhitney(spark, sfDir).collect()(0)
     val (n1, n2) = (row.getAs[Long]("n1"), row.getAs[Long]("n2"))
-    val (u1, u2) = (row.getAs[Long]("u1_x2"), row.getAs[Long]("u2_x2"))
-    assert(u1 + u2 == 2 * n1 * n2, "U1 + U2 must equal n1*n2 (here x2)")
-    assert(u1 >= 0 && u1 <= 2 * n1 * n2)
+    // U statistics emit as exact-integer-valued doubles since the decimal
+    // escalation (the integers themselves clear BIGINT past ~sf1)
+    val (u1, u2) = (row.getAs[Double]("u1_x2"), row.getAs[Double]("u2_x2"))
+    assert(u1 + u2 == 2.0 * n1 * n2, "U1 + U2 must equal n1*n2 (here x2)")
+    assert(u1 >= 0 && u1 <= 2.0 * n1 * n2)
     // same-distribution populations: |z| far below any rejection threshold
     assert(math.abs(row.getAs[Double]("z")) < 5.0)
   }
