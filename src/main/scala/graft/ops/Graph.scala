@@ -186,15 +186,42 @@ object Graph {
     }
   }
 
-  def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coSupplyEdges(spark, dir)
+  def qTriangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCensusOf(coSupplyEdges(spark, dir))
+
+  /** Census over an arbitrary (lo, hi) edge frame. The wedge join runs
+    * DEGREE-ORDERED (each edge re-oriented from its lower-(deg, id)
+    * endpoint to the higher): a triangle's unique apex is its
+    * minimum-order vertex, so the count stays EXACT, but every node's
+    * out-degree is bounded by O(√m) — the classic hub-proof orientation
+    * (a 10⁷-degree hub under id-orientation fans 10¹⁴ wedges from one
+    * task; under degree-orientation it is almost always the wedge FOOT,
+    * never the apex). This is the always-on rendition of the absolute
+    * degree dial [[linkPredictOf]] exposes — a census must stay exact, so
+    * it gets the count-preserving guard. */
+  private[graft] def triangleCensusOf(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("lo").as("id"))
       .union(edges.select(col("hi").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e2.lo") === col("e1.hi"))
-      .join(edges.as("e3"),
-        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+    // orient by (deg, id): src = lower endpoint in that total order; carry
+    // the dst's order key so wedge legs can be ordered without a re-join
+    val o = edges
+      .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), "lo")
+      .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), "hi")
+      .select(
+        when(col("dlo") < col("dhi") ||
+             (col("dlo") === col("dhi") && col("lo") < col("hi")),
+          col("lo")).otherwise(col("hi")).as("src"),
+        when(col("dlo") < col("dhi") ||
+             (col("dlo") === col("dhi") && col("lo") < col("hi")),
+          col("hi")).otherwise(col("lo")).as("dst"),
+        greatest(col("dlo"), col("dhi")).as("ddeg"))
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e2.src") === col("e1.src") &&
+        (col("e1.ddeg") < col("e2.ddeg") ||
+          (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .join(o.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
       .agg(count(lit(1)).as("n_triangles"))
     val wed = deg.agg(
       sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
@@ -310,12 +337,23 @@ object Graph {
     linkPredictOf(coSupplyEdges(spark, dir))
 
   /** Scoring over an arbitrary (lo, hi) edge frame — GraphPropSpec checks
-    * random graphs against an in-memory reference scorer. */
-  private[graft] def linkPredictOf(edges: DataFrame): DataFrame = {
+    * random graphs against an in-memory reference scorer.
+    *
+    * `maxMidDegree` is the 100 TB hub dial (SURVEY §2.2): a wedge MIDPOINT
+    * of degree d fans d² candidate pairs, so one Zipfian hub can dominate
+    * the shuffle — and a hub common-neighbor is also the WEAKEST evidence
+    * (Adamic-Adar already damps it as 1/deg). Capping the midpoint degree
+    * bounds the fan at cap·m while leaving every structurally-supported
+    * candidate scored; the default (MaxValue) keeps the exact-oracle gate
+    * semantics. Endpoint degrees (du/dv, the Jaccard denominators) stay
+    * UNCAPPED — the cap only prunes which wedges generate candidates. */
+  private[graft] def linkPredictOf(edges: DataFrame,
+                                   maxMidDegree: Long = Long.MaxValue): DataFrame = {
     val adj = edges.select(col("lo").as("node"), col("hi").as("nb"))
       .union(edges.select(col("hi").as("node"), col("lo").as("nb")))
     val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
     val nbDeg = adj.join(deg.select(col("node").as("nb"), col("deg").as("nbdeg")), "nb")
+      .where(col("nbdeg") <= maxMidDegree)
     val cand = nbDeg.as("x").join(nbDeg.as("y"),
         col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
       .groupBy(col("x.node").as("u"), col("y.node").as("v"))

@@ -150,6 +150,82 @@ class Round8Spec extends SparkSpec {
       2.0 * mw.getLong(0) * mw.getLong(1), "U1 + U2 != n1·n2 identity (×2)")
   }
 
+  test("link-predict degree cap: planted hub cannot flood the candidate set; top-k stable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val n = 40L
+    val base = (for {
+      a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.12
+    } yield (a, b)).toSeq
+    // plant a hub adjacent to EVERY node: every non-edge pair gains the hub
+    // as a common neighbor, so the uncapped wedge join fans ~n²/2 candidates
+    val hub = n
+    val planted = base ++ (0L until n).map(h => (h, hub))
+    val uncapped = ops.Graph.linkPredictOf(planted.toDF("lo", "hi"))
+    val capped = ops.Graph.linkPredictOf(planted.toDF("lo", "hi"),
+      maxMidDegree = n / 2)
+    // in-memory reference on the planted graph with hub MIDPOINTS excluded
+    // (endpoint degrees keep the hub edges — the documented cap semantics)
+    val adj = (planted ++ planted.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val eset = planted.toSet
+    val ref = (for {
+      u <- adj.keys; v <- adj.keys if u < v && !eset((u, v))
+      common = (adj(u) intersect adj(v)).filter(deg(_) <= n / 2)
+      if common.nonEmpty
+    } yield {
+      val cn = common.size.toLong
+      val j = 1000000L * cn / (deg(u) + deg(v) - cn)
+      val aa = common.toSeq.map(nb => 1000000L / deg(nb)).sum
+      (u, v, cn, j, aa)
+    }).toSeq.sortBy { case (u, v, cn, j, _) => (-cn, -j, u, v) }.take(20)
+    val got = capped.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == ref, s"capped top-k diverged from reference:\n got $got\n ref $ref")
+    // every capped candidate is supported by NON-hub structure: its cn must
+    // match the base graph's common-neighbor count (hub contributes zero)
+    val baseAdj = (base ++ base.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty[Long])
+    got.foreach { case (u, v, cn, _, _) =>
+      assert((baseAdj(u) intersect baseAdj(v)).size.toLong == cn,
+        s"candidate ($u,$v) scored hub wedges despite the cap")
+    }
+    // and the uncapped run really is hub-flooded (the cap is load-bearing):
+    // with the hub as a universal common neighbor, every returned pair's cn
+    // counts it, so uncapped top-k != capped top-k pair sets differ in score
+    val gotU = uncapped.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotU.forall(_._3 >= 1) && gotU.map(_._3).sum > got.map(_._3).sum,
+      "hub did not inflate uncapped scores — planted graph broken")
+  }
+
+  test("triangle census: degree-ordered orientation is exact on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (t <- 1 to 8) {
+      val n = 10 + rnd.nextInt(14)
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val adj = (edges ++ edges.map(_.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        // yield the tuple, not a constant: a Set-typed inner generator
+        // collapses duplicate yields, silently undercounting
+        val refTri = (for {
+          (a, b) <- edges
+          c <- adj(a) intersect adj(b) if c > b
+        } yield (a, b, c)).size.toLong
+        val row = ops.Graph.triangleCensusOf(edges.toDF("lo", "hi")).head()
+        assert(row.getLong(3) == refTri,
+          s"trial $t: census ${row.getLong(3)} != reference $refTri")
+        // wedge denominator: sum of C(deg, 2)
+        val refW = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+        assert(row.getLong(2) == refW)
+      }
+    }
+  }
+
   test("gateway SELECT and INSERT are rename-aware across physical generations") {
     // dedicated warehouse: the gateway SELECT path registers a view for
     // EVERY catalog table, so the shared scratch warehouse's multi-format
