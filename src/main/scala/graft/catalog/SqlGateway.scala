@@ -120,6 +120,12 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   // metadata-only column rename (Iceberg field-id rename)
   private val renameCol =
     """(?is)\s*ALTER\s+TABLE\s+(?:(\w+)\.)?(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  // zone-map pruning observability (Iceberg scan-metrics analog): which
+  // files a predicate would drop/keep per the manifest sidecar, BEFORE
+  // paying for a scan — the planning-time decision ZoneMapPruneRule makes,
+  // made visible to the MCP client
+  private val explainPruning =
+    """(?is)\s*EXPLAIN\s+PRUNING\s+(?:FOR\s+)?(?:(\w+)\.)?(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -235,6 +241,43 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         val n = catalog.addFiles(nsName, table, srcDir)
         Seq(s"Registered $n files from $srcDir (zero-copy)").toDF("status")
+
+      case explainPruning(ns, table, cond) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        // resolve the predicate against the table and take the OPTIMIZED
+        // filter so the SAME box extractor the optimizer rule runs sees
+        // resolved attributes with constant-folded literals (the analyzer
+        // leaves promotion casts like `cast(900 as bigint)` unfolded)
+        val qe = catalog.loadRenamed(nsName, table)
+          .where(org.apache.spark.sql.functions.expr(cond))
+          .queryExecution
+        val condExpr = qe.optimizedPlan.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.orElse(qe.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }).getOrElse(throw new IllegalArgumentException(
+          s"EXPLAIN PRUNING: no filter derived from '$cond'"))
+        val box = graft.plans.ZoneMapPruneRule.boxOf(condExpr)
+        val (survivors, dropped) = catalog.pruneFilesBox(nsName, table,
+          box.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => (c, lo, hi) })
+        val bounds = catalog.fileBounds(nsName, table)
+        def detail(f: String): String =
+          if (box.isEmpty) "predicate contributes no zone-map constraint"
+          else box.keys.toSeq.sorted.map { c =>
+            bounds.get(f).flatMap(_.get(c)) match {
+              case Some((mn, mx)) => s"$c∈[$mn,$mx]"
+              case None => s"$c unbounded (must scan)"
+            }
+          }.mkString(", ")
+        val rows =
+          dropped.sorted.map(f => (f, "pruned", detail(f))) ++
+          survivors.sorted.map(f => (f, "scan", detail(f)))
+        (rows :+ (("(summary)", "info",
+          s"${dropped.size} pruned / ${survivors.size} scanned of " +
+            s"${rows.size} files; box: " +
+            box.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+              s"$c∈[$lo,$hi]" }.mkString(", "))))
+          .toDF("file", "action", "detail")
 
       case renameCol(ns, table, oldName, newName) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

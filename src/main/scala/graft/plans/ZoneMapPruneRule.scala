@@ -66,7 +66,7 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!Files.isDirectory(dir)) return f
     val sidecar = dir.resolveSibling(s"${dir.getFileName}_filestats.json")
     if (!Files.exists(sidecar)) return f
-    val box = boxOf(cond)
+    val box = ZoneMapPruneRule.boxOf(cond)
     if (box.isEmpty) return f
     val bounds = sidecarBounds(sidecar)
     val files = rel.location.inputFiles
@@ -94,9 +94,49 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       rel.copy(location = idx)(spark)))
   }
 
+  /** file-basename → column → (min, max) from the manifest-stats sidecar
+    * (same JSON lines [[graft.catalog.LakeCatalog]] writes at commit). */
+  private def sidecarBounds(p: java.nio.file.Path)
+      : Map[String, Map[String, (Double, Double)]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { line =>
+      val j = JsonMethods.parse(line)
+      (j \ "file") match {
+        case JString(f) =>
+          val cols = (j \ "bounds") match {
+            case JObject(fields) => fields.collect {
+              case (c, JArray(List(lo, hi))) =>
+                def d(v: JValue): Double = v match {
+                  case JDouble(x) => x
+                  case JInt(x) => x.toDouble
+                  case JDecimal(x) => x.toDouble
+                  case _ => Double.NaN
+                }
+                c -> (d(lo), d(hi))
+            }.toMap.filter { case (_, (lo, hi)) =>
+              // a malformed/NaN bound must widen to must-scan, never prune
+              java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi)
+            }
+            case _ => Map.empty[String, (Double, Double)]
+          }
+          val base = f.substring(f.lastIndexOf('/') + 1)
+          Seq(base -> cols)
+        case _ => Seq.empty
+      }
+    }.toMap
+  }
+}
+
+object ZoneMapPruneRule {
+  import org.apache.spark.sql.catalyst.expressions._
+
   /** Per-column [lo, hi] constraints from the AND-conjuncts of `cond` that
-    * are `col <op> numeric-literal` comparisons. */
-  private def boxOf(cond: Expression): Map[String, (Double, Double)] = {
+    * are `col <op> numeric-literal` comparisons — shared by the optimizer
+    * rule and the gateway's EXPLAIN PRUNING observability verb (both must
+    * see the predicate the same way or the explanation lies). */
+  def boxOf(cond: Expression): Map[String, (Double, Double)] = {
     def num(l: Literal): Option[Double] = l.value match {
       case null => None
       case v: java.lang.Number => Some(v.doubleValue())
@@ -135,39 +175,5 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     ranges.groupBy(_._1).map { case (c, rs) =>
       c -> (rs.map(_._2).max, rs.map(_._3).min)
     }
-  }
-
-  /** file-basename → column → (min, max) from the manifest-stats sidecar
-    * (same JSON lines [[graft.catalog.LakeCatalog]] writes at commit). */
-  private def sidecarBounds(p: java.nio.file.Path)
-      : Map[String, Map[String, (Double, Double)]] = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    import scala.jdk.CollectionConverters._
-    Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { line =>
-      val j = JsonMethods.parse(line)
-      (j \ "file") match {
-        case JString(f) =>
-          val cols = (j \ "bounds") match {
-            case JObject(fields) => fields.collect {
-              case (c, JArray(List(lo, hi))) =>
-                def d(v: JValue): Double = v match {
-                  case JDouble(x) => x
-                  case JInt(x) => x.toDouble
-                  case JDecimal(x) => x.toDouble
-                  case _ => Double.NaN
-                }
-                c -> (d(lo), d(hi))
-            }.toMap.filter { case (_, (lo, hi)) =>
-              // a malformed/NaN bound must widen to must-scan, never prune
-              java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi)
-            }
-            case _ => Map.empty[String, (Double, Double)]
-          }
-          val base = f.substring(f.lastIndexOf('/') + 1)
-          Seq(base -> cols)
-        case _ => Seq.empty
-      }
-    }.toMap
   }
 }

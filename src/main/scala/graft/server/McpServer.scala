@@ -66,7 +66,9 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "(defaults: 4 files, keep 3 snapshots); " +
           "REWRITE MANIFESTS IN [ns.]t (compact the stats sidecar); " +
           "ADD FILES TO [ns.]t FROM 'landing_dir' (zero-copy adoption); " +
-          "ALTER TABLE [ns.]t RENAME COLUMN a TO b (metadata-only)"),
+          "ALTER TABLE [ns.]t RENAME COLUMN a TO b (metadata-only); " +
+          "EXPLAIN PRUNING [ns.]t WHERE cond (per-file zone-map skip " +
+          "decision + summary, metadata only — no scan)"),
       tool("query_table", "Execute a query on lake tables",
         "Table reads and writes: any Spark SELECT over registered tables " +
           "(joins, aggregates, window functions), with time travel via " +

@@ -219,6 +219,38 @@ class McpServerSpec extends SparkSpec {
       "path-traversal ADD FILES was accepted")
   }
 
+  test("EXPLAIN PRUNING over the protocol: zone-map file skipping is auditable") {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_mcp_wh3"
+    val dir = java.nio.file.Paths.get(wh)
+    if (java.nio.file.Files.exists(dir)) {
+      val w = java.nio.file.Files.walk(dir)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    val cat = new graft.catalog.LakeCatalog(spark, wh)
+    cat.createTable("scratch", "mcp_zp",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+    import spark.implicits._
+    cat.appendClustered("scratch", "mcp_zp",
+      (1L to 1000L).map(i => (i, i.toDouble)).toDF("k", "v"), Seq("k"), 8)
+    val srv3 = new McpServer(spark, wh)
+    val resp = JsonMethods.parse(srv3.handleLine(
+      """{"jsonrpc":"2.0","id":50,"method":"tools/call","params":{"name":"query_catalog","arguments":{"query":"EXPLAIN PRUNING scratch.mcp_zp WHERE k >= 900"}}}""").get)
+    assert(resp \ "result" \ "isError" == JBool(false),
+      (resp \ "result" \ "content").toString.take(300))
+    val text = toolText(resp)
+    // the clustered layout puts k>=900 in the last file(s): most are pruned,
+    // at least one scans, and the summary reports the derived box
+    assert(text.contains("\"pruned\""), s"nothing pruned: ${text.take(400)}")
+    assert(text.contains("\"scan\""), s"nothing scanned: ${text.take(400)}")
+    assert(text.contains("(summary)") && text.contains("k∈[900.0,Infinity]"),
+      s"summary/box missing: ${text.take(600)}")
+  }
+
   test("EXPLAIN over the protocol: pushdown is auditable before paying for a scan") {
     // the advertised plan-audit verb: an MCP client can verify a predicate
     // reaches the parquet scan (PushedFilters) and the projection prunes
