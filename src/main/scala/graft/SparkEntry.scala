@@ -35,7 +35,8 @@ object SparkEntry {
       streaming.StreamOps3.queries ++ ops.CatalogOps7.queries ++
       ops.StatsOps.queries ++ ops.TextOps6.queries ++
       ops.Pipeline4.queries ++ ops.Similarity3.queries ++ ops.Sketches.queries ++
-      ops.CatalogOps8.queries ++ ops.Graph3.queries ++ ops.StatsOps2.queries
+      ops.CatalogOps8.queries ++ ops.Graph3.queries ++ ops.StatsOps2.queries ++
+      ops.CatalogOps9.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -59,5 +60,6 @@ object SparkEntry {
       streaming.StreamOps3.oracles ++ ops.CatalogOps7.oracles ++
       ops.StatsOps.oracles ++ ops.TextOps6.oracles ++
       ops.Pipeline4.oracles ++ ops.Similarity3.oracles ++ ops.Sketches.oracles ++
-      ops.CatalogOps8.oracles ++ ops.Graph3.oracles ++ ops.StatsOps2.oracles
+      ops.CatalogOps8.oracles ++ ops.Graph3.oracles ++ ops.StatsOps2.oracles ++
+      ops.CatalogOps9.oracles
 }

@@ -431,6 +431,68 @@ class LakeCatalog(spark: SparkSession, root: String) {
       StructField("max_v", StringType, nullable = false))))
   }
 
+  /** Analyzed row count for `colName` from the stats sidecar (None when the
+    * column was never analyzed). Metadata only. */
+  def statsRowCount(ns: String, table: String, colName: String): Option[Long] = {
+    val p = colStatsPath(ns, table)
+    if (!Files.exists(p)) return None
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { l =>
+      val j = JsonMethods.parse(l)
+      ((j \ "col"), (j \ "n_rows")) match {
+        case (JString(c), JInt(n)) if c == colName => Some(n.toLong)
+        case _ => None
+      }
+    }.headOption
+  }
+
+  /** Range-selectivity estimate for `lo <= colName < hi` from the banded
+    * equi-height histogram sidecar ([[analyzeHistogram]]): Σ over buckets of
+    * rows × overlap fraction, uniform-within-bucket — the classic CBO
+    * estimator. Metadata only; None when no histogram is recorded. */
+  def estimateRange(ns: String, table: String, colName: String,
+                    lo: Double, hi: Double): Option[Long] = {
+    val h = showHistogram(ns, table, colName)
+    if (h.isEmpty) None
+    else Some(h.map { case (_, blo, bhi, rows) =>
+      val ov = math.max(0.0, math.min(bhi, hi) - math.max(blo, lo))
+      if (bhi > blo) rows * ov / (bhi - blo) else 0.0
+    }.sum.round)
+  }
+
+  /** STATS-ROUTED equi-join — the hop that turns the sidecar statistics
+    * from telemetry into planning: the build side is this catalog table
+    * filtered to `lo <= filterCol < hi`, its cardinality is ESTIMATED from
+    * the histogram sidecar ([[estimateRange]] — metadata only, nothing
+    * scanned to decide), and the physical strategy follows the estimate:
+    * at or under `broadcastRowThreshold` the build side broadcasts
+    * (BroadcastHashJoin — no shuffle of the probe); over it, a merge hint
+    * pins the shuffle join (and keeps Spark's own size guess from
+    * re-broadcasting — the ROUTE must be the sidecar's decision, or the
+    * test of it proves nothing). This is Iceberg/engine CBO integration in
+    * miniature: at 100 TB the difference is shuffling a 100 TB probe
+    * against a filtered dimension vs broadcasting the sliver the predicate
+    * keeps. Returns (estimate, route, joined frame); results are
+    * route-invariant by construction.
+    *
+    * Reference capability anchor: the reference's scan path has no
+    * statistics at all (IcebergConnection.py:99-131 full scan → DuckDB);
+    * this is the §2.1 stats family (c_stats_analyze / c_stats_histogram)
+    * graduating from observability to plan choice. */
+  def joinRouted(ns: String, table: String, filterCol: String,
+                 lo: Double, hi: Double, probe: DataFrame, key: String,
+                 broadcastRowThreshold: Long): (Long, String, DataFrame) = {
+    val est = estimateRange(ns, table, filterCol, lo, hi)
+      .getOrElse(Long.MaxValue) // no histogram: never guess small — shuffle
+    val build = loadRenamed(ns, table)
+      .where(col(filterCol) >= lo && col(filterCol) < hi)
+    if (est <= broadcastRowThreshold)
+      (est, "broadcast", probe.join(broadcast(build), key))
+    else
+      (est, "shuffle", probe.join(build.hint("merge"), key))
+  }
+
   private def readFiles(ns: String, table: String, files: Seq[String]): DataFrame = {
     val dir = tablePath(ns, table)
     if (files.isEmpty) // preserve schema for an empty snapshot

@@ -85,7 +85,8 @@ class PlanAuditSpec extends SparkSpec {
                        //   + one-row S/tie-term broadcasts onto the summary row
     "q_theil_sen",     // same calendar-bounded |days|² day-pair BNLJ
     "c_add_files",     // one-row adopted-file-count broadcast onto the count row
-    "s_pca_power"      // one-row k×d component-matrix broadcast onto the corpus scan
+    "s_pca_power",     // one-row k×d component-matrix broadcast onto the corpus scan
+    "c_cbo_route"      // one-row narrow-agg × wide-agg assembly row
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global

@@ -226,6 +226,54 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("joinRouted: the sidecar estimate picks the physical join, results route-invariant") {
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "cbo_spec")
+    cat.createTable("scratch", "cbo_spec", StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_acctbal", DoubleType))))
+    cat.append("scratch", "cbo_spec",
+      Tables.table(spark, sfDir, "customer").select(col("c_custkey"), col("c_acctbal")))
+    cat.analyzeTable("scratch", "cbo_spec", Seq("c_acctbal"))
+    cat.analyzeHistogram("scratch", "cbo_spec", "c_acctbal")
+    val n = cat.statsRowCount("scratch", "cbo_spec", "c_acctbal").get
+    val orders = Tables.table(spark, sfDir, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    // estimate accuracy: within the banded histogram's granularity
+    val est = cat.estimateRange("scratch", "cbo_spec", "c_acctbal", 0.0, 1000.0).get
+    val actual = cat.load("scratch", "cbo_spec")
+      .where(col("c_acctbal") >= 0.0 && col("c_acctbal") < 1000.0).count()
+    assert(math.abs(est - actual).toDouble <= math.max(0.25 * actual, n / 10.0),
+      s"histogram estimate $est too far from actual $actual")
+    // the SAME query routed both ways (threshold forced to each side):
+    // identical results, opposite physical plans
+    val (eB, rB, dfB) = cat.joinRouted("scratch", "cbo_spec", "c_acctbal",
+      0.0, 1000.0, orders, "c_custkey", broadcastRowThreshold = Long.MaxValue)
+    val (eS, rS, dfS) = cat.joinRouted("scratch", "cbo_spec", "c_acctbal",
+      0.0, 1000.0, orders, "c_custkey", broadcastRowThreshold = 0L)
+    assert(eB == eS && eB == est)
+    assert(rB == "broadcast" && rS == "shuffle")
+    val pB = planOf(dfB)
+    val pS = planOf(dfS)
+    assert(pB.contains("BroadcastHashJoin"),
+      s"broadcast route did not plan BroadcastHashJoin:\n${pB.take(800)}")
+    assert(pS.contains("SortMergeJoin") && !pS.contains("BroadcastHashJoin"),
+      s"shuffle route did not pin SortMergeJoin:\n${pS.take(800)}")
+    // order-invariant comparison: count + exact decimal sum (a raw double
+    // sum is legitimately ordering-sensitive across different plans)
+    val resB = dfB.agg(count(lit(1)), Tables.dsum(col("o_totalprice"))).head()
+    val resS = dfS.agg(count(lit(1)), Tables.dsum(col("o_totalprice"))).head()
+    assert(resB == resS, s"route changed the result: $resB vs $resS")
+    // the sidecar-driven decision itself (the op's 20% threshold): narrow
+    // range broadcasts, wide range shuffles — at this corpus's distribution
+    val (_, routeN, _) = cat.joinRouted("scratch", "cbo_spec", "c_acctbal",
+      0.0, 1000.0, orders, "c_custkey", n / 5)
+    val (_, routeW, _) = cat.joinRouted("scratch", "cbo_spec", "c_acctbal",
+      0.0, 8000.0, orders, "c_custkey", n / 5)
+    assert(routeN == "broadcast" && routeW == "shuffle",
+      s"sidecar routing decided ($routeN, $routeW)")
+    cat.dropTable("scratch", "cbo_spec")
+  }
+
   test("gateway SELECT and INSERT are rename-aware across physical generations") {
     // dedicated warehouse: the gateway SELECT path registers a view for
     // EVERY catalog table, so the shared scratch warehouse's multi-format
