@@ -297,14 +297,18 @@ object StatsOps {
       .groupBy("day").agg(count(lit(1)).as("x"))
     val grid = spark.range(1, 8).select(col("id").as("lag"))
     val y = daily.select(col("day").as("yday"), col("x").as("y"))
+    // moment sums in DECIMAL(38,0) ↔ HUGEINT: daily counts are VOLUME-scale
+    // (~3e8/day at 100 TB), so Σx² over a decade of days clears BIGINT —
+    // the q_spearman escalation class (r8)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     daily.crossJoin(broadcast(grid))
       .join(y, col("day") + col("lag") === col("yday"))
       .groupBy("lag")
       .agg(count(lit(1)).as("n_pairs"),
-        sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
       .select(col("lag"), col("n_pairs"),
         expr("(cast(n_pairs as double)*cast(sxy as double) - cast(sx as double)*cast(sy as double)) / (sqrt(cast(n_pairs as double)*cast(sxx as double) - cast(sx as double)*cast(sx as double)) * sqrt(cast(n_pairs as double)*cast(syy as double) - cast(sy as double)*cast(sy as double)))")
           .as("r"))
@@ -321,10 +325,10 @@ object StatsOps {
       |      FROM daily a CROSS JOIN grid g
       |      JOIN daily b ON a.day + g.lag = b.day),
       |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
-      |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-      |             CAST(SUM(x*y) AS BIGINT) AS sxy,
-      |             CAST(SUM(x*x) AS BIGINT) AS sxx,
-      |             CAST(SUM(y*y) AS BIGINT) AS syy
+      |             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |             SUM(CAST(x AS HUGEINT)*y) AS sxy,
+      |             SUM(CAST(x AS HUGEINT)*x) AS sxx,
+      |             SUM(CAST(y AS HUGEINT)*y) AS syy
       |      FROM p GROUP BY 1)
       |SELECT lag, n_pairs,
       |  (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r

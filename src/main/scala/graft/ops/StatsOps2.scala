@@ -23,8 +23,10 @@ object StatsOps2 {
     * day-grain counts first (two map-side-combined aggregates — the only
     * table-scale work), then the CCF is a bounded-fan range join: each
     * day row meets the 7-row broadcast lag grid, pairs land on an integer
-    * equi-join key (day + lag), and the per-lag moments are exact BIGINT
-    * sums — one IEEE divide at the end per the q_autocorr discipline, so
+    * equi-join key (day + lag), and the per-lag moments are exact
+    * DECIMAL(38,0) sums (HUGEINT in the oracle — daily counts are
+    * volume-scale, so Σx² clears BIGINT past ~sf1) — one IEEE divide at
+    * the end per the q_autocorr discipline, so
     * both engines emit bit-identical doubles. Scale shape: day-grain
     * series are ~table_span rows regardless of data size; everything
     * after the first aggregates is day-scale × 7. */
@@ -36,14 +38,17 @@ object StatsOps2 {
       .select(expr("datediff(cast(l_shipdate as date), date '1970-01-01')").cast("long").as("yday"))
       .groupBy("yday").agg(count(lit(1)).as("y"))
     val grid = spark.range(-3, 4).select(col("id").as("lag"))
+    // DECIMAL(38,0) ↔ HUGEINT moments: daily counts are volume-scale, so
+    // Σx² clears BIGINT past ~sf1 (the q_spearman escalation class, r8)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     x.crossJoin(broadcast(grid))
       .join(y, col("day") + col("lag") === col("yday"))
       .groupBy("lag")
       .agg(count(lit(1)).as("n_pairs"),
-        sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
       .select(col("lag"), col("n_pairs"),
         expr("(cast(n_pairs as double)*cast(sxy as double) - cast(sx as double)*cast(sy as double)) / (sqrt(cast(n_pairs as double)*cast(sxx as double) - cast(sx as double)*cast(sx as double)) * sqrt(cast(n_pairs as double)*cast(syy as double) - cast(sy as double)*cast(sy as double)))")
           .as("r"))
@@ -64,10 +69,10 @@ object StatsOps2 {
       |      FROM x a CROSS JOIN grid g
       |      JOIN y b ON a.day + g.lag = b.yday),
       |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
-      |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-      |             CAST(SUM(x*y) AS BIGINT) AS sxy,
-      |             CAST(SUM(x*x) AS BIGINT) AS sxx,
-      |             CAST(SUM(y*y) AS BIGINT) AS syy
+      |             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |             SUM(CAST(x AS HUGEINT)*y) AS sxy,
+      |             SUM(CAST(x AS HUGEINT)*x) AS sxx,
+      |             SUM(CAST(y AS HUGEINT)*y) AS syy
       |      FROM p GROUP BY 1)
       |SELECT lag, n_pairs,
       |  (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r
