@@ -126,6 +126,12 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   // made visible to the MCP client
   private val explainPruning =
     """(?is)\s*EXPLAIN\s+PRUNING\s+(?:FOR\s+)?(?:(\w+)\.)?(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  // CBO routing observability: what join strategy the stats sidecar would
+  // pick for this table filtered by this predicate (LakeCatalog.joinRouted's
+  // decision, shown without running a join). Optional THRESHOLD overrides
+  // the default 20%-of-analyzed-rows broadcast cutoff.
+  private val explainRoute =
+    """(?is)\s*EXPLAIN\s+ROUTE\s+(?:FOR\s+)?(?:(\w+)\.)?(\w+)\s+WHERE\s+(.+?)(?:\s+THRESHOLD\s+(\d+))?\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -241,6 +247,37 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         val n = catalog.addFiles(nsName, table, srcDir)
         Seq(s"Registered $n files from $srcDir (zero-copy)").toDF("status")
+
+      case explainRoute(ns, table, cond, thrOpt) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val qe = catalog.loadRenamed(nsName, table)
+          .where(org.apache.spark.sql.functions.expr(cond))
+          .queryExecution
+        val condExpr = qe.optimizedPlan.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.orElse(qe.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }).getOrElse(throw new IllegalArgumentException(
+          s"EXPLAIN ROUTE: no filter derived from '$cond'"))
+        val box = graft.plans.ZoneMapPruneRule.boxOf(condExpr)
+        require(box.nonEmpty,
+          "EXPLAIN ROUTE: predicate contributes no range constraint on any column")
+        val rows = box.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          val est = catalog.estimateRange(nsName, table, c, lo, hi)
+          val n = catalog.statsRowCount(nsName, table, c)
+          val thr = Option(thrOpt).map(_.toLong)
+            .orElse(n.map(_ / 5)) // the c_cbo_route default: 20% of rows
+          val route = (est, thr) match {
+            case (Some(e), Some(t)) => if (e <= t) "broadcast" else "shuffle"
+            case (None, _) => "shuffle (no histogram — never guess small)"
+            case (_, None) => "shuffle (no ANALYZE row count for threshold)"
+          }
+          (c, lo, hi, est.map(_.toString).getOrElse("n/a"),
+            n.map(_.toString).getOrElse("n/a"),
+            thr.map(_.toString).getOrElse("n/a"), route)
+        }
+        rows.toDF("column", "range_lo", "range_hi", "estimated_rows",
+          "analyzed_rows", "broadcast_threshold", "route")
 
       case explainPruning(ns, table, cond) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

@@ -68,7 +68,10 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "ADD FILES TO [ns.]t FROM 'landing_dir' (zero-copy adoption); " +
           "ALTER TABLE [ns.]t RENAME COLUMN a TO b (metadata-only); " +
           "EXPLAIN PRUNING [ns.]t WHERE cond (per-file zone-map skip " +
-          "decision + summary, metadata only — no scan)"),
+          "decision + summary, metadata only — no scan); " +
+          "EXPLAIN ROUTE [ns.]t WHERE cond [THRESHOLD n] (the " +
+          "broadcast-vs-shuffle join choice the stats sidecar makes for " +
+          "the filtered table, metadata only)"),
       tool("query_table", "Execute a query on lake tables",
         "Table reads and writes: any Spark SELECT over registered tables " +
           "(joins, aggregates, window functions), with time travel via " +

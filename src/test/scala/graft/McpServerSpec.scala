@@ -249,6 +249,24 @@ class McpServerSpec extends SparkSpec {
     assert(text.contains("\"scan\""), s"nothing scanned: ${text.take(400)}")
     assert(text.contains("(summary)") && text.contains("k∈[900.0,Infinity]"),
       s"summary/box missing: ${text.take(600)}")
+    // EXPLAIN ROUTE: the CBO decision from the same sidecars, protocol-level
+    val cat2 = new graft.catalog.LakeCatalog(spark, wh)
+    cat2.analyzeTable("scratch", "mcp_zp", Seq("k"))
+    cat2.analyzeHistogram("scratch", "mcp_zp", "k")
+    def route(q: String): String = {
+      val r = JsonMethods.parse(srv3.handleLine(
+        s"""{"jsonrpc":"2.0","id":51,"method":"tools/call","params":{"name":"query_catalog","arguments":{"query":"$q"}}}""").get)
+      assert(r \ "result" \ "isError" == JBool(false),
+        (r \ "result" \ "content").toString.take(300))
+      toolText(r)
+    }
+    val narrow = route("EXPLAIN ROUTE scratch.mcp_zp WHERE k >= 950")
+    assert(narrow.contains("\"route\" : \"broadcast\""), narrow.take(400))
+    val wide = route("EXPLAIN ROUTE scratch.mcp_zp WHERE k >= 100")
+    assert(wide.contains("\"route\" : \"shuffle\""), wide.take(400))
+    // explicit THRESHOLD overrides the 20% default
+    val forced = route("EXPLAIN ROUTE scratch.mcp_zp WHERE k >= 100 THRESHOLD 1000000")
+    assert(forced.contains("\"route\" : \"broadcast\""), forced.take(400))
   }
 
   test("EXPLAIN over the protocol: pushdown is auditable before paying for a scan") {
