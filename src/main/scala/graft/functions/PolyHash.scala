@@ -172,6 +172,31 @@ object PolyHash {
     new GenericArrayData(out)
   }
 
+  /** Per-row minhash over an ARRAY of element hashes — the STATELESS form
+    * of [[PolyMinHashAgg]] (identical permutation arithmetic, min over the
+    * array instead of over grouped rows). Exists for streaming: a per-doc
+    * signature as a projection needs no shuffle, so a screening pipeline
+    * can follow it with its one allowed streaming aggregation. Empty input
+    * yields the agg's empty buffer (all Long.MaxValue) — callers decide
+    * what a signature-less doc means. */
+  def minhashArray(hs: ArrayData, pa: Array[Long], pb: Array[Long]): ArrayData = {
+    val nPerm = pa.length
+    val out = Array.fill(nPerm)(Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var p = 0
+      while (p < nPerm) {
+        val x = perm(h, pa(p), pb(p))
+        if (x < out(p)) out(p) = x
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def permA(p: Int): Long = mulmod(2L * p + 1, PHI)
   def permB(p: Int): Long = mulmod(p + 1L, PSI)
 
@@ -298,6 +323,38 @@ object Poly {
   def minhash(h: Column, nPerm: Int): Column =
     GraftBridge.column(
       PolyMinHashAgg(GraftBridge.expression(h), nPerm).toAggregateExpression())
+
+  def minhashArray(hs: Column, nPerm: Int): Column =
+    GraftBridge.column(PolyMinHashArray(GraftBridge.expression(hs), nPerm))
+}
+
+/** Stateless per-row minhash over an array of element hashes — the
+  * projection form of [[PolyMinHashAgg]] (see PolyHash.minhashArray). */
+case class PolyMinHashArray(child: Expression, nPerm: Int) extends UnaryExpression {
+
+  @transient private lazy val pa: Array[Long] = Array.tabulate(nPerm)(PolyHash.permA)
+  @transient private lazy val pb: Array[Long] = Array.tabulate(nPerm)(PolyHash.permB)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if nPerm >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"poly_minhash_array expects (array<bigint>, nPerm >= 1), got ${child.dataType.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poly_minhash_array"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PolyHash.minhashArray(a.asInstanceOf[ArrayData], pa, pb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val paRef = ctx.addReferenceObj("pa", pa, "long[]")
+    val pbRef = ctx.addReferenceObj("pb", pb, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PolyHash$$.MODULE$$.minhashArray($c, $paRef, $pbRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyMinHashArray =
+    copy(child = newChild)
 }
 
 /** Word-k-gram polynomial hashes — the engine-portable sibling of

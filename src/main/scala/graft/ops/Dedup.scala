@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def norm(c: Column): Column =
+  private[graft] def norm(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -557,7 +557,7 @@ object Dedup {
   /** Poly-hash SQL fragment: the portable char fold over `strExpr`
     * (mirrors PolyHash.foldString — HUGEINT arithmetic, fold seeded by a
     * prepended 0). */
-  private[ops] def polySql(strExpr: String): String = {
+  private[graft] def polySql(strExpr: String): String = {
     val (m, b) = (graft.functions.PolyHash.M, graft.functions.PolyHash.B)
     s"""CAST(list_reduce([0::HUGEINT] ||
        |      [CAST(unicode(c)+1 AS HUGEINT) for c in string_split($strExpr, '')],

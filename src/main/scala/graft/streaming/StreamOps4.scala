@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.Tables
+import graft.catalog.LakeCatalog
+import graft.functions.Poly
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.7 round-8: STREAMING near-duplicate screening against a persisted
+  * LSH index — the production shape of continuous corpus curation: the
+  * index is built once (a lake table, d_index_persist's artifact), and
+  * every arriving document is screened by a stream-static equi-join on its
+  * band signatures before admission.
+  *
+  * The piece that makes this possible on a stream is the STATELESS
+  * signature: [[graft.functions.PolyMinHashArray]] computes the per-doc
+  * minhash as a projection over the doc's own n-gram hash array (identical
+  * permutation arithmetic to the batch aggregate — proven in Round8Spec),
+  * so the screen is sigs-projection → stream-static join → ONE aggregation,
+  * which is exactly the single-agg budget Structured Streaming allows.
+  * The batch dedup family needs the groupBy-minhash AGGREGATE only because
+  * it starts from exploded corpus-wide shingle rows (for the df-cap); a
+  * per-doc screen needs neither the shuffle nor the cap.
+  *
+  * Scale: the index join is a band/sig equi-join (bounded fan — the LSH
+  * bucketing argument, never all-pairs); per-micro-batch cost is
+  * |batch docs| × 32 band rows against a bucketed static table.
+  *
+  * Reference capability anchor: streaming is entirely outside the
+  * reference's synchronous MCP loop (server.py:26-117); the dedup family
+  * extends §2.4's persisted-index ops (Dedup2.scala dIndexPersist).
+  */
+object StreamOps4 {
+
+  /** Stateless per-doc LSH band signatures: (doc_id, band, sig) — a pure
+    * projection (no shuffle), legal on a streaming DataFrame. Docs with
+    * fewer than 5 words have no shingles and emit NO signature rows (they
+    * carry no near-dup evidence; the batch family drops them the same way
+    * at the explode). */
+  def lshSigs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        array_distinct(Poly.ngramHashes(
+          split(Dedup.norm(col("text")), " "), 5)).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        posexplode(Poly.bandSigs(Poly.minhashArray(col("hs"), 128), 4))
+          .as(Seq("band", "sig")))
+
+  /** Screen arriving docs against a STATIC signature index: per doc, the
+    * number of band collisions with the index and the admission verdict
+    * (admitted = zero collisions — the quarantine routing decision).
+    * On a stream this is sigs-projection → stream-static left join →
+    * one count aggregation. */
+  def lshScreen(docs: DataFrame, idx: DataFrame): DataFrame = {
+    val i = idx.select(col("doc_id").as("idx_doc"), col("band"), col("sig"))
+    lshSigs(docs)
+      .join(i, Seq("band", "sig"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(col("idx_doc")).as("n_band_hits"))
+      .withColumn("admitted", col("n_band_hits") === 0L)
+  }
+
+  /** Driver op: the corpus slice doc_id % 10 ≠ 0 is indexed into a
+    * persisted lake table; the % 10 = 0 slice "arrives" and is screened.
+    * Batch form of the identical transform StreamingSpec drives over a
+    * MemoryStream. */
+  def stLshScreen(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+    val docs = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    cat.dropTable("scratch", "lsh_screen_idx")
+    cat.createTable("scratch", "lsh_screen_idx", StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("sig", LongType))))
+    cat.append("scratch", "lsh_screen_idx",
+      lshSigs(docs.where(col("doc_id") % 10 =!= 0)))
+    lshScreen(docs.where(col("doc_id") % 10 === 0),
+        cat.load("scratch", "lsh_screen_idx"))
+      .orderBy("doc_id")
+  }
+
+  val stLshScreenSql: String = {
+    val M = graft.functions.PolyHash.M
+    val (b2, phi, psi) = (graft.functions.PolyHash.B2,
+      graft.functions.PolyHash.PHI, graft.functions.PolyHash.PSI)
+    val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |ph AS (SELECT doc_id, ${Dedup.polySql("shingle")} AS h FROM sh),
+       |mh AS (
+       |  SELECT doc_id, t.p AS p,
+       |    min((((CAST(2*t.p+1 AS HUGEINT) * $phi) % $M) * CAST(h AS HUGEINT)
+       |         + ((CAST(t.p+1 AS HUGEINT) * $psi) % $M)) % $M) AS mv
+       |  FROM ph CROSS JOIN generate_series(0, 127) t(p) GROUP BY 1, 2),
+       |ml AS (SELECT doc_id, list(mv ORDER BY p) AS ml FROM mh GROUP BY 1),
+       |sg AS (
+       |  SELECT doc_id, b.b AS band,
+       |    CAST(list_reduce([0::HUGEINT, CAST(b.b+1 AS HUGEINT)] ||
+       |           [CAST(ml[b.b*4 + r] + 1 AS HUGEINT) for r in generate_series(1, 4)],
+       |         (acc, x) -> (acc * $b2 + x) % $M::HUGEINT) AS BIGINT) AS sig
+       |  FROM ml CROSS JOIN generate_series(0, 31) b(b)),
+       |idx AS (SELECT * FROM sg WHERE doc_id % 10 <> 0),
+       |q AS (SELECT * FROM sg WHERE doc_id % 10 = 0)
+       |SELECT q.doc_id AS doc_id,
+       |  CAST(COUNT(i.doc_id) AS BIGINT) AS n_band_hits,
+       |  COUNT(i.doc_id) = 0 AS admitted
+       |FROM q LEFT JOIN idx i ON q.band = i.band AND q.sig = i.sig
+       |GROUP BY 1 ORDER BY q.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_lsh_screen" -> (stLshScreen _))
+
+  val oracles: Map[String, String] = Map(
+    "st_lsh_screen" -> stLshScreenSql)
+}

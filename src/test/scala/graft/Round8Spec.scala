@@ -274,6 +274,24 @@ class Round8Spec extends SparkSpec {
     cat.dropTable("scratch", "cbo_spec")
   }
 
+  test("minhashArray (stateless projection) ≡ minhash aggregate, permutation-exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = (1L to 40L).map(d =>
+      (d, Seq.fill(1 + rnd.nextInt(30))(rnd.nextLong()).distinct))
+    val df = rows.toDF("doc_id", "hs")
+    val viaArray = df
+      .select(col("doc_id"), graft.functions.Poly.minhashArray(col("hs"), 128).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = df.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy("doc_id").agg(graft.functions.Poly.minhash(col("h"), 128).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaArray.keySet == viaAgg.keySet)
+    viaArray.foreach { case (d, m) =>
+      assert(m == viaAgg(d), s"doc $d: projection minhash != aggregate minhash")
+    }
+  }
+
   test("gateway SELECT and INSERT are rename-aware across physical generations") {
     // dedicated warehouse: the gateway SELECT path registers a view for
     // EVERY catalog table, so the shared scratch warehouse's multi-format

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.StreamOps
+import graft.streaming.{StreamOps, StreamOps4}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -213,6 +213,36 @@ class StreamingSpec extends SparkSpec {
     // the duplicate pair collapsed: planted fp appears exactly once
     val plantedFp = spark.table("cur_stream").count()
     assert(plantedFp == batch.getLong(0))
+  }
+
+  test("lshScreen: streaming screen against the static index (complete, multi-batch) == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    // static index from the corpus slice; arrivals stream in two batches
+    val idx = StreamOps4.lshSigs(docs.where(col("doc_id") % 10 =!= 0))
+      .localCheckpoint()
+    val arrivals = docs.where(col("doc_id") % 10 === 0)
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val sdf = StreamOps4.lshScreen(mem.toDF().toDF("doc_id", "text"), idx)
+    val q = sdf.writeStream.format("memory").queryName("lsh_stream")
+      .outputMode("complete").start()
+    arrivals.grouped((arrivals.size / 2) + 1).foreach { chunk =>
+      mem.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val stream = spark.table("lsh_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    val batch = StreamOps4.lshScreen(docs.where(col("doc_id") % 10 === 0), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    assert(batch.nonEmpty)
+    assert(stream == batch, s"stream screen != batch screen " +
+      s"(stream ${stream.size} rows, batch ${batch.size})")
+    // the screen is doing real work on this corpus: some arrivals collide
+    // with the index (documents has planted near-dups) and some are novel
+    assert(batch.exists(!_._3) && batch.exists(_._3),
+      s"degenerate screen (all same verdict): ${batch.take(5)}")
   }
 
   test("sessionizeWithState agrees with the windowed sessionize operator") {
