@@ -140,37 +140,41 @@ object Cluster {
 
   /** The Lloyd CTE chain (`n`, `c0`, per-round assign/update/recenter up
     * to `c<rounds>`) — the WITH-body fragment shared by the k-means oracle
-    * and every IVF oracle that probes [[train]]'s cells. */
+    * and every IVF oracle that probes [[train]]'s cells. `prefix` renames
+    * every CTE (`<prefix>n`, `<prefix>c0`, …) so TWO chains can coexist in
+    * one query — the rebalance oracle trains a sub-quantizer on the heavy
+    * cell's members inside the same WITH body. */
   private[ops] def lloydCtes(k: Int, rounds: Int,
-                             src: String = "embeddings"): String = {
+                             src: String = "embeddings",
+                             prefix: String = ""): String = {
     val base =
-      s"""n AS (
+      s"""${prefix}n AS (
          |  SELECT vec_id, embedding,
          |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
          |                   for i in generate_series(1, len(embedding))])) AS nrm
          |  FROM $src),
-         |c0 AS (
+         |${prefix}c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          |    [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS cv
          |  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $k))""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
       val p = r - 1
-      s"""as$r AS (
+      s"""${prefix}as$r AS (
          |  SELECT e.vec_id,
          |    max(struct_pack(cos := ${cosSql("e.embedding", "e.nrm", "c.cv")},
          |                    nc := -c.cell)) AS w
-         |  FROM n e CROSS JOIN c$p c GROUP BY 1),
-         |up$r AS (
+         |  FROM ${prefix}n e CROSS JOIN ${prefix}c$p c GROUP BY 1),
+         |${prefix}up$r AS (
          |  SELECT -(w.nc) AS cell, t.i AS dim,
          |    CAST(CAST(CAST(SUM(CAST(CAST(e.embedding[t.i] AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
          |         / COUNT(*) AS REAL) AS DOUBLE) AS m
-         |  FROM as$r JOIN n e USING (vec_id)
+         |  FROM ${prefix}as$r JOIN ${prefix}n e USING (vec_id)
          |  CROSS JOIN generate_series(1, 64) t(i)
          |  GROUP BY 1, 2),
-         |c$r AS (
+         |${prefix}c$r AS (
          |  SELECT p.cell, list(coalesce(u.m, p.cv[d.i]) ORDER BY d.i) AS cv
-         |  FROM c$p p CROSS JOIN generate_series(1, 64) d(i)
-         |  LEFT JOIN up$r u ON u.cell = p.cell AND u.dim = d.i
+         |  FROM ${prefix}c$p p CROSS JOIN generate_series(1, 64) d(i)
+         |  LEFT JOIN ${prefix}up$r u ON u.cell = p.cell AND u.dim = d.i
          |  GROUP BY 1)""".stripMargin
     }
     (base +: roundCtes).mkString(",\n")
@@ -312,13 +316,93 @@ object Cluster {
        |FROM f""".stripMargin
   }
 
+  /** IVF REBALANCE (r8) — the maintenance verb s_ivf_imbalance's telemetry
+    * exists to trigger: the heaviest cell (the one that dominates probe
+    * latency) is SPLIT by a 2-means sub-quantizer trained on its members
+    * alone, relabeling only those members (every other cell's assignment —
+    * and therefore its posting list — is untouched, which is what makes
+    * the operation incremental: at 100 TB a rebalance re-reads one cell's
+    * vectors, never the index). Deterministic end-to-end: the same Lloyd
+    * recipe as the full build (decimal means, lowest-vec_id init, low-cell
+    * tie-break) applied to the member subset, so the whole split replays
+    * in DuckDB and the op is hash-gated. Output: the 9-cell census after
+    * the split over the full 0..8 spine (vanished cells surface as 0),
+    * with the split provenance (split_cell, max_before) on every row.
+    * Round8Spec asserts the balance actually improved. */
+  def sIvfRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val cents = train(spark, dir, k = 8, rounds = 3)
+    val e = withNorm(spark, dir)
+    val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      argmax(cents)(col("embedding"), col("nrm")).as("cell")).cache()
+    // k-row census to the driver (model/metadata scale) to pick the split
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val (heavy, heavyN) = counts.sortBy { case (c, n) => (-n, c) }.head
+    val sub = trainOn(assigned.where(col("cell") === heavy)
+        .select("vec_id", "embedding", "nrm"),
+      k = 2, rounds = 2, space = s"$dir:rebalance:c$heavy")
+    val relabeled = assigned.withColumn("new_cell",
+      when(col("cell") =!= heavy, col("cell"))
+        .otherwise(when(argmax(sub)(col("embedding"), col("nrm")) === 0,
+          lit(heavy)).otherwise(lit(8))).cast("int"))
+    val spine = spark.range(0, 9).select(col("id").cast("int").as("cell"))
+    spine.join(
+        relabeled.groupBy(col("new_cell").as("cell"))
+          .agg(count(lit(1)).as("n")),
+        Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_members"),
+        (col("cell") === heavy || col("cell") === 8).as("from_split"),
+        lit(heavy).as("split_cell"), lit(heavyN).as("max_before"))
+      .orderBy("cell")
+  }
+
+  val sIvfRebalanceSql: String = {
+    val rounds = 3
+    s"""WITH ${lloydCtes(k = 8, rounds = rounds)},
+       |fin AS (
+       |  SELECT e.vec_id,
+       |    max(struct_pack(cos := ${cosSql("e.embedding", "e.nrm", "c.cv")},
+       |                    nc := -c.cell)) AS w
+       |  FROM n e CROSS JOIN c$rounds c GROUP BY 1),
+       |asg AS (SELECT vec_id, CAST(-(w.nc) AS INT) AS cell FROM fin),
+       |cnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS c FROM asg GROUP BY 1),
+       |heavy AS (SELECT cell, c FROM cnt ORDER BY c DESC, cell LIMIT 1),
+       |members AS (
+       |  SELECT e.vec_id, e.embedding
+       |  FROM embeddings e JOIN asg a USING (vec_id)
+       |  WHERE a.cell = (SELECT cell FROM heavy)),
+       |${lloydCtes(k = 2, rounds = 2, src = "members", prefix = "s")},
+       |sfin AS (
+       |  SELECT e.vec_id,
+       |    max(struct_pack(cos := ${cosSql("e.embedding", "e.nrm", "c.cv")},
+       |                    nc := -c.cell)) AS w
+       |  FROM sn e CROSS JOIN sc2 c GROUP BY 1),
+       |sasg AS (SELECT vec_id, CAST(-(w.nc) AS INT) AS subcell FROM sfin),
+       |relab AS (
+       |  SELECT a.vec_id,
+       |    CASE WHEN a.cell <> (SELECT cell FROM heavy) THEN a.cell
+       |         WHEN s.subcell = 0 THEN a.cell ELSE 8 END AS cell
+       |  FROM asg a LEFT JOIN sasg s USING (vec_id)),
+       |rc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM relab GROUP BY 1),
+       |spine AS (SELECT unnest(generate_series(0, 8)) AS cell)
+       |SELECT CAST(sp.cell AS INT) AS cell,
+       |  CAST(COALESCE(rc.n, 0) AS BIGINT) AS n_members,
+       |  (sp.cell = (SELECT cell FROM heavy) OR sp.cell = 8) AS from_split,
+       |  CAST((SELECT cell FROM heavy) AS INT) AS split_cell,
+       |  (SELECT c FROM heavy) AS max_before
+       |FROM spine sp LEFT JOIN rc ON rc.cell = sp.cell
+       |ORDER BY sp.cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_kmeans_train" -> (sKmeansTrain _),
     "s_index_append" -> (sIndexAppend _),
-    "s_ivf_imbalance" -> (sIvfImbalance _))
+    "s_ivf_imbalance" -> (sIvfImbalance _),
+    "s_ivf_rebalance" -> (sIvfRebalance _))
 
   val oracles: Map[String, String] = Map(
     "s_kmeans_train" -> sKmeansTrainSql,
     "s_index_append" -> sIndexAppendSql,
-    "s_ivf_imbalance" -> sIvfImbalanceSql)
+    "s_ivf_imbalance" -> sIvfImbalanceSql,
+    "s_ivf_rebalance" -> sIvfRebalanceSql)
 }

@@ -292,6 +292,31 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("s_ivf_rebalance: heavy-cell split improves balance and touches nothing else") {
+    val rows = ops.Cluster.sIvfRebalance(spark, sfDir).collect()
+    assert(rows.length == 9)
+    val heavy = rows.head.getInt(3)
+    val maxBefore = rows.head.getLong(4)
+    // the split halves partition the heavy cell exactly
+    val halves = rows.filter(_.getBoolean(2)).map(_.getLong(1))
+    assert(halves.length == 2 && halves.sum == maxBefore,
+      s"split halves ${halves.toSeq} do not partition the heavy cell ($maxBefore)")
+    assert(halves.forall(_ > 0), "degenerate split: one empty half")
+    // balance improved: the post-split max is strictly under the old max
+    val maxAfter = rows.map(_.getLong(1)).max
+    assert(maxAfter < maxBefore,
+      s"rebalance did not reduce the max cell: $maxAfter vs $maxBefore")
+    // incremental contract: every NON-split cell's census is exactly the
+    // original assignment's (only the heavy cell's members were relabeled)
+    val orig = ops.Cluster.sKmeansTrain(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.filterNot(_.getBoolean(2)).foreach { r =>
+      assert(orig.getOrElse(r.getInt(0), 0L) == r.getLong(1),
+        s"non-split cell ${r.getInt(0)} changed")
+    }
+    assert(!rows.exists(r => r.getBoolean(2) && r.getInt(0) != heavy && r.getInt(0) != 8))
+  }
+
   test("gateway SELECT and INSERT are rename-aware across physical generations") {
     // dedicated warehouse: the gateway SELECT path registers a view for
     // EVERY catalog table, so the shared scratch warehouse's multi-format
