@@ -205,6 +205,9 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient by (deg, id): src = lower endpoint in that total order; carry
     // the dst's order key so wedge legs can be ordered without a re-join
+    // the oriented frame feeds all three wedge-join legs — pin it once
+    // (localCheckpoint: m-row edge scale) instead of re-running the two
+    // degree joins per leg
     val o = edges
       .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), "lo")
       .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), "hi")
@@ -216,6 +219,7 @@ object Graph {
              (col("dlo") === col("dhi") && col("lo") < col("hi")),
           col("hi")).otherwise(col("lo")).as("dst"),
         greatest(col("dlo"), col("dhi")).as("ddeg"))
+      .localCheckpoint()
     val tri = o.as("e1")
       .join(o.as("e2"), col("e2.src") === col("e1.src") &&
         (col("e1.ddeg") < col("e2.ddeg") ||

@@ -115,11 +115,44 @@ object Pipeline4 {
       |  n_tokens // n_docs AS tokens_per_doc
       |FROM g ORDER BY lang""".stripMargin
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES,
+    * r8) — p_reservoir_sample's quality-aware sibling, and the form a
+    * training-data mix actually needs: sampling documents proportional to
+    * LENGTH (token mass), so the drawn sample's token budget tracks the
+    * corpus mix instead of over-representing short documents. Each doc
+    * draws the deterministic uniform u ∈ (0,1) from the same affine hash
+    * the reservoir op uses, its A-ES key is u^(1/w) with w = n_chars, and
+    * the sample is the top-k by key — ONE TakeOrderedAndProject, the same
+    * k·partition driver bound as every top-k in the surface. The pow is
+    * identical-text IEEE in both engines (ordering and the emitted key
+    * hash-gate bit-exactly); Round8Spec pins the A-ES monotonicity
+    * property (heavier docs never rank below a lighter doc with the same
+    * uniform). At 100 TB: a scan projection + top-k — no shuffle beyond
+    * the k-row driver merge. */
+  def pWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = s"(CAST(${Pipeline.admitHashSql(1000003)} AS DOUBLE) + 1.0) / 1000004.0"
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr(s"power($u, 1.0 / CAST(n_chars AS DOUBLE))").as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val pWeightedSampleSql: String = {
+    val u = s"(CAST(${Pipeline.admitHashSql(1000003)} AS DOUBLE) + 1.0) / 1000004.0"
+    s"""SELECT doc_id, lang, n_chars,
+       |  power($u, 1.0 / CAST(n_chars AS DOUBLE)) AS skey
+       |FROM documents
+       |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_dp_release" -> (pDpRelease _),
-    "p_fertility" -> (pFertility _))
+    "p_fertility" -> (pFertility _),
+    "p_weighted_sample" -> (pWeightedSample _))
 
   val oracles: Map[String, String] = Map(
     "p_dp_release" -> pDpReleaseSql,
-    "p_fertility" -> pFertilitySql)
+    "p_fertility" -> pFertilitySql,
+    "p_weighted_sample" -> pWeightedSampleSql)
 }

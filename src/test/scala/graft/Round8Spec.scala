@@ -317,6 +317,35 @@ class Round8Spec extends SparkSpec {
     assert(!rows.exists(r => r.getBoolean(2) && r.getInt(0) != heavy && r.getInt(0) != 8))
   }
 
+  test("p_weighted_sample: A-ES keys are valid and weight-monotone; top-k pinned") {
+    val rows = ops.Pipeline4.pWeightedSample(spark, sfDir).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val k = r.getDouble(3)
+      assert(k > 0.0 && k < 1.0, s"A-ES key out of (0,1): $r")
+    }
+    // ordered by key descending with id tiebreak
+    val keys = rows.map(r => (-r.getDouble(3), r.getLong(0))).toSeq
+    assert(keys == keys.sorted, "sample not in key order")
+    // monotonicity: for fixed u, a heavier doc's key u^(1/w) is never
+    // smaller (the property that makes A-ES sample ∝ weight)
+    val u = 0.37
+    val k1 = math.pow(u, 1.0 / 100.0)
+    val k2 = math.pow(u, 1.0 / 10000.0)
+    assert(k2 > k1)
+    // exact replay: top-100 from an independent in-memory recomputation
+    val all = Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(1)
+        val h = (BigInt(id) * BigInt(2654435761L) + 40503) % 1000003
+        val uu = (h.toDouble + 1.0) / 1000004.0
+        (id, math.pow(uu, 1.0 / w.toDouble))
+      }.sortBy { case (id, k) => (-k, id) }.take(100).map(_._1).toSeq
+    assert(rows.map(_.getLong(0)).toSeq == all,
+      "Spark top-100 != in-memory A-ES replay")
+  }
+
   test("gateway SELECT and INSERT are rename-aware across physical generations") {
     // dedicated warehouse: the gateway SELECT path registers a view for
     // EVERY catalog table, so the shared scratch warehouse's multi-format
