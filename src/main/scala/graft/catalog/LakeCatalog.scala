@@ -1153,35 +1153,8 @@ class LakeCatalog(spark: SparkSession, root: String) {
 
   /** One parsed sidecar line → (file, m, k, words). Accepts the packed
     * base64 format and the legacy JSON int-list format. */
-  private def parseBloomLine(line: String): Option[(String, String, Int, Int, Array[Long])] = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    try {
-      val j = JsonMethods.parse(line)
-      val JString(f) = (j \ "file"): @unchecked
-      val JString(c) = (j \ "column"): @unchecked
-      val JInt(m) = (j \ "m"): @unchecked
-      val JInt(k) = (j \ "k"): @unchecked
-      val nWords = (m.toInt + 63) / 64
-      val words = (j \ "packed") match {
-        case JString(b64) =>
-          val bytes = java.util.Base64.getDecoder.decode(b64)
-          val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian (hex order)
-          Array.fill(math.min(nWords, bytes.length / 8))(buf.getLong)
-        case _ => (j \ "bits") match { // legacy int-list encoding
-          case JArray(xs) =>
-            val ws = new Array[Long](nWords)
-            xs.foreach { case JInt(b) =>
-              val bit = b.toInt
-              if (bit >= 0 && bit < m.toInt) ws(bit >> 6) |= 1L << (bit & 63)
-            case _ => () }
-            ws
-          case _ => new Array[Long](nWords)
-        }
-      }
-      Some((f, c, m.toInt, k.toInt, words))
-    } catch { case _: Throwable => None }
-  }
+  private def parseBloomLine(line: String): Option[(String, String, Int, Int, Array[Long])] =
+    LakeCatalog.parseBloomLine(line)
 
   /** All recorded blooms for (table, column): file → (m, k, packed words).
     * Later lines win (legacy append-era sidecars may carry duplicates). */
@@ -2343,6 +2316,70 @@ class LakeCatalog(spark: SparkSession, root: String) {
       case Some((name, defaultSql)) =>
         df.withColumn(name, org.apache.spark.sql.functions.expr(defaultSql))
       case None => df
+    }
+  }
+}
+
+object LakeCatalog {
+
+  /** One parsed bloom-sidecar line → (file, column, m, k, words). Accepts
+    * the packed base64 format and the legacy JSON int-list format. Static
+    * so the injected [[graft.plans.ZoneMapPruneRule]] can read the sidecar
+    * without constructing a catalog (the rule sees only a directory). */
+  private[graft] def parseBloomLine(line: String): Option[(String, String, Int, Int, Array[Long])] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try {
+      val j = JsonMethods.parse(line)
+      val JString(f) = (j \ "file"): @unchecked
+      val JString(c) = (j \ "column"): @unchecked
+      val JInt(m) = (j \ "m"): @unchecked
+      val JInt(k) = (j \ "k"): @unchecked
+      val nWords = (m.toInt + 63) / 64
+      val words = (j \ "packed") match {
+        case JString(b64) =>
+          val bytes = java.util.Base64.getDecoder.decode(b64)
+          val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian (hex order)
+          Array.fill(math.min(nWords, bytes.length / 8))(buf.getLong)
+        case _ => (j \ "bits") match { // legacy int-list encoding
+          case JArray(xs) =>
+            val ws = new Array[Long](nWords)
+            xs.foreach { case JInt(b) =>
+              val bit = b.toInt
+              if (bit >= 0 && bit < m.toInt) ws(bit >> 6) |= 1L << (bit & 63)
+            case _ => () }
+            ws
+          case _ => new Array[Long](nWords)
+        }
+      }
+      Some((f, c, m.toInt, k.toInt, words))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Parse a whole bloom sidecar: file basename → column → (m, k, words),
+    * later lines winning per (file, column) — the same dedup rule the
+    * catalog's own prune path applies. */
+  private[graft] def bloomSidecar(p: java.nio.file.Path)
+      : Map[String, Map[String, (Int, Int, Array[Long])]] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty)
+      .flatMap(parseBloomLine)
+      .groupBy(_._1)
+      .map { case (f, lines) =>
+        f -> lines.groupBy(_._2)
+          .map { case (c, ls) => c -> { val l = ls.last; (l._3, l._4, l._5) } }
+      }
+  }
+
+  /** Does the (m, k, words) bloom possibly contain `value`? (True
+    * negatives are proofs of absence; positives may be false.) */
+  private[graft] def bloomMightContain(m: Int, k: Int, words: Array[Long],
+                                       value: Long): Boolean = {
+    val pos = graft.functions.PolyHash.bloomBits(value, m, k)
+    (0 until k).forall { i =>
+      val b = pos.getInt(i)
+      val w = b >> 6
+      w < words.length && ((words(w) >>> (b & 63)) & 1L) == 1L
     }
   }
 }

@@ -295,17 +295,32 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         }).getOrElse(throw new IllegalArgumentException(
           s"EXPLAIN PRUNING: no filter derived from '$cond'"))
         val box = graft.plans.ZoneMapPruneRule.boxOf(condExpr)
-        val (survivors, dropped) = catalog.pruneFilesBox(nsName, table,
+        val (zoneSurvivors, zoneDropped) = catalog.pruneFilesBox(nsName, table,
           box.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => (c, lo, hi) })
+        // bloom drops for integral equality conjuncts — the same extra arm
+        // the injected rule applies, reported per column
+        val bloomDrops: Seq[(String, Set[String])] =
+          graft.plans.ZoneMapPruneRule.eqLongsOf(condExpr).toSeq.sortBy(_._1)
+            .map { case (c, v) =>
+              c -> catalog.bloomPrune(nsName, table, c, v)._2.toSet }
+            .filter(_._2.nonEmpty)
         val bounds = catalog.fileBounds(nsName, table)
-        def detail(f: String): String =
-          if (box.isEmpty) "predicate contributes no zone-map constraint"
-          else box.keys.toSeq.sorted.map { c =>
-            bounds.get(f).flatMap(_.get(c)) match {
-              case Some((mn, mx)) => s"$c∈[$mn,$mx]"
-              case None => s"$c unbounded (must scan)"
+        def detail(f: String): String = {
+          val zone =
+            if (box.isEmpty) Seq("predicate contributes no zone-map constraint")
+            else box.keys.toSeq.sorted.map { c =>
+              bounds.get(f).flatMap(_.get(c)) match {
+                case Some((mn, mx)) => s"$c∈[$mn,$mx]"
+                case None => s"$c unbounded (must scan)"
+              }
             }
-          }.mkString(", ")
+          val bloom = bloomDrops.collect {
+            case (c, drops) if drops(f) => s"bloom($c): key absent" }
+          (zone ++ bloom).mkString(", ")
+        }
+        val bloomDropSet = bloomDrops.flatMap(_._2).toSet
+        val dropped = (zoneDropped ++ zoneSurvivors.filter(bloomDropSet)).distinct
+        val survivors = zoneSurvivors.filterNot(bloomDropSet)
         val rows =
           dropped.sorted.map(f => (f, "pruned", detail(f))) ++
           survivors.sorted.map(f => (f, "scan", detail(f)))
@@ -313,7 +328,10 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
           s"${dropped.size} pruned / ${survivors.size} scanned of " +
             s"${rows.size} files; box: " +
             box.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-              s"$c∈[$lo,$hi]" }.mkString(", "))))
+              s"$c∈[$lo,$hi]" }.mkString(", ") +
+            (if (bloomDrops.isEmpty) ""
+             else bloomDrops.map { case (c, d) =>
+               s"; bloom($c) dropped ${d.size}" }.mkString))))
           .toDF("file", "action", "detail")
 
       case renameCol(ns, table, oldName, newName) =>

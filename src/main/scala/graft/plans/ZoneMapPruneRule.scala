@@ -31,7 +31,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFil
   *     graft catalog table), so no foreign dataset is ever touched;
   *   - bounds conjuncts come only from AND-chains of `col <op> literal`
   *     comparisons on numeric columns (the exact class zone maps answer);
-  *     anything else contributes no constraint.
+  *     anything else contributes no constraint;
+  *   - r8: integral `col = literal` conjuncts additionally consult the
+  *     BLOOM sidecar (`<table>_blooms.json` — the puffin-blob analog):
+  *     a file whose bloom PROVES the key absent is dropped even when its
+  *     zone bounds overlap (the scattered-key case a clustered layout
+  *     can't range-prune); files or columns without blooms must-scan.
   *
   * Fixpoint: a pruned relation's file index roots are FILES, not one
   * directory, so the guard fails and the rule never re-fires on its own
@@ -67,12 +72,27 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val sidecar = dir.resolveSibling(s"${dir.getFileName}_filestats.json")
     if (!Files.exists(sidecar)) return f
     val box = ZoneMapPruneRule.boxOf(cond)
-    if (box.isEmpty) return f
+    // bloom skipping for integral equality conjuncts (the puffin-blob
+    // analog): a clustered layout zone-prunes ranges but cannot prune a
+    // SCATTERED key — the bloom sidecar proves per-file absence. Only
+    // integral columns participate (the index hashes cast-to-long values;
+    // equality through a lossy cast would be unsound).
+    val integralCols = rel.dataSchema.fields.collect {
+      case sf if sf.dataType == org.apache.spark.sql.types.LongType ||
+                 sf.dataType == org.apache.spark.sql.types.IntegerType => sf.name
+    }.toSet
+    val eqs = ZoneMapPruneRule.eqLongsOf(cond).filter { case (c, _) => integralCols(c) }
+    val bloomSidecarPath = dir.resolveSibling(s"${dir.getFileName}_blooms.json")
+    val blooms =
+      if (eqs.nonEmpty && Files.exists(bloomSidecarPath))
+        graft.catalog.LakeCatalog.bloomSidecar(bloomSidecarPath)
+      else Map.empty[String, Map[String, (Int, Int, Array[Long])]]
+    if (box.isEmpty && blooms.isEmpty) return f
     val bounds = sidecarBounds(sidecar)
     val files = rel.location.inputFiles
     val survivors = files.filter { path =>
       val name = path.substring(path.lastIndexOf('/') + 1)
-      bounds.get(name) match {
+      val zonePass = bounds.get(name) match {
         case Some(colBounds) =>
           box.forall { case (column, (lo, hi)) =>
             colBounds.get(column) match {
@@ -82,6 +102,17 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case None => true // file unknown to the sidecar: must-scan
       }
+      val bloomPass = blooms.get(name) match {
+        case Some(cols) => eqs.forall { case (column, v) =>
+          cols.get(column) match {
+            case Some((m, k, words)) =>
+              graft.catalog.LakeCatalog.bloomMightContain(m, k, words, v)
+            case None => true // column not indexed in this file: must-scan
+          }
+        }
+        case None => true // file has no blooms: must-scan
+      }
+      zonePass && bloomPass
     }
     if (survivors.length >= files.length) return f
     // even a fully-pruned scan keeps ONE survivor so the relation stays
@@ -175,5 +206,27 @@ object ZoneMapPruneRule {
     ranges.groupBy(_._1).map { case (c, rs) =>
       c -> (rs.map(_._2).max, rs.map(_._3).min)
     }
+  }
+
+  /** `col = <integral literal>` AND-conjuncts of `cond`, as exact longs —
+    * the class the bloom sidecar answers (hashes are over cast-to-long
+    * values, so only lossless-integral literals participate). */
+  def eqLongsOf(cond: Expression): Map[String, Long] = {
+    def intLong(l: Literal): Option[Long] = l.value match {
+      case v: java.lang.Long => Some(v.longValue())
+      case v: java.lang.Integer => Some(v.longValue())
+      case v: java.lang.Short => Some(v.longValue())
+      case v: java.lang.Byte => Some(v.longValue())
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    conjuncts(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) => intLong(l).map(a.name -> _)
+      case EqualTo(l: Literal, a: AttributeReference) => intLong(l).map(a.name -> _)
+      case _ => None
+    }.toMap
   }
 }

@@ -346,6 +346,41 @@ class Round8Spec extends SparkSpec {
       "Spark top-100 != in-memory A-ES replay")
   }
 
+  test("ZoneMapPruneRule: bloom sidecar prunes scattered keys zone maps cannot") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val cat = new LakeCatalog(spark, scratch)
+    import spark.implicits._
+    cat.dropTable("scratch", "bp_spec")
+    cat.createTable("scratch", "bp_spec", StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    // SCATTERED layout: round-robin repartition puts every file's k-bounds
+    // across (nearly) the whole domain — zone maps are useless here
+    cat.append("scratch", "bp_spec",
+      (1L to 20000L).map(i => (i, i.toDouble)).toDF("k", "v").repartition(8))
+    cat.recordBlooms("scratch", "bp_spec", "k")
+    val dirPath = s"$scratch/scratch/bp_spec"
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s.relation.location.inputFiles.length
+      }.sum
+    val total = scannedFiles(spark.read.parquet(dirPath))
+    // zone maps alone cannot prune this point lookup (bounds overlap)
+    val (_, zoneDropped) = cat.pruneFiles("scratch", "bp_spec", "k", 42.0, 42.0)
+    assert(zoneDropped.isEmpty,
+      s"layout not scattered enough: zone maps pruned ${zoneDropped.size}")
+    // the injected rule, via the bloom sidecar, prunes to ~1 file
+    val ruled = spark.read.parquet(dirPath).where(col("k") === 42L)
+    val n = scannedFiles(ruled)
+    assert(n < total, s"bloom arm did not prune: $n of $total")
+    assert(ruled.count() == 1L, "bloom pruning changed the result")
+    // absent key: every file is a proven true negative (one kept survivor
+    // by the rule's non-empty-scan contract), zero rows
+    val absent = spark.read.parquet(dirPath).where(col("k") === 999999L)
+    assert(scannedFiles(absent) == 1, "absent key should prune to the single kept survivor")
+    assert(absent.count() == 0L)
+    cat.dropTable("scratch", "bp_spec")
+  }
+
   test("gateway SELECT and INSERT are rename-aware across physical generations") {
     // dedicated warehouse: the gateway SELECT path registers a view for
     // EVERY catalog table, so the shared scratch warehouse's multi-format
