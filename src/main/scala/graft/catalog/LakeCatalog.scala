@@ -852,6 +852,25 @@ class LakeCatalog(spark: SparkSession, root: String) {
       .orderBy("added_in", "file")
   }
 
+  /** WAP audit diff: the row-level changes publishing a BRANCH would make
+    * relative to a base ref's CURRENT head (default main) — [[changes]]
+    * between the two refs' snapshots. On a diverged table this is the
+    * audit that matters before FAST FORWARD: `insert` rows are what the
+    * branch adds, `delete` rows are what main gained since the fork and a
+    * blind fast-forward would LOSE (the case [[cherryPick]] exists for).
+    * Only files unique to one side are read — untouched files can't
+    * contribute (the changes() contract), so the diff costs the
+    * divergence, never the table. */
+  def branchDiff(ns: String, table: String, branch: String,
+                 base: String = "main"): DataFrame = {
+    val r = refs(ns, table)
+    val bv = r.getOrElse(branch, throw new IllegalArgumentException(
+      s"no ref '$branch' for $ns.$table"))
+    val mv = r.getOrElse(base,
+      snapshots(ns, table).map(_._1).maxOption.getOrElse(0))
+    changes(ns, table, mv, bv)
+  }
+
   /** Change feed between two snapshots (Iceberg changelog analog): rows
     * with `_change` ∈ {insert, delete}. Only files ADDED or REMOVED between
     * the snapshots are read — untouched files can't contribute changes —

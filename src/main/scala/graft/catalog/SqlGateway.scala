@@ -132,6 +132,11 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   // the default 20%-of-analyzed-rows broadcast cutoff.
   private val explainRoute =
     """(?is)\s*EXPLAIN\s+ROUTE\s+(?:FOR\s+)?(?:(\w+)\.)?(\w+)\s+WHERE\s+(.+?)(?:\s+THRESHOLD\s+(\d+))?\s*;?\s*""".r
+  // WAP publish audit: the row-level diff a branch would make against the
+  // base ref's CURRENT head (insert = branch adds, delete = what a blind
+  // fast-forward would lose after divergence)
+  private val diffBranch =
+    """(?is)\s*DIFF\s+BRANCH\s+(\w+)(?:\s+AGAINST\s+(\w+))?\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -247,6 +252,11 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         val n = catalog.addFiles(nsName, table, srcDir)
         Seq(s"Registered $n files from $srcDir (zero-copy)").toDF("status")
+
+      case diffBranch(branch, base, ns, table) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.branchDiff(nsName, table, branch,
+          Option(base).getOrElse("main"))
 
       case explainRoute(ns, table, cond, thrOpt) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

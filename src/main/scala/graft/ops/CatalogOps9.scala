@@ -83,9 +83,53 @@ object CatalogOps9 {
       |   WHERE c.c_acctbal >= 0.0 AND c.c_acctbal < 8000.0) AS rev_wide,
       |  true AS estimates_ordered""".stripMargin
 
+  /** WAP audit diff on a DIVERGED table ([[LakeCatalog.branchDiff]]): the
+    * base slice lands on main, the next ingest is staged on an `audit`
+    * branch, and main then moves forward independently — the exact state
+    * where a blind FAST FORWARD is dangerous. The diff (branch vs main's
+    * CURRENT head) answers the publish audit in one row-level report:
+    * `insert` = what the branch adds, `delete` = what main gained since
+    * the fork and a fast-forward would LOSE (the case CHERRY PICK exists
+    * for). Only divergence files are read (the changes() contract); the
+    * op hash-gates per-change counts and decimal sums against the
+    * generating lineitem slices. */
+  def cBranchDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    cat.dropTable("scratch", "li_bdiff")
+    cat.createTable("scratch", "li_bdiff", StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_extendedprice", DoubleType))))
+    cat.append("scratch", "li_bdiff", li.where(col("l_orderkey") % 4 === 0))
+    cat.appendToBranch("scratch", "li_bdiff",
+      li.where(col("l_orderkey") % 4 === 1), "audit")
+    // main diverges AFTER the branch forked
+    cat.append("scratch", "li_bdiff", li.where(col("l_orderkey") % 4 === 2))
+    cat.branchDiff("scratch", "li_bdiff", "audit")
+      .groupBy("_change")
+      .agg(count(lit(1)).as("n_rows"),
+        Tables.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("_change")
+  }
+
+  val cBranchDiffSql: String =
+    """SELECT chg AS "_change", CAST(n AS BIGINT) AS n_rows, s AS sum_price
+      |FROM (
+      |  SELECT 'delete' AS chg, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS s
+      |  FROM lineitem WHERE l_orderkey % 4 = 2
+      |  UNION ALL
+      |  SELECT 'insert', COUNT(*),
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+      |  FROM lineitem WHERE l_orderkey % 4 = 1)
+      |ORDER BY chg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c_cbo_route" -> (cCboRoute _))
+    "c_cbo_route" -> (cCboRoute _),
+    "c_branch_diff" -> (cBranchDiff _))
 
   val oracles: Map[String, String] = Map(
-    "c_cbo_route" -> cCboRouteSql)
+    "c_cbo_route" -> cCboRouteSql,
+    "c_branch_diff" -> cBranchDiffSql)
 }

@@ -71,7 +71,9 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "decision + summary, metadata only — no scan); " +
           "EXPLAIN ROUTE [ns.]t WHERE cond [THRESHOLD n] (the " +
           "broadcast-vs-shuffle join choice the stats sidecar makes for " +
-          "the filtered table, metadata only)"),
+          "the filtered table, metadata only); " +
+          "DIFF BRANCH b [AGAINST base] IN [ns.]t (WAP publish audit: " +
+          "row-level insert/delete diff of the branch vs the base head)"),
       tool("query_table", "Execute a query on lake tables",
         "Table reads and writes: any Spark SELECT over registered tables " +
           "(joins, aggregates, window functions), with time travel via " +

@@ -381,6 +381,33 @@ class Round8Spec extends SparkSpec {
     cat.dropTable("scratch", "bp_spec")
   }
 
+  test("DIFF BRANCH: the WAP publish audit sees divergence through the gateway") {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_gw_diff_wh"
+    val dir = java.nio.file.Paths.get(wh)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(dir)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    val cat = new LakeCatalog(spark, wh)
+    val gw = new graft.catalog.SqlGateway(spark, cat)
+    import spark.implicits._
+    cat.createTable("scratch", "bd_spec", StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    cat.append("scratch", "bd_spec", Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    cat.appendToBranch("scratch", "bd_spec", Seq((3L, 3.0)).toDF("k", "v"), "audit")
+    cat.append("scratch", "bd_spec", Seq((4L, 4.0)).toDF("k", "v")) // diverge
+    val rows = gw.execute("DIFF BRANCH audit IN scratch.bd_spec")
+      .collect().map(r => (r.getAs[String]("_change"), r.getAs[Long]("k"))).sorted.toSeq
+    // the audit's two findings: the branch ADDS k=3; a blind fast-forward
+    // would LOSE main's post-fork k=4
+    assert(rows == Seq(("delete", 4L), ("insert", 3L)), s"diff wrong: $rows")
+    // against an explicit base equal to the branch itself: empty diff
+    assert(gw.execute("DIFF BRANCH audit AGAINST audit IN scratch.bd_spec").count() == 0)
+    cat.dropTable("scratch", "bd_spec")
+  }
+
   test("gateway SELECT and INSERT are rename-aware across physical generations") {
     // dedicated warehouse: the gateway SELECT path registers a view for
     // EVERY catalog table, so the shared scratch warehouse's multi-format
