@@ -1437,6 +1437,26 @@ class LakeCatalog(spark: SparkSession, root: String) {
       currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles, batch)
   }
 
+  /** Atomic whole-table REPLACE: the committed file list becomes exactly
+    * this batch's files (one snapshot; history/time travel intact — the
+    * previous content stays reachable by version). The write happens
+    * BEFORE the commit, so a crash leaves orphan debris, never a
+    * half-replaced table; `batch` carries the streaming replay fence like
+    * [[append]]. This is the refresh primitive a continuously-maintained
+    * materialized view commits with: read current states, merge the
+    * micro-batch's partials, replace. */
+  def overwrite(ns: String, table: String, df: DataFrame,
+                batch: Option[Long] = None): Unit = {
+    checkConstraints(ns, table).foreach { case (name, cond) =>
+      val bad = df.where(!coalesce(expr(cond), lit(true))).count()
+      if (bad > 0) throw new ConstraintViolationException(
+        s"CHECK constraint $name ($cond) violated by $bad incoming rows — " +
+          "batch refused, nothing committed")
+    }
+    val newFiles = writeNewFiles(ns, table, df)
+    commitSnapshot(ns, table, newFiles, batch)
+  }
+
   /** Clustered append — the write path that makes zone maps EMERGE FROM THE
     * WRITER (Iceberg `write.sort-order` analog; the declared `sortOrder` in
     * createTable metadata is what this acts on): rows are range-partitioned

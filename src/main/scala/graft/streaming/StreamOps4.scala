@@ -120,9 +120,113 @@ object StreamOps4 {
        |GROUP BY 1 ORDER BY q.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- continuous MV refresh
+  // c_incremental_mv proves BATCH incremental maintenance (merge partial
+  // agg states per snapshot increment); this is the STREAMING continuation:
+  // every micro-batch's partial states merge into a lake-table MV with one
+  // atomic replace commit, batch-id-fenced for exactly-once under
+  // foreachBatch replay (the c_stream_ingest contract applied to derived
+  // state instead of raw rows). Refresh cost per batch: |batch| map-side
+  // partials + a |group keys| merge — never the source table.
+
+  /** Partial aggregate states of one (cust_bucket, price) frame — the
+    * merge-able shape (counts add, decimal sums add; avg derives). */
+  def mvStates(df: DataFrame): DataFrame =
+    df.groupBy("cust_bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast("decimal(30,6)")).as("sum_state"))
+
+  /** One idempotent micro-batch refresh: merge the batch's states into the
+    * MV table and REPLACE it in one fenced commit. Replayed ids skip
+    * (the fence rides in the snapshot-log line itself). */
+  def mvMergeBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                   id: Long, cat: LakeCatalog, ns: String, mvTable: String): Unit = {
+    if (cat.lastCommittedBatch(ns, mvTable).forall(_ < id) && !batch.isEmpty) {
+      val merged = cat.load(ns, mvTable).unionByName(mvStates(batch.toDF()))
+        .groupBy("cust_bucket")
+        .agg(sum("n").cast("long").as("n"),
+          sum("sum_state").cast("decimal(30,6)").as("sum_state"))
+      cat.overwrite(ns, mvTable, merged, batch = Some(id))
+    }
+  }
+
+  /** The continuous refresh query: source stream → per-batch state merge. */
+  def refreshMv(src: DataFrame, cat: LakeCatalog, ns: String,
+                mvTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    src.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mvMergeBatch(b, id, cat, ns, mvTable)
+      }
+      .start()
+
+  /** Driver op: 3 micro-batches of an orders-derived stream maintain the
+    * MV; a replayed batch id is fenced; the final MV must EQUAL the direct
+    * aggregate over everything streamed (the maintenance invariant,
+    * in-output as matches_full_recompute) — and the whole thing hash-gates
+    * against DuckDB's direct aggregate. */
+  def stMvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat = new LakeCatalog(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+    cat.dropTable("scratch", "ord_mv_stream")
+    cat.createTable("scratch", "ord_mv_stream", StructType(Seq(
+      StructField("cust_bucket", LongType),
+      StructField("n", LongType),
+      StructField("sum_state", DecimalType(30, 6)))))
+    val rows = Tables.table(spark, dir, "orders")
+      .orderBy("o_orderkey").limit(3000)
+      .select((col("o_custkey") % 100).as("cust_bucket"),
+        col("o_totalprice").as("price"))
+      .as[(Long, Double)].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val q = refreshMv(mem.toDF().toDF("cust_bucket", "price"),
+      cat, "scratch", "ord_mv_stream")
+    rows.grouped((rows.size / 3) + 1).foreach { chunk =>
+      mem.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val before = cat.load("scratch", "ord_mv_stream")
+      .agg(sum("n")).head().getLong(0)
+    // replay batch 0: the fence must skip it (no state double-counted)
+    mvMergeBatch(rows.take(50).toDF("cust_bucket", "price"), 0L,
+      cat, "scratch", "ord_mv_stream")
+    val after = cat.load("scratch", "ord_mv_stream")
+      .agg(sum("n")).head().getLong(0)
+    val full = mvStates(rows.toDF("cust_bucket", "price"))
+      .select(col("cust_bucket"), col("n").as("n_full"),
+        col("sum_state").as("sum_full"))
+    cat.load("scratch", "ord_mv_stream")
+      .join(full, Seq("cust_bucket"))
+      .select(col("cust_bucket"), col("n"),
+        col("sum_state").cast("double").as("total"),
+        round(col("sum_state").cast("double") / col("n"), 6).as("avg_price"),
+        (col("n") === col("n_full") && col("sum_state") === col("sum_full"))
+          .as("matches_full_recompute"),
+        lit(before == after).as("replay_fenced"))
+      .orderBy("cust_bucket")
+  }
+
+  val stMvRefreshSql: String =
+    """WITH src AS (
+      |  SELECT o_custkey % 100 AS cust_bucket, o_totalprice AS price
+      |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 3000)),
+      |mv AS (
+      |  SELECT cust_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |         SUM(CAST(price AS DECIMAL(30,6))) AS sum_state
+      |  FROM src GROUP BY 1)
+      |SELECT cust_bucket, n,
+      |  CAST(sum_state AS DOUBLE) AS total,
+      |  round(CAST(sum_state AS DOUBLE) / n, 6) AS avg_price,
+      |  true AS matches_full_recompute,
+      |  true AS replay_fenced
+      |FROM mv ORDER BY cust_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st_lsh_screen" -> (stLshScreen _))
+    "st_lsh_screen" -> (stLshScreen _),
+    "st_mv_refresh" -> (stMvRefresh _))
 
   val oracles: Map[String, String] = Map(
-    "st_lsh_screen" -> stLshScreenSql)
+    "st_lsh_screen" -> stLshScreenSql,
+    "st_mv_refresh" -> stMvRefreshSql)
 }
