@@ -408,6 +408,75 @@ class Round8Spec extends SparkSpec {
     cat.dropTable("scratch", "bd_spec")
   }
 
+  test("mvMergeBatch: replays and stale batch ids are fenced; overwrite keeps history") {
+    import graft.streaming.StreamOps4
+    val cat = new LakeCatalog(spark, scratch)
+    import spark.implicits._
+    cat.dropTable("scratch", "mvf_spec")
+    cat.createTable("scratch", "mvf_spec", StructType(Seq(
+      StructField("cust_bucket", LongType), StructField("n", LongType),
+      StructField("sum_state", DecimalType(30, 6)))))
+    def mv(): Map[Long, (Long, java.math.BigDecimal)] =
+      cat.load("scratch", "mvf_spec").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val b1 = Seq((1L, 10.0), (2L, 20.0)).toDF("cust_bucket", "price")
+    val b2 = Seq((1L, 5.0), (3L, 30.0)).toDF("cust_bucket", "price")
+    StreamOps4.mvMergeBatch(b1, 1L, cat, "scratch", "mvf_spec")
+    StreamOps4.mvMergeBatch(b2, 2L, cat, "scratch", "mvf_spec")
+    val expect = mv()
+    assert(expect(1L)._1 == 2 && expect(2L)._1 == 1 && expect(3L)._1 == 1)
+    // replay of batch 2 and a STALE id (1) must both be skipped
+    StreamOps4.mvMergeBatch(b2, 2L, cat, "scratch", "mvf_spec")
+    StreamOps4.mvMergeBatch(b1, 1L, cat, "scratch", "mvf_spec")
+    assert(mv() == expect, "replayed/stale batch mutated the MV")
+    // overwrite kept history: the MV state after batch 1 is still readable
+    // by time travel at its snapshot (create=v0, b1=v1, b2=v2)
+    val v1 = cat.loadSnapshot("scratch", "mvf_spec", 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1 == Map(1L -> 1L, 2L -> 1L), s"time travel across overwrite broken: $v1")
+    cat.dropTable("scratch", "mvf_spec")
+  }
+
+  test("r8 edge cases: empty-minhash contract, star-graph census, short-doc screen") {
+    import spark.implicits._
+    // minhashArray of an empty hash array = the aggregate's empty buffer
+    // (all Long.MaxValue) — the documented signature-less-doc contract
+    val empty = Seq((1L, Seq.empty[Long])).toDF("id", "hs")
+      .select(graft.functions.Poly.minhashArray(col("hs"), 8))
+      .head().getSeq[Long](0)
+    assert(empty == Seq.fill(8)(Long.MaxValue))
+    // a pure star (hub + leaves) has max wedges and ZERO triangles — the
+    // exact shape the degree orientation exists for
+    val star = (1L to 30L).map(l => (0L, l)).toDF("lo", "hi")
+    val census = ops.Graph.triangleCensusOf(star).head()
+    assert(census.getLong(3) == 0L, s"star graph counted triangles: $census")
+    assert(census.getLong(2) == 30L * 29 / 2, "wedge count wrong on star")
+    // a doc under 5 words emits no signature rows and therefore no screen
+    // verdict (the documented no-evidence contract)
+    val shortDoc = Seq((9L, "too short to shingle")).toDF("doc_id", "text")
+    val idx = graft.streaming.StreamOps4.lshSigs(
+      Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text"))
+    assert(graft.streaming.StreamOps4.lshScreen(shortDoc, idx).count() == 0)
+    // EXPLAIN ROUTE without a histogram: never guess small — shuffle
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_gw_route_wh"
+    val dir = java.nio.file.Paths.get(wh)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(dir)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    val cat = new LakeCatalog(spark, wh)
+    val gw = new graft.catalog.SqlGateway(spark, cat)
+    cat.createTable("scratch", "rt_spec", StructType(Seq(
+      StructField("k", LongType))))
+    cat.append("scratch", "rt_spec", (1L to 100L).toDF("k"))
+    val r = gw.execute("EXPLAIN ROUTE scratch.rt_spec WHERE k >= 50").head()
+    assert(r.getAs[String]("route").startsWith("shuffle (no"),
+      s"missing-stats route not conservative: $r")
+    cat.dropTable("scratch", "rt_spec")
+  }
+
   test("gateway SELECT and INSERT are rename-aware across physical generations") {
     // dedicated warehouse: the gateway SELECT path registers a view for
     // EVERY catalog table, so the shared scratch warehouse's multi-format
