@@ -20,7 +20,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "d_minhash_lsh", "q_skyline", "p_dp_release",
     // second wave: integer iterative relaxation, hash-rank reservoir
     // windows, float32 mat-vec projection, BM25 idf/tf scoring
-    "q_sssp", "q_quantile_merge", "s_jl_project", "t_bm25")
+    "q_sssp", "q_quantile_merge", "s_jl_project", "t_bm25",
+    // r8 wave: degree-ordered wedge census, 128-bit decimal moments,
+    // stream-static LSH screen, decimal-mean cell split, A-ES weighted
+    // top-k, read-merge-replace MV maintenance
+    "q_triangle_count", "q_spearman", "st_lsh_screen",
+    "s_ivf_rebalance", "p_weighted_sample", "st_mv_refresh")
 
   test("outputs are invariant to spark.sql.shuffle.partitions (4 vs 7)") {
     val alt = spark.newSession()
