@@ -145,7 +145,8 @@ class LakeCatalog(spark: SparkSession, root: String) {
   private def commitSnapshot(ns: String, table: String, files: Seq[String],
                              batch: Option[Long] = None,
                              ref: String = "main",
-                             expectedBase: Option[Int] = None): Int = {
+                             expectedBase: Option[Int] = None,
+                             token: Option[String] = None): Int = {
     val prev = snapshots(ns, table)
     // optimistic-concurrency validation (the Iceberg commit protocol): a
     // writer that planned its commit against snapshot E must fail if the
@@ -174,8 +175,14 @@ class LakeCatalog(spark: SparkSession, root: String) {
     // never leave the batch committed but unfenced (the window a separate
     // fence file would have).
     val batchField = batch.map(b => s""""batch":$b,""").getOrElse("")
+    // MOR commits carry a unique token shared with the DV lines they wrote
+    // BEFORE this append: a DV line is live only when its token matches the
+    // log line that actually committed its version — so sidecar lines from
+    // a failed CAS (whose version number a LATER transaction reuses) stay
+    // permanently inert instead of becoming someone else's deletes.
+    val tokenField = token.map(t => s""""token":"$t",""").getOrElse("")
     val line = files.sorted.map(f => s""""$f"""")
-      .mkString(s"""{"v":$v,"parent":$parent,$batchField"files":[""", ",", "]}\n")
+      .mkString(s"""{"v":$v,"parent":$parent,$batchField$tokenField"files":[""", ",", "]}\n")
     Files.writeString(snapshotLogPath(ns, table), line,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     // ref bookkeeping (branches — see the "branch refs" section): a branch
@@ -643,8 +650,9 @@ class LakeCatalog(spark: SparkSession, root: String) {
   private def dvPath(ns: String, table: String): Path =
     Paths.get(s"$root/$ns/${table}_dv.json")
 
-  /** Parsed DV lines: (commit version, file, positions). */
-  private def dvEntries(ns: String, table: String): Seq[(Int, String, Seq[Long])] = {
+  /** Parsed DV lines: (commit version, commit token, file, positions). */
+  private def dvEntries(ns: String, table: String)
+      : Seq[(Int, Option[String], String, Seq[Long])] = {
     val p = dvPath(ns, table)
     if (!Files.exists(p)) Seq.empty
     else {
@@ -653,14 +661,49 @@ class LakeCatalog(spark: SparkSession, root: String) {
       Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
         val j = JsonMethods.parse(l)
         val v = (j \ "v") match { case JInt(x) => x.toInt; case _ => Int.MaxValue }
+        val tok = (j \ "token") match { case JString(x) => Some(x); case _ => None }
         val f = (j \ "file") match { case JString(x) => x; case _ => "" }
         val ps = (j \ "pos") match {
           case JArray(a) => a.collect { case JInt(x) => x.toLong }
           case _ => Seq.empty[Long]
         }
-        (v, f, ps)
+        (v, tok, f, ps)
       }
     }
+  }
+
+  /** Commit token recorded in each snapshot-log line (absent on non-MOR
+    * commits and pre-token history). */
+  private def snapshotTokens(ns: String, table: String): Map[Int, String] = {
+    val p = snapshotLogPath(ns, table)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { line =>
+      for {
+        v <- """"v":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+        t <- """"token":"([^"]+)"""".r.findFirstMatchIn(line).map(_.group(1))
+      } yield v -> t
+    }.toMap
+  }
+
+  /** DV (file, pos) pairs LIVE at version `atV`. A line is live iff its
+    * version committed at or before `atV` AND — when the line carries a
+    * commit token — that token is the one the snapshot-log line at its
+    * version actually committed with. Tokened lines whose transaction lost
+    * the CAS (their version number was reused by a different commit) are
+    * therefore permanently inert: sequential version numbers alone can no
+    * longer resurrect an orphan delete against live files. Untokened lines
+    * (pre-token history, clone inheritance at v0) keep the plain version
+    * rule. */
+  private def liveDvPairs(ns: String, table: String,
+                          atV: Int): Seq[(String, Long)] = {
+    val entries = dvEntries(ns, table)
+    if (entries.isEmpty) return Seq.empty
+    val toks = snapshotTokens(ns, table)
+    entries
+      .filter { case (v, tok, _, _) =>
+        v <= atV && tok.forall(t => toks.get(v).contains(t)) }
+      .flatMap { case (_, _, f, ps) => ps.map(p => (f, p)) }
+      .distinct
   }
 
   private def currentVersion(ns: String, table: String): Int =
@@ -682,9 +725,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
     // DV lines key on the part-file BASENAME (what the scan-path anti-join
     // sees); the committed names may be `../src/<base>` clone references
     val inScan = files.map(f => Paths.get(f).getFileName.toString).toSet
-    val pairs = dvEntries(ns, table)
-      .filter { case (v, f, _) => v <= atV && inScan(f) }
-      .flatMap { case (_, f, ps) => ps.map(p => (f, p)) }.distinct
+    val pairs = liveDvPairs(ns, table, atV).filter(p => inScan(p._1))
     if (pairs.isEmpty) readFiles(ns, table, files)
     else {
       val dvDf = spark.createDataFrame(pairs).toDF("__dv_file", "__dv_pos")
@@ -697,17 +738,19 @@ class LakeCatalog(spark: SparkSession, root: String) {
   /** DELETE WHERE cond, merge-on-read: mark row positions instead of
     * rewriting files. Returns the number of rows marked. Only the (file,
     * pos) pairs cross to the driver — deleted-row scale, the payload an
-    * Iceberg commit carries as delete files. Crash order: the DV line is
-    * written FIRST with the pre-allocated next version, the snapshot commit
-    * second — a crash between them leaves an inert line readers ignore
-    * (its version never committed), never a silently lost delete. */
+    * Iceberg commit carries as delete files. Crash order: the DV lines are
+    * written FIRST, tagged with this transaction's unique commit TOKEN, the
+    * snapshot commit (carrying the same token) second — a crash or lost CAS
+    * between them leaves lines whose token no log line ever records, which
+    * [[liveDvPairs]] ignores forever (even after a different transaction
+    * reuses the version number), never a silently lost OR resurrected
+    * delete. */
   def deleteWhereMor(ns: String, table: String, cond: Column): Long = {
     val cur = currentFiles(ns, table)
       .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
     if (cur.isEmpty) return 0L
     val v = currentVersion(ns, table)
-    val already = dvEntries(ns, table).filter(_._1 <= v)
-      .flatMap { case (_, f, ps) => ps.map(p => (f, p)) }.toSet
+    val already = liveDvPairs(ns, table, v).toSet
     val hits = readFilesWithPos(tablePath(ns, table), cur)
       .where(coalesce(cond, lit(false))) // 3VL: NULL predicate deletes nothing
       .groupBy(col("__dv_file"))
@@ -718,14 +761,16 @@ class LakeCatalog(spark: SparkSession, root: String) {
       .filter(_._2.nonEmpty)
     if (hits.isEmpty) return 0L
     val nextV = snapshots(ns, table).map(_._1).maxOption.getOrElse(-1) + 1
+    val tok = java.util.UUID.randomUUID().toString
     val lines = hits.sortBy(_._1).map { case (f, ps) =>
-      s"""{"v":$nextV,"file":"$f","pos":[${ps.mkString(",")}]}"""
+      s"""{"v":$nextV,"token":"$tok","file":"$f","pos":[${ps.mkString(",")}]}"""
     }.mkString("", "\n", "\n")
     Files.writeString(dvPath(ns, table), lines,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    // expectedBase CAS: conflict detected BEFORE the log append — the DV
-    // lines written above stay inert (their version never commits)
-    val committed = commitSnapshot(ns, table, cur, expectedBase = Some(v))
+    // expectedBase CAS: on conflict the lines above are token-orphaned —
+    // the reused version number can never adopt them
+    val committed = commitSnapshot(ns, table, cur, expectedBase = Some(v),
+      token = Some(tok))
     require(committed == nextV,
       s"concurrent commit: DV written for v$nextV but log advanced to v$committed")
     hits.map(_._2.length.toLong).sum
@@ -755,8 +800,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
     // positions both derive from the same pinned (row, file, pos) result —
     // a nondeterministic cond can no longer desync delta rows from DV marks
     // (which would lose or duplicate rows).
-    val already = dvEntries(ns, table).filter(_._1 <= v)
-      .flatMap { case (_, f, ps) => ps.map(p => (f, p)) }.distinct
+    val already = liveDvPairs(ns, table, v)
     val scanned = readFilesWithPos(tablePath(ns, table), cur)
     val visible =
       if (already.isEmpty) scanned
@@ -777,21 +821,22 @@ class LakeCatalog(spark: SparkSession, root: String) {
       .map(r => r.getString(0) -> r.getSeq[Long](1).sorted)
       .filter(_._2.nonEmpty)
     val nextV = snapshots(ns, table).map(_._1).maxOption.getOrElse(-1) + 1
+    val tok = java.util.UUID.randomUUID().toString
     if (hits.nonEmpty) {
       val lines = hits.sortBy(_._1).map { case (f, ps) =>
-        s"""{"v":$nextV,"file":"$f","pos":[${ps.mkString(",")}]}"""
+        s"""{"v":$nextV,"token":"$tok","file":"$f","pos":[${ps.mkString(",")}]}"""
       }.mkString("", "\n", "\n")
       Files.writeString(dvPath(ns, table), lines,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
     // conflict check BEFORE the log append (expectedBase CAS): a concurrent
-    // commit now fails this update while the log is still unpublished —
-    // the staged delta files and the uncommitted-version DV lines are inert
-    // debris (orphan sweep / reader version-filter territory), never a
-    // published stale-file-list snapshot.
+    // commit now fails this update while the log is still unpublished — the
+    // staged delta files are orphan-sweep debris, and the DV lines above are
+    // TOKEN-orphaned ([[liveDvPairs]]): the version number a later commit
+    // reuses can never adopt them as its own deletes.
     val committed = commitSnapshot(ns, table, cur ++ deltaFiles,
-      expectedBase = Some(v))
+      expectedBase = Some(v), token = Some(tok))
     require(committed == nextV,
       s"concurrent commit: DV written for v$nextV but log advanced to v$committed")
     hits.map(_._2.length.toLong).sum
@@ -1325,9 +1370,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
       // exact row sets by construction)
       val inScan = cur.map(f => Paths.get(f).getFileName.toString).toSet
       val v = currentVersion(ns, table)
-      val dvDeleted = dvEntries(ns, table)
-        .filter { case (dvV, f, _) => dvV <= v && inScan(f) }
-        .flatMap { case (_, f, ps) => ps.map(p => (f, p)) }.distinct.size
+      val dvDeleted = liveDvPairs(ns, table, v).count(p => inScan(p._1))
       Some(cur.map(stats).sum - dvDeleted)
     } else None
   }
@@ -1421,20 +1464,36 @@ class LakeCatalog(spark: SparkSession, root: String) {
 
   def append(ns: String, table: String, df: DataFrame,
              batch: Option[Long] = None): Unit = {
-    // write-path constraint enforcement: validate BEFORE staging anything —
-    // a refused batch leaves no partial state and no orphan files. One
-    // extra pass over the incoming batch per constraint (incoming-batch
-    // scale, not table scale); tables without constraints pay one metadata
-    // read.
-    checkConstraints(ns, table).foreach { case (name, cond) =>
-      val bad = df.where(!coalesce(expr(cond), lit(true))).count()
-      if (bad > 0) throw new ConstraintViolationException(
-        s"CHECK constraint $name ($cond) violated by $bad incoming rows — " +
-          "batch refused, nothing committed")
-    }
-    val newFiles = writeNewFiles(ns, table, df)
+    val pinned = constraintChecked(ns, table, df)
+    val newFiles = writeNewFiles(ns, table, pinned)
     commitSnapshot(ns, table,
       currentFiles(ns, table).getOrElse(Seq.empty) ++ newFiles, batch)
+  }
+
+  /** Write-path constraint enforcement: validate BEFORE staging anything —
+    * a refused batch leaves no partial state and no orphan files. One extra
+    * pass over the incoming batch per constraint (incoming-batch scale, not
+    * table scale); tables without constraints pay one metadata read and the
+    * frame passes through UNTOUCHED. With constraints the frame is PINNED
+    * first (localCheckpoint) so the scan that proved the constraint and the
+    * write that lands the rows see the SAME result — a nondeterministic
+    * input can no longer pass the check yet write violating rows (the
+    * updateWhereMor single-evaluation discipline, applied to the write
+    * path). */
+  private def constraintChecked(ns: String, table: String,
+                                df: DataFrame): DataFrame = {
+    val cons = checkConstraints(ns, table)
+    if (cons.isEmpty) df
+    else {
+      val pinned = df.localCheckpoint()
+      cons.foreach { case (name, cond) =>
+        val bad = pinned.where(!coalesce(expr(cond), lit(true))).count()
+        if (bad > 0) throw new ConstraintViolationException(
+          s"CHECK constraint $name ($cond) violated by $bad incoming rows — " +
+            "batch refused, nothing committed")
+      }
+      pinned
+    }
   }
 
   /** Atomic whole-table REPLACE: the committed file list becomes exactly
@@ -1444,17 +1503,15 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * half-replaced table; `batch` carries the streaming replay fence like
     * [[append]]. This is the refresh primitive a continuously-maintained
     * materialized view commits with: read current states, merge the
-    * micro-batch's partials, replace. */
+    * micro-batch's partials, replace — a read-merge-replace caller passes
+    * the version it READ as `expectedBase` so a concurrent commit fails the
+    * CAS instead of being silently clobbered by the stale merge. */
   def overwrite(ns: String, table: String, df: DataFrame,
-                batch: Option[Long] = None): Unit = {
-    checkConstraints(ns, table).foreach { case (name, cond) =>
-      val bad = df.where(!coalesce(expr(cond), lit(true))).count()
-      if (bad > 0) throw new ConstraintViolationException(
-        s"CHECK constraint $name ($cond) violated by $bad incoming rows — " +
-          "batch refused, nothing committed")
-    }
-    val newFiles = writeNewFiles(ns, table, df)
-    commitSnapshot(ns, table, newFiles, batch)
+                batch: Option[Long] = None,
+                expectedBase: Option[Int] = None): Unit = {
+    val pinned = constraintChecked(ns, table, df)
+    val newFiles = writeNewFiles(ns, table, pinned)
+    commitSnapshot(ns, table, newFiles, batch, expectedBase = expectedBase)
   }
 
   /** Clustered append — the write path that makes zone maps EMERGE FROM THE
@@ -1771,15 +1828,21 @@ class LakeCatalog(spark: SparkSession, root: String) {
     }
     // deletion vectors inherit at clone v0 (the clone must not resurrect
     // source-deleted rows); file keys stay basenames — the DV anti-join
-    // matches on scan-path basename
-    val srcDv = dvPath(ns, src)
-    if (Files.exists(srcDv)) {
-      val lines = Files.readAllLines(srcDv).asScala.filter(_.nonEmpty)
-        .map(_.replaceAll(""""v":\d+""", """"v":0"""))
-        .mkString("", "\n", "\n")
-      Files.writeString(dvPath(ns, dst), lines,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+    // matches on scan-path basename. Only lines LIVE at the source head
+    // inherit ([[liveDvPairs]]): a token-orphaned line from a failed source
+    // CAS must not activate in the clone. Rewritten lines drop version AND
+    // token (v:0 untokened = unconditionally live baseline state).
+    if (Files.exists(dvPath(ns, src))) {
+      val live = liveDvPairs(ns, src, currentVersion(ns, src))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      if (live.nonEmpty) {
+        val lines = live.map { case (f, ps) =>
+          s"""{"v":0,"file":"$f","pos":[${ps.map(_._2).sorted.mkString(",")}]}"""
+        }.mkString("", "\n", "\n")
+        Files.writeString(dvPath(ns, dst), lines,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
     }
   }
 

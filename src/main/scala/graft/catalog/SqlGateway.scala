@@ -606,12 +606,20 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
           // A directory listTables surfaces but load can't read (foreign
           // non-parquet data parked in the warehouse) must not poison EVERY
           // SELECT — skip it; referencing it still fails with
-          // TABLE_OR_VIEW_NOT_FOUND, which names the actual problem.
+          // TABLE_OR_VIEW_NOT_FOUND, which names the actual problem. A
+          // table that registered fine EARLIER in the session but fails to
+          // load NOW (transient IO, corrupt new generation) must drop its
+          // previous view on the way out: a load failure surfaces as
+          // TABLE_OR_VIEW_NOT_FOUND, never as silently-served stale data.
           try {
             catalog.loadRenamed(ns, t).createOrReplaceTempView(s"${ns}_$t")
             if (tables.count(_._2 == t) == 1)
               catalog.loadRenamed(ns, t).createOrReplaceTempView(t)
-          } catch { case scala.util.control.NonFatal(_) => () }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              spark.catalog.dropTempView(s"${ns}_$t")
+              if (tables.count(_._2 == t) == 1) spark.catalog.dropTempView(t)
+          }
         }
         spark.sql(rewritten)
     }

@@ -136,11 +136,9 @@ object Graph {
     * Edge selection is rank-based (top ⌈n/10⌉ by (shared DESC, lo, hi)) so
     * the edge set is deterministic and self-tuning at EVERY scale factor
     * (an absolute support threshold that keeps sf0.01's complete graph
-    * sparse keeps sf0.1's graph empty — measured). The rank runs as
-    * TakeOrderedAndProject (k·partition driver bound, SURVEY §5 top-k
-    * shape); at 100 TB the production dial is an absolute support filter
-    * (pure map-side predicate) — the rank form is the deterministic-oracle
-    * dial, documented trade.
+    * sparse keeps sf0.1's graph empty — measured). The rank is REALIZED
+    * as histogram-threshold-then-filter ([[topKByRank]]) — no global sort,
+    * no GlobalLimit, no `.toInt` on a data-proportional k.
     *
     * Skew guard at scale: pair generation is an equi-join on l_partkey with
     * per-part supplier fan bounded by the part's supplier count (26 here);
@@ -158,6 +156,65 @@ object Graph {
     * data scale); Verify and the oracle gate keep the full in-query
     * derivation (enabled=false), and determinism makes the results
     * identical either way. */
+  /** Exactly the top `k` rows of a (lo, hi, shared) frame by
+    * (shared DESC, lo, hi) — WITHOUT a global sort-limit. A
+    * data-proportional k planned as `orderBy(...).limit(k)` is a
+    * GlobalLimit: every selected row squeezes through ONE partition (and
+    * `k.toInt` overflows past 2³¹ rows) — invisible at sf0.1, fatal at
+    * 100×. Instead the rank is realized as a THRESHOLD (the q_abc_analysis
+    * descending-cumulative identity):
+    *
+    *   1. support histogram `groupBy(shared).count` — one map-side-combined
+    *      aggregate whose row count is the number of DISTINCT support
+    *      values (Zipf-bounded metadata scale, the c_stats_histogram
+    *      bucket-rows-to-the-driver precedent), walked descending on the
+    *      driver to find the cut value s* and how many rows rank above it;
+    *   2. `shared > s*` and (when the cut lands on a value boundary)
+    *      `shared = s*` select by pure map-side FILTER — fully parallel;
+    *   3. only when rank k falls INSIDE the s* tie band: a two-level band
+    *      prefix on `lo` (≤256 value-range bands; band totals to the
+    *      driver) narrows the residual selection to ONE band, ranked by a
+    *      window PARTITIONED on the band key — bounded by band granularity,
+    *      never a global row sort.
+    *
+    * Ties break exactly as the rank form: (lo, hi) ascending within the cut
+    * value (GraphPropSpec proves set identity against `orderBy.limit` over
+    * random tie-heavy frames; the DuckDB oracles keep the row_number form).
+    */
+  private[graft] def topKByRank(pairs: DataFrame, k: Long): DataFrame = {
+    if (k <= 0) return pairs.where(lit(false)).select("lo", "hi")
+    val hist = pairs.groupBy("shared").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var above = 0L
+    var i = 0
+    while (i < hist.length && above + hist(i)._2 < k) { above += hist(i)._2; i += 1 }
+    if (i >= hist.length) return pairs.select("lo", "hi") // k >= |pairs|
+    val (sStar, cntAtS) = hist(i)
+    val need = k - above // 1 <= need <= cntAtS
+    val whole = pairs.where(col("shared") > sStar).select("lo", "hi")
+    if (need >= cntAtS) // cut on a value boundary: the whole band filters in
+      return whole.union(pairs.where(col("shared") === sStar).select("lo", "hi"))
+    val tie = pairs.where(col("shared") === sStar)
+    val mm = tie.agg(min(col("lo")).as("mn"), max(col("lo")).as("mx")).head()
+    val (mnLo, mxLo) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (mxLo - mnLo) / 256L + 1L)
+    val banded = tie.withColumn("__band", expr(s"(lo - $mnLo) div $width"))
+    val bandCnt = banded.groupBy("__band").agg(count(lit(1)).as("bcnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var before = 0L
+    var b = 0
+    while (before + bandCnt(b)._2 < need) { before += bandCnt(b)._2; b += 1 }
+    val bCut = bandCnt(b)._1
+    val fullBands = banded.where(col("__band") < bCut).select("lo", "hi")
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("__band").orderBy("lo", "hi")
+    val inCut = banded.where(col("__band") === bCut)
+      .withColumn("__rn", row_number().over(wc))
+      .where(col("__rn") <= need - before)
+      .select("lo", "hi")
+    whole.union(fullBands).union(inCut)
+  }
+
   private[graft] def coSupplyEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def build(): DataFrame = {
@@ -171,10 +228,8 @@ object Graph {
         .cache()
       // one scalar to the driver (metadata scale — the qPagerank n precedent)
       val k = (pairs.count() + 9) / 10
-      pairs
-        .orderBy(col("shared").desc, col("lo"), col("hi")).limit(k.toInt)
-        .select("lo", "hi")
-        .repartition(col("lo")) // limit() emits one partition; respread for the joins
+      topKByRank(pairs, k)
+        .repartition(col("lo")) // key-spread the edge frame for the joins
         .cache()
     }
     if (!ModelCache.enabled) build()

@@ -137,27 +137,42 @@ object StreamOps4 {
         sum(col("price").cast("decimal(30,6)")).as("sum_state"))
 
   /** One idempotent micro-batch refresh: merge the batch's states into the
-    * MV table and REPLACE it in one fenced commit. Replayed ids skip
-    * (the fence rides in the snapshot-log line itself). */
+    * MV table and REPLACE it in one fenced commit. Replayed ids skip (the
+    * fence rides in the snapshot-log line itself). The merge is
+    * read-merge-replace, so the version READ is passed as the overwrite's
+    * `expectedBase` CAS — a concurrent commit to the MV table between the
+    * read and the replace fails this batch (retried by the stream) instead
+    * of being silently clobbered by the stale merge. */
   def mvMergeBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                    id: Long, cat: LakeCatalog, ns: String, mvTable: String): Unit = {
     if (cat.lastCommittedBatch(ns, mvTable).forall(_ < id) && !batch.isEmpty) {
+      val base = cat.headVersion(ns, mvTable)
       val merged = cat.load(ns, mvTable).unionByName(mvStates(batch.toDF()))
         .groupBy("cust_bucket")
         .agg(sum("n").cast("long").as("n"),
           sum("sum_state").cast("decimal(30,6)").as("sum_state"))
-      cat.overwrite(ns, mvTable, merged, batch = Some(id))
+      cat.overwrite(ns, mvTable, merged, batch = Some(id),
+        expectedBase = Some(base))
     }
   }
 
-  /** The continuous refresh query: source stream → per-batch state merge. */
-  def refreshMv(src: DataFrame, cat: LakeCatalog, ns: String,
-                mvTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    src.writeStream.outputMode("append")
+  /** The continuous refresh query: source stream → per-batch state merge.
+    * `checkpointDir` makes the batch ids DURABLE: the replay fence compares
+    * ids monotonically, so on a real (non-MemoryStream) source a restart
+    * without a checkpoint would reset ids to 0 and the fence would skip
+    * every post-restart batch — the MV silently frozen while healthy.
+    * Callers on real sources MUST pass it (it is the exactly-once contract,
+    * not an option); MemoryStream tests may omit it (ids live for the
+    * query's lifetime only and the stream dies with the test). */
+  def refreshMv(src: DataFrame, cat: LakeCatalog, ns: String, mvTable: String,
+                checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = src.writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         mvMergeBatch(b, id, cat, ns, mvTable)
       }
-      .start()
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Driver op: 3 micro-batches of an orders-derived stream maintain the
     * MV; a replayed batch id is fenced; the final MV must EQUAL the direct
@@ -180,8 +195,12 @@ object StreamOps4 {
         col("o_totalprice").as("price"))
       .as[(Long, Double)].collect().toSeq
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    // fresh checkpoint per run: durable batch ids are the fence's contract
+    // (a reused dir would resume a dead MemoryStream's offsets)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_mv_ckpt").toString
     val q = refreshMv(mem.toDF().toDF("cust_bucket", "price"),
-      cat, "scratch", "ord_mv_stream")
+      cat, "scratch", "ord_mv_stream", checkpointDir = Some(ckpt))
     rows.grouped((rows.size / 3) + 1).foreach { chunk =>
       mem.addData(chunk); q.processAllAvailable()
     }
