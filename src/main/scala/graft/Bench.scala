@@ -94,8 +94,42 @@ object Bench {
     // pass 2 = warm steady state (codegen cached, data caches still cleared
     // between queries) — the per-query cost that amortizes at real scale.
     val ((results4, errs), teleCold) = measured(pass())
-    val ((warm4, warmErrs), teleWarm) = measured(pass())
     val results = results4.map { case (n, w, _, _) => (n, w) }
+
+    // JIT settling (VERDICT r8 #7): every stamped round showed 2-3
+    // alphabetically-adjacent warm rows inflated by background C2
+    // compilation catching up mid-pass, needing a manual PROFILE addendum.
+    // Re-run the cold pass's slowest plans UNTIMED before the warm pass so
+    // the compile backlog drains into sacrificial runs, not stamped rows.
+    val sacrificial = results.sortBy(-_._2).take(3).map(_._1).toSet
+    SparkEntry.queries.toSeq.filter(q => sacrificial(q._1)).foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+    }
+
+    // Steal-aware stamping (VERDICT r8 #2): BENCH_r08 carried 104 s of
+    // host steal inside its warm window and the clean number lived only in
+    // a PROFILE addendum. The warm pass now REJECTS-AND-RETRIES itself
+    // (up to 2 retries) while the hypervisor is stealing >10% of the
+    // window; if every attempt is dirty the LEAST-stolen one stamps and
+    // the artifact self-marks suspect — the record is either clean or
+    // visibly contaminated, never silently dirty.
+    def dirty(t: Tele): Boolean = t.steal < 0 || t.steal > 0.10 * t.wall
+    var warmAttempts = 0
+    var bestWarm: ((Seq[(String, Double, Double, Double)], Seq[(String, String)]), Tele) = null
+    while (warmAttempts < 3 && (bestWarm == null || dirty(bestWarm._2))) {
+      val attempt = measured(pass())
+      warmAttempts += 1
+      if (bestWarm == null ||
+          (attempt._2.steal >= 0 &&
+            (bestWarm._2.steal < 0 || attempt._2.steal < bestWarm._2.steal)))
+        bestWarm = attempt
+    }
+    val ((warm4, warmErrs), teleWarm) = bestWarm
+    val stealDirty = dirty(teleWarm)
     val warm = warm4.map { case (n, w, _, _) => (n, w) }
 
     // Suspect heuristics (r5 #1a closed the heavy-query blind spot — the old
@@ -119,7 +153,9 @@ object Bench {
         c < 0.25 * w && st > 0.25 * w => name
     }.distinct
     val suspectQueries = (inversions ++ starved).distinct
-    val suspect = suspectQueries.nonEmpty
+    // top-level suspect covers BOTH per-query anomalies and a stamped warm
+    // window that stayed steal-contaminated after every retry
+    val suspect = suspectQueries.nonEmpty || stealDirty
     def render(m: Seq[(String, Double)]) = m.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def renderErr(m: Seq[(String, String)]) = m.map { case (k, v) =>
@@ -134,7 +170,7 @@ object Bench {
     // Full-precision everything (cold + warm + errors + per-query cpu/steal + telemetry) → bench_out.json.
     val builds = ops.ModelCache.buildSecs
     val buildTotal = builds.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${render(results)},"total_warm":$totalWarm,"queries_warm":${render(warm)},"queries_cpu":${renderCpu(results4)},"queries_warm_cpu":${renderCpu(warm4)},"queries_steal":${renderSteal(results4)},"queries_warm_steal":${renderSteal(warm4)},"errors":${renderErr(errs)},"errors_warm":${renderErr(warmErrs)},"n_errors":${errs.size + warmErrs.size},"telemetry_cold":${teleJson(teleCold)},"telemetry_warm":${teleJson(teleWarm)},"suspect":$suspect,"suspect_queries":$suspectJson,"builds":${render(builds.map { case (k, v) => (jsonEscape(k), v) })},"build_total_sec":$buildTotal,"builds_note":"one-time ANN model training, paid inside the first cold query that touches each model; warm rows are pure query cost","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${render(results)},"total_warm":$totalWarm,"queries_warm":${render(warm)},"queries_cpu":${renderCpu(results4)},"queries_warm_cpu":${renderCpu(warm4)},"queries_steal":${renderSteal(results4)},"queries_warm_steal":${renderSteal(warm4)},"errors":${renderErr(errs)},"errors_warm":${renderErr(warmErrs)},"n_errors":${errs.size + warmErrs.size},"telemetry_cold":${teleJson(teleCold)},"telemetry_warm":${teleJson(teleWarm)},"suspect":$suspect,"suspect_queries":$suspectJson,"warm_attempts":$warmAttempts,"steal_dirty":$stealDirty,"builds":${render(builds.map { case (k, v) => (jsonEscape(k), v) })},"build_total_sec":$buildTotal,"builds_note":"one-time ANN model training, paid inside the first cold query that touches each model; warm rows are pure query cost","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), full + "\n")
     catch { case _: Throwable => () }
@@ -145,7 +181,7 @@ object Bench {
     // (the ones that matter for grading), pointer to bench_out.json for the rest.
     def r2dp(v: Double) = math.round(v * 100.0) / 100.0
     val slowWarm = warm.sortBy(-_._2).take(25).map { case (k, v) => (k, r2dp(v)) }
-    val line = s"""{"metric":"total","value":${r2dp(total)},"unit":"sec","total_warm":${r2dp(totalWarm)},"n_queries":${results.size},"n_errors":${errs.size + warmErrs.size},"suspect":$suspect,"steal_sec":${r2dp(teleCold.steal + teleWarm.steal)},"cpu_wall_warm":${r2dp(teleWarm.cpu / teleWarm.wall)},"build_sec":${r2dp(buildTotal)},"n_models":${builds.size},"queries":${render(slowWarm)},"queries_note":"warm top-25 slowest; ANN model builds split out (build_sec, details in bench_out.json builds)","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r2dp(total)},"unit":"sec","total_warm":${r2dp(totalWarm)},"n_queries":${results.size},"n_errors":${errs.size + warmErrs.size},"suspect":$suspect,"steal_sec":${r2dp(teleCold.steal + teleWarm.steal)},"warm_steal_sec":${r2dp(teleWarm.steal)},"warm_attempts":$warmAttempts,"cpu_wall_warm":${r2dp(teleWarm.cpu / teleWarm.wall)},"build_sec":${r2dp(buildTotal)},"n_models":${builds.size},"queries":${render(slowWarm)},"queries_note":"warm top-25 slowest; ANN model builds split out (build_sec, details in bench_out.json builds)","sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

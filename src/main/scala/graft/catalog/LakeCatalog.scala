@@ -1131,10 +1131,22 @@ class LakeCatalog(spark: SparkSession, root: String) {
       .filter(f => fileStats(ns, table).get(f).forall(_ > 0))
     if (cur.isEmpty) return
     val dir = tablePath(ns, table)
-    val keyed = spark.read.parquet(cur.map(f => s"$dir/$f"): _*)
+    val raw = spark.read.parquet(cur.map(f => s"$dir/$f"): _*)
+    // STRING keys hash through the portable scalar polyhash first (r9 —
+    // the puffin analog covers the scattered-string-key case: doc ids,
+    // urls, uuids); integral keys index their own value. The line records
+    // which ("vtype") so a probe through the wrong key normalization
+    // must-scans instead of silently false-negating.
+    val isStringKey = raw.schema(colName).dataType
+      .isInstanceOf[org.apache.spark.sql.types.StringType]
+    val keyExpr =
+      if (isStringKey) graft.functions.Poly.stringHash(col(colName))
+      else col(colName).cast("long")
+    val keyed = raw
       .select(substring_index(col("_metadata.file_path"), "/", -1).as("f"),
-        col(colName).cast("long").as("v"))
+        keyExpr.as("v"))
       .where(col("v").isNotNull)
+    val vtype = if (isStringKey) "s" else "i"
     val m: Int =
       if (mBits > 0) mBits
       else {
@@ -1188,7 +1200,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
         val r = it.next()
         val f = r.getString(0)
         seen += f
-        w.write(s"""{"file":"$f","column":"$colName","m":$m,"k":$k,"packed":"${packB64(r.getSeq[org.apache.spark.sql.Row](1))}"}""")
+        w.write(s"""{"file":"$f","column":"$colName","vtype":"$vtype","m":$m,"k":$k,"packed":"${packB64(r.getSeq[org.apache.spark.sql.Row](1))}"}""")
         w.write("\n")
       }
       // files whose column is entirely NULL have no rows above: record an
@@ -1196,7 +1208,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
       val emptyPacked = java.util.Base64.getEncoder
         .encodeToString(new Array[Byte](nWords * 8))
       cur.filterNot(seen).foreach { f =>
-        w.write(s"""{"file":"$f","column":"$colName","m":$m,"k":$k,"packed":"$emptyPacked"}""")
+        w.write(s"""{"file":"$f","column":"$colName","vtype":"$vtype","m":$m,"k":$k,"packed":"$emptyPacked"}""")
         w.write("\n")
       }
     } finally w.close()
@@ -1215,20 +1227,21 @@ class LakeCatalog(spark: SparkSession, root: String) {
     } catch { case _: Throwable => None }
   }
 
-  /** One parsed sidecar line → (file, m, k, words). Accepts the packed
-    * base64 format and the legacy JSON int-list format. */
-  private def parseBloomLine(line: String): Option[(String, String, Int, Int, Array[Long])] =
+  /** One parsed sidecar line → (file, column, vtype, m, k, words). Accepts
+    * the packed base64 format and the legacy JSON int-list format. */
+  private def parseBloomLine(line: String)
+      : Option[(String, String, String, Int, Int, Array[Long])] =
     LakeCatalog.parseBloomLine(line)
 
-  /** All recorded blooms for (table, column): file → (m, k, packed words).
+  /** All recorded blooms for (table, column): file → (vtype, m, k, words).
     * Later lines win (legacy append-era sidecars may carry duplicates). */
   private def fileBlooms(ns: String, table: String,
-                         column: String): Map[String, (Int, Int, Array[Long])] = {
+                         column: String): Map[String, (String, Int, Int, Array[Long])] = {
     val p = bloomsPath(ns, table)
     if (!Files.exists(p)) Map.empty
     else Files.readAllLines(p).asScala.filter(_.nonEmpty)
       .flatMap(parseBloomLine)
-      .collect { case (f, c, m, k, ws) if c == column => f -> (m, k, ws) }
+      .collect { case (f, c, vt, m, k, ws) if c == column => f -> (vt, m, k, ws) }
       .toMap // later lines win (re-index replaces)
   }
 
@@ -1244,7 +1257,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
         .empty[(String, String), (Int, Int, Int)]
       Files.readAllLines(p).asScala.filter(_.nonEmpty)
         .flatMap(parseBloomLine)
-        .foreach { case (f, c, m, k, ws) =>
+        .foreach { case (f, c, _, m, k, ws) =>
           byKey((f, c)) = (m, k, ws.map(java.lang.Long.bitCount).sum)
         }
       byKey.toSeq.map { case ((f, c), (m, k, n)) => (f, c, m, k, n) }
@@ -1256,20 +1269,35 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * absent — blooms never false-negative); files without a recorded bloom
     * are conservatively read. Metadata-only. */
   def bloomPrune(ns: String, table: String, column: String,
-                 value: Long): (Seq[String], Seq[String]) = {
+                 value: Long): (Seq[String], Seq[String]) =
+    bloomPruneHashed(ns, table, column, value, "i")
+
+  /** String-key point lookup (r9): the probe literal hashes through the
+    * SAME portable scalar polyhash the index recorded ("vtype":"s") — the
+    * scattered-key class zone maps can't touch and integral casting would
+    * corrupt. */
+  def bloomPruneString(ns: String, table: String, column: String,
+                       value: String): (Seq[String], Seq[String]) =
+    bloomPruneHashed(ns, table, column,
+      graft.functions.PolyHash.stringHashOf(value), "s")
+
+  /** Point-lookup planning shared by both key classes: a file is skipped
+    * iff its bloom was built under the SAME key normalization (`vtype`) and
+    * PROVES the hashed key absent; vtype mismatches and missing blooms
+    * must-scan — soundness never rests on a probe guessing how the index
+    * hashed. */
+  private def bloomPruneHashed(ns: String, table: String, column: String,
+                               hashed: Long, vtype: String)
+      : (Seq[String], Seq[String]) = {
     val cur = currentFiles(ns, table)
       .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
     val blooms = fileBlooms(ns, table, column)
     val stats = fileStats(ns, table)
     cur.filter(f => stats.get(f).forall(_ > 0)).partition { f =>
       blooms.get(f) match {
-        case Some((m, k, words)) =>
-          val pos = graft.functions.PolyHash.bloomBits(value, m, k)
-          (0 until k).forall { i =>
-            val b = pos.getInt(i)
-            (words(b >> 6) >>> (b & 63) & 1L) == 1L
-          }
-        case None => true // no bloom recorded → must read
+        case Some((vt, m, k, words)) if vt == vtype =>
+          LakeCatalog.bloomMightContain(m, k, words, hashed)
+        case _ => true // no bloom / wrong key normalization → must read
       }
     }
   }
@@ -1280,6 +1308,13 @@ class LakeCatalog(spark: SparkSession, root: String) {
   def loadBloomPruned(ns: String, table: String, column: String,
                       value: Long): DataFrame = {
     val (read, _) = bloomPrune(ns, table, column, value)
+    readFilesDv(ns, table, read, currentVersion(ns, table))
+  }
+
+  /** [[loadBloomPruned]] for string keys ([[bloomPruneString]]). */
+  def loadBloomPrunedString(ns: String, table: String, column: String,
+                            value: String): DataFrame = {
+    val (read, _) = bloomPruneString(ns, table, column, value)
     readFilesDv(ns, table, read, currentVersion(ns, table))
   }
 
@@ -2424,17 +2459,22 @@ class LakeCatalog(spark: SparkSession, root: String) {
 
 object LakeCatalog {
 
-  /** One parsed bloom-sidecar line → (file, column, m, k, words). Accepts
-    * the packed base64 format and the legacy JSON int-list format. Static
-    * so the injected [[graft.plans.ZoneMapPruneRule]] can read the sidecar
-    * without constructing a catalog (the rule sees only a directory). */
-  private[graft] def parseBloomLine(line: String): Option[(String, String, Int, Int, Array[Long])] = {
+  /** One parsed bloom-sidecar line → (file, column, vtype, m, k, words).
+    * `vtype` is the key normalization the index hashed under ("i" integral
+    * value, "s" portable string polyhash; absent = legacy integral).
+    * Accepts the packed base64 format and the legacy JSON int-list format.
+    * Static so the injected [[graft.plans.ZoneMapPruneRule]] can read the
+    * sidecar without constructing a catalog (the rule sees only a
+    * directory). */
+  private[graft] def parseBloomLine(line: String)
+      : Option[(String, String, String, Int, Int, Array[Long])] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     try {
       val j = JsonMethods.parse(line)
       val JString(f) = (j \ "file"): @unchecked
       val JString(c) = (j \ "column"): @unchecked
+      val vt = (j \ "vtype") match { case JString(x) => x; case _ => "i" }
       val JInt(m) = (j \ "m"): @unchecked
       val JInt(k) = (j \ "k"): @unchecked
       val nWords = (m.toInt + 63) / 64
@@ -2454,22 +2494,22 @@ object LakeCatalog {
           case _ => new Array[Long](nWords)
         }
       }
-      Some((f, c, m.toInt, k.toInt, words))
+      Some((f, c, vt, m.toInt, k.toInt, words))
     } catch { case _: Throwable => None }
   }
 
-  /** Parse a whole bloom sidecar: file basename → column → (m, k, words),
-    * later lines winning per (file, column) — the same dedup rule the
-    * catalog's own prune path applies. */
+  /** Parse a whole bloom sidecar: file basename → column → (vtype, m, k,
+    * words), later lines winning per (file, column) — the same dedup rule
+    * the catalog's own prune path applies. */
   private[graft] def bloomSidecar(p: java.nio.file.Path)
-      : Map[String, Map[String, (Int, Int, Array[Long])]] = {
+      : Map[String, Map[String, (String, Int, Int, Array[Long])]] = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty)
       .flatMap(parseBloomLine)
       .groupBy(_._1)
       .map { case (f, lines) =>
         f -> lines.groupBy(_._2)
-          .map { case (c, ls) => c -> { val l = ls.last; (l._3, l._4, l._5) } }
+          .map { case (c, ls) => c -> { val l = ls.last; (l._3, l._4, l._5, l._6) } }
       }
   }
 

@@ -272,13 +272,18 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val box = graft.plans.ZoneMapPruneRule.boxOf(condExpr)
         require(box.nonEmpty,
           "EXPLAIN ROUTE: predicate contributes no range constraint on any column")
+        // per-column route via CboRouteRule.routeOf — the SAME function the
+        // injected planner rule applies to gateway joins, so this verb
+        // reports the decision the planner actually takes (the rule picks
+        // the sharpest-estimated column; single-column predicates, the
+        // common probe, are identical by construction)
         val rows = box.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
           val est = catalog.estimateRange(nsName, table, c, lo, hi)
           val n = catalog.statsRowCount(nsName, table, c)
           val thr = Option(thrOpt).map(_.toLong)
             .orElse(n.map(_ / 5)) // the c_cbo_route default: 20% of rows
           val route = (est, thr) match {
-            case (Some(e), Some(t)) => if (e <= t) "broadcast" else "shuffle"
+            case (Some(e), Some(t)) => graft.plans.CboRouteRule.routeOf(e, t)
             case (None, _) => "shuffle (no histogram — never guess small)"
             case (_, None) => "shuffle (no ANALYZE row count for threshold)"
           }
@@ -307,12 +312,16 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val box = graft.plans.ZoneMapPruneRule.boxOf(condExpr)
         val (zoneSurvivors, zoneDropped) = catalog.pruneFilesBox(nsName, table,
           box.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => (c, lo, hi) })
-        // bloom drops for integral equality conjuncts — the same extra arm
-        // the injected rule applies, reported per column
+        // bloom drops for equality conjuncts — the same extra arm the
+        // injected rule applies, reported per column: integral keys probe
+        // by value, string keys (r9) through the portable polyhash
         val bloomDrops: Seq[(String, Set[String])] =
-          graft.plans.ZoneMapPruneRule.eqLongsOf(condExpr).toSeq.sortBy(_._1)
+          (graft.plans.ZoneMapPruneRule.eqLongsOf(condExpr).toSeq.sortBy(_._1)
             .map { case (c, v) =>
-              c -> catalog.bloomPrune(nsName, table, c, v)._2.toSet }
+              c -> catalog.bloomPrune(nsName, table, c, v)._2.toSet } ++
+           graft.plans.ZoneMapPruneRule.eqStringsOf(condExpr).toSeq.sortBy(_._1)
+            .map { case (c, s) =>
+              c -> catalog.bloomPruneString(nsName, table, c, s)._2.toSet })
             .filter(_._2.nonEmpty)
         val bounds = catalog.fileBounds(nsName, table)
         def detail(f: String): String = {

@@ -207,6 +207,15 @@ object PolyHash {
     if (s >= M) s - M else s
   }
 
+  /** Scalar polynomial hash of one string (seed 0 — the foldString
+    * contract verbatim, the value Dedup.polySql replays in DuckDB). The
+    * key-normalization step string-keyed bloom indexes hash through before
+    * [[bloomBits]]. */
+  def stringHash(s: UTF8String): Long = foldString(0L, s)
+
+  /** Driver-side twin of [[stringHash]] for planning-time probes. */
+  def stringHashOf(s: String): Long = stringHash(UTF8String.fromString(s))
+
   /** The k bloom-filter bit positions of a BIGINT key: permutations
     * 128..128+k−1 of the family (disjoint from the minhash range), each
     * reduced mod mBits. Portable: a SQL engine reproduces the positions
@@ -317,6 +326,9 @@ object Poly {
   def bloomBits(v: Column, mBits: Int, k: Int): Column =
     GraftBridge.column(BloomBits(GraftBridge.expression(v), mBits, k))
 
+  def stringHash(s: Column): Column =
+    GraftBridge.column(PolyStringHash(GraftBridge.expression(s)))
+
   def bandSigs(m: Column, bandRows: Int): Column =
     GraftBridge.column(PolyBandSigs(GraftBridge.expression(m), bandRows))
 
@@ -354,6 +366,30 @@ case class PolyMinHashArray(child: Expression, nPerm: Int) extends UnaryExpressi
   }
 
   override protected def withNewChildInternal(newChild: Expression): PolyMinHashArray =
+    copy(child = newChild)
+}
+
+/** Scalar string polyhash — one codegen call (the bloom-index key
+  * normalization for string columns; DuckDB replays it via the same
+  * HUGEINT fold Dedup.polySql emits). */
+case class PolyStringHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"poly_string_hash expects a string, got ${child.dataType.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_string_hash"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PolyHash.stringHash(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PolyHash$$.MODULE$$.stringHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyStringHash =
     copy(child = newChild)
 }
 

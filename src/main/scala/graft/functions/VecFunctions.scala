@@ -201,5 +201,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // to fire only on single-dir parquet relations with a _filestats.json
     // sidecar, so foreign datasets are untouched
     ext.injectOptimizerRule(s => graft.plans.ZoneMapPruneRule(s))
+    // stats-sidecar join routing (broadcast vs shuffle from ANALYZE +
+    // histogram metadata — the catalog CBO reaching the planner); guarded
+    // to fire only on filtered scans of analyzed graft tables
+    ext.injectOptimizerRule(s => graft.plans.CboRouteRule(s))
   }
 }

@@ -83,6 +83,142 @@ object CatalogOps9 {
       |   WHERE c.c_acctbal >= 0.0 AND c.c_acctbal < 8000.0) AS rev_wide,
       |  true AS estimates_ordered""".stripMargin
 
+  /** The r8 op above proves the ROUTING MATH; this one proves the PLANNER
+    * USES IT ([[graft.plans.CboRouteRule]], VERDICT r8 "What's wrong" #2):
+    * two plain gateway SELECTs — no author hints anywhere — join a probe
+    * table against the analyzed dimension under a narrow and a wide balance
+    * predicate, and the physical join strategy each ACTUALLY PLANS is read
+    * back from its executed plan and carried in the hashed output. Narrow
+    * (est ≈ 9% of rows < 20% threshold) must plan BroadcastHashJoin; wide
+    * (est ≈ 73%) must plan SortMergeJoin — the latter is the sharp half of
+    * the proof, because at test scale Spark's own size guess would happily
+    * broadcast the whole dimension: only the injected rule's SHUFFLE_MERGE
+    * pin explains a shuffle there. `decisions_agree` additionally pins that
+    * the recorded planner decisions match what EXPLAIN ROUTE reports from
+    * the same sidecars (single decision function, CboRouteRule.routeOf).
+    * Results are route-invariant; both aggregates hash-gate against the
+    * direct DuckDB join. */
+  def cCboPlanner(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CboRouteRule
+    val cat = new LakeCatalog(spark, scratch)
+    val gw = new graft.catalog.SqlGateway(spark, cat)
+    cat.dropTable("scratch", "cust_cbop")
+    cat.createTable("scratch", "cust_cbop", StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_acctbal", DoubleType))))
+    cat.append("scratch", "cust_cbop",
+      Tables.table(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal")))
+    cat.analyzeTable("scratch", "cust_cbop", Seq("c_acctbal"))
+    cat.analyzeHistogram("scratch", "cust_cbop", "c_acctbal")
+    cat.dropTable("scratch", "ord_cbop")
+    cat.createTable("scratch", "ord_cbop", StructType(Seq(
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType))))
+    cat.append("scratch", "ord_cbop",
+      Tables.table(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice")))
+    def probe(hi: Double): (DataFrame, String) = {
+      val df = gw.execute(
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS rev
+           |FROM ord_cbop o JOIN cust_cbop c ON c.c_custkey = o.o_custkey
+           |WHERE c.c_acctbal >= 0.0 AND c.c_acctbal < $hi""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      val strat =
+        if (plan.contains("BroadcastHashJoin")) "broadcast"
+        else if (plan.contains("SortMergeJoin")) "shuffle" else "other"
+      (df, strat)
+    }
+    CboRouteRule.clearApplied()
+    val (dfN, stratN) = probe(1000.0)
+    val (dfW, stratW) = probe(8000.0)
+    // the decisions the planner recorded vs the verb's report — same
+    // sidecars, same routeOf, must agree
+    val routesTaken = CboRouteRule.lastApplied.map(d => (d.column, d.route)).distinct
+    val explained = Seq(1000.0, 8000.0).map { hi =>
+      gw.execute(s"EXPLAIN ROUTE scratch.cust_cbop WHERE c_acctbal >= 0.0 AND c_acctbal < $hi")
+        .select("route").head().getString(0)
+    }
+    val agree = routesTaken.toSet == Set(("c_acctbal", "broadcast"), ("c_acctbal", "shuffle")) &&
+      explained == Seq("broadcast", "shuffle")
+    dfN.select(col("n").as("rows_narrow"), col("rev").as("rev_narrow"))
+      .crossJoin(broadcast(dfW.select(col("n").as("rows_wide"), col("rev").as("rev_wide"))))
+      .select(
+        lit(stratN).as("planned_narrow"), col("rows_narrow"), col("rev_narrow"),
+        lit(stratW).as("planned_wide"), col("rows_wide"), col("rev_wide"),
+        lit(agree).as("decisions_agree"))
+  }
+
+  val cCboPlannerSql: String =
+    """SELECT
+      |  'broadcast' AS planned_narrow,
+      |  (SELECT COUNT(*) FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |   WHERE c.c_acctbal >= 0.0 AND c.c_acctbal < 1000.0) AS rows_narrow,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+      |   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |   WHERE c.c_acctbal >= 0.0 AND c.c_acctbal < 1000.0) AS rev_narrow,
+      |  'shuffle' AS planned_wide,
+      |  (SELECT COUNT(*) FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |   WHERE c.c_acctbal >= 0.0 AND c.c_acctbal < 8000.0) AS rows_wide,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+      |   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |   WHERE c.c_acctbal >= 0.0 AND c.c_acctbal < 8000.0) AS rev_wide,
+      |  true AS decisions_agree""".stripMargin
+
+  /** String-keyed bloom skipping (r9 — c_bloom_skip's sibling for the key
+    * class zone maps can NEVER answer): `c_name` point lookups over a
+    * table clustered on `c_acctbal`. Zone maps only cover numeric columns,
+    * and a string key's file placement is uncorrelated with any numeric
+    * clustering — doc ids, urls, uuids at 100 TB. The index
+    * ([[LakeCatalog.recordBlooms]]) hashes strings through the PORTABLE
+    * scalar polyhash and tags its lines "vtype":"s"; probes re-hash their
+    * literal the same way ([[LakeCatalog.bloomPruneString]]) and a vtype
+    * mismatch must-scans (soundness never rests on guessing the key
+    * normalization). Probe 1: the first customer's name (present — the
+    * clustered layout puts it in a strict file subset); probe 2: an absent
+    * name (every file a true negative). The aggregate is computed FROM the
+    * bloom-pruned scan, so prune soundness is hash-gated, not asserted.
+    *
+    * ORACLE CONTRACT (the c_bloom_skip discipline): `8 AS files_total` =
+    * the numFiles below; `8 AS absent_skip_margin` requires all 8 files to
+    * true-negative the absent name — recordBlooms' 32-bits-per-key sizing
+    * pins the per-file FP rate ≈ 2e-4 at any scale; `true AS
+    * bloom_effective` = clustering scatters ~one name per file subset.
+    * Verified empirically at sf0.001/0.01/0.1; re-derive if the recipe
+    * changes. */
+  def cBloomString(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val c = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    cat.dropTable("scratch", "cust_sbloom")
+    cat.createTable("scratch", "cust_sbloom", StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType))),
+      sortOrder = Seq("c_acctbal asc"))
+    cat.appendClustered("scratch", "cust_sbloom", c, Seq("c_acctbal"), numFiles = 8)
+    cat.recordBlooms("scratch", "cust_sbloom", "c_name")
+    // deterministic, SQL-expressible probe: the minimum custkey's name
+    val probe = c.orderBy("c_custkey").select("c_name").limit(1)
+      .collect()(0).getString(0) // one scalar — metadata-scale
+    val (readP, skipP) = cat.bloomPruneString("scratch", "cust_sbloom", "c_name", probe)
+    val (readA, skipA) = cat.bloomPruneString("scratch", "cust_sbloom", "c_name",
+      "Customer#no-such-row")
+    cat.loadBloomPrunedString("scratch", "cust_sbloom", "c_name", probe)
+      .where(col("c_name") === probe) // row-level predicate still applies
+      .agg(count(lit(1)).as("n"),
+        Tables.dsum(col("c_acctbal")).as("bal"),
+        lit(readP.size + skipP.size).as("files_total"),
+        lit(skipA.size - readA.size).as("absent_skip_margin"),
+        lit(skipP.nonEmpty).as("bloom_effective"))
+  }
+
+  val cBloomStringSql: String =
+    """WITH probe AS (
+      |  SELECT c_name FROM customer ORDER BY c_custkey LIMIT 1)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS bal,
+      |  8 AS files_total, 8 AS absent_skip_margin, true AS bloom_effective
+      |FROM customer JOIN probe USING (c_name)""".stripMargin
+
   /** WAP audit diff on a DIVERGED table ([[LakeCatalog.branchDiff]]): the
     * base slice lands on main, the next ingest is staged on an `audit`
     * branch, and main then moves forward independently — the exact state
@@ -127,9 +263,13 @@ object CatalogOps9 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_cbo_route" -> (cCboRoute _),
+    "c_cbo_planner" -> (cCboPlanner _),
+    "c_bloom_string" -> (cBloomString _),
     "c_branch_diff" -> (cBranchDiff _))
 
   val oracles: Map[String, String] = Map(
     "c_cbo_route" -> cCboRouteSql,
+    "c_cbo_planner" -> cCboPlannerSql,
+    "c_bloom_string" -> cBloomStringSql,
     "c_branch_diff" -> cBranchDiffSql)
 }

@@ -629,7 +629,106 @@ object Graph {
       |CROSS JOIN m
       |ORDER BY nn.com""".stripMargin
 
+  /** Conductance of the NATION partition on the co-supply graph (r9 —
+    * [[qModularity]]'s cut-based sibling: modularity judges a partition
+    * against the configuration-model NULL, conductance judges each
+    * community's BOUNDARY — cut edges over min(vol, 2m−vol), the bottleneck
+    * score sparsest-cut / community-quality pipelines threshold on). Exact
+    * integer ppm end-to-end; same one-pass shape as modularity: edges ⋈
+    * nation twice, two map-side-combined aggregates, one-row m broadcast.
+    * Communities appear iff they hold ≥1 edge endpoint (vol > 0), so the
+    * denominator is never 0 on a partitioned graph. */
+  def qConductance(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(spark, dir)
+    val nat = Tables.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("com"))
+    conductanceOf(edges, nat)
+  }
+
+  /** Conductance over arbitrary (lo, hi) edges and (s_suppkey, com) labels
+    * — GraphPropSpec sweeps random partitions against an in-memory
+    * reference. */
+  private[graft] def conductanceOf(edges: DataFrame, nat: DataFrame): DataFrame = {
+    val tagged = edges
+      .join(nat.select(col("s_suppkey").as("lo"), col("com").as("clo")), "lo")
+      .join(nat.select(col("s_suppkey").as("hi"), col("com").as("chi")), "hi")
+    val m = tagged.agg(count(lit(1)).cast("long").as("m"))
+    val cut = tagged.where(col("clo") =!= col("chi"))
+    val cutC = cut.select(col("clo").as("com"))
+      .union(cut.select(col("chi").as("com")))
+      .groupBy("com").agg(count(lit(1)).as("cut_edges"))
+    val vol = tagged.select(col("clo").as("com"))
+      .union(tagged.select(col("chi").as("com")))
+      .groupBy("com").agg(count(lit(1)).as("volume"))
+    vol.join(cutC, Seq("com"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("com"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        col("volume"),
+        expr("(1000000 * coalesce(cut_edges, 0)) div least(volume, 2 * m - volume)")
+          .as("conductance_ppm"))
+      .orderBy("com")
+  }
+
+  val qConductanceSql: String =
+    s"""WITH ${coSupplyCteSql()},
+      |nat AS (SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS com FROM supplier),
+      |tagged AS MATERIALIZED (
+      |  SELECT e.lo, e.hi, nl.com AS clo, nh.com AS chi
+      |  FROM edges e JOIN nat nl ON nl.s_suppkey = e.lo
+      |               JOIN nat nh ON nh.s_suppkey = e.hi),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM tagged),
+      |cutc AS (SELECT com, CAST(COUNT(*) AS BIGINT) AS cut_edges FROM (
+      |           SELECT clo AS com FROM tagged WHERE clo <> chi
+      |           UNION ALL SELECT chi FROM tagged WHERE clo <> chi) GROUP BY 1),
+      |vol AS (SELECT com, CAST(COUNT(*) AS BIGINT) AS volume FROM (
+      |          SELECT clo AS com FROM tagged
+      |          UNION ALL SELECT chi FROM tagged) GROUP BY 1)
+      |SELECT v.com, COALESCE(c.cut_edges, 0) AS cut_edges, v.volume,
+      |  (1000000 * COALESCE(c.cut_edges, 0)) // LEAST(v.volume, 2 * m.m - v.volume) AS conductance_ppm
+      |FROM vol v LEFT JOIN cutc c ON c.com = v.com
+      |CROSS JOIN m
+      |ORDER BY v.com""".stripMargin
+
+  /** Degree distribution of the co-supply graph (r9): the histogram
+    * (degree, node count) plus the cumulative node fraction — THE hub
+    * telemetry every graph op's skew guard is sized from (the wedge-join
+    * family's maxMidDegree dial, the O(√m) orientation bound). One
+    * map-side-combined degree aggregate; the cumulative runs over
+    * HISTOGRAM rows only (distinct degrees — bounded by max degree, never
+    * node count: the audited two-level shape). Exact integers end-to-end. */
+  def qDegreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coSupplyEdges(spark, dir)
+    val deg = edges.select(col("lo").as("id"))
+      .union(edges.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum("n_nodes").cast("long").as("t"))
+    // default RANGE frame; histogram degrees are distinct so no peer rows
+    val w = org.apache.spark.sql.expressions.Window.orderBy("degree")
+    hist
+      .withColumn("cum", sum("n_nodes").over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("degree"), col("n_nodes"),
+        expr("(1000000 * cum) div t").as("cum_nodes_ppm"))
+      .orderBy("degree")
+  }
+
+  val qDegreeDistributionSql: String =
+    s"""WITH ${coSupplyCteSql()},
+      |deg AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      |    SELECT lo AS id FROM edges UNION ALL SELECT hi FROM edges) GROUP BY 1),
+      |hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |         FROM deg GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS t FROM hist)
+      |SELECT degree, n_nodes,
+      |  (1000000 * SUM(n_nodes) OVER (ORDER BY degree)) // t AS cum_nodes_ppm
+      |FROM hist, tot ORDER BY degree""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conductance" -> (qConductance _),
+    "q_degree_distribution" -> (qDegreeDistribution _),
     "q_pagerank" -> (qPagerank _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_bfs_layers" -> (qBfsLayers _),
@@ -639,6 +738,8 @@ object Graph {
     "q_modularity" -> (qModularity _))
 
   val oracles: Map[String, String] = Map(
+    "q_conductance" -> qConductanceSql,
+    "q_degree_distribution" -> qDegreeDistributionSql,
     "q_pagerank" -> qPagerankSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_bfs_layers" -> qBfsLayersSql,

@@ -72,21 +72,34 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val sidecar = dir.resolveSibling(s"${dir.getFileName}_filestats.json")
     if (!Files.exists(sidecar)) return f
     val box = ZoneMapPruneRule.boxOf(cond)
-    // bloom skipping for integral equality conjuncts (the puffin-blob
-    // analog): a clustered layout zone-prunes ranges but cannot prune a
-    // SCATTERED key — the bloom sidecar proves per-file absence. Only
-    // integral columns participate (the index hashes cast-to-long values;
-    // equality through a lossy cast would be unsound).
+    // bloom skipping for equality conjuncts (the puffin-blob analog): a
+    // clustered layout zone-prunes ranges but cannot prune a SCATTERED key
+    // — the bloom sidecar proves per-file absence. Integral columns probe
+    // by value ("i" indexes — equality through a lossy cast would be
+    // unsound, so only lossless-integral literals participate); STRING
+    // columns (r9) probe by the portable scalar polyhash ("s" indexes —
+    // doc ids, urls, uuids: the key class that is NEVER range-prunable).
+    // The probe carries its key normalization and a file only prunes when
+    // its recorded vtype matches.
     val integralCols = rel.dataSchema.fields.collect {
       case sf if sf.dataType == org.apache.spark.sql.types.LongType ||
                  sf.dataType == org.apache.spark.sql.types.IntegerType => sf.name
     }.toSet
-    val eqs = ZoneMapPruneRule.eqLongsOf(cond).filter { case (c, _) => integralCols(c) }
+    val stringCols = rel.dataSchema.fields.collect {
+      case sf if sf.dataType == org.apache.spark.sql.types.StringType => sf.name
+    }.toSet
+    // column → (hashed probe key, required vtype)
+    val eqs: Map[String, (Long, String)] =
+      ZoneMapPruneRule.eqLongsOf(cond).collect {
+        case (c, v) if integralCols(c) => c -> (v, "i") } ++
+      ZoneMapPruneRule.eqStringsOf(cond).collect {
+        case (c, s) if stringCols(c) =>
+          c -> (graft.functions.PolyHash.stringHashOf(s), "s") }
     val bloomSidecarPath = dir.resolveSibling(s"${dir.getFileName}_blooms.json")
     val blooms =
       if (eqs.nonEmpty && Files.exists(bloomSidecarPath))
         graft.catalog.LakeCatalog.bloomSidecar(bloomSidecarPath)
-      else Map.empty[String, Map[String, (Int, Int, Array[Long])]]
+      else Map.empty[String, Map[String, (String, Int, Int, Array[Long])]]
     if (box.isEmpty && blooms.isEmpty) return f
     val bounds = sidecarBounds(sidecar)
     val files = rel.location.inputFiles
@@ -103,11 +116,11 @@ case class ZoneMapPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => true // file unknown to the sidecar: must-scan
       }
       val bloomPass = blooms.get(name) match {
-        case Some(cols) => eqs.forall { case (column, v) =>
+        case Some(cols) => eqs.forall { case (column, (hashed, want)) =>
           cols.get(column) match {
-            case Some((m, k, words)) =>
-              graft.catalog.LakeCatalog.bloomMightContain(m, k, words, v)
-            case None => true // column not indexed in this file: must-scan
+            case Some((vt, m, k, words)) if vt == want =>
+              graft.catalog.LakeCatalog.bloomMightContain(m, k, words, hashed)
+            case _ => true // not indexed / wrong normalization: must-scan
           }
         }
         case None => true // file has no blooms: must-scan
@@ -226,6 +239,25 @@ object ZoneMapPruneRule {
     conjuncts(cond).flatMap {
       case EqualTo(a: AttributeReference, l: Literal) => intLong(l).map(a.name -> _)
       case EqualTo(l: Literal, a: AttributeReference) => intLong(l).map(a.name -> _)
+      case _ => None
+    }.toMap
+  }
+
+  /** `col = '<string literal>'` AND-conjuncts of `cond` — the class the
+    * string-keyed ("vtype":"s") bloom sidecars answer (r9). */
+  def eqStringsOf(cond: Expression): Map[String, String] = {
+    def strOf(l: Literal): Option[String] = l.value match {
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    conjuncts(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) => strOf(l).map(a.name -> _)
+      case EqualTo(l: Literal, a: AttributeReference) => strOf(l).map(a.name -> _)
       case _ => None
     }.toMap
   }

@@ -287,7 +287,13 @@ object StreamOps {
     * from the normalized text, i.e. from the fingerprint itself), so the
     * result is independent of WHICH duplicate copy the stream kept —
     * that's what makes batch ≡ stream hold exactly. */
-  def curateDocs(df: DataFrame): DataFrame = {
+  /** The stateless per-doc curation gates alone (r9 factoring): language,
+    * quality, PII and repetition filters with the content fingerprint and
+    * token count ATTACHED — every input column (doc_id, text, …) survives,
+    * so downstream stages keep composing (StreamOps4's near-duplicate
+    * screen needs the text to shingle). Pure column algebra — stream-safe
+    * with no state, no shuffle. */
+  def gateDocs(df: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val nChars = length(col("text")).cast("double")
     val nTokens = size(split(norm, " ")).cast("double")
@@ -306,14 +312,18 @@ object StreamOps {
       size(regexp_extract_all(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))) +
         size(regexp_extract_all(col("text"), lit("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"), lit(0))) +
         size(regexp_extract_all(col("text"), lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit(0)))
-    val gated = df
-      .where(col("lang").isin("en", "fr"))
+    df.where(col("lang").isin("en", "fr"))
       .withColumn("quality", quality)
       .withColumn("rep", rep)
       .withColumn("n_pii", nPii)
       .where(col("quality") >= 0.55 && col("n_pii") === 0 && col("rep") <= 0.6)
-      .select(col("event_time"), md5(norm).as("fp"),
-        size(split(norm, " ")).cast("long").as("n_tok"))
+      .drop("quality", "rep", "n_pii")
+      .withColumn("fp", md5(norm))
+      .withColumn("n_tok", size(split(norm, " ")).cast("long"))
+  }
+
+  def curateDocs(df: DataFrame): DataFrame = {
+    val gated = gateDocs(df).select(col("event_time"), col("fp"), col("n_tok"))
     if (gated.isStreaming)
       gated.withWatermark("event_time", "10 minutes")
         .dropDuplicatesWithinWatermark("fp")

@@ -106,6 +106,36 @@ class GraphPropSpec extends SparkSpec {
     }
   }
 
+  test("conductance ≡ in-memory reference on random partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (t <- 1 to 6) {
+      val n = 10 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      val coms = (0L until n).map(i => (i, rnd.nextInt(3).toLong))
+      if (edges.nonEmpty) {
+        val comMap = coms.toMap
+        val m = edges.size.toLong
+        val vol = (edges.map(_._1) ++ edges.map(_._2))
+          .groupBy(comMap).view.mapValues(_.size.toLong).toMap
+        val cut = (edges.filter(e => comMap(e._1) != comMap(e._2))
+          .flatMap(e => Seq(comMap(e._1), comMap(e._2))))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val ref = vol.keys.toSeq.sorted.map { c =>
+          val cc = cut.getOrElse(c, 0L); val v = vol(c)
+          (c, cc, v, 1000000L * cc / math.min(v, 2 * m - v))
+        }
+        val got = ops.Graph.conductanceOf(edges.toDF("lo", "hi"),
+            coms.toDF("s_suppkey", "com")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+        assert(got == ref, s"trial $t:\n got $got\n ref $ref")
+      }
+    }
+  }
+
   test("sssp ≡ in-memory Bellman-Ford on 10 seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(47)

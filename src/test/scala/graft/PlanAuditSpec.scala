@@ -86,7 +86,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_theil_sen",     // same calendar-bounded |days|² day-pair BNLJ
     "c_add_files",     // one-row adopted-file-count broadcast onto the count row
     "s_pca_power",     // one-row k×d component-matrix broadcast onto the corpus scan
-    "c_cbo_route"      // one-row narrow-agg × wide-agg assembly row
+    "c_cbo_route",     // one-row narrow-agg × wide-agg assembly row
+    "c_cbo_planner",   // same one-row assembly over the planner-routed probes
+    "q_conductance",   // one-row edge-count broadcast onto the community rows
+    "q_degree_distribution" // one-row node-total broadcast onto histogram rows
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
@@ -114,7 +117,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_seasonal_decompose", // centered 7-day window over per-DAY aggregate rows
     "q_theil_sen",     // median-rank windows over the calendar-bounded |days|²
                        //   day-pair frame (both inputs per-DAY aggregates)
-    "q_harmonic_centrality" // row_number over a post-limit(20) frame
+    "q_harmonic_centrality", // row_number over a post-limit(20) frame
+    "q_degree_distribution" // cumulative over DEGREE-histogram aggregate rows
   )
 
   // one planning pass over the whole surface, shared by every assertion

@@ -237,6 +237,156 @@ class Round9Spec extends SparkSpec {
     cat.dropTable("scratch", "gw_ok")
   }
 
+  // ----------------------------------------------- string-keyed bloom skip
+
+  test("string-key blooms: zone maps prune 0, blooms prune N, rule + verb agree") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, scratch)
+    val gw = new SqlGateway(spark, cat)
+    cat.dropTable("scratch", "sb_spec")
+    cat.createTable("scratch", "sb_spec", StructType(Seq(
+      StructField("name", StringType), StructField("v", LongType))))
+    // SCATTERED string keys: round-robin layout, names uncorrelated with
+    // any numeric bounds — the class only a string bloom can prune
+    cat.append("scratch", "sb_spec",
+      (1L to 8000L).map(i => (s"user-$i", i)).toDF("name", "v").repartition(8))
+    gw.execute("CREATE BLOOM INDEX ON scratch.sb_spec (name)")
+    // zone maps know nothing about string columns: 0 pruned
+    val (_, zoneDropped) = cat.pruneFiles("scratch", "sb_spec", "name", 0.0, 0.0)
+    assert(zoneDropped.isEmpty, "zone maps cannot prune string keys")
+    // API probe: present key reads a strict subset; absent key skips all 8
+    val (readP, skipP) = cat.bloomPruneString("scratch", "sb_spec", "name", "user-42")
+    assert(skipP.nonEmpty && readP.nonEmpty,
+      s"present-key probe did not prune: read ${readP.size}, skip ${skipP.size}")
+    val (readA, skipA) = cat.bloomPruneString("scratch", "sb_spec", "name", "no-such")
+    assert(readA.isEmpty && skipA.size == 8,
+      s"absent-key probe left ${readA.size} files unproven")
+    // the injected rule prunes a plain parquet read on a string equality
+    val dirPath = s"$scratch/scratch/sb_spec"
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s.relation.location.inputFiles.length
+      }.sum
+    val total = scannedFiles(spark.read.parquet(dirPath))
+    val ruled = spark.read.parquet(dirPath).where(col("name") === "user-42")
+    assert(scannedFiles(ruled) < total,
+      s"rule's string-bloom arm did not prune (${scannedFiles(ruled)} of $total)")
+    assert(ruled.count() == 1L, "string-bloom pruning changed the result")
+    val absent = spark.read.parquet(dirPath).where(col("name") === "no-such")
+    assert(scannedFiles(absent) == 1, "absent string key should keep 1 survivor")
+    assert(absent.count() == 0L)
+    // EXPLAIN PRUNING reports the same decisions on a string predicate
+    val verb = gw.execute(
+      "EXPLAIN PRUNING scratch.sb_spec WHERE name = 'no-such'").collect()
+    val pruned = verb.count(_.getAs[String]("action") == "pruned")
+    assert(pruned == 8,
+      s"verb pruned $pruned files, expected 8: ${verb.mkString(";").take(300)}")
+    assert(verb.exists(r => Option(r.getAs[String]("detail"))
+        .exists(_.contains("bloom(name): key absent"))),
+      "verb detail does not name the string-bloom drop")
+    cat.dropTable("scratch", "sb_spec")
+  }
+
+  // ---------------------------------------- CBO routing reaches the planner
+
+  test("a gateway SELECT flips join strategy across the selectivity threshold") {
+    import graft.plans.CboRouteRule
+    val df = graft.ops.CatalogOps9.cCboPlanner(spark, sfDir)
+    val row = df.head()
+    assert(row.getAs[String]("planned_narrow") == "broadcast",
+      "narrow predicate did not plan a broadcast join")
+    assert(row.getAs[String]("planned_wide") == "shuffle",
+      "wide predicate did not plan a shuffle join — the rule's SHUFFLE_MERGE " +
+        "pin is not reaching the planner (size-guess would broadcast here)")
+    assert(row.getAs[Boolean]("decisions_agree"),
+      "planner-recorded decisions diverge from EXPLAIN ROUTE's report")
+    // route-invariance: the routed results equal the direct unrouted join
+    val cust = Tables.table(spark, sfDir, "customer")
+    val ords = Tables.table(spark, sfDir, "orders")
+    def direct(hi: Double) = ords.join(cust,
+        col("c_custkey") === col("o_custkey") &&
+          col("c_acctbal") >= 0.0 && col("c_acctbal") < hi)
+      .agg(count(lit(1))).head().getLong(0)
+    assert(row.getAs[Long]("rows_narrow") == direct(1000.0))
+    assert(row.getAs[Long]("rows_wide") == direct(8000.0))
+    // the rule leaves un-analyzed (foreign) joins untouched: no recorded
+    // decision for a plain testdata join
+    CboRouteRule.clearApplied()
+    ords.join(cust, col("c_custkey") === col("o_custkey"))
+      .where(col("c_acctbal") >= 0.0)
+      .agg(count(lit(1))).head()
+    assert(CboRouteRule.lastApplied.isEmpty,
+      "CboRouteRule fired on a table with no stats sidecars")
+  }
+
+  // --------------------------------- continuous curation: the near-dup seam
+
+  test("streamed curation catches planted near-dups at the batch seam") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_ndseam_wh"
+    val whDir = java.nio.file.Paths.get(wh)
+    if (java.nio.file.Files.exists(whDir)) {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(whDir)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    val cat = new LakeCatalog(spark, wh)
+    cat.createTable("scratch", "nd_idx", StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("sig", LongType))))
+    cat.createTable("scratch", "nd_verdicts", StructType(Seq(
+      StructField("doc_id", LongType), StructField("fp", StringType),
+      StructField("n_tok", LongType), StructField("admitted", BooleanType))))
+    val a = "the quick brown fox jumps over the lazy dog while the sun is " +
+      "setting and the birds of the valley sing to the wind in a calm " +
+      "evening of early autumn light"
+    val b = "a gentle river flows through the old town and the people walk " +
+      "to the market in the morning to buy bread and fruit while it is " +
+      "still cool under the tall trees"
+    val aNear = a.replace("early autumn light", "late summer glow") // paraphrase of a
+    val d = "the engineers of the station check the long tables of numbers " +
+      "and it is the duty of each one to confirm that the readings agree " +
+      "with the plan of the day"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamOps4.curateStream(
+      mem.toDF().toDF("doc_id", "text", "lang")
+        .withColumn("event_time", timestamp_seconds(col("doc_id"))),
+      cat, "scratch", "nd_idx", "nd_verdicts")
+    // batch 1: two originals
+    mem.addData(Seq((10L, a, "en"), (20L, b, "en")))
+    q.processAllAvailable()
+    // batch 2: a paraphrase of doc 10 (near-dup: must quarantine), a novel
+    // doc (admit), and an EXACT copy of doc 20 (the watermarked exact-dedup
+    // drops it before the screen — no verdict row at all)
+    mem.addData(Seq((30L, aNear, "en"), (40L, d, "en"), (50L, b, "en")))
+    q.processAllAvailable()
+    q.stop()
+    val verdicts = cat.load("scratch", "nd_verdicts")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verdicts == Map(10L -> true, 20L -> true, 30L -> false, 40L -> true),
+      s"seam verdicts wrong: $verdicts")
+    // the paraphrase was caught against the STREAM-ADMITTED doc's
+    // signatures — the index grew at the seam (continuous, not one-shot)
+    assert(cat.load("scratch", "nd_idx")
+      .select("doc_id").distinct().count() == 3,
+      "admitted docs' signatures did not join the index")
+    // batch ≡ stream at the seam: the batch composition over batch 2's
+    // NOVEL docs, screened against the index as the stream saw it (docs 10
+    // and 20 admitted), reproduces the stream's verdicts exactly
+    val batchV = graft.streaming.StreamOps4.curateNearDup(
+      Seq((30L, aNear, "en"), (40L, d, "en")).toDF("doc_id", "text", "lang")
+        .withColumn("event_time", timestamp_seconds(col("doc_id"))),
+      cat.load("scratch", "nd_idx").where(col("doc_id").isin(10L, 20L)))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(batchV.size == 2 && batchV.values.toSeq.sorted == Seq(false, true),
+      s"batch composition disagrees with the stream seam: $batchV")
+    cat.dropTable("scratch", "nd_idx")
+    cat.dropTable("scratch", "nd_verdicts")
+  }
+
   // ------------------------------------------- MV refresh durability + CAS
 
   test("refreshMv checkpoints batch ids and the merge carries the CAS base") {
