@@ -457,15 +457,34 @@ class LakeCatalog(spark: SparkSession, root: String) {
   /** Range-selectivity estimate for `lo <= colName < hi` from the banded
     * equi-height histogram sidecar ([[analyzeHistogram]]): Σ over buckets of
     * rows × overlap fraction, uniform-within-bucket — the classic CBO
-    * estimator. Metadata only; None when no histogram is recorded. */
+    * estimator. Metadata only; None when no histogram is recorded.
+    *
+    * STALE-STATS EXTRAPOLATION (r9): appends after ANALYZE leave the
+    * histogram describing yesterday's table; a broadcast decision sized
+    * from it under-counts by the growth factor — at 100 TB an append-heavy
+    * dimension can double between ANALYZE runs and a "small" build side
+    * quietly isn't. The estimate therefore scales by (current manifest
+    * rows / analyzed rows) — BOTH metadata ([[countStar]] sums footer
+    * counts recorded at commit; no scan) — so absolute estimates track
+    * table growth under the proportional-growth assumption (same value
+    * distribution, more of it: the common append pattern). A re-ANALYZE
+    * resets the factor to 1. Tables without full manifest stats (foreign
+    * dirs) skip the scaling. */
   def estimateRange(ns: String, table: String, colName: String,
                     lo: Double, hi: Double): Option[Long] = {
     val h = showHistogram(ns, table, colName)
     if (h.isEmpty) None
-    else Some(h.map { case (_, blo, bhi, rows) =>
-      val ov = math.max(0.0, math.min(bhi, hi) - math.max(blo, lo))
-      if (bhi > blo) rows * ov / (bhi - blo) else 0.0
-    }.sum.round)
+    else {
+      val raw = h.map { case (_, blo, bhi, rows) =>
+        val ov = math.max(0.0, math.min(bhi, hi) - math.max(blo, lo))
+        if (bhi > blo) rows * ov / (bhi - blo) else 0.0
+      }.sum
+      val grow = (for {
+        cur <- countStar(ns, table)
+        n <- statsRowCount(ns, table, colName) if n > 0
+      } yield cur.toDouble / n).getOrElse(1.0)
+      Some((raw * grow).round)
+    }
   }
 
   /** STATS-ROUTED equi-join — the hop that turns the sidecar statistics

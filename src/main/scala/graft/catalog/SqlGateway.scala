@@ -280,8 +280,10 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val rows = box.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
           val est = catalog.estimateRange(nsName, table, c, lo, hi)
           val n = catalog.statsRowCount(nsName, table, c)
+          // 20% of the dim's CURRENT manifest rows (falls back to the
+          // analyzed count) — matches CboRouteRule.decide exactly
           val thr = Option(thrOpt).map(_.toLong)
-            .orElse(n.map(_ / 5)) // the c_cbo_route default: 20% of rows
+            .orElse(n.map(a => catalog.countStar(nsName, table).getOrElse(a) / 5))
           val route = (est, thr) match {
             case (Some(e), Some(t)) => graft.plans.CboRouteRule.routeOf(e, t)
             case (None, _) => "shuffle (no histogram — never guess small)"

@@ -100,7 +100,12 @@ object CatalogOps9 {
     * direct DuckDB join. */
   def cCboPlanner(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.CboRouteRule
-    val cat = new LakeCatalog(spark, scratch)
+    // dedicated warehouse: the gateway SELECT path registers a view per
+    // catalog table, and the SHARED scratch warehouse accumulates dozens
+    // from other ops — 2 SELECTs × ~40 loadRenamed footer reads measured
+    // 16 s warm at sf0.1. The op's own two tables keep registration O(1).
+    val cat = new LakeCatalog(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_cbop_wh")
     val gw = new graft.catalog.SqlGateway(spark, cat)
     cat.dropTable("scratch", "cust_cbop")
     cat.createTable("scratch", "cust_cbop", StructType(Seq(
@@ -163,6 +168,75 @@ object CatalogOps9 {
       |   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       |   WHERE c.c_acctbal >= 0.0 AND c.c_acctbal < 8000.0) AS rev_wide,
       |  true AS decisions_agree""".stripMargin
+
+  /** Stale-statistics extrapolation (r9 — the CBO-hygiene hole every
+    * append-heavy dimension falls into: ANALYZE ran yesterday, the table
+    * doubled overnight, and a "small" filtered build side quietly isn't).
+    * [[LakeCatalog.estimateRange]] scales its histogram estimate by
+    * (current manifest rows / analyzed rows) — both metadata — so absolute
+    * estimates track growth without a re-ANALYZE. The op pins the behavior
+    * end-to-end: ANALYZE on HALF of customer, route a fixed-absolute-
+    * threshold probe (broadcast — the slice fits the budget), then append
+    * the second half WITHOUT re-analyzing and route the SAME probe again —
+    * the extrapolated estimate (~2×) now exceeds the absolute budget and
+    * the route flips to shuffle. An unscaled (stale) estimate would keep
+    * broadcasting the doubled slice — the silent OOM-at-100 TB this
+    * closes. The threshold sits at 1.5× the pre-growth estimate, so the
+    * flip is scale-factor-invariant by construction; both probes'
+    * aggregates hash-gate against the direct joins, and est_doubled pins
+    * the extrapolation factor (within banded-histogram rounding). */
+  def cCboStale(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "cust_stale")
+    cat.createTable("scratch", "cust_stale", StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_acctbal", DoubleType))))
+    val c = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    cat.append("scratch", "cust_stale", c.where(col("c_custkey") % 2 === 0))
+    cat.analyzeTable("scratch", "cust_stale", Seq("c_acctbal"))
+    cat.analyzeHistogram("scratch", "cust_stale", "c_acctbal")
+    val probe = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val estBefore = cat.estimateRange("scratch", "cust_stale", "c_acctbal", 0.0, 1000.0)
+      .getOrElse(sys.error("histogram missing after ANALYZE"))
+    val thr = estBefore * 3 / 2 // a fixed ABSOLUTE broadcast budget
+    val (_, routeBefore, dfBefore) = cat.joinRouted("scratch", "cust_stale",
+      "c_acctbal", 0.0, 1000.0, probe, "c_custkey", thr)
+    val aggBefore = dfBefore.agg(count(lit(1)).as("rows_before"),
+      Tables.dsum(col("o_totalprice")).as("rev_before"))
+    // the table doubles; the histogram is NOT re-analyzed
+    cat.append("scratch", "cust_stale", c.where(col("c_custkey") % 2 === 1))
+    val estAfter = cat.estimateRange("scratch", "cust_stale", "c_acctbal", 0.0, 1000.0)
+      .getOrElse(sys.error("histogram missing"))
+    val (_, routeAfter, dfAfter) = cat.joinRouted("scratch", "cust_stale",
+      "c_acctbal", 0.0, 1000.0, probe, "c_custkey", thr)
+    val aggAfter = dfAfter.agg(count(lit(1)).as("rows_after"),
+      Tables.dsum(col("o_totalprice")).as("rev_after"))
+    // extrapolation factor ≈ current/analyzed = 2 (± banded rounding)
+    val estDoubled = estAfter >= estBefore * 19 / 10 && estAfter <= estBefore * 21 / 10
+    aggBefore.crossJoin(broadcast(aggAfter))
+      .select(
+        lit(routeBefore).as("route_before"), col("rows_before"), col("rev_before"),
+        lit(routeAfter).as("route_after"), col("rows_after"), col("rev_after"),
+        lit(estDoubled).as("est_doubled"))
+  }
+
+  val cCboStaleSql: String =
+    """SELECT
+      |  'broadcast' AS route_before,
+      |  (SELECT COUNT(*) FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |   WHERE c.c_custkey % 2 = 0 AND c.c_acctbal >= 0.0 AND c.c_acctbal < 1000.0) AS rows_before,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+      |   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |   WHERE c.c_custkey % 2 = 0 AND c.c_acctbal >= 0.0 AND c.c_acctbal < 1000.0) AS rev_before,
+      |  'shuffle' AS route_after,
+      |  (SELECT COUNT(*) FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |   WHERE c.c_acctbal >= 0.0 AND c.c_acctbal < 1000.0) AS rows_after,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+      |   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |   WHERE c.c_acctbal >= 0.0 AND c.c_acctbal < 1000.0) AS rev_after,
+      |  true AS est_doubled""".stripMargin
 
   /** String-keyed bloom skipping (r9 — c_bloom_skip's sibling for the key
     * class zone maps can NEVER answer): `c_name` point lookups over a
@@ -264,12 +338,14 @@ object CatalogOps9 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_cbo_route" -> (cCboRoute _),
     "c_cbo_planner" -> (cCboPlanner _),
+    "c_cbo_stale" -> (cCboStale _),
     "c_bloom_string" -> (cBloomString _),
     "c_branch_diff" -> (cBranchDiff _))
 
   val oracles: Map[String, String] = Map(
     "c_cbo_route" -> cCboRouteSql,
     "c_cbo_planner" -> cCboPlannerSql,
+    "c_cbo_stale" -> cCboStaleSql,
     "c_bloom_string" -> cBloomStringSql,
     "c_branch_diff" -> cBranchDiffSql)
 }

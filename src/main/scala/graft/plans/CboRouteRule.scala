@@ -150,7 +150,11 @@ object CboRouteRule {
         est <- cat.estimateRange(ns, table, c, lo, hi)
         n <- cat.statsRowCount(ns, table, c)
       } yield {
-        val thr = thresholdOverride.getOrElse(n / 5)
+        // threshold = 20% of the dim's CURRENT size (manifest rows — the
+        // same stale-stats extrapolation estimateRange applies), so under
+        // proportional growth the ratio — and the route — is stable
+        val thr = thresholdOverride.getOrElse(
+          cat.countStar(ns, table).getOrElse(n) / 5)
         Decision(s"$ns.$table", c, est, n, thr, routeOf(est, thr))
       }
     }

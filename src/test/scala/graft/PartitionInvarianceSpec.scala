@@ -25,7 +25,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // stream-static LSH screen, decimal-mean cell split, A-ES weighted
     // top-k, read-merge-replace MV maintenance
     "q_triangle_count", "q_spearman", "st_lsh_screen",
-    "s_ivf_rebalance", "p_weighted_sample", "st_mv_refresh")
+    "s_ivf_rebalance", "p_weighted_sample", "st_mv_refresh",
+    // r9 wave: histogram-threshold edge selection (the de-funneled
+    // substrate under the whole graph family), planner-routed joins
+    // (route must not depend on cluster shape), string-hashed blooms,
+    // the composed near-dup curation chain
+    "q_conductance", "q_degree_distribution", "c_cbo_planner",
+    "c_bloom_string", "st_curate_neardup")
 
   test("outputs are invariant to spark.sql.shuffle.partitions (4 vs 7)") {
     val alt = spark.newSession()

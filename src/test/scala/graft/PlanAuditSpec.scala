@@ -88,6 +88,7 @@ class PlanAuditSpec extends SparkSpec {
     "s_pca_power",     // one-row k×d component-matrix broadcast onto the corpus scan
     "c_cbo_route",     // one-row narrow-agg × wide-agg assembly row
     "c_cbo_planner",   // same one-row assembly over the planner-routed probes
+    "c_cbo_stale",     // same one-row assembly across the growth boundary
     "q_conductance",   // one-row edge-count broadcast onto the community rows
     "q_degree_distribution" // one-row node-total broadcast onto histogram rows
   )

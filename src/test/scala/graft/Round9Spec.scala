@@ -387,6 +387,32 @@ class Round9Spec extends SparkSpec {
     cat.dropTable("scratch", "nd_verdicts")
   }
 
+  test("estimateRange extrapolates by manifest growth; re-ANALYZE resets it") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "est_stale")
+    cat.createTable("scratch", "est_stale", StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    cat.append("scratch", "est_stale",
+      (1L to 1000L).map(i => (i, i.toDouble)).toDF("k", "v"))
+    cat.analyzeTable("scratch", "est_stale", Seq("v"))
+    cat.analyzeHistogram("scratch", "est_stale", "v")
+    val e1 = cat.estimateRange("scratch", "est_stale", "v", 0.0, 500.0).get
+    // triple the table without re-analyzing: the estimate must track it
+    cat.append("scratch", "est_stale",
+      (1001L to 3000L).map(i => (i % 1000 + 1, (i % 1000 + 1).toDouble)).toDF("k", "v"))
+    val e2 = cat.estimateRange("scratch", "est_stale", "v", 0.0, 500.0).get
+    assert(e2 >= e1 * 29 / 10 && e2 <= e1 * 31 / 10,
+      s"stale estimate did not extrapolate: $e1 -> $e2 (want ~3x)")
+    // a fresh ANALYZE resets the growth factor to 1
+    cat.analyzeTable("scratch", "est_stale", Seq("v"))
+    cat.analyzeHistogram("scratch", "est_stale", "v")
+    val e3 = cat.estimateRange("scratch", "est_stale", "v", 0.0, 500.0).get
+    assert(e3 >= e2 * 9 / 10 && e3 <= e2 * 11 / 10,
+      s"post-re-ANALYZE estimate inconsistent: $e2 vs $e3")
+    cat.dropTable("scratch", "est_stale")
+  }
+
   // ------------------------------------------- MV refresh durability + CAS
 
   test("refreshMv checkpoints batch ids and the merge carries the CAS base") {
