@@ -2149,6 +2149,41 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val refVs = refs(ns, table).values.toSet
     val survivorVs = all.takeRight(keep).map(_._1).toSet ++ refVs
     if (all.exists(s => !survivorVs.contains(s._1))) {
+      // Fold DV lines whose versions are about to expire into UNTOKENED
+      // v:0 baseline lines — NOW, while the full log can still validate
+      // their tokens. A tokened line's liveness requires its log line
+      // ([[liveDvPairs]]); dropping that log line without folding would
+      // RESURRECT the deleted rows in every later read. Every surviving
+      // snapshot is ≥ the expired delete's version, so the fold is
+      // time-travel-exact; dead lines (lost-CAS orphans, crashed commits)
+      // fail validation here and are dropped — expiry doubles as the DV
+      // sidecar's garbage sweep.
+      val cutoff = survivorVs.min
+      val dvp = dvPath(ns, table)
+      if (Files.exists(dvp)) {
+        val head = currentVersion(ns, table)
+        val toks = snapshotTokens(ns, table)
+        val entries = dvEntries(ns, table)
+        val (oldE, recentE) = entries.partition(_._1 < cutoff)
+        val foldedPairs = oldE
+          .filter { case (v, tok, _, _) =>
+            v <= head && tok.forall(t => toks.get(v).contains(t)) }
+          .flatMap { case (_, _, f, ps) => ps.map(p => (f, p)) }
+          .distinct.groupBy(_._1).toSeq.sortBy(_._1)
+        val foldedLines = foldedPairs.map { case (f, ps) =>
+          s"""{"v":0,"file":"$f","pos":[${ps.map(_._2).sorted.mkString(",")}]}"""
+        }
+        val recentLines = recentE.map { case (v, tok, f, ps) =>
+          val t = tok.map(x => s""""token":"$x",""").getOrElse("")
+          s"""{"v":$v,$t"file":"$f","pos":[${ps.mkString(",")}]}"""
+        }
+        val tmp = dvp.resolveSibling(dvp.getFileName.toString + ".tmp")
+        Files.writeString(tmp,
+          (foldedLines ++ recentLines).mkString("", "\n", "\n"))
+        Files.move(tmp, dvp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       val referenced = all.filter(s => survivorVs(s._1)).flatMap(_._2).toSet
       val dir = Paths.get(tablePath(ns, table))
       // Commit ORDER matters for crash safety: atomically replace the

@@ -149,6 +149,43 @@ class Round9Spec extends SparkSpec {
     cat.dropTable("scratch", "dv_dst")
   }
 
+  test("expiry folds valid expired-version DV lines; deletes never resurrect") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "dv_exp")
+    cat.createTable("scratch", "dv_exp", StructType(Seq(
+      StructField("k", LongType), StructField("q", DoubleType))))
+    cat.append("scratch", "dv_exp",
+      (1L to 40L).map(i => (i, i * 1.0)).toDF("k", "q"))
+    assert(cat.deleteWhereMor("scratch", "dv_exp", col("k") <= 8) == 8)
+    // a lost-CAS orphan sits in the sidecar too: pre-allocated for the
+    // NEXT version, which the following append then takes untokened —
+    // exactly the residue a failed CAS leaves. Expiry must sweep it.
+    val file = cat.filesMeta("scratch", "dv_exp").select("file").head().getString(0)
+    val orphanV = cat.snapshots("scratch", "dv_exp").map(_._1).max + 1
+    val dvp = java.nio.file.Paths.get(s"$scratch/scratch/dv_exp_dv.json")
+    java.nio.file.Files.writeString(dvp,
+      s"""{"v":$orphanV,"token":"lost-cas-orphan","file":"$file","pos":[20,21]}\n""",
+      java.nio.file.StandardOpenOption.APPEND)
+    // several more commits push the MOR-delete version out of the window
+    (1 to 4).foreach(i =>
+      cat.append("scratch", "dv_exp", Seq((100L + i, 1.0)).toDF("k", "q")))
+    assert(cat.load("scratch", "dv_exp").count() == 36)
+    cat.expireSnapshots("scratch", "dv_exp", keep = 2)
+    // pre-fix: the delete's log line is gone, its tokened DV lines stop
+    // validating, and the 8 rows resurrect (count 44); the fold keeps them
+    assert(cat.load("scratch", "dv_exp").count() == 36,
+      "expired MOR delete resurrected")
+    assert(cat.countStar("scratch", "dv_exp").contains(36L))
+    val sidecar = java.nio.file.Files.readString(dvp)
+    assert(!sidecar.contains("lost-cas-orphan"),
+      "expiry did not sweep the orphan DV line")
+    // a fresh MOR delete still composes on the folded baseline
+    assert(cat.deleteWhereMor("scratch", "dv_exp", col("k") === 9L) == 1)
+    assert(cat.load("scratch", "dv_exp").count() == 35)
+    cat.dropTable("scratch", "dv_exp")
+  }
+
   // ------------------------------- write-path single evaluation + overwrite CAS
 
   test("append/overwrite evaluate a constrained input exactly once") {
