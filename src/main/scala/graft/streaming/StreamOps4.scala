@@ -171,15 +171,27 @@ object StreamOps4 {
   }
 
   /** One micro-batch of the continuous-curation seam: screen the gated,
-    * exact-deduped batch against the PERSISTED index, append the verdicts,
-    * and add the ADMITTED docs' signatures to the index — so a later
-    * batch's paraphrase of an admitted doc is caught too (the property
-    * that makes the curation continuous rather than one-shot). All work is
-    * batch-scale: |batch| signature rows against a bucketed static table,
-    * two appends. The batch is pinned once (localCheckpoint) so the
-    * verdict table and the index update derive from the same rows. */
+    * exact-deduped batch against the PERSISTED index, add the ADMITTED
+    * docs' signatures to the index (so a later batch's paraphrase of an
+    * admitted doc is caught too — the property that makes the curation
+    * continuous rather than one-shot), and append the verdicts. All work
+    * is batch-scale: |batch| signature rows against a bucketed static
+    * table, two appends. The batch is pinned once (localCheckpoint) so
+    * the verdict table and the index update derive from the same rows.
+    *
+    * Replay contract (`batchId` — foreachBatch delivers at-least-once):
+    * the VERDICT append carries the batch-id fence (the c_stream_ingest
+    * contract), so a replayed id skips the whole batch — verdicts are
+    * exactly-once. Write ORDER makes the fence safe for the index too:
+    * signatures append FIRST, fenced verdicts last — a crash between them
+    * replays the batch, duplicating some signature rows, and index
+    * duplicates are BENIGN by construction (admission = ZERO band hits;
+    * duplicate index rows change the hit count, never the verdict). */
   def screenBatch(batch: DataFrame, cat: LakeCatalog, ns: String,
-                  idxTable: String, verdictTable: String): Unit = {
+                  idxTable: String, verdictTable: String,
+                  batchId: Option[Long] = None): Unit = {
+    if (batchId.exists(id =>
+        cat.lastCommittedBatch(ns, verdictTable).exists(_ >= id))) return
     val pinned = batch.localCheckpoint()
     val screen = lshScreen(pinned.select(col("doc_id"), col("text")),
       cat.load(ns, idxTable))
@@ -187,10 +199,10 @@ object StreamOps4 {
       .select(col("doc_id"), col("fp"), col("n_tok"),
         coalesce(col("admitted"), lit(true)).as("admitted"))
       .localCheckpoint()
-    cat.append(ns, verdictTable, v)
     cat.append(ns, idxTable,
       lshSigs(pinned.join(v.where(col("admitted")).select("doc_id"), "doc_id")
         .select("doc_id", "text")))
+    cat.append(ns, verdictTable, v, batch = batchId)
   }
 
   /** The streaming composition (st_curate's continuation): stateless gates
@@ -207,8 +219,9 @@ object StreamOps4 {
       .withWatermark("event_time", "10 minutes")
       .dropDuplicatesWithinWatermark("fp")
     val w = cur.writeStream.outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!b.isEmpty) screenBatch(b.toDF(), cat, ns, idxTable, verdictTable)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!b.isEmpty)
+          screenBatch(b.toDF(), cat, ns, idxTable, verdictTable, Some(id))
       }
     checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
   }

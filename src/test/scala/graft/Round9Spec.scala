@@ -405,6 +405,15 @@ class Round9Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(verdicts == Map(10L -> true, 20L -> true, 30L -> false, 40L -> true),
       s"seam verdicts wrong: $verdicts")
+    // foreachBatch delivers at-least-once: a REPLAYED batch id is fenced —
+    // verdicts stay exactly-once (the screenBatch replay contract)
+    graft.streaming.StreamOps4.screenBatch(
+      graft.streaming.StreamOps.gateDocs(
+        Seq((10L, a, "en")).toDF("doc_id", "text", "lang")
+          .withColumn("event_time", timestamp_seconds(col("doc_id")))),
+      cat, "scratch", "nd_idx", "nd_verdicts", batchId = Some(0L))
+    assert(cat.load("scratch", "nd_verdicts").count() == 4,
+      "replayed batch id was not fenced — duplicate verdicts")
     // the paraphrase was caught against the STREAM-ADMITTED doc's
     // signatures — the index grew at the seam (continuous, not one-shot)
     assert(cat.load("scratch", "nd_idx")
