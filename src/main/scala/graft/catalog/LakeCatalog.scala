@@ -2149,37 +2149,53 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val refVs = refs(ns, table).values.toSet
     val survivorVs = all.takeRight(keep).map(_._1).toSet ++ refVs
     if (all.exists(s => !survivorVs.contains(s._1))) {
-      // Fold DV lines whose versions are about to expire into UNTOKENED
-      // v:0 baseline lines — NOW, while the full log can still validate
+      // Fold TOKENED DV lines whose log lines are about to be truncated
+      // into UNTOKENED lines — NOW, while the full log can still validate
       // their tokens. A tokened line's liveness requires its log line
       // ([[liveDvPairs]]); dropping that log line without folding would
-      // RESURRECT the deleted rows in every later read. Every surviving
-      // snapshot is ≥ the expired delete's version, so the fold is
-      // time-travel-exact; dead lines (lost-CAS orphans, crashed commits)
-      // fail validation here and are dropped — expiry doubles as the DV
-      // sidecar's garbage sweep.
-      val cutoff = survivorVs.min
+      // RESURRECT the deleted rows in every later read. Untokened lines
+      // never need folding (plain `v <= atV` liveness is log-independent)
+      // and are kept verbatim; dead tokened lines (lost-CAS orphans,
+      // crashed commits) fail validation here and are dropped — expiry
+      // doubles as the DV sidecar's garbage sweep.
+      //
+      // Each fold targets the SMALLEST SURVIVING version ≥ the line's own
+      // (not v:0 — ADVICE r9): the fold commits BEFORE the log truncation
+      // (the order that keeps HEAD exact if we crash between them — the
+      // reverse order's crash window resurrects deletes at HEAD, strictly
+      // worse), and the ≥-own-version target means every survivor's
+      // visibility is EXACTLY unchanged while condemned snapshots — still
+      // readable from the intact log after such a crash — sit below their
+      // fold targets and never observe them; a re-run of expiry completes
+      // the truncation. Per-version targeting (not a single cutoff) also
+      // covers GAP versions: with a low ref pinning cutoff down, a delete
+      // committed between the ref and the keep window expires too, and
+      // folding it to cutoff would leak it into the ref's older read.
+      val survivorSorted = survivorVs.toSeq.sorted
       val dvp = dvPath(ns, table)
       if (Files.exists(dvp)) {
         val head = currentVersion(ns, table)
         val toks = snapshotTokens(ns, table)
         val entries = dvEntries(ns, table)
-        val (oldE, recentE) = entries.partition(_._1 < cutoff)
-        val foldedPairs = oldE
+        val (expTok, keepE) = entries.partition { case (v, tok, _, _) =>
+          tok.isDefined && !survivorVs.contains(v) }
+        val foldedPairs = expTok
           .filter { case (v, tok, _, _) =>
             v <= head && tok.forall(t => toks.get(v).contains(t)) }
-          .flatMap { case (_, _, f, ps) => ps.map(p => (f, p)) }
-          .distinct.groupBy(_._1).toSeq.sortBy(_._1)
-        val foldedLines = foldedPairs.map { case (f, ps) =>
-          s"""{"v":0,"file":"$f","pos":[${ps.map(_._2).sorted.mkString(",")}]}"""
+          .flatMap { case (v, _, f, ps) =>
+            survivorSorted.find(_ >= v).map(tgt => ps.map(p => (tgt, f, p)))
+          }.flatten
+          .distinct.groupBy(p => (p._1, p._2)).toSeq.sortBy(_._1)
+        val foldedLines = foldedPairs.map { case ((tgt, f), ps) =>
+          s"""{"v":$tgt,"file":"$f","pos":[${ps.map(_._3).sorted.mkString(",")}]}"""
         }
-        val recentLines = recentE.map { case (v, tok, f, ps) =>
+        val keptLines = keepE.map { case (v, tok, f, ps) =>
           val t = tok.map(x => s""""token":"$x",""").getOrElse("")
           s"""{"v":$v,$t"file":"$f","pos":[${ps.mkString(",")}]}"""
         }
         val tmp = dvp.resolveSibling(dvp.getFileName.toString + ".tmp")
         Files.writeString(tmp,
-          (foldedLines ++ recentLines).mkString("", "\n", "\n"))
+          (foldedLines ++ keptLines).mkString("", "\n", "\n"))
         Files.move(tmp, dvp,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)

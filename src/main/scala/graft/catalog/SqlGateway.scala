@@ -281,9 +281,12 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
           val est = catalog.estimateRange(nsName, table, c, lo, hi)
           val n = catalog.statsRowCount(nsName, table, c)
           // 20% of the dim's CURRENT manifest rows (falls back to the
-          // analyzed count) — matches CboRouteRule.decide exactly
+          // analyzed count), clamped by the absolute broadcast row cap —
+          // matches CboRouteRule.decide exactly (shared thresholdOf)
           val thr = Option(thrOpt).map(_.toLong)
-            .orElse(n.map(a => catalog.countStar(nsName, table).getOrElse(a) / 5))
+            .orElse(n.map(a => graft.plans.CboRouteRule.thresholdOf(
+              catalog.countStar(nsName, table).getOrElse(a),
+              graft.plans.CboRouteRule.broadcastRowCap(spark))))
           val route = (est, thr) match {
             case (Some(e), Some(t)) => graft.plans.CboRouteRule.routeOf(e, t)
             case (None, _) => "shuffle (no histogram — never guess small)"

@@ -335,10 +335,83 @@ object CatalogOps9 {
       |  FROM lineitem WHERE l_orderkey % 4 = 1)
       |ORDER BY chg""".stripMargin
 
+  /** SEMI/ANTI routing (r10 — [[graft.plans.CboRouteRule]] extended past
+    * INNER equi-joins): a hint-free IN-subquery is the single most common
+    * filtered-dimension probe a gateway user writes, and Catalyst rewrites
+    * it to a LeftSemi join in the RewriteSubquery batch — AFTER the
+    * operator-optimization fixpoint where injected rules run, so the rule
+    * is registered a second time in the post-rewrite "User Provided
+    * Optimizers" batch (Sessions.local; idempotent + memoized decide, so
+    * the double pass costs mtime stats only). The op issues a narrow and a
+    * wide IN-subquery SELECT — no hints anywhere — and reads the strategy
+    * each ACTUALLY PLANNED from its executed plan: narrow must broadcast
+    * the subquery side, wide must plan SortMergeJoin (the sharp half — at
+    * test scale Spark's size guess would broadcast both; only the rule's
+    * SHUFFLE_MERGE pin explains a shuffle). A NOT IN anti probe rides the
+    * same sidecar decision. Counts hash-gate against DuckDB's direct
+    * semi/anti joins; results are route-invariant by construction. */
+  def cCboSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    // dedicated warehouse: gateway SELECTs register a view per catalog
+    // table (the c_cbo_planner 16 s lesson — PROFILE_r09)
+    val cat = new LakeCatalog(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_cbosj_wh")
+    val gw = new graft.catalog.SqlGateway(spark, cat)
+    cat.dropTable("scratch", "cust_cbosj")
+    cat.createTable("scratch", "cust_cbosj", StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_acctbal", DoubleType))))
+    cat.append("scratch", "cust_cbosj",
+      Tables.table(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal")))
+    cat.analyzeTable("scratch", "cust_cbosj", Seq("c_acctbal"))
+    cat.analyzeHistogram("scratch", "cust_cbosj", "c_acctbal")
+    cat.dropTable("scratch", "ord_cbosj")
+    cat.createTable("scratch", "ord_cbosj", StructType(Seq(
+      StructField("o_custkey", LongType))))
+    cat.append("scratch", "ord_cbosj",
+      Tables.table(spark, dir, "orders").select(col("o_custkey")))
+    def probe(op: String, hi: Double): (DataFrame, String) = {
+      val df = gw.execute(
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ord_cbosj
+           |WHERE o_custkey $op (SELECT c_custkey FROM cust_cbosj
+           |  WHERE c_acctbal >= 0.0 AND c_acctbal < $hi)""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      val strat =
+        if (plan.contains("BroadcastHashJoin")) "broadcast"
+        else if (plan.contains("SortMergeJoin")) "shuffle" else "other"
+      (df, strat)
+    }
+    val (dfN, stratN) = probe("IN", 1000.0)
+    val (dfW, stratW) = probe("IN", 8000.0)
+    val (dfA, stratA) = probe("NOT IN", 1000.0)
+    dfN.select(col("n").as("rows_narrow"))
+      .crossJoin(broadcast(dfW.select(col("n").as("rows_wide"))))
+      .crossJoin(broadcast(dfA.select(col("n").as("rows_anti"))))
+      .select(
+        lit(stratN).as("planned_narrow"), col("rows_narrow"),
+        lit(stratW).as("planned_wide"), col("rows_wide"),
+        lit(stratA).as("planned_anti"), col("rows_anti"))
+  }
+
+  val cCboSemijoinSql: String =
+    """SELECT
+      |  'broadcast' AS planned_narrow,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey IN
+      |    (SELECT c_custkey FROM customer
+      |     WHERE c_acctbal >= 0.0 AND c_acctbal < 1000.0)) AS rows_narrow,
+      |  'shuffle' AS planned_wide,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey IN
+      |    (SELECT c_custkey FROM customer
+      |     WHERE c_acctbal >= 0.0 AND c_acctbal < 8000.0)) AS rows_wide,
+      |  'broadcast' AS planned_anti,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+      |    (SELECT c_custkey FROM customer
+      |     WHERE c_acctbal >= 0.0 AND c_acctbal < 1000.0)) AS rows_anti""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_cbo_route" -> (cCboRoute _),
     "c_cbo_planner" -> (cCboPlanner _),
     "c_cbo_stale" -> (cCboStale _),
+    "c_cbo_semijoin" -> (cCboSemijoin _),
     "c_bloom_string" -> (cBloomString _),
     "c_branch_diff" -> (cBranchDiff _))
 
@@ -346,6 +419,7 @@ object CatalogOps9 {
     "c_cbo_route" -> cCboRouteSql,
     "c_cbo_planner" -> cCboPlannerSql,
     "c_cbo_stale" -> cCboStaleSql,
+    "c_cbo_semijoin" -> cCboSemijoinSql,
     "c_bloom_string" -> cBloomStringSql,
     "c_branch_diff" -> cBranchDiffSql)
 }

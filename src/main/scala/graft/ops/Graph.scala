@@ -234,10 +234,18 @@ object Graph {
     }
     if (!ModelCache.enabled) build()
     else {
-      val rows = ModelCache.memo(s"cosupply:$dir") {
-        build().collect().map(r => (r.getLong(0), r.getLong(1)))
+      // bench-mode memo stores a PARQUET PATH, never rows (the nswEdges
+      // pattern, Similarity2.nswEdges): an edge list is DATA scale, and a
+      // collect() of it would OOM the driver at a bigger sf even though
+      // bench never runs there (VERDICT r9 item 3). Path keyed by the
+      // sanitized full dir so two data dirs never share an index.
+      val path = ModelCache.memo(s"cosupply:$dir") {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_cosupply_edges/" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        build().write.mode("overwrite").parquet(p)
+        p
       }
-      rows.toSeq.toDF("lo", "hi").repartition(col("lo"))
+      spark.read.parquet(path).repartition(col("lo"))
     }
   }
 
@@ -665,7 +673,11 @@ object Graph {
       .select(col("com"),
         coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
         col("volume"),
-        expr("(1000000 * coalesce(cut_edges, 0)) div least(volume, 2 * m - volume)")
+        // least(vol, 2m - vol) = 0 only when ONE community holds every edge
+        // endpoint (vol = 2m or 0) — and then cut_edges is necessarily 0, so
+        // clamping the denominator to 1 yields the true conductance 0 instead
+        // of NULL (ADVICE r9: the unguarded div diverged from DuckDB's //).
+        expr("(1000000 * coalesce(cut_edges, 0)) div greatest(least(volume, 2 * m - volume), 1)")
           .as("conductance_ppm"))
       .orderBy("com")
   }
@@ -685,7 +697,7 @@ object Graph {
       |          SELECT clo AS com FROM tagged
       |          UNION ALL SELECT chi FROM tagged) GROUP BY 1)
       |SELECT v.com, COALESCE(c.cut_edges, 0) AS cut_edges, v.volume,
-      |  (1000000 * COALESCE(c.cut_edges, 0)) // LEAST(v.volume, 2 * m.m - v.volume) AS conductance_ppm
+      |  (1000000 * COALESCE(c.cut_edges, 0)) // GREATEST(LEAST(v.volume, 2 * m.m - v.volume), 1) AS conductance_ppm
       |FROM vol v LEFT JOIN cutc c ON c.com = v.com
       |CROSS JOIN m
       |ORDER BY v.com""".stripMargin
@@ -723,7 +735,7 @@ object Graph {
       |         FROM deg GROUP BY 1),
       |tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS t FROM hist)
       |SELECT degree, n_nodes,
-      |  (1000000 * SUM(n_nodes) OVER (ORDER BY degree)) // t AS cum_nodes_ppm
+      |  CAST((1000000 * SUM(n_nodes) OVER (ORDER BY degree)) // t AS BIGINT) AS cum_nodes_ppm
       |FROM hist, tot ORDER BY degree""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1121,7 +1121,128 @@ object Similarity {
        |SELECT n_vectors, sse / CAST(n_vectors AS DOUBLE) AS mse, max_err
        |FROM agg""".stripMargin
 
+  /** IVF nprobe sweep (r10 — d_band_sweep's ANN-side sibling, the tuning
+    * table every IVF deployment is sized from): from ONE trained cell
+    * model and ONE corpus assignment, measure recall@5 vs exact truth and
+    * candidate volume at nprobe ∈ {1,2,4,8}. The sweep reuses everything:
+    * probe ranks are computed once to the max level and each level is a
+    * FILTER (rc ≤ nprobe), never a re-probe; candidates score once and
+    * fan 4× through a broadcast 4-row level join; truth is the capped
+    * brute-force baseline (the s_ann_recall budget — at 100 TB truth runs
+    * on a held-out query sample, the sweep itself stays index-priced).
+    * recall in exact ppm (integer division, one divide); the whole table —
+    * including which true neighbors each nprobe level misses — hash-gates
+    * against a full DuckDB re-train replay. */
+  def sNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxNp = 8
+    val e = withNorm(spark, dir)
+    val cents = ivfCells(spark, dir, kCells = 8)
+    val assigned = e.withColumn("cell", argmaxCell(cents)(col("embedding"), col("nrm")))
+    val q = queriesOf(e)
+    // probe ranks to the MAX swept level, once
+    val probes = q
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        explode(array(cellSims(cents)(col("q_emb"), col("q_nrm")).map { case (cell, sim) =>
+          struct(lit(cell).as("cell"), sim.as("sim"))
+        }: _*)).as("cs"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("cs.cell").as("cell"), col("cs.sim").as("sim"))
+      .withColumn("rc", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))))
+      .where(col("rc") <= maxNp)
+    // each candidate scores ONCE and carries its cell's probe rank (a
+    // vector lives in exactly one cell, so no per-level dedup)
+    val cand = probes.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("rc"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cosine"))
+      .localCheckpoint()
+    val levels = Seq(1, 2, 4, 8).toDF("nprobe")
+    val swept = cand.join(broadcast(levels), col("rc") <= col("nprobe"))
+    val top = swept.withColumn("rnk", row_number().over(
+        Window.partitionBy("nprobe", "q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rnk") <= 5)
+      .select("nprobe", "q_id", "vec_id")
+    val truth = q.crossJoin(e)
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rnk") <= 5)
+      .select("q_id", "vec_id")
+      .localCheckpoint()
+    val t5 = truth.agg(count(lit(1)).cast("long").as("t5"))
+    val candCnt = swept.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+    val hits = top.join(truth, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    candCnt.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(t5))
+      .select(col("nprobe"), col("n_candidates"),
+        expr("CAST((1000000 * coalesce(n_hits, 0)) div t5 AS BIGINT)").as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
+  val sNprobeSweepSql: String = {
+    val rounds = 4
+    s"""WITH ${Cluster.lloydCtes(k = 8, rounds = rounds)},
+       |asn AS (
+       |  SELECT e.vec_id,
+       |    max(struct_pack(cos := ${Cluster.cosSql("e.embedding", "e.nrm", "c.cv")},
+       |                    nc := -c.cell)) AS w
+       |  FROM n e CROSS JOIN c$rounds c GROUP BY 1),
+       |assigned AS (SELECT vec_id, -(w.nc) AS cell FROM asn),
+       |pr AS (
+       |  SELECT q.vec_id AS q_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${Cluster.cosSql("q.embedding", "q.nrm", "c.cv")} DESC, c.cell) AS rc
+       |  FROM n q CROSS JOIN c$rounds c WHERE q.vec_id % 20 = 0),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id, p.rc
+       |  FROM (SELECT q_id, cell, rc FROM pr WHERE rc <= 8) p
+       |  JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.q_id),
+       |sc AS (
+       |  SELECT cd.q_id, cd.vec_id, cd.rc,
+       |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+       |                    for i in generate_series(1, len(q.embedding))])
+       |          / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM cand cd JOIN n q ON q.vec_id = cd.q_id JOIN n c ON c.vec_id = cd.vec_id),
+       |lv AS (SELECT * FROM (VALUES (1), (2), (4), (8)) t(nprobe)),
+       |sw AS (SELECT lv.nprobe, sc.q_id, sc.vec_id, sc.cosine
+       |       FROM sc JOIN lv ON sc.rc <= lv.nprobe),
+       |top AS (
+       |  SELECT nprobe, q_id, vec_id FROM (
+       |    SELECT nprobe, q_id, vec_id,
+       |      row_number() OVER (PARTITION BY nprobe, q_id
+       |        ORDER BY cosine DESC, vec_id) AS rnk
+       |    FROM sw) z WHERE rnk <= 5),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)
+       |                        for i in generate_series(1, len(q.embedding))])
+       |              / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rnk
+       |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 20 = 0) z WHERE rnk <= 5),
+       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t5 FROM truth),
+       |cc AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       |       FROM sw GROUP BY 1),
+       |hh AS (SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |       FROM top t JOIN truth u ON u.q_id = t.q_id AND u.vec_id = t.vec_id
+       |       GROUP BY 1)
+       |SELECT cc.nprobe, cc.n_candidates,
+       |  CAST((1000000 * COALESCE(hh.n_hits, 0)) // tt.t5 AS BIGINT) AS recall_ppm
+       |FROM cc LEFT JOIN hh ON hh.nprobe = cc.nprobe
+       |CROSS JOIN tt ORDER BY cc.nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_nprobe_sweep" -> (sNprobeSweep _),
     "s_pq_distortion" -> (sPqDistortion _),
     "s_ann_recall" -> (sAnnRecall _),
     "s_mmr_diversify" -> (sMmrDiversify _),
@@ -1138,6 +1259,7 @@ object Similarity {
     "s_pq_topk" -> (sPqTopk _))
 
   val oracles: Map[String, String] = Map(
+    "s_nprobe_sweep" -> sNprobeSweepSql,
     "s_radius" -> sRadiusSql,
     "s_cosine_topk" -> sCosineTopkSql,
     "s_hybrid_search" -> sHybridSearchSql,

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -58,6 +58,18 @@ case class CboRouteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           hint.rightHint.orElse(sideHint(right)))
         if (newHint == hint) j else j.copy(hint = newHint)
       } catch { case scala.util.control.NonFatal(_) => j }
+    // LEFT SEMI/ANTI — the shape Catalyst rewrites IN / NOT IN / EXISTS
+    // subqueries to (the filtered-dimension probe a gateway user hits
+    // next, r9 verdict item 5). Only the RIGHT (subquery) side can be the
+    // broadcast build of a semi/anti hash join, so only it is routed.
+    case j @ Join(_, right, LeftSemi | LeftAnti, _, hint)
+        if hint.rightHint.isEmpty =>
+      try {
+        sideHint(right) match {
+          case Some(h) => j.copy(hint = hint.copy(rightHint = Some(h)))
+          case None => j
+        }
+      } catch { case scala.util.control.NonFatal(_) => j }
   }
 
   /** A routing hint for `side` when it is a range-filtered graft catalog
@@ -104,6 +116,39 @@ object CboRouteRule {
   def routeOf(estimate: Long, threshold: Long): String =
     if (estimate <= threshold) "broadcast" else "shuffle"
 
+  /** Absolute row budget a BROADCAST decision may never exceed (ADVICE r9:
+    * the injected hint overrides spark.sql.autoBroadcastJoinThreshold, so a
+    * purely RELATIVE 20%-of-table threshold would force-broadcast 20% of an
+    * arbitrarily large dimension — the OOM-at-scale the stale-stats work
+    * closes). Default 2M rows (~100s of MB for a wide dim row — executor-
+    * and driver-safe); tune via spark.graft.cbo.broadcastRowCap. */
+  def broadcastRowCap(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.cbo.broadcastRowCap", "2000000").toLong
+
+  /** The broadcast threshold for a dim of `currentRows`: 20% of the CURRENT
+    * manifest rows (stale-stats-extrapolated ratio stays stable under
+    * proportional growth), clamped by the absolute row cap. ONE definition
+    * shared by [[decide]] and the gateway's EXPLAIN ROUTE verb. */
+  def thresholdOf(currentRows: Long, cap: Long): Long =
+    math.min(currentRows / 5, cap)
+
+  // ---- (dir, sidecar-mtimes, box, threshold) → Decision memo ------------
+  // A query with many qualifying joins plans the same table's sidecars once
+  // per (content version), not once per join side per fixpoint pass (r9
+  // verdict item 4). Keyed by BOTH sidecar mtimes so a re-ANALYZE or a
+  // histogram refresh invalidates naturally; bounded (drop-all past 512 —
+  // planner state must never grow with query count).
+  private case class DecideKey(dir: String, sidecarMtimes: Seq[Long],
+                               box: Map[String, (Double, Double)],
+                               threshold: Option[Long], cap: Long)
+  private val decideMemo =
+    new java.util.concurrent.ConcurrentHashMap[DecideKey, Option[Decision]]()
+  private val parses = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Number of actual sidecar parses performed (memo misses) — spec
+    * observability only. */
+  def sidecarParseCount: Long = parses.get()
+  def clearDecideMemo(): Unit = decideMemo.clear()
+
   /** The graft table directory under `p` when it is a parquet scan of ONE
     * catalog table — either a directory-rooted read or the explicit
     * file-list read [[graft.catalog.LakeCatalog.load]] plans (all part
@@ -141,23 +186,43 @@ object CboRouteRule {
     val table = dir.getFileName.toString
     val nsDir = dir.getParent
     if (nsDir == null || nsDir.getParent == null) return None
-    if (!Files.exists(nsDir.resolve(s"${table}_colstats.json")) ||
-        !Files.exists(nsDir.resolve(s"${table}_hist.json"))) return None
-    val cat = new graft.catalog.LakeCatalog(spark, nsDir.getParent.toString)
-    val ns = nsDir.getFileName.toString
-    val candidates = box.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
-      for {
-        est <- cat.estimateRange(ns, table, c, lo, hi)
-        n <- cat.statsRowCount(ns, table, c)
-      } yield {
-        // threshold = 20% of the dim's CURRENT size (manifest rows — the
-        // same stale-stats extrapolation estimateRange applies), so under
-        // proportional growth the ratio — and the route — is stable
-        val thr = thresholdOverride.getOrElse(
-          cat.countStar(ns, table).getOrElse(n) / 5)
-        Decision(s"$ns.$table", c, est, n, thr, routeOf(est, thr))
+    val csPath = nsDir.resolve(s"${table}_colstats.json")
+    val hPath = nsDir.resolve(s"${table}_hist.json")
+    if (!Files.exists(csPath) || !Files.exists(hPath)) return None
+    val cap = broadcastRowCap(spark)
+    // mtime stat calls only — the parse itself is memoized per content
+    // version, so repeated planning of the same join costs a few stats, not
+    // two sidecar reads per join side per fixpoint pass. The snapshot log's
+    // mtime joins the key because the threshold and the stale-stats growth
+    // factor read the CURRENT manifest (countStar) — an append must
+    // invalidate the memo even when the stats sidecars are untouched.
+    val snapPath = nsDir.resolve(s"${table}_snapshots.json")
+    def mt(p: Path): Long =
+      if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis else -1L
+    val key = DecideKey(dir.toString,
+      Seq(mt(csPath), mt(hPath), mt(snapPath)),
+      box, thresholdOverride, cap)
+    if (decideMemo.size > 512) decideMemo.clear()
+    decideMemo.computeIfAbsent(key, { _ =>
+      parses.incrementAndGet()
+      val cat = new graft.catalog.LakeCatalog(spark, nsDir.getParent.toString)
+      val ns = nsDir.getFileName.toString
+      val candidates = box.toSeq.sortBy(_._1).flatMap { case (c, (lo, hi)) =>
+        for {
+          est <- cat.estimateRange(ns, table, c, lo, hi)
+          n <- cat.statsRowCount(ns, table, c)
+        } yield {
+          // threshold = 20% of the dim's CURRENT size (manifest rows — the
+          // same stale-stats extrapolation estimateRange applies), so under
+          // proportional growth the ratio — and the route — is stable;
+          // clamped by the ABSOLUTE row cap (never force-broadcast a fifth
+          // of an arbitrarily large dimension)
+          val thr = thresholdOverride.getOrElse(
+            thresholdOf(cat.countStar(ns, table).getOrElse(n), cap))
+          Decision(s"$ns.$table", c, est, n, thr, routeOf(est, thr))
+        }
       }
-    }
-    candidates.sortBy(_.estimate).headOption
+      candidates.sortBy(_.estimate).headOption
+    })
   }
 }

@@ -53,13 +53,23 @@ object StreamOps4 {
     * number of band collisions with the index and the admission verdict
     * (admitted = zero collisions — the quarantine routing decision).
     * On a stream this is sigs-projection → stream-static left join →
-    * one count aggregation. */
+    * one count aggregation.
+    *
+    * Self-hits (an index row carrying the SAME doc_id as the probe) are
+    * excluded from the count: doc_ids are unique per document, so a
+    * same-id collision can only mean the doc's own signatures are already
+    * in the index — exactly the state a crash-replayed micro-batch sees
+    * after [[screenBatch]]'s signature append landed but its fenced
+    * verdict append did not (ADVICE r9, medium). Excluding them makes the
+    * screen verdict replay-deterministic; in every hash-gated use the
+    * index and query slices are id-disjoint, so verdicts are unchanged. */
   def lshScreen(docs: DataFrame, idx: DataFrame): DataFrame = {
     val i = idx.select(col("doc_id").as("idx_doc"), col("band"), col("sig"))
     lshSigs(docs)
       .join(i, Seq("band", "sig"), "left_outer")
       .groupBy("doc_id")
-      .agg(count(col("idx_doc")).as("n_band_hits"))
+      .agg(count(when(col("idx_doc") =!= col("doc_id"), lit(1)))
+        .as("n_band_hits"))
       .withColumn("admitted", col("n_band_hits") === 0L)
   }
 
@@ -81,6 +91,39 @@ object StreamOps4 {
     lshScreen(docs.where(col("doc_id") % 10 === 0),
         cat.load("scratch", "lsh_screen_idx"))
       .orderBy("doc_id")
+  }
+
+  /** The shared DuckDB replay of [[lshSigs]] — the tok→sh→ph→mh→ml→sg
+    * minhash/band-signature chain all three persisted-index oracles build
+    * on (one definition; the Spark side is likewise ONE function). */
+  private def sgChainSql: String = {
+    val M = graft.functions.PolyHash.M
+    val (b2, phi, psi) = (graft.functions.PolyHash.B2,
+      graft.functions.PolyHash.PHI, graft.functions.PolyHash.PSI)
+    val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |ph AS (SELECT doc_id, ${Dedup.polySql("shingle")} AS h FROM sh),
+       |mh AS (
+       |  SELECT doc_id, t.p AS p,
+       |    min((((CAST(2*t.p+1 AS HUGEINT) * $phi) % $M) * CAST(h AS HUGEINT)
+       |         + ((CAST(t.p+1 AS HUGEINT) * $psi) % $M)) % $M) AS mv
+       |  FROM ph CROSS JOIN generate_series(0, 127) t(p) GROUP BY 1, 2),
+       |ml AS (SELECT doc_id, list(mv ORDER BY p) AS ml FROM mh GROUP BY 1),
+       |sg AS (
+       |  SELECT doc_id, b.b AS band,
+       |    CAST(list_reduce([0::HUGEINT, CAST(b.b+1 AS HUGEINT)] ||
+       |           [CAST(ml[b.b*4 + r] + 1 AS HUGEINT) for r in generate_series(1, 4)],
+       |         (acc, x) -> (acc * $b2 + x) % $M::HUGEINT) AS BIGINT) AS sig
+       |  FROM ml CROSS JOIN generate_series(0, 31) b(b))""".stripMargin
   }
 
   val stLshScreenSql: String = {
@@ -184,9 +227,12 @@ object StreamOps4 {
     * contract), so a replayed id skips the whole batch — verdicts are
     * exactly-once. Write ORDER makes the fence safe for the index too:
     * signatures append FIRST, fenced verdicts last — a crash between them
-    * replays the batch, duplicating some signature rows, and index
-    * duplicates are BENIGN by construction (admission = ZERO band hits;
-    * duplicate index rows change the hit count, never the verdict). */
+    * replays the batch against an index that already holds the batch's own
+    * signatures, and the verdicts are STILL identical because
+    * [[lshScreen]] excludes same-doc_id hits (a doc never collides with
+    * its own replayed signatures) and cross-doc duplicates are BENIGN
+    * (admission = ZERO band hits; duplicates change the count, never the
+    * zero/non-zero verdict). Round10Spec proves replay determinism. */
   def screenBatch(batch: DataFrame, cat: LakeCatalog, ns: String,
                   idxTable: String, verdictTable: String,
                   batchId: Option[Long] = None): Unit = {
@@ -210,7 +256,14 @@ object StreamOps4 {
     * against the persisted index. Round9Spec drives it over a MemoryStream
     * with planted near-dups caught at the seam; the batch form
     * ([[curateNearDup]] / st_curate_neardup) hash-gates the identical
-    * verdict logic. */
+    * verdict logic.
+    *
+    * `checkpointDir` is REQUIRED on any real (restartable) source — the
+    * same contract as [[refreshMv]]: screenBatch's replay fence compares
+    * batch ids monotonically, and a restart WITHOUT a checkpoint resets
+    * ids to 0, silently fencing out every post-restart batch (a frozen
+    * pipeline). Omitting it is legal only for single-process test sources
+    * (MemoryStream) that never restart. */
   def curateStream(src: DataFrame, cat: LakeCatalog, ns: String,
                    idxTable: String, verdictTable: String,
                    checkpointDir: Option[String] = None)
@@ -412,13 +465,108 @@ object StreamOps4 {
       |  true AS replay_fenced
       |FROM mv ORDER BY cust_bucket""".stripMargin
 
+  // --------------------------------------------- persisted-index maintenance
+  // st_curate_neardup APPENDS admitted docs' signatures forever; deletions
+  // from the corpus (GDPR erasure, retention expiry, quality re-gating)
+  // leave dead signatures that keep quarantining fresh near-dups of content
+  // that no longer exists. This is the dedup-side sibling of s_ivf_rebalance
+  // (VERDICT r9 item 6): a maintenance verb that EXPIRES index rows for
+  // docs no longer live, plus the hash-gated proof that screening verdicts
+  // against the LIVE corpus are exactly preserved.
+
+  /** EXPIRE signature index rows whose documents are no longer live: keep
+    * only rows whose doc_id appears in `liveDocIds` (a distributed
+    * left-semi join — at 100 TB both sides shuffle on doc_id; the index is
+    * 32×16 B per doc, ~0.1% of corpus bytes, so the rewrite is an
+    * index-scale maintenance pass, the same budget s_ivf_rebalance pays)
+    * and REPLACE the table in one atomic snapshot (history intact — a
+    * pre-expiry screen replays via time travel). Returns (rows_before,
+    * rows_after), both metadata-only counts. */
+  def expireIndex(cat: LakeCatalog, ns: String, idxTable: String,
+                  liveDocIds: DataFrame): (Long, Long) = {
+    val before = cat.countStar(ns, idxTable)
+      .getOrElse(cat.load(ns, idxTable).count())
+    val kept = cat.load(ns, idxTable)
+      .join(liveDocIds.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    cat.overwrite(ns, idxTable, kept)
+    val after = cat.countStar(ns, idxTable)
+      .getOrElse(cat.load(ns, idxTable).count())
+    (before, after)
+  }
+
+  /** Driver op: the %10≠0 corpus is indexed; docs with doc_id % 7 = 3 are
+    * then DELETED from the corpus and [[expireIndex]] sweeps their
+    * signatures. Each arriving query doc (%10=0) is screened against the
+    * index BEFORE and AFTER expiry: hits_after must count exactly the LIVE
+    * docs' collisions (a quarantined doc whose only evidence was deleted
+    * content becomes admitted — the CORRECT outcome; a doc colliding with
+    * live content keeps its verdict). The whole before/after pair
+    * hash-gates against a full DuckDB replay of the signature chain with
+    * the same liveness split, which proves expiry removed exactly the dead
+    * docs' rows and nothing else. */
+  def dIndexExpire(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+    val docs = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    cat.dropTable("scratch", "lsh_exp_idx")
+    cat.createTable("scratch", "lsh_exp_idx", StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("sig", LongType))))
+    cat.append("scratch", "lsh_exp_idx", lshSigs(corpus))
+    // query signatures computed ONCE for both screens (the screens differ
+    // only in the index they join)
+    val qsigs = lshSigs(docs.where(col("doc_id") % 10 === 0)).localCheckpoint()
+    def screen(idx: DataFrame, as: String): DataFrame =
+      qsigs
+        .join(idx.select(col("doc_id").as("idx_doc"), col("band"), col("sig")),
+          Seq("band", "sig"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(when(col("idx_doc") =!= col("doc_id"), lit(1))).as(as))
+    val before = screen(cat.load("scratch", "lsh_exp_idx"), "hits_before")
+    // deletion event: every doc_id % 7 = 3 leaves the corpus
+    val live = corpus.where(col("doc_id") % 7 =!= 3).select("doc_id")
+    expireIndex(cat, "scratch", "lsh_exp_idx", live)
+    val after = screen(cat.load("scratch", "lsh_exp_idx"), "hits_after")
+    before.join(after, Seq("doc_id"))
+      .select(col("doc_id"), col("hits_before"), col("hits_after"),
+        (col("hits_before") === 0L).as("admitted_before"),
+        (col("hits_after") === 0L).as("admitted_after"))
+      .orderBy("doc_id")
+  }
+
+  // the chain substitutes AFTER stripMargin (its continuation lines begin
+  // with the `||` concat operator, which stripMargin would mangle — the
+  // d_lsh_recall precedent, SURVEY §2.4)
+  val dIndexExpireSql: String =
+    s"""WITH __SG_CHAIN__,
+       |idx AS (SELECT * FROM sg WHERE doc_id % 10 <> 0),
+       |idxl AS (SELECT * FROM idx WHERE doc_id % 7 <> 3),
+       |q AS (SELECT * FROM sg WHERE doc_id % 10 = 0),
+       |hb AS (
+       |  SELECT q.doc_id, CAST(COUNT(i.doc_id) AS BIGINT) AS hits_before
+       |  FROM q LEFT JOIN idx i ON q.band = i.band AND q.sig = i.sig
+       |  GROUP BY 1),
+       |ha AS (
+       |  SELECT q.doc_id, CAST(COUNT(i.doc_id) AS BIGINT) AS hits_after
+       |  FROM q LEFT JOIN idxl i ON q.band = i.band AND q.sig = i.sig
+       |  GROUP BY 1)
+       |SELECT hb.doc_id, hits_before, hits_after,
+       |  hits_before = 0 AS admitted_before,
+       |  hits_after = 0 AS admitted_after
+       |FROM hb JOIN ha ON ha.doc_id = hb.doc_id
+       |ORDER BY hb.doc_id""".stripMargin.replace("__SG_CHAIN__", sgChainSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_lsh_screen" -> (stLshScreen _),
     "st_curate_neardup" -> (stCurateNeardup _),
-    "st_mv_refresh" -> (stMvRefresh _))
+    "st_mv_refresh" -> (stMvRefresh _),
+    "d_index_expire" -> (dIndexExpire _))
 
   val oracles: Map[String, String] = Map(
     "st_lsh_screen" -> stLshScreenSql,
     "st_curate_neardup" -> stCurateNeardupSql,
-    "st_mv_refresh" -> stMvRefreshSql)
+    "st_mv_refresh" -> stMvRefreshSql,
+    "d_index_expire" -> dIndexExpireSql)
 }

@@ -90,7 +90,13 @@ class PlanAuditSpec extends SparkSpec {
     "c_cbo_planner",   // same one-row assembly over the planner-routed probes
     "c_cbo_stale",     // same one-row assembly across the growth boundary
     "q_conductance",   // one-row edge-count broadcast onto the community rows
-    "q_degree_distribution" // one-row node-total broadcast onto histogram rows
+    "q_degree_distribution", // one-row node-total broadcast onto histogram rows
+    "c_cbo_semijoin",  // one-row narrow × wide × anti assembly row (+ the
+                       //   narrow NOT IN probe's null-aware anti join is a
+                       //   BROADCAST hash join by the rule's own routing)
+    "s_nprobe_sweep"   // 4-row nprobe-level broadcast onto scored candidates
+                       //   + one-row truth-total broadcast; truth itself is
+                       //   the capped s_cosine_topk probe batch
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global

@@ -49,10 +49,18 @@ def compare(name, spark_df, duck_df):
                 problems.append(f"col {col}: {int((~eq).sum())} diffs, first row {i}: spark={a[col].iloc[i]!r} duck={b[col].iloc[i]!r}")
         except Exception as e:
             problems.append(f"col {col}: compare error {e}")
-    # dtype visibility (schema check analog)
+    # dtype visibility (schema check analog). An integer-vs-float mismatch is
+    # a HARD failure: the driver's hash gate renders the columns differently
+    # even when values are numerically equal (the exact class that shipped
+    # q_degree_distribution red in r9 — DuckDB windowed SUM(BIGINT) → HUGEINT
+    # → float64 in pandas vs Spark int64).
     for col in a.columns:
         if str(a[col].dtype) != str(b[col].dtype):
-            problems.append(f"DTYPE-WARN {col}: spark={a[col].dtype} duck={b[col].dtype}")
+            ka, kb = a[col].dtype.kind, b[col].dtype.kind
+            if ("f" in (ka, kb)) and (ka != kb):
+                problems.append(f"DTYPE-FAIL {col}: spark={a[col].dtype} duck={b[col].dtype} (int-vs-float reaches the driver hash gate differently)")
+            else:
+                problems.append(f"DTYPE-WARN {col}: spark={a[col].dtype} duck={b[col].dtype}")
     return problems
 
 def main():
