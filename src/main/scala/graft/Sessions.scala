@@ -57,19 +57,6 @@ object Sessions {
       .config("spark.speculation.quantile", "0.75")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // CboRouteRule is injected twice on purpose. The extensions hook puts
-    // it in the operator-optimization fixpoint (INNER joins, where it sees
-    // filters right after pushdown); that fixpoint runs BEFORE the
-    // RewriteSubquery batch, so the LeftSemi/LeftAnti joins Catalyst
-    // rewrites IN/EXISTS subqueries into do not exist yet there. The
-    // "User Provided Optimizers" batch (experimental.extraOptimizations)
-    // runs AFTER RewriteSubquery — the second registration is what routes
-    // the subquery side of semi/anti probes. The rule is idempotent (a
-    // side with a hint is never touched) and decide() is memoized, so the
-    // double pass costs mtime stats, not sidecar parses.
-    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.CboRouteRule]))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.CboRouteRule(s)
     s
   }
 }

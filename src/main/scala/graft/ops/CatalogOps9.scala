@@ -338,18 +338,21 @@ object CatalogOps9 {
   /** SEMI/ANTI routing (r10 — [[graft.plans.CboRouteRule]] extended past
     * INNER equi-joins): a hint-free IN-subquery is the single most common
     * filtered-dimension probe a gateway user writes, and Catalyst rewrites
-    * it to a LeftSemi join in the RewriteSubquery batch — AFTER the
-    * operator-optimization fixpoint where injected rules run, so the rule
-    * is registered a second time in the post-rewrite "User Provided
-    * Optimizers" batch (Sessions.local; idempotent + memoized decide, so
-    * the double pass costs mtime stats only). The op issues a narrow and a
-    * wide IN-subquery SELECT — no hints anywhere — and reads the strategy
-    * each ACTUALLY PLANNED from its executed plan: narrow must broadcast
-    * the subquery side, wide must plan SortMergeJoin (the sharp half — at
-    * test scale Spark's size guess would broadcast both; only the rule's
-    * SHUFFLE_MERGE pin explains a shuffle). A NOT IN anti probe rides the
-    * same sidecar decision. Counts hash-gate against DuckDB's direct
-    * semi/anti joins; results are route-invariant by construction. */
+    * it to a LeftSemi join only in the late RewriteSubquery batch — AFTER
+    * the operator-optimization fixpoint where injected rules run. The rule
+    * therefore routes the subquery while it is STILL a ListQuery/Exists
+    * expression: both classes carry the hint slot the rewrite copies into
+    * the join's rightHint (the mechanism authored BROADCAST subquery
+    * hints ride), so one injected rule covers every session — including
+    * spark.newSession() clones, which PartitionInvarianceSpec pins. The op
+    * issues a narrow and a wide IN-subquery SELECT — no hints anywhere —
+    * and reads the strategy each ACTUALLY PLANNED from its executed plan:
+    * narrow must broadcast the subquery side, wide must plan SortMergeJoin
+    * (the sharp half — at test scale Spark's size guess would broadcast
+    * both; only the rule's SHUFFLE_MERGE pin explains a shuffle). A NOT IN
+    * anti probe rides the same sidecar decision. Counts hash-gate against
+    * DuckDB's direct semi/anti joins; results are route-invariant by
+    * construction. */
   def cCboSemijoin(spark: SparkSession, dir: String): DataFrame = {
     // dedicated warehouse: gateway SELECTs register a view per catalog
     // table (the c_cbo_planner 16 s lesson — PROFILE_r09)

@@ -3,7 +3,7 @@ package graft.plans
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Exists, Expression, ListQuery}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -50,26 +50,44 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 case class CboRouteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, _, hint) =>
-      try {
-        val newHint = JoinHint(
-          hint.leftHint.orElse(sideHint(left)),
-          hint.rightHint.orElse(sideHint(right)))
-        if (newHint == hint) j else j.copy(hint = newHint)
-      } catch { case scala.util.control.NonFatal(_) => j }
-    // LEFT SEMI/ANTI — the shape Catalyst rewrites IN / NOT IN / EXISTS
-    // subqueries to (the filtered-dimension probe a gateway user hits
-    // next, r9 verdict item 5). Only the RIGHT (subquery) side can be the
-    // broadcast build of a semi/anti hash join, so only it is routed.
-    case j @ Join(_, right, LeftSemi | LeftAnti, _, hint)
-        if hint.rightHint.isEmpty =>
-      try {
-        sideHint(right) match {
-          case Some(h) => j.copy(hint = hint.copy(rightHint = Some(h)))
-          case None => j
-        }
-      } catch { case scala.util.control.NonFatal(_) => j }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val joined = plan.transform {
+      case j @ Join(left, right, Inner, _, hint) =>
+        try {
+          val newHint = JoinHint(
+            hint.leftHint.orElse(sideHint(left)),
+            hint.rightHint.orElse(sideHint(right)))
+          if (newHint == hint) j else j.copy(hint = newHint)
+        } catch { case scala.util.control.NonFatal(_) => j }
+      // LEFT SEMI/ANTI joins already materialized in the plan (DataFrame
+      // "left_semi"/"left_anti" API). Only the RIGHT side can be the
+      // broadcast build of a semi/anti hash join, so only it is routed.
+      case j @ Join(_, right, LeftSemi | LeftAnti, _, hint)
+          if hint.rightHint.isEmpty =>
+        try {
+          sideHint(right) match {
+            case Some(h) => j.copy(hint = hint.copy(rightHint = Some(h)))
+            case None => j
+          }
+        } catch { case scala.util.control.NonFatal(_) => j }
+    }
+    // IN / NOT IN / EXISTS subqueries (r9 verdict item 5) are STILL
+    // ListQuery/Exists expressions here — RewritePredicateSubquery turns
+    // them into LeftSemi/LeftAnti joins only in the late RewriteSubquery
+    // batch, AFTER this fixpoint. Both expression classes carry the hint
+    // slot the rewrite copies into the join's rightHint (the subquery-hint
+    // mechanism authored /*+ BROADCAST */ uses), so routing the subquery
+    // side means setting that slot from the sidecar decision. The inner
+    // plans are already optimized (the Subquery batch runs first), so the
+    // same Filter→scan extractor applies.
+    joined.transformAllExpressions {
+      case l: ListQuery if l.hint.isEmpty =>
+        try sideHint(l.plan).map(h => l.copy(hint = Some(h))).getOrElse(l)
+        catch { case scala.util.control.NonFatal(_) => l }
+      case e: Exists if e.hint.isEmpty =>
+        try sideHint(e.plan).map(h => e.copy(hint = Some(h))).getOrElse(e)
+        catch { case scala.util.control.NonFatal(_) => e }
+    }
   }
 
   /** A routing hint for `side` when it is a range-filtered graft catalog

@@ -31,7 +31,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // (route must not depend on cluster shape), string-hashed blooms,
     // the composed near-dup curation chain
     "q_conductance", "q_degree_distribution", "c_cbo_planner",
-    "c_bloom_string", "st_curate_neardup")
+    "c_bloom_string", "st_curate_neardup",
+    // r10 wave: semi/anti planner routing, the before/after index-expiry
+    // screen pair, the nprobe sweep's level-fanned rank selection
+    "c_cbo_semijoin", "d_index_expire", "s_nprobe_sweep")
 
   test("outputs are invariant to spark.sql.shuffle.partitions (4 vs 7)") {
     val alt = spark.newSession()
