@@ -564,7 +564,92 @@ object Multimodal2 {
        |SELECT doc_id, n_interior, -(w.nf) AS keyframe, w.score2 AS contrast_x2
        |FROM win ORDER BY doc_id""".stripMargin
 
+  /** Multimodal context-packing budget report (r10 — p_pack_sequences
+    * extended to MIXED modalities, the packing a multimodal-LLM pipeline
+    * actually runs): each sample's cost is its text tokens PLUS its routed
+    * modality's visual/audio token count, all derived from stub-contract
+    * metadata arithmetic (image = the m_patch_grid 2×⌈w/8⌉ patch count,
+    * audio = ⌈bytes/64⌉ frames, video = every-4th-frame samples — integer
+    * identities on byte length, no payload ever read, let alone shuffled).
+    * Samples pack in doc_id order into L=1024-token context windows via
+    * the audited two-level prefix (ONE global window over bucket TOTALS,
+    * never raw docs — the p_pack_sequences shape PlanAuditSpec enforces);
+    * the report is each window's sample count and modality token mix —
+    * the number a mixed-modality batch scheduler reads to balance vision
+    * load across contexts. Exact integers end-to-end. */
+  def mTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val L = 1024L
+    val bucketW = 64L
+    val toks = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") / bucketW).cast("long").as("bucket"),
+        element_at(split(lit("image,audio,video"), ","),
+          (ascii(substring(col("text"), 1, 1)) % 3 + 1).cast("int")).as("modality"),
+        size(split(Dedup.norm(col("text")), " ")).cast("long").as("text_toks"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("bytes"))
+      .withColumn("media_toks",
+        expr("""CASE modality
+               |  WHEN 'image' THEN 2 * (((bytes + 15) div 16 + 7) div 8)
+               |  WHEN 'audio' THEN (bytes + 63) div 64
+               |  ELSE ((bytes + 63) div 64 + 3) div 4 END""".stripMargin))
+      .withColumn("n_toks", col("text_toks") + col("media_toks"))
+    val bucketTotals = toks.groupBy("bucket").agg(sum("n_toks").as("bucket_toks"))
+    val offsets = bucketTotals.withColumn("bucket_off",
+      coalesce(sum(col("bucket_toks")).over(
+        Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "bucket_off")
+    val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start_tok",
+        col("bucket_off") + sum(col("n_toks")).over(inBucket) - col("n_toks"))
+      .groupBy(expr(s"start_tok div $L").as("seq"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum("text_toks").as("text_toks"),
+        sum(when(col("modality") === "image", col("media_toks")).otherwise(0L))
+          .as("image_toks"),
+        sum(when(col("modality") === "audio", col("media_toks")).otherwise(0L))
+          .as("audio_toks"),
+        sum(when(col("modality") === "video", col("media_toks")).otherwise(0L))
+          .as("video_toks"),
+        sum("n_toks").as("total_toks"))
+      .orderBy("seq")
+  }
+
+  val mTokenBudgetSql: String = {
+    val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE (ascii(substr(text, 1, 1)) % 3) WHEN 0 THEN 'image'
+       |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS text_toks,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, modality, text_toks,
+       |    CASE modality
+       |      WHEN 'image' THEN 2 * (((bytes + 15) // 16 + 7) // 8)
+       |      WHEN 'audio' THEN (bytes + 63) // 64
+       |      ELSE ((bytes + 63) // 64 + 3) // 4 END AS media_toks
+       |  FROM t),
+       |c AS (SELECT *, text_toks + media_toks AS n_toks FROM m),
+       |s AS (
+       |  SELECT *, CAST(SUM(n_toks) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM c)
+       |SELECT (cum - n_toks) // 1024 AS seq,
+       |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+       |  CAST(SUM(text_toks) AS BIGINT) AS text_toks,
+       |  CAST(SUM(CASE WHEN modality = 'image' THEN media_toks ELSE 0 END) AS BIGINT) AS image_toks,
+       |  CAST(SUM(CASE WHEN modality = 'audio' THEN media_toks ELSE 0 END) AS BIGINT) AS audio_toks,
+       |  CAST(SUM(CASE WHEN modality = 'video' THEN media_toks ELSE 0 END) AS BIGINT) AS video_toks,
+       |  CAST(SUM(n_toks) AS BIGINT) AS total_toks
+       |FROM s GROUP BY 1 ORDER BY seq""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_token_budget" -> (mTokenBudget _),
     "m_keyframe_select" -> (mKeyframeSelect _),
     "m_scene_split" -> (mSceneSplit _),
     "m_cas_dedup" -> (mCasDedup _),
@@ -575,6 +660,7 @@ object Multimodal2 {
     "m_container_demux" -> (mContainerDemux _))
 
   val oracles: Map[String, String] = Map(
+    "m_token_budget" -> mTokenBudgetSql,
     "m_keyframe_select" -> mKeyframeSelectSql,
     "m_scene_split" -> mSceneSplitSql,
     "m_cas_dedup" -> mCasDedupSql,

@@ -125,7 +125,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_theil_sen",     // median-rank windows over the calendar-bounded |days|²
                        //   day-pair frame (both inputs per-DAY aggregates)
     "q_harmonic_centrality", // row_number over a post-limit(20) frame
-    "q_degree_distribution" // cumulative over DEGREE-histogram aggregate rows
+    "q_degree_distribution", // cumulative over DEGREE-histogram aggregate rows
+    "m_token_budget"   // prefix-sum over per-bucket token totals (the
+                       //   p_pack_sequences two-level shape, mixed-modality)
   )
 
   // one planning pass over the whole surface, shared by every assertion
