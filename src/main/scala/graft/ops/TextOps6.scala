@@ -113,9 +113,100 @@ object TextOps6 {
        |ORDER BY textrank DESC, word LIMIT 20""".stripMargin
   }
 
+  /** Persisted inverted text index + incremental BM25 search (r10 —
+    * d_index_persist's TEXT sibling, the production full-text-search shape):
+    * posting lists (word, doc_id, tf, dl) are built ONCE and committed as
+    * a lake table, clustered on word so a term lookup reads a file subset,
+    * and the corpus statistics BM25 needs (n_docs, Σdl) persist as
+    * MERGEABLE state rows (the mvStates discipline — counts and integer
+    * totals add, avgdl derives at query time). The corpus arrives in TWO
+    * appends (the %10≠0 base, then the %10=0 ingest batch) to pin the
+    * incremental contract: postings and stats rows COMPOSE, nothing is
+    * rebuilt. The search touches ONLY the index: per-term posting reads +
+    * the t_bm25 scoring expression (identical text — k1=1.2, b=0.75, the
+    * libm-ln-on-identical-operands discipline). The oracle is the
+    * from-scratch corpus-scan BM25 (tBm25Sql's exact contract), so the
+    * hash gate IS the parity proof: index-served ≡ scan-served, down to
+    * the last bit of every score. At 100 TB: the index is ~|corpus tokens|
+    * aggregated rows written once; a query reads posting slivers, never
+    * text. */
+  def tIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val (k1, b) = (1.2, 0.75)
+    val cat = new graft.catalog.LakeCatalog(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+    val docs = Tables.table(spark, dir, "documents")
+    def nrm(c: Column) =
+      trim(regexp_replace(lower(c), "\\s+", " "))
+    def postings(d: DataFrame): DataFrame = d
+      .select(col("doc_id"),
+        size(split(nrm(col("text")), " ")).cast("long").as("dl"),
+        explode(split(nrm(col("text")), " ")).as("word"))
+      .groupBy("word", "doc_id")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    def statsRow(d: DataFrame): DataFrame = d
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(nrm(col("text")), " ")).cast("long")).as("total_dl"))
+    cat.dropTable("scratch", "text_idx")
+    cat.createTable("scratch", "text_idx", StructType(Seq(
+      StructField("word", StringType), StructField("doc_id", LongType),
+      StructField("tf", LongType), StructField("dl", LongType))))
+    cat.dropTable("scratch", "text_idx_stats")
+    cat.createTable("scratch", "text_idx_stats", StructType(Seq(
+      StructField("n_docs", LongType), StructField("total_dl", LongType))))
+    // base corpus, then the ingest batch — two INDEPENDENT index commits
+    Seq(docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0)).foreach { slice =>
+      cat.appendClustered("scratch", "text_idx", postings(slice),
+        sortCols = Seq("word"), numFiles = 8)
+      cat.append("scratch", "text_idx_stats", statsRow(slice))
+    }
+    // query path: index only — per-term posting reads + merged stats
+    val stats = cat.load("scratch", "text_idx_stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("total_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+    val tf = cat.load("scratch", "text_idx")
+      .where(col("word").isin("spark", "table"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("word")).crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * (col("tf") * (k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy("doc_id").agg(round(sum(col("s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
+  /** Parity contract: the index-served search must equal the from-scratch
+    * corpus scan — the oracle IS t_bm25's (identical result spec). */
+  val tIndexSearchSql: String = {
+    val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(length(string_split($normSql, ' ')) AS BIGINT) AS dl,
+       |         unnest(string_split($normSql, ' ')) AS word
+       |  FROM documents),
+       |qt AS (SELECT * FROM toks WHERE word IN ('spark', 'table')),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf, max(dl) AS dl FROM qt GROUP BY 1, 2),
+       |df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM qt) GROUP BY 1),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(CAST(length(string_split($normSql, ' ')) AS BIGINT) AS DECIMAL(30,6))) AS DOUBLE)
+       |      / COUNT(*) AS avgdl
+       |  FROM documents)
+       |SELECT doc_id,
+       |  round(SUM(
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * (CAST(1.2 AS DOUBLE) + 1))
+       |      / (tf + CAST(1.2 AS DOUBLE) * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+       |FROM tf JOIN df ON tf.word = df.word CROSS JOIN stats
+       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t_textrank" -> (tTextrank _))
+    "t_textrank" -> (tTextrank _),
+    "t_index_search" -> (tIndexSearch _))
 
   val oracles: Map[String, String] = Map(
-    "t_textrank" -> tTextrankSql)
+    "t_textrank" -> tTextrankSql,
+    "t_index_search" -> tIndexSearchSql)
 }

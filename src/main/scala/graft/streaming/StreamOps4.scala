@@ -484,11 +484,17 @@ object StreamOps4 {
     * rows_after), both metadata-only counts. */
   def expireIndex(cat: LakeCatalog, ns: String, idxTable: String,
                   liveDocIds: DataFrame): (Long, Long) = {
+    // read-filter-replace carries the version READ as the overwrite CAS
+    // (the mvMergeBatch discipline): a curation stream appending fresh
+    // signatures between the read and the replace fails this maintenance
+    // pass (caller retries) instead of having its append silently erased
+    // by the whole-table replace.
+    val base = cat.headVersion(ns, idxTable)
     val before = cat.countStar(ns, idxTable)
       .getOrElse(cat.load(ns, idxTable).count())
     val kept = cat.load(ns, idxTable)
       .join(liveDocIds.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-    cat.overwrite(ns, idxTable, kept)
+    cat.overwrite(ns, idxTable, kept, expectedBase = Some(base))
     val after = cat.countStar(ns, idxTable)
       .getOrElse(cat.load(ns, idxTable).count())
     (before, after)

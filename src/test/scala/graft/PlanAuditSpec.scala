@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "s_opq_topk",     // same bounded ADC scan, rotated space
     "t_tfidf",        // one-row corpus-size N broadcast
     "t_bm25",         // one-row N/avgdl stats broadcast
+    "t_index_search", // same one-row merged-stats broadcast, index-served
     "q_time_gapfill", // one-row min/max spine source
     "q_null_suite",   // one-row NOT-IN-count broadcast + null-aware anti join
     "s_hybrid_search", // one-row max-kw + query-centroid broadcasts
