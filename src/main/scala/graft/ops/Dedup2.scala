@@ -568,7 +568,69 @@ object Dedup2 {
        |FROM spine s LEFT JOIN ov ON ov.src_a = s.src_a AND ov.src_b = s.src_b
        |ORDER BY s.src_a, s.src_b""".stripMargin
 
+  /** Cross-source NEAR-duplicate matrix (r10 — [[dCrossSourceDup]]'s fuzzy
+    * sibling, the provenance question exact fingerprints under-answer:
+    * "is crawl X a light paraphrase mirror of dump Y?"): per ordered
+    * source pair (a, b), a's docs with a VERIFIED near-dup twin in b
+    * (Jaccard ≥ 0.5 over the d_minhash_lsh chain — banded candidates,
+    * exact shingle verify, never all-pairs), as count + exact ppm of a.
+    * The COMPLETE |sources|² spine reports its zeros (most cells SHOULD
+    * read 0 — that silence is the answer). Exact dups count too (j = 1 —
+    * near-dup is a superset by construction). At 100 TB: the pair set is
+    * the near-dup graph (sparse), tagging is two doc_id equi-joins, the
+    * matrix is |sources|²-bounded metadata. */
+  def dCrossSourceNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dMinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val src = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val both = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val tagged = both
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .where(col("src_a") =!= col("src_b"))
+    val nd = tagged.groupBy("src_a", "src_b")
+      .agg(countDistinct(col("doc_a")).as("nd_docs"))
+    val tot = src.groupBy("source").agg(count(lit(1)).as("total_docs"))
+    val spine = tot.select(col("source").as("src_a"), col("total_docs").as("a_total"))
+      .crossJoin(tot.select(col("source").as("src_b")))
+      .where(col("src_a") =!= col("src_b"))
+    spine.join(nd, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("nd_docs"), lit(0L)).as("nd_docs"), col("a_total"),
+        expr("CAST((1000000 * coalesce(nd_docs, 0)) div a_total AS BIGINT)")
+          .as("nd_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  // the nested chain substitutes AFTER stripMargin (its continuation lines
+  // begin with the || concat operator — the d_lsh_recall precedent)
+  val dCrossSourceNeardupSql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM (__LSH_PAIRS__) t),
+       |bi AS (SELECT doc_a, doc_b FROM p
+       |       UNION ALL SELECT doc_b, doc_a FROM p),
+       |src AS (SELECT doc_id, source FROM documents),
+       |tg AS (
+       |  SELECT sa.source AS src_a, sb.source AS src_b, bi.doc_a
+       |  FROM bi JOIN src sa ON sa.doc_id = bi.doc_a
+       |          JOIN src sb ON sb.doc_id = bi.doc_b
+       |  WHERE sa.source <> sb.source),
+       |nd AS (SELECT src_a, src_b,
+       |         CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS nd_docs
+       |       FROM tg GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS total_docs
+       |        FROM documents GROUP BY 1),
+       |spine AS (
+       |  SELECT a.source AS src_a, a.total_docs AS a_total, b.source AS src_b
+       |  FROM tot a JOIN tot b ON a.source <> b.source)
+       |SELECT s.src_a, s.src_b, COALESCE(nd.nd_docs, 0) AS nd_docs, s.a_total,
+       |  CAST((1000000 * COALESCE(nd.nd_docs, 0)) // s.a_total AS BIGINT) AS nd_ppm
+       |FROM spine s LEFT JOIN nd ON nd.src_a = s.src_a AND nd.src_b = s.src_b
+       |ORDER BY s.src_a, s.src_b""".stripMargin
+      .replace("__LSH_PAIRS__", Dedup.dMinhashLshSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_cross_source_neardup" -> (dCrossSourceNeardup _),
     "d_cross_source_dup" -> (dCrossSourceDup _),
     "d_novelty_curve" -> (dNoveltyCurve _),
     "d_dup_profile" -> (dDupProfile _),
@@ -579,6 +641,7 @@ object Dedup2 {
     "d_shingle_containment" -> (dShingleContainment _))
 
   val oracles: Map[String, String] = Map(
+    "d_cross_source_neardup" -> dCrossSourceNeardupSql,
     "d_cross_source_dup" -> dCrossSourceDupSql,
     "d_novelty_curve" -> dNoveltyCurveSql,
     "d_dup_profile" -> dDupProfileSql,

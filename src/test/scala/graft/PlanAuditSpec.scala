@@ -80,6 +80,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_purchase_cadence", // one-row interval-total broadcast onto the gap histogram
     "q_cuped",         // one-row window-start broadcast onto the event scan
     "d_cross_source_dup", // |sources|x|sources| pair spine (bounded by the source domain)
+    "d_cross_source_neardup", // same bounded source-pair spine, near-dup twins
     "q_xcorr",         // 7-row lag-grid broadcast onto per-DAY aggregate rows
     "q_mann_kendall",  // |days|² calendar-bounded day-pair BNLJ (a.day < b.day over
                        //   per-DAY aggregates — grows with the calendar, not the data)
