@@ -53,6 +53,11 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
     """(?is)\s*SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?\s+FROM\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   private val expireSnaps =
     """(?is)\s*EXPIRE\s+SNAPSHOTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
+  // persisted-index maintenance (r10): sweep signature rows whose doc_ids
+  // no longer appear in the live table — the SQL face of
+  // StreamOps4.expireIndex (d_index_expire's verb)
+  private val expireIdx =
+    """(?is)\s*EXPIRE\s+INDEX\s+(?:(\w+)\.)?(\w+)\s+USING\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
   // COPY (SELECT …) TO 'path' [FORMAT csv|json|parquet] — DuckDB's export
   // verb, Spark-shaped (distributed write, any SELECT the engine runs)
   private val copyTo =
@@ -399,6 +404,14 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.expireSnapshots(nsName, table, Option(n).map(_.toInt).getOrElse(1))
         Seq("Snapshots expired").toDF("status")
+
+      case expireIdx(ns, idx, lns, live) =>
+        val nsName = Option(ns).getOrElse(resolveNs(idx, "scratch"))
+        val lnsName = Option(lns).getOrElse(resolveNs(live, "scratch"))
+        val (before, after) = graft.streaming.StreamOps4.expireIndex(
+          catalog, nsName, idx, catalog.load(lnsName, live).select("doc_id"))
+        Seq((before, after, before - after))
+          .toDF("rows_before", "rows_after", "rows_expired")
 
       case showFiles(ns, table) => // Iceberg `files` metadata table
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

@@ -60,6 +60,8 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "CREATE BLOOM INDEX ON [ns.]t (col); " +
           "CREATE HISTOGRAM ON [ns.]t (col); SHOW HISTOGRAM FOR [ns.]t (col); " +
           "EXPIRE SNAPSHOTS IN [ns.]t [KEEP n]; REMOVE ORPHANS IN [ns.]t; " +
+          "EXPIRE INDEX [ns.]idx USING [ns.]live (sweep persisted " +
+          "signature-index rows whose doc_ids left the live table); " +
           "ROLLBACK [TABLE] [ns.]t TO VERSION v; " +
           "COMPACT TABLE [ns.]t [INTO n FILES] (default 1 file); " +
           "MAINTAIN TABLE [ns.]t [INTO n FILES] [KEEP k] " +

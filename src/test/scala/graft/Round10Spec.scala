@@ -239,6 +239,31 @@ class Round10Spec extends SparkSpec {
 
   // ----------------------------------- persisted LSH index expiry verb
 
+  test("the gateway's EXPIRE INDEX verb sweeps dead signatures via the live table") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, scratch)
+    val gw = new graft.catalog.SqlGateway(spark, cat)
+    cat.dropTable("scratch", "gw_idx"); cat.dropTable("scratch", "gw_live")
+    cat.createTable("scratch", "gw_idx", StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("sig", LongType))))
+    cat.createTable("scratch", "gw_live", StructType(Seq(
+      StructField("doc_id", LongType))))
+    cat.append("scratch", "gw_idx",
+      (1L to 30L).flatMap(d => (0 to 3).map(b => (d, b, d * 100 + b)))
+        .toDF("doc_id", "band", "sig"))
+    cat.append("scratch", "gw_live",
+      (1L to 30L).filter(_ % 3 != 0).toDF("doc_id"))
+    val r = gw.execute("EXPIRE INDEX scratch.gw_idx USING scratch.gw_live").head()
+    assert(r.getAs[Long]("rows_before") == 120L &&
+      r.getAs[Long]("rows_after") == 80L && r.getAs[Long]("rows_expired") == 40L,
+      s"verb telemetry wrong: $r")
+    assert(cat.load("scratch", "gw_idx")
+      .where(col("doc_id") % 3 === 0).count() == 0L,
+      "dead doc signatures survived the verb")
+    cat.dropTable("scratch", "gw_idx"); cat.dropTable("scratch", "gw_live")
+  }
+
   test("expireIndex removes exactly the dead docs' rows; live verdicts unchanged") {
     val out = StreamOps4.dIndexExpire(spark, sfDir)
       .collect()
