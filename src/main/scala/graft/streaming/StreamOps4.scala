@@ -564,15 +564,112 @@ object StreamOps4 {
        |FROM hb JOIN ha ON ha.doc_id = hb.doc_id
        |ORDER BY hb.doc_id""".stripMargin.replace("__SG_CHAIN__", sgChainSql)
 
+  // ----------------------------------------------- input-quality drift watch
+  // The curation gates (st_curate) are FIXED thresholds; what breaks a
+  // production pipeline silently is the input DISTRIBUTION moving under
+  // them (a new crawl snapshot, an upstream extractor change) — admitted
+  // volume shifts and nobody changed a config. This is the monitor: the
+  // arriving slice's quality-score histogram against the reference
+  // corpus's, drift per bucket in exact ppm (total-variation style |Δ|).
+
+  /** Stateless per-doc quality bucket (0-9) — the gateDocs score formula
+    * (identical expression text), floored to deciles. A pure projection:
+    * legal on a stream, and micro-batch bucket COUNTS are mergeable state
+    * (counts add — the mvStates discipline), so the streaming form
+    * maintains the drift report incrementally. */
+  def qualityBucket(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(split(norm, " ")).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val nAlpha = size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))).cast("double")
+    val nStop = size(regexp_extract_all(concat(lit(" "), norm, lit(" ")),
+      lit(" (the|a|of|and|to|in|is|it) "), lit(0))).cast("double")
+    val quality = round(
+      least(nTokens / 50.0, lit(1.0)) * 0.25
+        + (lit(1.0) - least(nPunct / nChars * 5.0, lit(1.0))) * 0.25
+        + least(nStop / nTokens * 5.0, lit(1.0)) * 0.25
+        + nAlpha / nChars * 0.25, 6)
+    docs.select(col("doc_id"),
+      least(floor(quality * 10).cast("long"), lit(9L)).as("bucket"))
+  }
+
+  /** Driver op: the %10≠0 corpus is the reference distribution; the %10=0
+    * slice arrives. Per quality decile (complete 0-9 spine — the stable
+    * buckets' zeros ARE the report), both counts, both shares in exact
+    * ppm, and the absolute share drift. One projection + two bounded
+    * aggregates; at 100 TB the reference histogram is 10 persisted rows
+    * and each monitoring window costs |window| projections + a 10-row
+    * merge. */
+  def stQualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = qualityBucket(Tables.fanout(Tables.table(spark, dir, "documents")))
+    val ref = q.where(col("doc_id") % 10 =!= 0)
+      .groupBy("bucket").agg(count(lit(1)).as("ref_n"))
+    val nw = q.where(col("doc_id") % 10 === 0)
+      .groupBy("bucket").agg(count(lit(1)).as("new_n"))
+    val spine = (0L to 9L).toDF("bucket")
+    val tr = ref.agg(sum("ref_n").cast("long").as("t_ref"))
+    val tn = nw.agg(sum("new_n").cast("long").as("t_new"))
+    spine.join(ref, Seq("bucket"), "left").join(nw, Seq("bucket"), "left")
+      .crossJoin(broadcast(tr)).crossJoin(broadcast(tn))
+      .select(col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"),
+        expr("(1000000 * coalesce(ref_n, 0)) div t_ref").as("ref_share_ppm"),
+        expr("(1000000 * coalesce(new_n, 0)) div t_new").as("new_share_ppm"),
+        abs(expr("(1000000 * coalesce(ref_n, 0)) div t_ref")
+          - expr("(1000000 * coalesce(new_n, 0)) div t_new")).as("drift_ppm"))
+      .orderBy("bucket")
+  }
+
+  val stQualityDriftSql: String = {
+    val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val nChars = "CAST(length(text) AS DOUBLE)"
+    val nTokens = s"CAST(length(string_split($normSql, ' ')) AS DOUBLE)"
+    val nPunct = "CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+    val nAlpha = "CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)"
+    val nStop = s"CAST(length(regexp_extract_all(' ' || $normSql || ' ', ' (the|a|of|and|to|in|is|it) ')) AS DOUBLE)"
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    LEAST(CAST(floor(round(least($nTokens / 50.0, 1.0) * 0.25
+       |      + (1.0 - least($nPunct / $nChars * 5.0, 1.0)) * 0.25
+       |      + least($nStop / $nTokens * 5.0, 1.0) * 0.25
+       |      + $nAlpha / $nChars * 0.25, 6) * 10) AS BIGINT), 9) AS bucket
+       |  FROM documents),
+       |ref AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ref_n
+       |        FROM q WHERE doc_id % 10 <> 0 GROUP BY 1),
+       |nw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_n
+       |       FROM q WHERE doc_id % 10 = 0 GROUP BY 1),
+       |spine AS (SELECT CAST(b AS BIGINT) AS bucket
+       |          FROM generate_series(0, 9) t(b)),
+       |tr AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS t_ref FROM ref),
+       |tn AS (SELECT CAST(SUM(new_n) AS BIGINT) AS t_new FROM nw)
+       |SELECT s.bucket,
+       |  COALESCE(ref.ref_n, 0) AS ref_n,
+       |  COALESCE(nw.new_n, 0) AS new_n,
+       |  (1000000 * COALESCE(ref.ref_n, 0)) // t_ref AS ref_share_ppm,
+       |  (1000000 * COALESCE(nw.new_n, 0)) // t_new AS new_share_ppm,
+       |  abs((1000000 * COALESCE(ref.ref_n, 0)) // t_ref
+       |    - (1000000 * COALESCE(nw.new_n, 0)) // t_new) AS drift_ppm
+       |FROM spine s
+       |LEFT JOIN ref ON ref.bucket = s.bucket
+       |LEFT JOIN nw ON nw.bucket = s.bucket
+       |CROSS JOIN tr CROSS JOIN tn
+       |ORDER BY s.bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_lsh_screen" -> (stLshScreen _),
     "st_curate_neardup" -> (stCurateNeardup _),
     "st_mv_refresh" -> (stMvRefresh _),
+    "st_quality_drift" -> (stQualityDrift _),
     "d_index_expire" -> (dIndexExpire _))
 
   val oracles: Map[String, String] = Map(
     "st_lsh_screen" -> stLshScreenSql,
     "st_curate_neardup" -> stCurateNeardupSql,
     "st_mv_refresh" -> stMvRefreshSql,
+    "st_quality_drift" -> stQualityDriftSql,
     "d_index_expire" -> dIndexExpireSql)
 }

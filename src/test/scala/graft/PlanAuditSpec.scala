@@ -96,9 +96,11 @@ class PlanAuditSpec extends SparkSpec {
     "c_cbo_semijoin",  // one-row narrow × wide × anti assembly row (+ the
                        //   narrow NOT IN probe's null-aware anti join is a
                        //   BROADCAST hash join by the rule's own routing)
-    "s_nprobe_sweep"   // 4-row nprobe-level broadcast onto scored candidates
+    "s_nprobe_sweep",  // 4-row nprobe-level broadcast onto scored candidates
                        //   + one-row truth-total broadcast; truth itself is
                        //   the capped s_cosine_topk probe batch
+    "st_quality_drift" // two one-row corpus-total broadcasts onto the 10-row
+                       //   decile spine
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global

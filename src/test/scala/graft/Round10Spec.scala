@@ -91,6 +91,42 @@ class Round10Spec extends SparkSpec {
     cat.dropTable("scratch", "rp_verdicts")
   }
 
+  // ------------------------------------- quality drift: streaming merge parity
+
+  test("quality-drift bucket counts maintained per micro-batch equal the batch form") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "qd_counts")
+    cat.createTable("scratch", "qd_counts", StructType(Seq(
+      StructField("bucket", LongType), StructField("n", LongType))))
+    val docs = Tables.table(spark, sfDir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // per micro-batch: the stateless bucket projection + a 10-row count
+    // append — bucket counts are mergeable state (counts add)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) cat.append("scratch", "qd_counts",
+          StreamOps4.qualityBucket(b.toDF())
+            .groupBy("bucket").agg(count(lit(1)).as("n")))
+      }.start()
+    docs.grouped((docs.size / 2) + 1).foreach { chunk =>
+      mem.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val merged = cat.load("scratch", "qd_counts")
+      .groupBy("bucket").agg(sum("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = StreamOps4.stQualityDrift(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("new_n"))
+      .filter(_._2 > 0).toMap
+    assert(merged == batch,
+      s"streamed bucket counts diverge from the batch form: $merged vs $batch")
+    cat.dropTable("scratch", "qd_counts")
+  }
+
   // ----------------------------------------- CBO: memo, semi/anti, cap
 
   /** A dedicated-warehouse analyzed dim + probe pair for planner tests. */
