@@ -236,11 +236,96 @@ object Multimodal {
        |FROM f WHERE fid % 4 = 0
        |ORDER BY doc_id, frame_id""".stripMargin
 
+  /** Image-text ALIGNMENT gate (r10 — the CLIP-score curation filter, the
+    * single most load-bearing multimodal gate in production pipelines,
+    * expressed with the honest stub boundary): per doc, cosine between a
+    * pooled "vision" embedding (per-dim SUM of the sampled frames' stub
+    * lumas — exact BIGINT, the FakeCodec contract) and a pooled "text"
+    * embedding (the doc's 64-dim embeddings row block-pooled 8→1 and
+    * quantized ×1e6 to BIGINT — the projection-head stand-in). Every
+    * pooled coordinate is an EXACT integer, so dot and norms are exact
+    * BIGINTs and the single cosine divide (IEEE /, sqrt — correctly
+    * rounded) is bit-identical cross-engine; admit at ≥ 0.5. A real
+    * pipeline swaps the two pooling stubs for CLIP towers; the Spark
+    * shape — decode-side mapPartitions, per-dim map-side-combined sums,
+    * one embeddings equi-join, no payload shuffle — is the real thing. */
+  def mAlignFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (docId, payload) =>
+          payload.grouped(FakeCodec.FrameBytes).zipWithIndex.collect {
+            case (chunk, idx) if idx % 4 == 0 =>
+              (docId, Array.tabulate(8)(d =>
+                FakeCodec.frameLuma(chunk.drop(d * 8)).toLong))
+          }
+        }
+      }.toDF("doc_id", "lumas")
+    val img = frames
+      .select(col("doc_id"), posexplode(col("lumas")).as(Seq("d", "luma")))
+      .groupBy("doc_id", "d").agg(sum("luma").as("iv"))
+    val txt = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, 7), d ->
+            |  CAST(round(aggregate(slice(embedding, d * 8 + 1, 8), 0D,
+            |    (a, x) -> a + CAST(x AS DOUBLE)) * 1000000) AS BIGINT))""".stripMargin))
+          .as(Seq("d", "tv")))
+    img.join(txt, Seq("doc_id", "d"))
+      .groupBy("doc_id")
+      .agg(sum(col("iv") * col("tv")).as("dt"),
+        sum(col("iv") * col("iv")).as("na"),
+        sum(col("tv") * col("tv")).as("nb"))
+      .where(col("na") > 0 && col("nb") > 0)
+      .select(col("doc_id"),
+        round(col("dt").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("align_score"))
+      .withColumn("admitted", col("align_score") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Stub-contract replay: frame chunking + per-dim luma folds (lumaSql),
+    * the 8→1 block pooling of the text embedding (list_sum ≡ the Spark
+    * left fold — the established dot-product idiom), exact-integer dot and
+    * norms, ONE cosine divide with identical expression text. */
+  val mAlignFilterSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, fid, substr(text, fid*64 + 1, 64) AS chunk
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS fid
+       |        FROM documents)
+       |  WHERE fid % 4 = 0),
+       |img AS (
+       |  SELECT doc_id, t.d AS d,
+       |    CAST(SUM(${lumaSql("substr(chunk, t.d*8 + 1)")}) AS BIGINT) AS iv
+       |  FROM f CROSS JOIN generate_series(0, 7) t(d) GROUP BY 1, 2),
+       |txt AS (
+       |  SELECT vec_id AS doc_id, t.d AS d,
+       |    CAST(round(list_sum([CAST(embedding[t.d*8 + j] AS DOUBLE)
+       |                         for j in generate_series(1, 8)]) * 1000000) AS BIGINT) AS tv
+       |  FROM embeddings CROSS JOIN generate_series(0, 7) t(d)),
+       |s AS (
+       |  SELECT img.doc_id,
+       |    CAST(SUM(iv * tv) AS BIGINT) AS dt,
+       |    CAST(SUM(iv * iv) AS BIGINT) AS na,
+       |    CAST(SUM(tv * tv) AS BIGINT) AS nb
+       |  FROM img JOIN txt ON txt.doc_id = img.doc_id AND txt.d = img.d
+       |  GROUP BY 1)
+       |SELECT doc_id,
+       |  round(CAST(dt AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS align_score,
+       |  round(CAST(dt AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.5 AS admitted
+       |FROM s WHERE na > 0 AND nb > 0
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> (mBinaryMeta _),
     "m_frame_sample" -> (mFrameSample _),
     "m_modality_route" -> (mModalityRoute _),
     "m_chunk_manifest" -> (mChunkManifest _),
+    "m_align_filter" -> (mAlignFilter _),
     "m_frame_embed" -> (mFrameEmbedFlat _))
 
   val oracles: Map[String, String] = Map(
@@ -248,5 +333,6 @@ object Multimodal {
     "m_modality_route" -> mModalityRouteSql,
     "m_chunk_manifest" -> mChunkManifestSql,
     "m_frame_sample" -> mFrameSampleSql,
+    "m_align_filter" -> mAlignFilterSql,
     "m_frame_embed" -> mFrameEmbedSql)
 }
