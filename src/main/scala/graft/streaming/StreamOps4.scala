@@ -613,13 +613,16 @@ object StreamOps4 {
     val tn = nw.agg(sum("new_n").cast("long").as("t_new"))
     spine.join(ref, Seq("bucket"), "left").join(nw, Seq("bucket"), "left")
       .crossJoin(broadcast(tr)).crossJoin(broadcast(tn))
+      // greatest(t, 1): an EMPTY slice has all-zero counts, so clamping the
+      // denominator yields the correct 0 shares instead of a NULL-vs-error
+      // divergence (the conductance ADVICE class — guard it everywhere)
       .select(col("bucket"),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("new_n"), lit(0L)).as("new_n"),
-        expr("(1000000 * coalesce(ref_n, 0)) div t_ref").as("ref_share_ppm"),
-        expr("(1000000 * coalesce(new_n, 0)) div t_new").as("new_share_ppm"),
-        abs(expr("(1000000 * coalesce(ref_n, 0)) div t_ref")
-          - expr("(1000000 * coalesce(new_n, 0)) div t_new")).as("drift_ppm"))
+        expr("(1000000 * coalesce(ref_n, 0)) div greatest(t_ref, 1)").as("ref_share_ppm"),
+        expr("(1000000 * coalesce(new_n, 0)) div greatest(t_new, 1)").as("new_share_ppm"),
+        abs(expr("(1000000 * coalesce(ref_n, 0)) div greatest(t_ref, 1)")
+          - expr("(1000000 * coalesce(new_n, 0)) div greatest(t_new, 1)")).as("drift_ppm"))
       .orderBy("bucket")
   }
 
@@ -648,10 +651,10 @@ object StreamOps4 {
        |SELECT s.bucket,
        |  COALESCE(ref.ref_n, 0) AS ref_n,
        |  COALESCE(nw.new_n, 0) AS new_n,
-       |  (1000000 * COALESCE(ref.ref_n, 0)) // t_ref AS ref_share_ppm,
-       |  (1000000 * COALESCE(nw.new_n, 0)) // t_new AS new_share_ppm,
-       |  abs((1000000 * COALESCE(ref.ref_n, 0)) // t_ref
-       |    - (1000000 * COALESCE(nw.new_n, 0)) // t_new) AS drift_ppm
+       |  (1000000 * COALESCE(ref.ref_n, 0)) // GREATEST(t_ref, 1) AS ref_share_ppm,
+       |  (1000000 * COALESCE(nw.new_n, 0)) // GREATEST(t_new, 1) AS new_share_ppm,
+       |  abs((1000000 * COALESCE(ref.ref_n, 0)) // GREATEST(t_ref, 1)
+       |    - (1000000 * COALESCE(nw.new_n, 0)) // GREATEST(t_new, 1)) AS drift_ppm
        |FROM spine s
        |LEFT JOIN ref ON ref.bucket = s.bucket
        |LEFT JOIN nw ON nw.bucket = s.bucket

@@ -300,6 +300,29 @@ class Round10Spec extends SparkSpec {
     cat.dropTable("scratch", "gw_idx"); cat.dropTable("scratch", "gw_live")
   }
 
+  test("expireIndex against an empty live set empties the index without breaking reads") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "empty_live_idx")
+    cat.createTable("scratch", "empty_live_idx", StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("sig", LongType))))
+    cat.append("scratch", "empty_live_idx",
+      (1L to 10L).map(d => (d, 0, d)).toDF("doc_id", "band", "sig"))
+    val (b0, a0) = StreamOps4.expireIndex(cat, "scratch", "empty_live_idx",
+      Seq.empty[Long].toDF("doc_id"))
+    assert(b0 == 10L && a0 == 0L, s"total expiry wrong: $b0 -> $a0")
+    assert(cat.load("scratch", "empty_live_idx").count() == 0L)
+    // the emptied index still serves screens (everything admits)
+    val v = StreamOps4.lshScreen(
+      Seq((99L, "the quick brown fox jumps over the lazy dog and then " +
+        "the fox rests under the old tree near the river bank at noon"))
+        .toDF("doc_id", "text"),
+      cat.load("scratch", "empty_live_idx")).head()
+    assert(v.getAs[Boolean]("admitted"), "empty index must admit everything")
+    cat.dropTable("scratch", "empty_live_idx")
+  }
+
   test("expireIndex removes exactly the dead docs' rows; live verdicts unchanged") {
     val out = StreamOps4.dIndexExpire(spark, sfDir)
       .collect()
