@@ -662,11 +662,144 @@ object StreamOps4 {
        |ORDER BY s.bucket""".stripMargin
   }
 
+  // ------------------------------------------------- curation loss accounting
+  // st_curate_neardup reports the END of the funnel (gated / admitted /
+  // quarantined); this reports EVERY stage — the "where did my tokens go"
+  // table a curation pipeline is operated by. Each gate's doc and token
+  // cost is attributed in the order the gates compose (lang → quality →
+  // PII → repetition → exact dedup → near-dup screen), so a sudden loss
+  // shows WHICH gate moved, not just that the output shrank.
+
+  /** Driver op: the %10≠0 corpus is the persisted signature index; the
+    * %10=0 slice arrives and flows the full gate chain. Output: one row
+    * per stage with surviving docs and tokens — all exact integers. ONE
+    * feature projection feeds every stage (the per-stage aggregates are
+    * filters over the same pinned frame, not re-tokenizations); the
+    * near-dup stage screens only the exact-dedup representatives
+    * (min doc_id per fp — the stCurateNeardup contract that makes the
+    * verdict fp-deterministic). */
+  def pGateFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+    val docs = Tables.fanout(Tables.table(spark, dir, "documents"))
+    cat.dropTable("scratch", "funnel_idx")
+    cat.createTable("scratch", "funnel_idx", StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("sig", LongType))))
+    cat.append("scratch", "funnel_idx",
+      lshSigs(docs.where(col("doc_id") % 10 =!= 0).select("doc_id", "text")))
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(split(norm, " ")).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val nAlpha = size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))).cast("double")
+    val nStop = size(regexp_extract_all(concat(lit(" "), norm, lit(" ")),
+      lit(" (the|a|of|and|to|in|is|it) "), lit(0))).cast("double")
+    val quality = round(
+      least(nTokens / 50.0, lit(1.0)) * 0.25
+        + (lit(1.0) - least(nPunct / nChars * 5.0, lit(1.0))) * 0.25
+        + least(nStop / nTokens * 5.0, lit(1.0)) * 0.25
+        + nAlpha / nChars * 0.25, 6)
+    val ws = split(norm, " ")
+    val rep = lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws)
+    val nPii =
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))) +
+        size(regexp_extract_all(col("text"), lit("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"), lit(0))) +
+        size(regexp_extract_all(col("text"), lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit(0)))
+    val arr = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("text"),
+        quality.as("quality"), rep.as("rep"), nPii.as("n_pii"),
+        size(split(norm, " ")).cast("long").as("n_tok"), md5(norm).as("fp"))
+      .localCheckpoint()
+    def stage(n: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
+        .select(lit(n).as("stage"), lit(name).as("gate"),
+          col("n_docs"), col("n_tokens"))
+    val g1 = arr.where(col("lang").isin("en", "fr"))
+    val g2 = g1.where(col("quality") >= 0.55)
+    val g3 = g2.where(col("n_pii") === 0)
+    val g4 = g3.where(col("rep") <= 0.6)
+    val reps = g4.groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tok")).as("n_tok"))
+    val repDocs = reps.select("doc_id", "n_tok")
+      .join(arr.select("doc_id", "text"), Seq("doc_id"))
+    val admitted = repDocs
+      .join(lshScreen(repDocs.select("doc_id", "text"),
+          cat.load("scratch", "funnel_idx")),
+        Seq("doc_id"), "left_outer")
+      .where(coalesce(col("admitted"), lit(true)))
+    stage(0, "arriving", arr)
+      .unionByName(stage(1, "lang", g1))
+      .unionByName(stage(2, "quality", g2))
+      .unionByName(stage(3, "pii", g3))
+      .unionByName(stage(4, "repetition", g4))
+      .unionByName(stage(5, "exact_dedup", reps))
+      .unionByName(stage(6, "near_dup", admitted))
+      .orderBy("stage")
+  }
+
+  val pGateFunnelSql: String = {
+    val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val nChars = "CAST(length(text) AS DOUBLE)"
+    val nTokens = s"CAST(length(string_split($normSql, ' ')) AS DOUBLE)"
+    val nPunct = "CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+    val nAlpha = "CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)"
+    val nStop = s"CAST(length(regexp_extract_all(' ' || $normSql || ' ', ' (the|a|of|and|to|in|is|it) ')) AS DOUBLE)"
+    val nPii = """(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 | + length(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+                 | + length(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')))""".stripMargin
+    s"""WITH __SG_CHAIN__,
+       |idx AS (SELECT * FROM sg WHERE doc_id % 10 <> 0),
+       |q AS (
+       |  SELECT doc_id, lang, md5($normSql) AS fp,
+       |    CAST(length(string_split($normSql, ' ')) AS BIGINT) AS n_tok,
+       |    round(least($nTokens / 50.0, 1.0) * 0.25
+       |      + (1.0 - least($nPunct / $nChars * 5.0, 1.0)) * 0.25
+       |      + least($nStop / $nTokens * 5.0, 1.0) * 0.25
+       |      + $nAlpha / $nChars * 0.25, 6) AS quality,
+       |    1.0 - CAST(len(list_distinct(string_split($normSql, ' '))) AS DOUBLE)
+       |        / len(string_split($normSql, ' ')) AS rep,
+       |    $nPii AS n_pii
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |g1 AS (SELECT * FROM q WHERE lang IN ('en', 'fr')),
+       |g2 AS (SELECT * FROM g1 WHERE quality >= 0.55),
+       |g3 AS (SELECT * FROM g2 WHERE n_pii = 0),
+       |g4 AS (SELECT * FROM g3 WHERE rep <= 0.6),
+       |reps AS (SELECT fp, MIN(doc_id) AS doc_id, MIN(n_tok) AS n_tok
+       |         FROM g4 GROUP BY fp),
+       |hits AS (
+       |  SELECT s.doc_id, COUNT(i.doc_id) AS nh
+       |  FROM sg s JOIN reps c ON c.doc_id = s.doc_id
+       |  LEFT JOIN idx i ON s.band = i.band AND s.sig = i.sig
+       |  GROUP BY 1),
+       |adm AS (SELECT c.doc_id, c.n_tok FROM reps c
+       |        LEFT JOIN hits h ON h.doc_id = c.doc_id
+       |        WHERE COALESCE(h.nh, 0) = 0)
+       |SELECT * FROM (
+       |  SELECT 0 AS stage, 'arriving' AS gate, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM q
+       |  UNION ALL SELECT 1, 'lang', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM g1
+       |  UNION ALL SELECT 2, 'quality', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM g2
+       |  UNION ALL SELECT 3, 'pii', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM g3
+       |  UNION ALL SELECT 4, 'repetition', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM g4
+       |  UNION ALL SELECT 5, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM reps
+       |  UNION ALL SELECT 6, 'near_dup', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM adm)
+       |ORDER BY stage""".stripMargin.replace("__SG_CHAIN__", sgChainSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_lsh_screen" -> (stLshScreen _),
     "st_curate_neardup" -> (stCurateNeardup _),
     "st_mv_refresh" -> (stMvRefresh _),
     "st_quality_drift" -> (stQualityDrift _),
+    "p_gate_funnel" -> (pGateFunnel _),
     "d_index_expire" -> (dIndexExpire _))
 
   val oracles: Map[String, String] = Map(
@@ -674,5 +807,6 @@ object StreamOps4 {
     "st_curate_neardup" -> stCurateNeardupSql,
     "st_mv_refresh" -> stMvRefreshSql,
     "st_quality_drift" -> stQualityDriftSql,
+    "p_gate_funnel" -> pGateFunnelSql,
     "d_index_expire" -> dIndexExpireSql)
 }
