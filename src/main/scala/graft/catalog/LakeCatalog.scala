@@ -454,6 +454,48 @@ class LakeCatalog(spark: SparkSession, root: String) {
     }.headOption
   }
 
+  /** Columns covered by the colstats sidecar (ANALYZE coverage) — metadata
+    * only; the re-ANALYZE policy reads this to know WHAT to refresh. */
+  def analyzedColumns(ns: String, table: String): Seq[String] = {
+    val p = colStatsPath(ns, table)
+    if (!Files.exists(p)) return Seq.empty
+    Files.readAllLines(p).asScala.toSeq.flatMap(l =>
+      """"col":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1))).distinct
+  }
+
+  /** Columns with a histogram sidecar — metadata only. */
+  def histogramColumns(ns: String, table: String): Seq[String] = {
+    val p = histPath(ns, table)
+    if (!Files.exists(p)) return Seq.empty
+    Files.readAllLines(p).asScala.toSeq.flatMap(l =>
+      """"column":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1))).distinct
+  }
+
+  /** Auto re-ANALYZE policy (r10 — the stats lifecycle's missing verb):
+    * when the CURRENT manifest row count has grown to `maxFactorPct`% or
+    * more of the ANALYZED count, re-run ANALYZE over the analyzed columns
+    * and rebuild every histogrammed column's histogram; below the factor
+    * it is a metadata-only no-op. The stale-stats EXTRAPOLATION
+    * ([[estimateRange]]) keeps estimates honest under PROPORTIONAL growth
+    * between refreshes; what it cannot see is non-proportional growth (a
+    * skewed append concentrating in one value range) — that is exactly
+    * what the refresh repairs, and what c_stats_refresh hash-gates.
+    * Returns whether a refresh ran. */
+  def refreshStatsIfStale(ns: String, table: String,
+                          maxFactorPct: Int = 150): Boolean = {
+    val cols = analyzedColumns(ns, table)
+    if (cols.isEmpty) return false
+    val stale = for {
+      analyzed <- statsRowCount(ns, table, cols.head) if analyzed > 0
+      cur <- countStar(ns, table)
+    } yield cur * 100L >= analyzed * maxFactorPct.toLong
+    if (!stale.contains(true)) return false
+    val histCols = histogramColumns(ns, table)
+    analyzeTable(ns, table, cols)
+    histCols.foreach(c => analyzeHistogram(ns, table, c))
+    true
+  }
+
   /** Range-selectivity estimate for `lo <= colName < hi` from the banded
     * equi-height histogram sidecar ([[analyzeHistogram]]): Σ over buckets of
     * rows × overlap fraction, uniform-within-bucket — the classic CBO

@@ -58,6 +58,10 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   // StreamOps4.expireIndex (d_index_expire's verb)
   private val expireIdx =
     """(?is)\s*EXPIRE\s+INDEX\s+(?:(\w+)\.)?(\w+)\s+USING\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  // stats lifecycle (r10): re-ANALYZE when the manifest has outgrown the
+  // analyzed rows by the factor — LakeCatalog.refreshStatsIfStale's face
+  private val maintainStats =
+    """(?is)\s*MAINTAIN\s+STATS\s+(?:(?:IN|FOR)\s+)?(?:(\w+)\.)?(\w+)(?:\s+FACTOR\s+(\d+))?\s*;?\s*""".r
   // COPY (SELECT …) TO 'path' [FORMAT csv|json|parquet] — DuckDB's export
   // verb, Spark-shaped (distributed write, any SELECT the engine runs)
   private val copyTo =
@@ -404,6 +408,14 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         catalog.expireSnapshots(nsName, table, Option(n).map(_.toInt).getOrElse(1))
         Seq("Snapshots expired").toDF("status")
+
+      case maintainStats(ns, table, pct) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val refreshed = catalog.refreshStatsIfStale(nsName, table,
+          Option(pct).map(_.toInt).getOrElse(150))
+        Seq((refreshed,
+          if (refreshed) "stats refreshed" else "within factor — no-op"))
+          .toDF("refreshed", "status")
 
       case expireIdx(ns, idx, lns, live) =>
         val nsName = Option(ns).getOrElse(resolveNs(idx, "scratch"))

@@ -410,11 +410,92 @@ object CatalogOps9 {
       |    (SELECT c_custkey FROM customer
       |     WHERE c_acctbal >= 0.0 AND c_acctbal < 1000.0)) AS rows_anti""".stripMargin
 
+  /** Auto stats refresh under NON-proportional growth (r10 — the stats
+    * lifecycle's last gap): c_cbo_stale proved extrapolation keeps
+    * estimates honest under PROPORTIONAL growth; this op constructs the
+    * growth shape extrapolation CANNOT see — a skewed append concentrating
+    * entirely in the probed range — and proves MAINTAIN STATS
+    * ([[LakeCatalog.refreshStatsIfStale]]) repairs it. ANALYZE runs on the
+    * even half; the append adds the odd half PLUS the odd in-range rows
+    * twice more (factor ≈ 2.2 — over the 150% refresh trigger; in-range
+    * mass ≈ 1.8× what uniform extrapolation predicts). The stale route at
+    * a 1.25×-stale-estimate threshold is broadcast (the under-estimate);
+    * after the refresh the fresh histogram sees the true mass and the SAME
+    * threshold routes shuffle — at 100 TB that under-estimate is a forced
+    * broadcast of a dimension sliver that quietly tripled. Both routed
+    * aggregates hash-gate against the direct join over the identical
+    * table content (routes are content-invariant); est_grew pins the
+    * estimate movement. */
+  def cStatsRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    cat.dropTable("scratch", "cust_refresh")
+    cat.createTable("scratch", "cust_refresh", StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_acctbal", DoubleType))))
+    val c = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    cat.append("scratch", "cust_refresh", c.where(col("c_custkey") % 2 === 0))
+    cat.analyzeTable("scratch", "cust_refresh", Seq("c_acctbal"))
+    cat.analyzeHistogram("scratch", "cust_refresh", "c_acctbal")
+    // NON-proportional growth: the odd half plus its in-range rows twice
+    // more — the probed range grows ~3x while the table grows ~2.2x
+    val odd = c.where(col("c_custkey") % 2 === 1)
+    val oddInRange = odd.where(col("c_acctbal") >= 0.0 && col("c_acctbal") < 1000.0)
+    cat.append("scratch", "cust_refresh",
+      odd.unionByName(oddInRange).unionByName(oddInRange))
+    val probe = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val estStale = cat.estimateRange("scratch", "cust_refresh", "c_acctbal", 0.0, 1000.0)
+      .getOrElse(sys.error("histogram missing after ANALYZE"))
+    val thr = estStale * 5 / 4
+    val (_, routeStale, dfStale) = cat.joinRouted("scratch", "cust_refresh",
+      "c_acctbal", 0.0, 1000.0, probe, "c_custkey", thr)
+    val aggStale = dfStale.agg(count(lit(1)).as("rows_stale"),
+      Tables.dsum(col("o_totalprice")).as("rev_stale"))
+    val refreshed = cat.refreshStatsIfStale("scratch", "cust_refresh", 150)
+    val estFresh = cat.estimateRange("scratch", "cust_refresh", "c_acctbal", 0.0, 1000.0)
+      .getOrElse(sys.error("histogram missing after refresh"))
+    val (_, routeFresh, dfFresh) = cat.joinRouted("scratch", "cust_refresh",
+      "c_acctbal", 0.0, 1000.0, probe, "c_custkey", thr)
+    val aggFresh = dfFresh.agg(count(lit(1)).as("rows_fresh"),
+      Tables.dsum(col("o_totalprice")).as("rev_fresh"))
+    aggStale.crossJoin(broadcast(aggFresh))
+      .select(
+        lit(routeStale).as("route_stale"), col("rows_stale"), col("rev_stale"),
+        lit(refreshed).as("refreshed"),
+        lit(routeFresh).as("route_fresh"), col("rows_fresh"), col("rev_fresh"),
+        lit(estFresh > estStale).as("est_grew"))
+  }
+
+  val cStatsRefreshSql: String =
+    """WITH grown AS (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_custkey % 2 = 1 AND c_acctbal >= 0.0 AND c_acctbal < 1000.0
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_custkey % 2 = 1 AND c_acctbal >= 0.0 AND c_acctbal < 1000.0),
+      |j AS (
+      |  SELECT o.o_totalprice FROM orders o JOIN grown c
+      |    ON c.c_custkey = o.o_custkey
+      |  WHERE c.c_acctbal >= 0.0 AND c.c_acctbal < 1000.0)
+      |SELECT
+      |  'broadcast' AS route_stale,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS rows_stale,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) FROM j) AS rev_stale,
+      |  true AS refreshed,
+      |  'shuffle' AS route_fresh,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS rows_fresh,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) FROM j) AS rev_fresh,
+      |  true AS est_grew""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_cbo_route" -> (cCboRoute _),
     "c_cbo_planner" -> (cCboPlanner _),
     "c_cbo_stale" -> (cCboStale _),
     "c_cbo_semijoin" -> (cCboSemijoin _),
+    "c_stats_refresh" -> (cStatsRefresh _),
     "c_bloom_string" -> (cBloomString _),
     "c_branch_diff" -> (cBranchDiff _))
 
@@ -423,6 +504,7 @@ object CatalogOps9 {
     "c_cbo_planner" -> cCboPlannerSql,
     "c_cbo_stale" -> cCboStaleSql,
     "c_cbo_semijoin" -> cCboSemijoinSql,
+    "c_stats_refresh" -> cStatsRefreshSql,
     "c_bloom_string" -> cBloomStringSql,
     "c_branch_diff" -> cBranchDiffSql)
 }

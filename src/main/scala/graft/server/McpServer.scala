@@ -62,6 +62,8 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "EXPIRE SNAPSHOTS IN [ns.]t [KEEP n]; REMOVE ORPHANS IN [ns.]t; " +
           "EXPIRE INDEX [ns.]idx USING [ns.]live (sweep persisted " +
           "signature-index rows whose doc_ids left the live table); " +
+          "MAINTAIN STATS [ns.]t [FACTOR pct] (re-ANALYZE + rebuild " +
+          "histograms when manifest rows outgrow analyzed rows); " +
           "ROLLBACK [TABLE] [ns.]t TO VERSION v; " +
           "COMPACT TABLE [ns.]t [INTO n FILES] (default 1 file); " +
           "MAINTAIN TABLE [ns.]t [INTO n FILES] [KEEP k] " +

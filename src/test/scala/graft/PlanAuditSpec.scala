@@ -91,6 +91,7 @@ class PlanAuditSpec extends SparkSpec {
     "c_cbo_route",     // one-row narrow-agg × wide-agg assembly row
     "c_cbo_planner",   // same one-row assembly over the planner-routed probes
     "c_cbo_stale",     // same one-row assembly across the growth boundary
+    "c_stats_refresh", // same one-row assembly across the refresh boundary
     "q_conductance",   // one-row edge-count broadcast onto the community rows
     "q_degree_distribution", // one-row node-total broadcast onto histogram rows
     "c_cbo_semijoin",  // one-row narrow × wide × anti assembly row (+ the

@@ -244,6 +244,36 @@ class Round10Spec extends SparkSpec {
     cat.dropTable("scratch", "dim10"); cat.dropTable("scratch", "probe10")
   }
 
+  test("MAINTAIN STATS is a no-op below the factor and refreshes above it") {
+    import spark.implicits._
+    val cat = new LakeCatalog(spark, scratch)
+    val gw = new graft.catalog.SqlGateway(spark, cat)
+    cat.dropTable("scratch", "ms_spec")
+    cat.createTable("scratch", "ms_spec", StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    cat.append("scratch", "ms_spec",
+      (1L to 1000L).map(i => (i, i.toDouble)).toDF("k", "v"))
+    cat.analyzeTable("scratch", "ms_spec", Seq("v"))
+    cat.analyzeHistogram("scratch", "ms_spec", "v")
+    // +20% growth: below the default 150% factor — metadata-only no-op
+    cat.append("scratch", "ms_spec",
+      (1L to 200L).map(i => (i, i.toDouble)).toDF("k", "v"))
+    val r1 = gw.execute("MAINTAIN STATS scratch.ms_spec").head()
+    assert(!r1.getAs[Boolean]("refreshed"), "refreshed below the factor")
+    assert(cat.statsRowCount("scratch", "ms_spec", "v").contains(1000L),
+      "no-op path rewrote the sidecar")
+    // past the factor: refresh runs, analyzed rows track the manifest
+    cat.append("scratch", "ms_spec",
+      (1L to 500L).map(i => (i, i.toDouble)).toDF("k", "v"))
+    val r2 = gw.execute("MAINTAIN STATS scratch.ms_spec FACTOR 150").head()
+    assert(r2.getAs[Boolean]("refreshed"), "did not refresh past the factor")
+    assert(cat.statsRowCount("scratch", "ms_spec", "v").contains(1700L),
+      "refresh did not re-ANALYZE to the current manifest")
+    assert(cat.histogramColumns("scratch", "ms_spec") == Seq("v"),
+      "refresh lost the histogram coverage")
+    cat.dropTable("scratch", "ms_spec")
+  }
+
   // ------------------------- expiry: gap-version DV folds (low ref pins cutoff)
 
   test("a MOR delete in the gap between a low ref and the keep window survives expiry") {
