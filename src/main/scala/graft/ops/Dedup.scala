@@ -446,6 +446,117 @@ object Dedup {
        |FROM diags WHERE run >= 10
        |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
 
+  /** ExactSubstr dedup WITH REMOVAL (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the production
+    * span-level operator; VERDICT r10 next #1): [[dSubstringSpan]] DETECTS
+    * copied spans; this op EMITS the cleaned corpus with every duplicated
+    * span CUT and the document reassembled — what the published pipelines
+    * actually apply to the training set.
+    *
+    * Policy (keep-first by doc_id, the ExactSubstr convention): a word
+    * position is removed iff it is covered by a run of ≥ `minRun`
+    * consecutive positional 5-gram shingles that each ALSO occur in some
+    * EARLIER document (first occurrence across the corpus survives; a run
+    * of R dup shingle-starts covers R+4 words). Within-doc repetition is
+    * deliberately untouched — that is t_repetition's gate, not dedup.
+    *
+    * Plan at 100 TB: positional shingles are the scan projection the span
+    * detector already uses; first-occurrence is ONE map-side-combined
+    * min(doc_id) aggregate over the shingle hash; dup marking is the
+    * equi-join back on the hash (bounded by true duplication mass, never
+    * quadratic); runs/gaps-islands run per-doc (doc_id-keyed window,
+    * bounded by doc length); coverage explodes to (doc_id, pos) rows
+    * bounded by removed mass; reassembly is ONE doc_id aggregate whose
+    * in-order md5 IS the gate (the t_c4_filter pattern — order proven,
+    * not claimed). Oracle: the identical chain over shingle STRINGS in
+    * DuckDB (the d_substring_span equivalence precedent). */
+  def dSubstringRemove(spark: SparkSession, dir: String): DataFrame =
+    substringRemoveOf(Tables.fanout(Tables.table(spark, dir, "documents")))
+
+  /** The removal chain over an arbitrary (doc_id, text) frame — the spec
+    * plants a copied paragraph across 3 docs and proves only the first
+    * survives. */
+  private[graft] def substringRemoveOf(docs: DataFrame): DataFrame = {
+    val minRun = 10
+    val base = docs
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+      .cache() // two derivations below: positional shingles + token frame
+    val sh = base.select(col("doc_id"),
+      posexplode(graft.functions.Sketch.ngramHashes(col("ws"), 5)).as(Seq("pos", "h")))
+    val firstDoc = sh.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    val dup = sh.join(firstDoc, Seq("h"))
+      .where(col("doc_id") > col("first_doc"))
+      .select("doc_id", "pos")
+    // gaps-islands per doc: consecutive dup shingle-starts share one grp
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("grp", col("pos") - row_number().over(wDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("start"), count(lit(1)).as("run"))
+      .where(col("run") >= minRun)
+    // covered word positions: [start, start + run + 4 − 1] per span;
+    // adjacent spans' tails may overlap → distinct before the mark join
+    val covered = spans.select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + col("run") + lit(3)))
+          .as("pos"))
+      .distinct()
+    val toks = base.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "word")))
+    val marked = toks.join(covered.withColumn("cut", lit(true)),
+      Seq("doc_id", "pos"), "left_outer")
+    val out = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_words"),
+      sum(when(col("cut").isNull, 1L).otherwise(0L)).as("kept_words"),
+      sum(when(col("cut").isNotNull, 1L).otherwise(0L)).as("removed_words"),
+      md5(array_join(
+        expr("transform(array_sort(collect_list(CASE WHEN cut IS NULL THEN struct(pos, word) END)), x -> x.word)"),
+        " ")).as("clean_md5"))
+    val spanCounts = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    out.join(spanCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("kept_words"),
+        col("removed_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"), col("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val dSubstringRemoveSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) - 1 AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, pos,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |fo AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+       |dup AS (
+       |  SELECT s.doc_id, s.pos FROM sh s
+       |  JOIN fo f ON s.shingle = f.shingle AND s.doc_id > f.first_doc),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dup),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS start, COUNT(*) AS run
+       |  FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 10),
+       |cov AS (
+       |  SELECT DISTINCT t.doc_id, t.pos FROM tok t
+       |  JOIN spans p ON t.doc_id = p.doc_id
+       |    AND t.pos BETWEEN p.start AND p.start + p.run + 3),
+       |k AS (
+       |  SELECT t.doc_id, t.pos, t.word, c.pos IS NOT NULL AS cut
+       |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos),
+       |sp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY 1)
+       |SELECT k.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT) AS kept_words,
+       |  CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS removed_words,
+       |  CAST(COALESCE(min(sp.n_spans), 0) AS BIGINT) AS n_spans,
+       |  md5(coalesce(string_agg(CASE WHEN NOT cut THEN word END, ' ' ORDER BY k.pos), '')) AS clean_md5
+       |FROM k LEFT JOIN sp ON sp.doc_id = k.doc_id
+       |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+
   /** Fuzzy ENTITY dedup (names, not documents): part-name pairs within
     * Levenshtein distance ≤ 2 — the "cold bolt" / "old bolt" catalog-merge
     * case. Staged exactly like production entity resolution at 100 TB:
@@ -768,6 +879,7 @@ object Dedup {
     "d_semantic_dedup" -> (dSemanticDedup _),
     "d_fuzzy_name" -> (dFuzzyName _),
     "d_substring_span" -> (dSubstringSpan _),
+    "d_substring_remove" -> (dSubstringRemove _),
     "d_dup_clusters" -> ((s: SparkSession, d: String) => dupClustersDistributed(s, d)),
     "d_exact" -> (dExact _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -780,6 +892,7 @@ object Dedup {
     "d_semantic_dedup" -> dSemanticDedupSql,
     "d_fuzzy_name" -> dFuzzyNameSql,
     "d_substring_span" -> dSubstringSpanSql,
+    "d_substring_remove" -> dSubstringRemoveSql,
     "d_dup_clusters" -> dDupClustersSql,
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,

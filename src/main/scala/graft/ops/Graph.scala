@@ -238,10 +238,13 @@ object Graph {
       // pattern, Similarity2.nswEdges): an edge list is DATA scale, and a
       // collect() of it would OOM the driver at a bigger sf even though
       // bench never runs there (VERDICT r9 item 3). Path keyed by the
-      // sanitized full dir so two data dirs never share an index.
+      // sanitized full dir PLUS a hash of the raw dir (ADVICE r10: two
+      // distinct dirs like /a/b and /a_b sanitize identically — the
+      // second run would overwrite the parquet the first dir's still-live
+      // memo entry points at).
       val path = ModelCache.memo(s"cosupply:$dir") {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_cosupply_edges/" +
-          dir.replaceAll("[^A-Za-z0-9._-]", "_")
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") + f"_${dir.hashCode}%08x"
         build().write.mode("overwrite").parquet(p)
         p
       }

@@ -432,10 +432,11 @@ object Similarity2 {
       build().localCheckpoint()
     else {
       val path = ModelCache.memo(s"nswgraph:$dir") {
-        // path keyed by the SANITIZED full dir, not a 32-bit hash — two
+        // path keyed by the sanitized full dir PLUS a hash of the raw dir
+        // (ADVICE r10): sanitization alone collides /a/b with /a_b — two
         // data dirs must never share (and overwrite) one index directory
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_nsw_index/" +
-          dir.replaceAll("[^A-Za-z0-9._-]", "_")
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") + f"_${dir.hashCode}%08x"
         build().write.mode("overwrite").parquet(p)
         p
       }

@@ -80,10 +80,32 @@ case class CboRouteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // side means setting that slot from the sidecar decision. The inner
     // plans are already optimized (the Subquery batch runs first), so the
     // same Filter→scan extractor applies.
+    // NOT IN shapes (ADVICE r10): a nullable NOT IN rewrites to a
+    // null-aware LeftAnti join, which Spark executes ONLY as a broadcast
+    // (BHJ-NAAJ or BNLJ) — a SHUFFLE_MERGE pin there is unenforceable and
+    // would misrepresent the decision the planner can actually take. Only
+    // the BROADCAST direction is injected for these; the shuffle direction
+    // is left to Spark's defaults (Round11Spec pins the wide-NOT-IN
+    // behavior). Collected by identity: an unrewritten ListQuery reaching
+    // the bare case below is the same object the pre-pass saw.
+    val notInQueries = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[ListQuery, java.lang.Boolean]())
+    joined.foreach { p =>
+      p.expressions.foreach(_.foreach {
+        case org.apache.spark.sql.catalyst.expressions.Not(
+            org.apache.spark.sql.catalyst.expressions.InSubquery(_, l: ListQuery)) =>
+          notInQueries.add(l)
+        case _ => ()
+      })
+    }
     joined.transformAllExpressions {
       case l: ListQuery if l.hint.isEmpty =>
-        try sideHint(l.plan).map(h => l.copy(hint = Some(h))).getOrElse(l)
-        catch { case scala.util.control.NonFatal(_) => l }
+        try sideHint(l.plan) match {
+          case Some(h) if notInQueries.contains(l) &&
+              !h.strategy.contains(BROADCAST) => l // NAAJ: shuffle pin unenforceable
+          case Some(h) => l.copy(hint = Some(h))
+          case None => l
+        } catch { case scala.util.control.NonFatal(_) => l }
       case e: Exists if e.hint.isEmpty =>
         try sideHint(e.plan).map(h => e.copy(hint = Some(h))).getOrElse(e)
         catch { case scala.util.control.NonFatal(_) => e }
@@ -156,7 +178,7 @@ object CboRouteRule {
   // verdict item 4). Keyed by BOTH sidecar mtimes so a re-ANALYZE or a
   // histogram refresh invalidates naturally; bounded (drop-all past 512 —
   // planner state must never grow with query count).
-  private case class DecideKey(dir: String, sidecarMtimes: Seq[Long],
+  private case class DecideKey(dir: String, sidecarSigs: Seq[(Long, Long)],
                                box: Map[String, (Double, Double)],
                                threshold: Option[Long], cap: Long)
   private val decideMemo =
@@ -208,17 +230,25 @@ object CboRouteRule {
     val hPath = nsDir.resolve(s"${table}_hist.json")
     if (!Files.exists(csPath) || !Files.exists(hPath)) return None
     val cap = broadcastRowCap(spark)
-    // mtime stat calls only — the parse itself is memoized per content
-    // version, so repeated planning of the same join costs a few stats, not
-    // two sidecar reads per join side per fixpoint pass. The snapshot log's
-    // mtime joins the key because the threshold and the stale-stats growth
+    // stat calls only — the parse itself is memoized per content version,
+    // so repeated planning of the same join costs a few stats, not two
+    // sidecar reads per join side per fixpoint pass. The snapshot log
+    // joins the key because the threshold and the stale-stats growth
     // factor read the CURRENT manifest (countStar) — an append must
     // invalidate the memo even when the stats sidecars are untouched.
+    // Each sidecar is keyed by (mtime, SIZE), not mtime alone (ADVICE
+    // r10): on coarse-mtime filesystems a re-ANALYZE or append landing in
+    // the prior read's tick would otherwise serve a stale Decision — and a
+    // stale 'broadcast' overrides autoBroadcastJoinThreshold, the OOM
+    // class the row cap closes. The snapshot log is append-only (size
+    // strictly grows per commit) and an ANALYZE of changed content changes
+    // the stats payload, so size catches what a same-tick mtime misses.
     val snapPath = nsDir.resolve(s"${table}_snapshots.json")
-    def mt(p: Path): Long =
-      if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis else -1L
+    def sig(p: Path): (Long, Long) =
+      if (Files.exists(p)) (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+      else (-1L, -1L)
     val key = DecideKey(dir.toString,
-      Seq(mt(csPath), mt(hPath), mt(snapPath)),
+      Seq(sig(csPath), sig(hPath), sig(snapPath)),
       box, thresholdOverride, cap)
     if (decideMemo.size > 512) decideMemo.clear()
     decideMemo.computeIfAbsent(key, { _ =>

@@ -490,13 +490,17 @@ object StreamOps4 {
     // pass (caller retries) instead of having its append silently erased
     // by the whole-table replace.
     val base = cat.headVersion(ns, idxTable)
-    val before = cat.countStar(ns, idxTable)
-      .getOrElse(cat.load(ns, idxTable).count())
-    val kept = cat.load(ns, idxTable)
+    // BOTH the replaced content and the telemetry read the version pinned
+    // as the CAS base (ADVICE r10): a concurrent commit between the reads
+    // can only fail the CAS — it can never skew rows_expired against the
+    // snapshot actually replaced.
+    val pinned = cat.loadSnapshot(ns, idxTable, base)
+    val before = pinned.count()
+    val kept = pinned
       .join(liveDocIds.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // counted below AND written: derive both from one pass
     cat.overwrite(ns, idxTable, kept, expectedBase = Some(base))
-    val after = cat.countStar(ns, idxTable)
-      .getOrElse(cat.load(ns, idxTable).count())
+    val after = kept.count()
     (before, after)
   }
 

@@ -150,6 +150,7 @@ class Round10Spec extends SparkSpec {
   }
 
   test("decide() parses sidecars once per content version across repeated planning") {
+    import spark.implicits._
     val cat = cboTables(s"${System.getProperty("java.io.tmpdir")}/graft_cbomemo_wh")
     def planned(): String = {
       val df = cat.load("scratch", "probe10")
@@ -173,8 +174,11 @@ class Round10Spec extends SparkSpec {
     assert(plan1.contains("BroadcastHashJoin") == plan2.contains("BroadcastHashJoin"),
       "memoized decision changed the plan")
     assert(CboRouteRule.lastApplied.nonEmpty, "rule did not route the join")
-    // a re-ANALYZE (sidecar mtime change) invalidates the memo
-    Thread.sleep(5) // mtime granularity
+    // a commit invalidates the memo DETERMINISTICALLY (ADVICE r10): the
+    // append grows the append-only snapshot log, so the (mtime, size) key
+    // changes even on filesystems with coarse mtime granularity — no sleep
+    cat.append("scratch", "dim10",
+      Seq((999999L, 500.0)).toDF("c_custkey", "c_acctbal"))
     cat.analyzeHistogram("scratch", "dim10", "c_acctbal")
     planned()
     assert(CboRouteRule.sidecarParseCount > p2,

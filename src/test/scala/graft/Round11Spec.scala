@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Round-11 invariants: the r10 verdict's action list — span-level dedup
+  * WITH removal (keep-first), the MAINTAIN COMPACT policy's exactness, the
+  * TIMESTAMPTZ gateway arm, NOT-IN (null-aware anti) routing behavior, and
+  * the DSIR / residual-PQ / HNSW quality pins added later in the round. */
+class Round11Spec extends SparkSpec {
+
+  // --------------------------------------- ExactSubstr removal (keep-first)
+
+  test("substringRemove: a paragraph copied across 3 docs survives only in the first") {
+    import spark.implicits._
+    // 14+ words shared verbatim (≥ minRun+4 = 14 at minRun 10) embedded in
+    // otherwise-distinct documents; doc 30 has no copy.
+    val para = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"
+    val docs = Seq(
+      (10L, s"first document begins here $para and then trails off uniquely one"),
+      (20L, s"second doc opens differently $para closing words differ two"),
+      (25L, s"third completely separate intro $para tail text three"),
+      (30L, "independent document with no shared span at all just its own words")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringRemoveOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("removed_words"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("kept_words"))).toMap
+
+    // first occurrence: untouched
+    assert(out(10L)._1 == 0L && out(10L)._2 == 0L,
+      s"first occurrence must survive intact, got ${out(10L)}")
+    // later copies: the 16-word paragraph is cut (coverage may clip a word
+    // or two of surrounding context only if it participates in dup
+    // shingles — here the contexts are unique, so exactly the span goes)
+    assert(out(20L)._1 >= 16L && out(20L)._2 == 1L,
+      s"second copy must lose the copied span, got ${out(20L)}")
+    assert(out(25L)._1 >= 16L && out(25L)._2 == 1L,
+      s"third copy must lose the copied span, got ${out(25L)}")
+    // the untouched doc is fully kept
+    assert(out(30L)._1 == 0L && out(30L)._3 == 12L,
+      s"unrelated doc must be untouched, got ${out(30L)}")
+  }
+
+  test("substringRemove: cleaned text md5 equals the hand-reassembled survivor text") {
+    import spark.implicits._
+    val para = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen"
+    val head2 = "intro words here"
+    val tail2 = "closing words there"
+    val docs = Seq(
+      (1L, s"base doc $para ending"),
+      (2L, s"$head2 $para $tail2")
+    ).toDF("doc_id", "text")
+    val row = Dedup.substringRemoveOf(docs).where(col("doc_id") === 2L).head()
+    // doc 2's survivors are exactly its unique head + tail, in order
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$head2 $tail2".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(row.getAs[String]("clean_md5") == expect,
+      "reassembled cleaned text differs from the expected survivor text")
+    assert(row.getAs[Long]("removed_words") == 14L)
+  }
+}
