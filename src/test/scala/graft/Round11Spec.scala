@@ -62,4 +62,34 @@ class Round11Spec extends SparkSpec {
       "reassembled cleaned text differs from the expected survivor text")
     assert(row.getAs[Long]("removed_words") == 14L)
   }
+
+  // --------------------------------------------- DSIR importance resampling
+
+  test("DSIR: the drawn sample's bucket distribution moves toward the target (KL drops)") {
+    val docs = Tables.fanout(Tables.table(spark, sfDir, "documents"))
+    val rows = graft.ops.Pipeline4.dsirDocBuckets(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("b"), r.getAs[Long]("cnt")))
+    val nDocs = rows.map(_._1).distinct.length
+    val k = math.max(5, nDocs / 3)
+    val sample = graft.ops.Pipeline4.dsirSampleOf(docs, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sample.size == k)
+    def dist(sel: ((Long, String, Long, Long)) => Boolean): Array[Double] = {
+      val cnts = Array.fill(64)(1.0) // add-1 smoothing
+      rows.filter(sel).foreach { case (_, _, b, c) => cnts(b.toInt) += c.toDouble }
+      val tot = cnts.sum
+      cnts.map(_ / tot)
+    }
+    val tgt = dist { case (_, lang, _, _) => lang == "en" }
+    val raw = dist(_ => true)
+    val smp = dist { case (d, _, _, _) => sample.contains(d) }
+    def kl(p: Array[Double], q: Array[Double]): Double =
+      p.zip(q).map { case (a, b) => a * math.log(a / b) }.sum
+    val klRaw = kl(raw, tgt)
+    val klSmp = kl(smp, tgt)
+    assert(klSmp < klRaw,
+      s"importance resampling must move the mix toward the target: " +
+        s"KL(sample||target)=$klSmp !< KL(raw||target)=$klRaw")
+  }
 }
