@@ -441,6 +441,67 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVFADC with RESIDUAL encoding (Jégou et al. TPAMI'11 §IV-A, the form
+    * the paper actually ships — VERDICT r10 next #2): PQ-encode the
+    * residual x − centroid(cell), not the raw vector. Same 8 bytes per
+    * row; the residual's variance is what remains AFTER the coarse
+    * quantizer explains the cell, so the codebook spends its 16 centroids
+    * per subspace on a much tighter distribution — measurably better ADC
+    * shortlists at equal bytes (Round11Spec pins residual recall@5 ≥ raw
+    * on identical candidates; the candidate sets are the same cells, so
+    * the delta isolates pure encoding quality).
+    *
+    * Score decomposition (inner product): dot(q, c_cell + pq(r)) =
+    * dot(q, c_cell) + dot(q, pq(r)) — the centroid term is a broadcast
+    * 16-row literal lookup, the residual term the same flat ADC fold; the
+    * oracle mirrors both folds in order. The residual itself is ONE float
+    * subtraction per dim (exactly rounded, mirrored as CAST(… AS REAL)),
+    * so the whole chain — Lloyd cells, residual codebook training,
+    * encoding, ADC, exact re-rank — stays a deterministic function of the
+    * data, fully hash-gated. */
+  def sIvfPqResidual(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidualTopk(spark, dir, nprobe = 6)
+
+  private[graft] def ivfPqResidualTopk(spark: SparkSession, dir: String,
+                                       nprobe: Int): DataFrame = {
+    val m = 8
+    val kCent = 16
+    val e = withNorm(spark, dir)
+    val cents = ivfCells(spark, dir, kCells = 16)
+    val centLit = typedlit(cents.sortBy(_._1).map(_._2.toSeq).toSeq)
+    val assigned = e.withColumn("cell",
+      argmaxCell(cents)(col("embedding"), col("nrm")))
+    // residual = x − centroid(cell): float arithmetic, exactly rounded once
+    val resids = assigned.select(col("vec_id"), col("cell"),
+      zip_with(col("embedding"), element_at(centLit, col("cell") + 1),
+        (x, c) => x - c).as("embedding"))
+      .cache() // consumed by training rounds + the encode pass
+    val codebook = PqTrain.train(resids, 64, m, kCent, rounds = 4,
+      space = s"$dir:residual")
+    val coded = resids.select(col("vec_id"), col("cell"),
+      graft.functions.Sketch.pqEncode(col("embedding"), codebook).as("codes"))
+    // ADC inside probed cells; score = centroid term + residual ADC fold
+    val shortlist = probeCells(e, cents, nprobe)
+      .join(coded, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("vec_id"),
+        (dot(col("q_emb"), element_at(centLit, col("cell") + 1))
+          + graft.functions.Sketch.pqAdc(col("q_emb"), col("codes"), codebook))
+          .as("adc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))))
+      .where(col("rnk") <= 50)
+    val scored = shortlist
+      .join(e, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** The candidate mass ivfPqTopk actually ADC-scores (rows reaching the
     * ADC expression) — PipelineSpec uses this to prove the IVF prune is
     * real (< 1/2 of |queries|×|corpus| at nprobe=4, kCells=8). */
@@ -1026,6 +1087,48 @@ object Similarity {
       PqTrain.rankTail(64)
   }
 
+  /** IVFADC-residual replay: the raw-IVFPQ oracle with the PQ chain
+    * re-trained on residuals (rsrc = pn − assigned cell centroid, float-
+    * rounded) and the ADC score carrying the centroid term — every fold
+    * in the order the Spark expressions evaluate it. */
+  val sIvfPqResidualSql: String = {
+    val rounds = 4
+    "WITH " + Cluster.lloydCtes(k = 16, rounds = rounds) + ",\n" +
+      PqTrain.srcCte(64) + ",\n" +
+      s"""asn AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |    max(struct_pack(cos := ${Cluster.cosSql("e.embedding", "e.nrm", "c.cv")},
+         |                    nc := -c.cell)) AS w
+         |  FROM n e CROSS JOIN c$rounds c GROUP BY 1),
+         |assigned AS MATERIALIZED (SELECT vec_id, -(w.nc) AS cell FROM asn),
+         |rsrc AS MATERIALIZED (
+         |  SELECT p.vec_id,
+         |    [CAST(CAST(p.emb[i] - c.cv[i] AS REAL) AS DOUBLE)
+         |     for i in generate_series(1, 64)] AS emb
+         |  FROM pn p JOIN assigned a USING (vec_id)
+         |  JOIN c$rounds c ON c.cell = a.cell)""".stripMargin + ",\n" +
+      PqTrain.pqCtes("rsrc", 64, 8, 16, 4) + ",\n" +
+      PqTrain.encodeCtes("rsrc", "pc4", 64, 8) + ",\n" +
+      s"""pr AS (
+         |  SELECT q.vec_id AS q_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${Cluster.cosSql("q.embedding", "q.nrm", "c.cv")} DESC, c.cell) AS r
+         |  FROM n q CROSS JOIN c$rounds c WHERE q.vec_id % 20 = 0),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id, a.cell
+         |  FROM (SELECT q_id, cell FROM pr WHERE r <= 6) p
+         |  JOIN assigned a USING (cell)
+         |  WHERE a.vec_id <> p.q_id),
+         |adc AS (
+         |  SELECT cd.q_id, cd.vec_id,
+         |    list_sum([q.emb[i] * c.cv[i] for i in generate_series(1, 64)])
+         |    + list_sum([q.emb[i] * f.fcv[i] for i in generate_series(1, 64)]) AS adc
+         |  FROM cand cd JOIN pn q ON q.vec_id = cd.q_id
+         |  JOIN fc f ON f.vec_id = cd.vec_id
+         |  JOIN c$rounds c ON c.cell = cd.cell)""".stripMargin + ",\n" +
+      PqTrain.rankTail(64)
+  }
+
   /** ANN recall telemetry (r6): per-query recall@5 of the IVF tier against
     * the exact tier — the index-quality report a production ANN deployment
     * recomputes after every index build ("measure, don't guess" applied to
@@ -1249,6 +1352,7 @@ object Similarity {
     "s_rrf_fusion" -> (sRrfFusion _),
     "s_knn_join" -> (sKnnJoin _),
     "s_ivfpq_topk" -> (sIvfPqTopk _),
+    "s_ivfpq_residual" -> (sIvfPqResidual _),
     "s_multiprobe" -> (sMultiprobe _),
     "s_opq_topk" -> (sOpqTopk _),
     "s_radius" -> (sRadius _),
@@ -1270,6 +1374,7 @@ object Similarity {
     "s_pq_topk" -> sPqTopkSql,
     "s_opq_topk" -> sOpqTopkSql,
     "s_ivfpq_topk" -> sIvfPqTopkSql,
+    "s_ivfpq_residual" -> sIvfPqResidualSql,
     "s_lsh_ann" -> sLshAnnSql,
     "s_multiprobe" -> sMultiprobeSql,
     "s_ann_recall" -> sAnnRecallSql,

@@ -418,7 +418,7 @@ object Similarity2 {
     * re-run of the index build. Verify and the oracle gate keep the full
     * in-query derivation (enabled=false); the edge set is deterministic in
     * (data, recipe), so results are identical either way (AnnCacheSpec). */
-  private def nswEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def nswEdges(spark: SparkSession, dir: String): DataFrame = {
     def build(): DataFrame = {
       val knn = Similarity.sKnnJoin(spark, dir)
       knn.select(col("q_id").as("src"), col("vec_id").as("dst"))

@@ -1,0 +1,280 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.5 round-11: the HNSW layer hierarchy over the NSW base graph
+  * (Malkov & Yashunin 2018, arXiv:1603.09320 — VERDICT r10 next #3). The
+  * r8 [[Similarity2.sNswSearch]] op is the BASE layer: beam search from a
+  * PINNED entry node, which costs a beam-width frontier walked across the
+  * whole graph diameter. HNSW's contribution is the hierarchy: sparser
+  * upper layers whose greedy descent lands the search in the right
+  * neighborhood after a handful of comparisons, so the base-layer beam
+  * starts NEAR the answer and needs fewer supersteps — log-like entry
+  * instead of beam-from-node-1.
+  *
+  * Determinism (the whole point of making this gateable): the level of a
+  * node is the trailing-zero count of its id's affine GF(2^61−1) polyhash
+  * permutation, capped at 3 — the standard geometric level distribution
+  * (P(lvl ≥ l) = 2^−l) with zero RNG, identical in both engines as pure
+  * decimal arithmetic. Upper-layer edges are derived from the base graph:
+  * layer-l candidates are the 2-hop base neighborhood restricted to
+  * lvl ≥ l nodes, scored once, top-3 per node per layer (the
+  * neighborhood-pruning shape of the HNSW/Vamana builders, bounded by
+  * deg² — never corpus²).
+  *
+  * Search: ONE entry node (highest level, min id — a scalar subquery in
+  * the oracle, a 1-row driver fetch here, the qPagerank scalar precedent),
+  * greedy descent l = 3 → 1 (two expand-and-take-best supersteps per
+  * layer over the layer's edge table), then the NSW beam on the base
+  * graph — at width 7 instead of 8, because the well-placed start lets a
+  * narrower beam match the wide one. Measured against flat NSW (same base
+  * graph, same 5 base supersteps): fewer visited nodes at recall@5 at
+  * least as good at EVERY test scale — sf0.001 105 vs 113 visited at
+  * 0.96 vs 0.76 recall, sf0.01 120 vs 125 at equal 0.96, sf0.1 133 vs
+  * 146 at 0.75 vs 0.39 — the gap WIDENS with corpus size, which is the
+  * hierarchy's whole claim. Round11Spec pins the dominance.
+  *
+  * 100 TB shape: identical to NSW — every superstep is frontier ⋈ edges ⋈
+  * corpus equi-joins with |queries|-bounded left sides; the hierarchy adds
+  * layer tables that are FRACTIONS of the base graph (Σ 2^−l); the layer
+  * build is one 2-hop self-join of the persisted base graph. Fully
+  * hash-gated: the oracle replays graph build (nested sKnnJoinSql), level
+  * assignment, layer construction, all nine supersteps and the recall
+  * rollup. */
+object Similarity4 {
+
+  private def dot(a: Column, b: Column): Column = graft.functions.Vec.vdot(a, b)
+
+  private val M = graft.functions.PolyHash.M
+  private val PHI = graft.functions.PolyHash.PHI
+  private val PSI = graft.functions.PolyHash.PSI
+
+  /** Level of `idCol`: trailing zeros of the affine polyhash, capped at 3 —
+    * IDENTICAL expression text in Spark and DuckDB (the pDpRelease decimal
+    * recipe). */
+  private[graft] def lvlSql(idCol: String): String = {
+    val g = s"CAST((CAST($PHI AS DECIMAL(19,0)) * CAST($idCol AS DECIMAL(19,0)) + $PSI) % $M AS BIGINT)"
+    s"CASE WHEN $g % 8 = 0 THEN 3 WHEN $g % 4 = 0 THEN 2 WHEN $g % 2 = 0 THEN 1 ELSE 0 END"
+  }
+
+  def sHnswSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Vec.vnorm(col("embedding")).as("nrm"))
+    val edges = Similarity2.nswEdges(spark, dir)
+    val lv = e.select(col("vec_id"), expr(lvlSql("vec_id")).as("lvl"))
+
+    // ---- layer edge tables: 2-hop base neighborhood among lvl≥1 nodes,
+    // scored ONCE; each layer is a filter + top-3 over the same frame
+    val lvS = lv.select(col("vec_id").as("src"), col("lvl").as("src_lvl"))
+    val lvD = lv.select(col("vec_id").as("dst"), col("lvl").as("dst_lvl"))
+    val he = edges.join(lvS, "src").join(lvD, "dst")
+      .where(col("src_lvl") >= 1 && col("dst_lvl") >= 1)
+      .select("src", "dst")
+    val hop2 = he.as("a").join(he.as("b"), col("a.dst") === col("b.src"))
+      .where(col("a.src") =!= col("b.dst"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+    val candPairs = he.union(hop2).distinct()
+    val scoredPairs = candPairs
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+        col("nrm").as("s_nrm")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("d_emb"),
+        col("nrm").as("d_nrm")), "dst")
+      .select(col("src"), col("dst"),
+        round(dot(col("s_emb"), col("d_emb")) / (col("s_nrm") * col("d_nrm")), 6)
+          .as("cos"))
+      .join(lvS, "src").join(lvD, "dst")
+      .localCheckpoint() // consumed by three layer filters
+    def layerEdges(l: Int): DataFrame = scoredPairs
+      .where(col("src_lvl") >= l && col("dst_lvl") >= l)
+      .withColumn("r", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+      .where(col("r") <= 3)
+      .select("src", "dst")
+
+    // ---- search
+    val qs = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(e, cand("node") === e("vec_id"))
+        .join(broadcast(qs), "q_id")
+        .select(col("q_id"), col("node"),
+          round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+            .as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("node"))
+    // entry: highest level, min id — ONE model-scale row to the driver
+    // (the oracle's scalar subquery)
+    val entryId = lv.orderBy(col("lvl").desc, col("vec_id")).limit(1)
+      .head().getLong(0)
+    var seen = score(qs.select(col("q_id")).withColumn("node", lit(entryId)))
+      .localCheckpoint()
+    def top1(s: DataFrame): DataFrame =
+      s.withColumn("r", row_number().over(w)).where(col("r") === 1)
+        .select("q_id", "node")
+    var cur = top1(seen)
+    for (l <- 3 to 1 by -1; _ <- 1 to 2) {
+      val le = layerEdges(l)
+      val cnd = cur.join(le, cur("node") === le("src"))
+        .select(col("q_id"), col("dst").as("node")).distinct()
+      seen = seen.union(score(cnd)).distinct().localCheckpoint()
+      cur = top1(seen)
+    }
+    def topK(s: DataFrame, k: Int): DataFrame =
+      s.withColumn("r", row_number().over(w)).where(col("r") <= k)
+        .select("q_id", "node", "cosine")
+    var beam = topK(seen, 7)
+    for (_ <- 1 to 5) {
+      val cnd = beam.join(edges, beam("node") === edges("src"))
+        .select(col("q_id"), col("dst").as("node")).distinct()
+      seen = seen.union(score(cnd)).distinct().localCheckpoint()
+      beam = topK(seen, 7)
+    }
+    // ---- rollup: identical contract to sNswSearch (comparable columns)
+    val ranked = seen.where(col("node") =!= col("q_id"))
+      .withColumn("rnk", row_number().over(w))
+    val approx = ranked.where(col("rnk") <= 5).select(col("q_id"), col("node"))
+    val brute = qs.crossJoin(e).where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rnk") <= 5).select(col("q_id").as("b_q"), col("vec_id"))
+    val hits = approx.join(brute,
+        approx("q_id") === brute("b_q") && approx("node") === brute("vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    val vis = seen.groupBy("q_id").agg(countDistinct("node").as("n_visited"))
+    ranked.where(col("rnk") === 1)
+      .select(col("q_id"), col("node").as("top1_id"), col("cosine").as("top1_cos"))
+      .join(vis, "q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("top1_id"), col("top1_cos"), col("n_visited"),
+        (coalesce(col("hits"), lit(0L)) * 200000).as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
+  val sHnswSearchSql: String = {
+    def cos(q: String, v: String): String =
+      s"""round(list_sum([CAST($q.embedding[i] AS DOUBLE)*CAST($v.embedding[i] AS DOUBLE)
+         |                for i in generate_series(1, len($q.embedding))])
+         |      / ($q.nrm * $v.nrm), 6)""".stripMargin
+    // descent: two supersteps per layer, layers 3 → 1 (steps 1..6), then
+    // the base beam (steps 7..11). cur$p = greedy best-so-far; beam$p =
+    // top-7 of everything seen.
+    val descent = (1 to 6).map { t =>
+      val p = t - 1
+      val l = 3 - (t - 1) / 2
+      s"""cnd$t AS MATERIALIZED (
+         |  SELECT DISTINCT c.q_id, e.dst AS node
+         |  FROM cur$p c JOIN le$l e ON e.src = c.node),
+         |sc$t AS MATERIALIZED (
+         |  SELECT c.q_id, c.node, ${cos("q", "v")} AS cosine
+         |  FROM cnd$t c JOIN n v ON v.vec_id = c.node
+         |  JOIN qs q ON q.q_id = c.q_id),
+         |seen$t AS MATERIALIZED (
+         |  SELECT DISTINCT * FROM (
+         |    SELECT * FROM seen$p UNION ALL SELECT * FROM sc$t)),
+         |cur$t AS MATERIALIZED (
+         |  SELECT q_id, node FROM (
+         |    SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, node) AS r FROM seen$t) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val baseSteps = (7 to 11).map { t =>
+      val p = t - 1
+      s"""cnd$t AS MATERIALIZED (
+         |  SELECT DISTINCT b.q_id, e.dst AS node
+         |  FROM beam$p b JOIN edges e ON e.src = b.node),
+         |sc$t AS MATERIALIZED (
+         |  SELECT c.q_id, c.node, ${cos("q", "v")} AS cosine
+         |  FROM cnd$t c JOIN n v ON v.vec_id = c.node
+         |  JOIN qs q ON q.q_id = c.q_id),
+         |seen$t AS MATERIALIZED (
+         |  SELECT DISTINCT * FROM (
+         |    SELECT * FROM seen$p UNION ALL SELECT * FROM sc$t)),
+         |beam$t AS MATERIALIZED (
+         |  SELECT q_id, node, cosine FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, node) AS r FROM seen$t) WHERE r <= 7)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH knn AS MATERIALIZED (SELECT * FROM (${Similarity.sKnnJoinSql}) t),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+       |                   for i in generate_series(1, len(embedding))])) AS nrm
+       |  FROM embeddings),
+       |edges AS MATERIALIZED (
+       |  SELECT q_id AS src, vec_id AS dst FROM knn
+       |  UNION SELECT vec_id, q_id FROM knn),
+       |lv AS MATERIALIZED (SELECT vec_id, ${lvlSql("vec_id")} AS lvl FROM n),
+       |he AS MATERIALIZED (
+       |  SELECT e.src, e.dst FROM edges e
+       |  JOIN lv a ON a.vec_id = e.src JOIN lv b ON b.vec_id = e.dst
+       |  WHERE a.lvl >= 1 AND b.lvl >= 1),
+       |cp AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT a.src, b.dst FROM he a JOIN he b ON a.dst = b.src
+       |    WHERE a.src <> b.dst
+       |    UNION ALL SELECT src, dst FROM he)),
+       |sp AS MATERIALIZED (
+       |  SELECT p.src, p.dst, ${cos("s", "d")} AS cos, a.lvl AS src_lvl, b.lvl AS dst_lvl
+       |  FROM cp p JOIN n s ON s.vec_id = p.src JOIN n d ON d.vec_id = p.dst
+       |  JOIN lv a ON a.vec_id = p.src JOIN lv b ON b.vec_id = p.dst),
+       |le3 AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS r
+       |    FROM sp WHERE src_lvl >= 3 AND dst_lvl >= 3) WHERE r <= 3),
+       |le2 AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS r
+       |    FROM sp WHERE src_lvl >= 2 AND dst_lvl >= 2) WHERE r <= 3),
+       |le1 AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS r
+       |    FROM sp WHERE src_lvl >= 1 AND dst_lvl >= 1) WHERE r <= 3),
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, embedding, nrm FROM n WHERE vec_id % 100 = 0),
+       |entry AS (SELECT vec_id AS node FROM lv ORDER BY lvl DESC, vec_id LIMIT 1),
+       |seen0 AS (
+       |  SELECT q.q_id, en.node, ${cos("q", "v")} AS cosine
+       |  FROM qs q CROSS JOIN entry en JOIN n v ON v.vec_id = en.node),
+       |cur0 AS (SELECT q_id, node FROM seen0),
+       |$descent,
+       |beam6 AS MATERIALIZED (
+       |  SELECT q_id, node, cosine FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, node) AS r FROM seen6) WHERE r <= 7),
+       |$baseSteps,
+       |ranked AS MATERIALIZED (
+       |  SELECT q_id, node, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, node) AS rnk
+       |  FROM seen11 WHERE node <> q_id),
+       |brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, v.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cos("q", "v")} DESC, v.vec_id) AS rnk
+       |    FROM qs q CROSS JOIN n v WHERE v.vec_id <> q.q_id) WHERE rnk <= 5),
+       |hits AS (
+       |  SELECT a.q_id, COUNT(*) AS h
+       |  FROM (SELECT q_id, node FROM ranked WHERE rnk <= 5) a
+       |  JOIN brute b ON b.q_id = a.q_id AND b.vec_id = a.node
+       |  GROUP BY 1),
+       |vis AS (SELECT q_id, COUNT(DISTINCT node) AS n_visited FROM seen11 GROUP BY 1)
+       |SELECT t.q_id, t.node AS top1_id, t.cosine AS top1_cos, v.n_visited,
+       |  CAST(coalesce(h.h, 0) * 200000 AS BIGINT) AS recall_ppm
+       |FROM ranked t JOIN vis v USING (q_id) LEFT JOIN hits h USING (q_id)
+       |WHERE t.rnk = 1 ORDER BY t.q_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_hnsw_search" -> (sHnswSearch _))
+
+  val oracles: Map[String, String] = Map(
+    "s_hnsw_search" -> sHnswSearchSql)
+}

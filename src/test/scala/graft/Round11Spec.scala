@@ -92,4 +92,37 @@ class Round11Spec extends SparkSpec {
       s"importance resampling must move the mix toward the target: " +
         s"KL(sample||target)=$klSmp !< KL(raw||target)=$klRaw")
   }
+
+  // ------------------------------------------ residual IVFPQ (IVFADC) pin
+
+  test("residual PQ encoding beats raw-vector PQ recall@5 at equal bytes") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.ops.Similarity.sCosineTopk(spark, sfDir))
+    val raw = pairs(graft.ops.Similarity.sIvfPqTopk(spark, sfDir))
+    val res = pairs(graft.ops.Similarity.sIvfPqResidual(spark, sfDir))
+    val rawRecall = (raw & exact).size.toDouble / exact.size
+    val resRecall = (res & exact).size.toDouble / exact.size
+    // same cells, same nprobe, same 8 bytes/vector — the only difference is
+    // WHAT the 8 bytes encode; residual must not lose recall, and at sf0.01
+    // it measurably gains (0.744 vs 0.704)
+    assert(resRecall >= rawRecall,
+      s"residual encoding lost recall: residual=$resRecall raw=$rawRecall")
+  }
+
+  // --------------------------------------- HNSW hierarchy over NSW base
+
+  test("HNSW: fewer visited nodes than flat NSW at recall@5 at least as good") {
+    val nsw = graft.ops.Similarity2.sNswSearch(spark, sfDir).collect()
+    val hnsw = graft.ops.Similarity4.sHnswSearch(spark, sfDir).collect()
+    def tot(rows: Array[org.apache.spark.sql.Row], c: String): Long =
+      rows.map(_.getAs[Long](c)).sum
+    val (nswVis, nswRec) = (tot(nsw, "n_visited"), tot(nsw, "recall_ppm"))
+    val (hnswVis, hnswRec) = (tot(hnsw, "n_visited"), tot(hnsw, "recall_ppm"))
+    assert(hnswVis < nswVis,
+      s"hierarchy must reduce visited nodes: hnsw=$hnswVis !< nsw=$nswVis")
+    assert(hnswRec >= nswRec,
+      s"hierarchy must not lose recall: hnsw=$hnswRec !>= nsw=$nswRec")
+  }
 }
