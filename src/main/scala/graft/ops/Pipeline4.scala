@@ -194,24 +194,36 @@ object Pipeline4 {
   def pDsirSample(spark: SparkSession, dir: String): DataFrame =
     dsirSampleOf(Tables.fanout(Tables.table(spark, dir, "documents")), 100)
 
-  private[graft] def dsirSampleOf(docs: DataFrame, k: Int): DataFrame = {
+  /** Spine-complete 64-row LLR table from a reference corpus's (doc,
+    * bucket) counts: per bucket, the add-1-smoothed target-vs-raw
+    * log-likelihood ratio, 6-dp rounded then held as EXACT DECIMAL so
+    * per-doc rollups are engine-identical. Buckets unseen in the
+    * reference get the smoothed prior ratio — an arriving doc can always
+    * be scored (the streaming screen's requirement). */
+  private[graft] def dsirLlrOf(spark: SparkSession, db: DataFrame): DataFrame = {
     val B = DsirBuckets
-    val db = dsirDocBuckets(docs).cache()
     val raw = db.groupBy("b").agg(sum(col("cnt")).as("n_r"))
     val tgt = db.where(col("lang") === "en")
       .groupBy("b").agg(sum(col("cnt")).as("n_t"))
     val tots = db.agg(
       sum(col("cnt")).as("nr_tot"),
       sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("nt_tot"))
-    val llr = raw.join(tgt, Seq("b"), "left")
+    spark.range(B).select(col("id").as("b"))
+      .join(raw, Seq("b"), "left").join(tgt, Seq("b"), "left")
       .crossJoin(broadcast(tots))
       .select(col("b"),
         round(
           log((coalesce(col("n_t"), lit(0L)) + 1).cast("double")
             / (col("nt_tot") + B).cast("double"))
-            - log((col("n_r") + 1).cast("double")
+            - log((coalesce(col("n_r"), lit(0L)) + 1).cast("double")
               / (col("nr_tot") + B).cast("double")),
           6).cast("decimal(18,6)").as("llr"))
+  }
+
+  private[graft] def dsirSampleOf(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val db = dsirDocBuckets(docs).cache()
+    val llr = dsirLlrOf(spark, db)
     val u = s"(CAST(${Pipeline.admitHashSql(1000003)} AS DOUBLE) + 1.0) / 1000004.0"
     db.join(broadcast(llr), Seq("b"))
       .groupBy("doc_id", "lang")

@@ -64,6 +64,8 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "signature-index rows whose doc_ids left the live table); " +
           "MAINTAIN STATS [ns.]t [FACTOR pct] (re-ANALYZE + rebuild " +
           "histograms when manifest rows outgrow analyzed rows); " +
+          "MAINTAIN COMPACT [ns.]t [MAX n FILES] (metadata-only small-file " +
+          "trigger; bin-packs ONLY partitions past the budget, default 4); " +
           "ROLLBACK [TABLE] [ns.]t TO VERSION v; " +
           "COMPACT TABLE [ns.]t [INTO n FILES] (default 1 file); " +
           "MAINTAIN TABLE [ns.]t [INTO n FILES] [KEEP k] " +

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.Tables
+import graft.ops.Pipeline4
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.7 round-11: the DSIR importance gate at the CURATION SEAM —
+  * p_dsir_sample selects a batch; this screens the STREAM. The bucket-LLR
+  * table (64 rows — model scale) is trained once on the reference corpus
+  * and FROZEN; each arriving document is scored independently against it
+  * (one broadcast join + one exact-decimal rollup per doc), admitted iff
+  * its importance log-weight is ≥ 0 — "looks at least as target-like as
+  * the raw mix". Stateless per doc given the frozen table, so the
+  * streamed form is trivially replay-safe and batch≡stream (Round11Spec
+  * drives the MemoryStream parity); at 100 TB the screen is a scan
+  * projection + 64-row broadcast — no state store, no shuffle beyond the
+  * per-doc feature aggregate. */
+object StreamOps5 {
+
+  /** Batch form (the driver-gate face): reference = doc_id % 10 ≠ 0
+    * trains the LLR table; the arriving slice (doc_id % 10 = 0) is
+    * screened against it. */
+  def stDsirScreen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanout(Tables.table(spark, dir, "documents"))
+    val llr = Pipeline4.dsirLlrOf(spark,
+      Pipeline4.dsirDocBuckets(docs.where(col("doc_id") % 10 =!= 0)))
+    screenDocs(docs.where(col("doc_id") % 10 === 0), llr)
+      .orderBy("doc_id")
+  }
+
+  /** Score one batch of arriving docs against a FROZEN llr table — the
+    * per-micro-batch body the streamed form runs verbatim. */
+  private[graft] def screenDocs(arriving: DataFrame, llr: DataFrame): DataFrame =
+    Pipeline4.dsirDocBuckets(arriving)
+      .join(broadcast(llr), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("cnt") * col("llr")).as("logw_dec"))
+      .select(col("doc_id"), col("lang"),
+        round(col("logw_dec").cast("double"), 6).as("logw"),
+        (col("logw_dec") >= 0).as("admitted"))
+
+  val stDsirScreenSql: String = {
+    val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS word
+       |  FROM documents),
+       |db AS (
+       |  SELECT doc_id, lang, ${graft.ops.Dedup.polySql("word")} % 64 AS b,
+       |         COUNT(*) AS cnt
+       |  FROM tok GROUP BY 1, 2, 3),
+       |ref AS (SELECT * FROM db WHERE doc_id % 10 <> 0),
+       |raw AS (SELECT b, SUM(cnt) AS n_r FROM ref GROUP BY 1),
+       |tgt AS (SELECT b, SUM(cnt) AS n_t FROM ref WHERE lang = 'en' GROUP BY 1),
+       |tots AS (
+       |  SELECT SUM(cnt) AS nr_tot,
+       |         SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS nt_tot
+       |  FROM ref),
+       |llr AS (
+       |  SELECT sp.b,
+       |    CAST(round(
+       |      ln(CAST(COALESCE(tgt.n_t, 0) + 1 AS DOUBLE) / CAST(tots.nt_tot + 64 AS DOUBLE))
+       |      - ln(CAST(COALESCE(raw.n_r, 0) + 1 AS DOUBLE) / CAST(tots.nr_tot + 64 AS DOUBLE)),
+       |      6) AS DECIMAL(18,6)) AS llr
+       |  FROM (SELECT CAST(b AS BIGINT) AS b FROM generate_series(0, 63) t(b)) sp
+       |  LEFT JOIN raw ON raw.b = sp.b LEFT JOIN tgt ON tgt.b = sp.b
+       |  CROSS JOIN tots),
+       |w AS (
+       |  SELECT a.doc_id, a.lang, SUM(a.cnt * llr.llr) AS logw_dec
+       |  FROM (SELECT * FROM db WHERE doc_id % 10 = 0) a
+       |  JOIN llr ON a.b = llr.b GROUP BY 1, 2)
+       |SELECT doc_id, lang, round(CAST(logw_dec AS DOUBLE), 6) AS logw,
+       |  logw_dec >= 0 AS admitted
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_dsir_screen" -> (stDsirScreen _))
+
+  val oracles: Map[String, String] = Map(
+    "st_dsir_screen" -> stDsirScreenSql)
+}

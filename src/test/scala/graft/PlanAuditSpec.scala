@@ -98,6 +98,13 @@ class PlanAuditSpec extends SparkSpec {
                        //   narrow NOT IN probe's null-aware anti join is a
                        //   BROADCAST hash join by the rule's own routing)
     "s_nprobe_sweep",  // 4-row nprobe-level broadcast onto scored candidates
+    "s_hnsw_search",   // brute ground-truth baseline: the same capped
+                       //   |corpus|/100 query batch × corpus as s_nsw_search,
+                       //   + the one-row entry-node broadcast seeding descent;
+                       //   search itself is frontier equi-joins
+    "p_dsir_sample",   // one-row corpus-totals broadcast onto the 64-bucket
+                       //   LLR spine (model-scale, fixed by the hash width)
+    "st_dsir_screen",  // same one-row totals broadcast onto the 64-row spine
                        //   + one-row truth-total broadcast; truth itself is
                        //   the capped s_cosine_topk probe batch
     "st_quality_drift" // two one-row corpus-total broadcasts onto the 10-row

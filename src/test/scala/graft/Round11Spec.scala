@@ -93,6 +93,40 @@ class Round11Spec extends SparkSpec {
         s"KL(sample||target)=$klSmp !< KL(raw||target)=$klRaw")
   }
 
+  // ------------------------------- DSIR screen: streamed ≡ batch parity
+
+  test("DSIR screen verdicts per micro-batch equal the batch form (frozen LLR table)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.fanout(Tables.table(spark, sfDir, "documents"))
+    val llr = graft.ops.Pipeline4.dsirLlrOf(spark,
+        graft.ops.Pipeline4.dsirDocBuckets(docs.where(col("doc_id") % 10 =!= 0)))
+      .localCheckpoint() // FROZEN: trained once, every micro-batch reuses it
+    val arriving = docs.where(col("doc_id") % 10 === 0)
+      .select("doc_id", "text", "lang").as[(Long, String, String)].collect().toSeq
+    val got = scala.collection.mutable.Map.empty[Long, (Double, Boolean)]
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("doc_id", "text", "lang").writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty)
+          graft.streaming.StreamOps5.screenDocs(b.toDF(), llr).collect().foreach { r =>
+            got(r.getAs[Long]("doc_id")) =
+              (r.getAs[Double]("logw"), r.getAs[Boolean]("admitted"))
+          }
+      }.start()
+    arriving.grouped((arriving.size / 2) + 1).foreach { chunk =>
+      mem.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val batch = graft.streaming.StreamOps5.stDsirScreen(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("logw"), r.getAs[Boolean]("admitted"))).toMap
+    assert(got.toMap == batch,
+      s"streamed DSIR verdicts diverge from the batch form")
+    assert(batch.values.exists(_._2) && batch.values.exists(!_._2),
+      "gate exercises both admit and reject on the test corpus")
+  }
+
   // ------------------------------------------ residual IVFPQ (IVFADC) pin
 
   test("residual PQ encoding beats raw-vector PQ recall@5 at equal bytes") {
