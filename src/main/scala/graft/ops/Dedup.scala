@@ -477,16 +477,28 @@ object Dedup {
     * plants a copied paragraph across 3 docs and proves only the first
     * survives. */
   private[graft] def substringRemoveOf(docs: DataFrame): DataFrame = {
-    val minRun = 10
     val base = docs
       .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
       .cache() // two derivations below: positional shingles + token frame
-    val sh = base.select(col("doc_id"),
-      posexplode(graft.functions.Sketch.ngramHashes(col("ws"), 5)).as(Seq("pos", "h")))
+    val sh = posShingles(base)
     val firstDoc = sh.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
     val dup = sh.join(firstDoc, Seq("h"))
       .where(col("doc_id") > col("first_doc"))
       .select("doc_id", "pos")
+    cutSpans(base, dup)
+  }
+
+  /** Positional 5-gram shingles of a (doc_id, ws) frame: (doc_id, pos, h). */
+  private def posShingles(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+      posexplode(graft.functions.Sketch.ngramHashes(col("ws"), 5)).as(Seq("pos", "h")))
+
+  /** The span-removal tail shared by [[dSubstringRemove]] (corpus-internal
+    * keep-first) and [[dSubstringScreen]] (arriving-vs-index): given the
+    * duplicated shingle-start positions, find runs ≥ minRun, cut the
+    * covered words, reassemble each doc and md5 the cleaned text. */
+  private def cutSpans(base: DataFrame, dup: DataFrame,
+                       minRun: Int = 10): DataFrame = {
     // gaps-islands per doc: consecutive dup shingle-starts share one grp
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = dup
@@ -518,6 +530,74 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"), col("clean_md5"))
       .orderBy("doc_id")
   }
+
+  /** Incremental ExactSubstr at the curation seam (d_substring_remove's
+    * streaming-shaped sibling, the st_lsh_screen pattern applied to SPANS):
+    * the reference corpus's distinct positional-shingle hashes are the
+    * persisted index (64 bits per distinct shingle — the suffix-array
+    * analog a production incremental dedup keeps hot); each ARRIVING doc
+    * is screened independently — its shingles that hit the index mark
+    * runs, runs ≥ minRun are cut, and the cleaned arriving doc is emitted
+    * with its md5. Reference docs always win (they were there first);
+    * arriving docs never interact with each other (stateless per doc
+    * given the frozen index — replay-safe by construction). At 100 TB:
+    * the screen is one equi-join of the arriving slice's shingles against
+    * the index, cost ∝ arriving batch, never the corpus. */
+  def dSubstringScreen(spark: SparkSession, dir: String): DataFrame =
+    substringScreenOf(Tables.fanout(Tables.table(spark, dir, "documents")))
+
+  /** The screen over an arbitrary (doc_id, text) frame: doc_id % 10 ≠ 0 is
+    * the indexed reference corpus, % 10 = 0 the arriving slice. */
+  private[graft] def substringScreenOf(docs: DataFrame): DataFrame = {
+    def wsOf(d: DataFrame) = d.select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+    val index = posShingles(wsOf(docs.where(col("doc_id") % 10 =!= 0)))
+      .select("h").distinct()
+    val arr = wsOf(docs.where(col("doc_id") % 10 === 0)).cache()
+    val dup = posShingles(arr)
+      .join(index, Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+    cutSpans(arr, dup)
+  }
+
+  val dSubstringScreenSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
+       |         generate_subscripts(string_split($normSql, ' '), 1) - 1 AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, pos,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
+       |         || ' ' || lead(word,3) OVER w || ' ' || lead(word,4) OVER w AS shingle
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(word,4) OVER w IS NOT NULL),
+       |idx AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+       |dup AS (
+       |  SELECT s.doc_id, s.pos FROM sh s
+       |  JOIN idx i ON s.shingle = i.shingle
+       |  WHERE s.doc_id % 10 = 0),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dup),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS start, COUNT(*) AS run
+       |  FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 10),
+       |atok AS (SELECT * FROM tok WHERE doc_id % 10 = 0),
+       |cov AS (
+       |  SELECT DISTINCT t.doc_id, t.pos FROM atok t
+       |  JOIN spans p ON t.doc_id = p.doc_id
+       |    AND t.pos BETWEEN p.start AND p.start + p.run + 3),
+       |k AS (
+       |  SELECT t.doc_id, t.pos, t.word, c.pos IS NOT NULL AS cut
+       |  FROM atok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos),
+       |sp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY 1)
+       |SELECT k.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT) AS kept_words,
+       |  CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS removed_words,
+       |  CAST(COALESCE(min(sp.n_spans), 0) AS BIGINT) AS n_spans,
+       |  md5(coalesce(string_agg(CASE WHEN NOT cut THEN word END, ' ' ORDER BY k.pos), '')) AS clean_md5
+       |FROM k LEFT JOIN sp ON sp.doc_id = k.doc_id
+       |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
 
   val dSubstringRemoveSql: String =
     s"""WITH tok AS (
@@ -880,6 +960,7 @@ object Dedup {
     "d_fuzzy_name" -> (dFuzzyName _),
     "d_substring_span" -> (dSubstringSpan _),
     "d_substring_remove" -> (dSubstringRemove _),
+    "d_substring_screen" -> (dSubstringScreen _),
     "d_dup_clusters" -> ((s: SparkSession, d: String) => dupClustersDistributed(s, d)),
     "d_exact" -> (dExact _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
@@ -893,6 +974,7 @@ object Dedup {
     "d_fuzzy_name" -> dFuzzyNameSql,
     "d_substring_span" -> dSubstringSpanSql,
     "d_substring_remove" -> dSubstringRemoveSql,
+    "d_substring_screen" -> dSubstringScreenSql,
     "d_dup_clusters" -> dDupClustersSql,
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,

@@ -93,6 +93,28 @@ class Round11Spec extends SparkSpec {
         s"KL(sample||target)=$klSmp !< KL(raw||target)=$klRaw")
   }
 
+  // ----------------------------- incremental ExactSubstr (screen vs index)
+
+  test("substringScreen: arriving copy of an indexed paragraph is cut; fresh text passes") {
+    import spark.implicits._
+    val para = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november"
+    val docs = Seq(
+      (1L, s"reference document holds $para inside its body"), // indexed (ref)
+      (10L, s"arriving doc copies $para plus fresh tail words"), // screened: cut
+      (20L, "arriving doc with entirely original content and nothing shared")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringScreenOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("removed_words"), r.getAs[Long]("n_spans"))).toMap
+    // only the ARRIVING slice is screened; the reference doc never appears
+    assert(out.keySet == Set(10L, 20L))
+    assert(out(10L)._1 == 14L && out(10L)._2 == 1L,
+      s"indexed paragraph must be cut from the arriving copy, got ${out(10L)}")
+    assert(out(20L)._1 == 0L && out(20L)._2 == 0L,
+      s"fresh arriving content must pass untouched, got ${out(20L)}")
+  }
+
   // ------------------------------- DSIR screen: streamed ≡ batch parity
 
   test("DSIR screen verdicts per micro-batch equal the batch form (frozen LLR table)") {
