@@ -195,7 +195,7 @@ object Similarity {
     * rows — the every-20th external-batch stand-in for the ANN ops, ALL
     * rows for [[sKnnJoin]]. The explode+window is |queries|×kCells rows,
     * hash-partitioned on q_id — linear either way. */
-  private def probeCells(e: DataFrame, cents: Array[(Int, Array[Float])],
+  private[ops] def probeCells(e: DataFrame, cents: Array[(Int, Array[Float])],
                          nprobe: Int,
                          qPred: Column = col("vec_id") % 20 === 0): DataFrame =
     e.where(qPred)

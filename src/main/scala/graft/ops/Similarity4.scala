@@ -272,9 +272,105 @@ object Similarity4 {
        |WHERE t.rnk = 1 ORDER BY t.q_id""".stripMargin
   }
 
+  /** HNSW index APPEND (s_index_append's graph-tier sibling — the insert
+    * path a deployed graph index runs continuously): new vectors
+    * (vec_id % 10 = 7, the s_index_append convention) arrive against the
+    * FROZEN old index — coarse cells trained on the old corpus only (the
+    * same model s_index_append memoizes), no retrain. Each incoming node
+    * gets its deterministic level and, per layer 0..lvl, its top-2 links
+    * among lvl≥layer OLD nodes — candidates generated by the IVF-blocked
+    * probe (4 nearest old cells), never corpus². This is the HNSW insert
+    * algorithm's link-selection step made batch-shaped: at 100 TB the
+    * append cost is |batch| × probed-cell mass, and the emitted link rows
+    * are exactly what a graph-index writer appends.
+    *
+    * Fully hash-gated: Lloyd chain on the old slice, assignment, probe
+    * ranks, cosine links and per-layer ranks all replay in DuckDB. */
+  def sHnswAppend(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.fanout(Tables.table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Vec.vnorm(col("embedding")).as("nrm"))
+    val old = all.where(col("vec_id") % 10 =!= 7)
+    val nw = all.where(col("vec_id") % 10 === 7)
+    val cents = Cluster.trainOn(old, k = 8, rounds = 3, space = s"$dir:mod10ne7")
+      .zipWithIndex.map { case (c, i) => i -> c }.toArray
+    val oldAssigned = old
+      .select(col("vec_id").as("nbr_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"))
+      .withColumn("cell", Similarity.argmaxCell(cents)(col("n_emb"), col("n_nrm")))
+    val probes = Similarity.probeCells(nw, cents, nprobe = 4, qPred = lit(true))
+    val scored = probes.join(oldAssigned, Seq("cell"))
+      .select(col("q_id"), col("nbr_id"),
+        round(dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6)
+          .as("cosine"))
+      .withColumn("v_lvl", expr(lvlSql("q_id")))
+      .withColumn("n_lvl", expr(lvlSql("nbr_id")))
+    scored
+      .select(col("q_id"), col("v_lvl"),
+        explode(sequence(lit(0), col("v_lvl"))).as("layer"),
+        col("nbr_id"), col("n_lvl"), col("cosine"))
+      .where(col("n_lvl") >= col("layer"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id", "layer").orderBy(col("cosine").desc, col("nbr_id"))))
+      .where(col("rnk") <= 2)
+      .select(col("q_id").as("vec_id"), col("v_lvl").as("lvl"), col("layer"),
+        col("rnk"), col("nbr_id"), col("cosine"))
+      .orderBy("vec_id", "layer", "rnk")
+  }
+
+  val sHnswAppendSql: String = {
+    val rounds = 3
+    s"""WITH old AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 7),
+       |${Cluster.lloydCtes(k = 8, rounds = rounds, src = "old")},
+       |nn AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+       |                   for i in generate_series(1, len(embedding))])) AS nrm
+       |  FROM embeddings WHERE vec_id % 10 = 7),
+       |aso AS (
+       |  SELECT e.vec_id,
+       |    max(struct_pack(cos := ${Cluster.cosSql("e.embedding", "e.nrm", "c.cv")},
+       |                    nc := -c.cell)) AS w
+       |  FROM n e CROSS JOIN c$rounds c GROUP BY 1),
+       |oldcell AS (SELECT vec_id, -(w.nc) AS cell FROM aso),
+       |pr AS (
+       |  SELECT q.vec_id AS q_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${Cluster.cosSql("q.embedding", "q.nrm", "c.cv")} DESC, c.cell) AS r
+       |  FROM nn q CROSS JOIN c$rounds c),
+       |cand AS (
+       |  SELECT p.q_id, o.vec_id AS nbr_id
+       |  FROM (SELECT q_id, cell FROM pr WHERE r <= 4) p
+       |  JOIN oldcell o USING (cell)),
+       |sc AS (
+       |  SELECT cd.q_id, cd.nbr_id,
+       |    round(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(o.embedding[i] AS DOUBLE)
+       |                    for i in generate_series(1, len(q.embedding))])
+       |          / (q.nrm * o.nrm), 6) AS cosine
+       |  FROM cand cd JOIN nn q ON q.vec_id = cd.q_id JOIN n o ON o.vec_id = cd.nbr_id),
+       |lx AS (
+       |  SELECT q_id, ${lvlSql("q_id")} AS v_lvl, nbr_id,
+       |    ${lvlSql("nbr_id")} AS n_lvl, cosine
+       |  FROM sc),
+       |fan AS (
+       |  SELECT q_id, v_lvl, CAST(t.l AS INT) AS layer, nbr_id, cosine
+       |  FROM lx CROSS JOIN generate_series(0, 3) t(l)
+       |  WHERE t.l <= v_lvl AND n_lvl >= t.l),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id, layer
+       |    ORDER BY cosine DESC, nbr_id) AS rnk
+       |  FROM fan)
+       |SELECT q_id AS vec_id, v_lvl AS lvl, layer, CAST(rnk AS INTEGER) AS rnk,
+       |  nbr_id, cosine
+       |FROM rk WHERE rnk <= 2 ORDER BY vec_id, layer, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s_hnsw_search" -> (sHnswSearch _))
+    "s_hnsw_search" -> (sHnswSearch _),
+    "s_hnsw_append" -> (sHnswAppend _))
 
   val oracles: Map[String, String] = Map(
-    "s_hnsw_search" -> sHnswSearchSql)
+    "s_hnsw_search" -> sHnswSearchSql,
+    "s_hnsw_append" -> sHnswAppendSql)
 }
