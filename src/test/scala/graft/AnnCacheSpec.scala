@@ -81,4 +81,28 @@ class AnnCacheSpec extends SparkSpec {
       ops.ModelCache.clear()
     }
   }
+
+  test("persisted HNSW layer tables are result-invisible to the hierarchical search") {
+    // the layer tables are index-scale fractions of the base graph; like
+    // nswgraph they cache as a parquet index, never driver rows
+    def rows() = ops.Similarity4.sHnswSearch(spark, sfDir).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    ops.ModelCache.clear()
+    ops.ModelCache.enabled = false
+    val uncached = rows()
+    try {
+      ops.ModelCache.enabled = true
+      val coldCache = rows()
+      val warmCache = rows()
+      assert(coldCache.sameElements(uncached),
+        "first cached run diverged from the in-query layer build")
+      assert(warmCache.sameElements(uncached),
+        "persisted layer-table reuse changed query results")
+      assert(ops.ModelCache.buildSecs.exists(_._1.startsWith("hnswlayers:")),
+        "layer build cost must be reported as a build line")
+    } finally {
+      ops.ModelCache.enabled = false
+      ops.ModelCache.clear()
+    }
+  }
 }
