@@ -93,6 +93,44 @@ class Round11Spec extends SparkSpec {
         s"KL(sample||target)=$klSmp !< KL(raw||target)=$klRaw")
   }
 
+  // ----------------------- MAINTAIN COMPACT: flat-table arm, history intact
+
+  test("compactIfSkewed on a flat table: no-op below budget, history intact above it") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val cat = new graft.catalog.LakeCatalog(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_compactpol_wh")
+    cat.dropTable("scratch", "flat_cp")
+    cat.createTable("scratch", "flat_cp", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    (1 to 6).foreach { i =>
+      cat.append("scratch", "flat_cp", Seq((i.toLong, i * 10L)).toDF("id", "v"))
+    }
+    val filesBefore = cat.snapshots("scratch", "flat_cp").last._2
+    val verBefore = cat.headVersion("scratch", "flat_cp")
+    // below budget: METADATA-ONLY no-op — same files, same version
+    val noop = cat.compactIfSkewed("scratch", "flat_cp", maxFiles = 10)
+    assert(noop == Seq(("(table)", filesBefore.length.toLong,
+      filesBefore.length.toLong, 6L, "noop")))
+    assert(cat.snapshots("scratch", "flat_cp").last._2 == filesBefore,
+      "no-op must not touch the manifest")
+    assert(cat.headVersion("scratch", "flat_cp") == verBefore,
+      "no-op must not commit a snapshot")
+    // above budget: compacts, content identical, HISTORY INTACT (time
+    // travel to the pre-compaction snapshot still reads the old manifest)
+    val acted = cat.compactIfSkewed("scratch", "flat_cp", maxFiles = 4)
+    assert(acted.head._5 == "compacted" && acted.head._3 <= 4L,
+      s"expected a compaction to <= 4 files, got $acted")
+    val now = cat.load("scratch", "flat_cp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(now == (1 to 6).map(i => (i.toLong, i * 10L)).toSet,
+      "compaction changed table content")
+    val old = cat.loadSnapshot("scratch", "flat_cp", verBefore)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(old == now, "pre-compaction snapshot no longer time-travels")
+    cat.dropTable("scratch", "flat_cp")
+  }
+
   // ----------------------------- incremental ExactSubstr (screen vs index)
 
   test("substringScreen: arriving copy of an indexed paragraph is cut; fresh text passes") {
