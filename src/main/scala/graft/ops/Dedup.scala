@@ -599,11 +599,18 @@ object Dedup {
        |FROM k LEFT JOIN sp ON sp.doc_id = k.doc_id
        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
 
-  val dSubstringRemoveSql: String =
-    s"""WITH tok AS (
+  val dSubstringRemoveSql: String = "WITH " + substringRemoveChainSql("documents") +
+    "\nSELECT * FROM srm_out ORDER BY doc_id"
+
+  /** The full removal chain as a WITH-body fragment over source relation
+    * `src(doc_id, text)`, ending in `srm_out(doc_id, n_words, kept_words,
+    * removed_words, n_spans, clean_md5)` — reused by the standalone oracle
+    * and by compositions that run span removal as a curation stage. */
+  private[graft] def substringRemoveChainSql(src: String): String =
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS word,
        |         generate_subscripts(string_split($normSql, ' '), 1) - 1 AS pos
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (
        |  SELECT doc_id, pos,
        |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w
@@ -628,14 +635,15 @@ object Dedup {
        |k AS (
        |  SELECT t.doc_id, t.pos, t.word, c.pos IS NOT NULL AS cut
        |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos),
-       |sp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY 1)
-       |SELECT k.doc_id, COUNT(*) AS n_words,
-       |  CAST(SUM(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT) AS kept_words,
-       |  CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS removed_words,
-       |  CAST(COALESCE(min(sp.n_spans), 0) AS BIGINT) AS n_spans,
-       |  md5(coalesce(string_agg(CASE WHEN NOT cut THEN word END, ' ' ORDER BY k.pos), '')) AS clean_md5
-       |FROM k LEFT JOIN sp ON sp.doc_id = k.doc_id
-       |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+       |sp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY 1),
+       |srm_out AS (
+       |  SELECT k.doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT) AS kept_words,
+       |    CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS removed_words,
+       |    CAST(COALESCE(min(sp.n_spans), 0) AS BIGINT) AS n_spans,
+       |    md5(coalesce(string_agg(CASE WHEN NOT cut THEN word END, ' ' ORDER BY k.pos), '')) AS clean_md5
+       |  FROM k LEFT JOIN sp ON sp.doc_id = k.doc_id
+       |  GROUP BY k.doc_id)""".stripMargin
 
   /** Fuzzy ENTITY dedup (names, not documents): part-name pairs within
     * Levenshtein distance ≤ 2 — the "cold bolt" / "old bolt" catalog-merge

@@ -267,15 +267,88 @@ object Pipeline4 {
        |FROM w ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin
   }
 
+  // ------------------------------- span-level dedup inside the curation funnel
+
+  /** Curation funnel WITH span-level dedup (r11 — the composition the Lee
+    * et al. 2022 pipeline actually runs: gate → ExactSubstr removal →
+    * exact dedup OF THE CLEANED TEXT): per stage, surviving docs AND
+    * words — the loss accounting (p_gate_funnel's contract) extended to
+    * the stage that removes PARTS of documents.
+    *
+    * The instructive composition effect this measures: span removal
+    * CREATES exact duplicates (two docs that differed only in their copied
+    * spans collapse once the spans are cut), so the downstream exact-dedup
+    * stage removes docs the raw-text dedup could never see. Stages:
+    *  - s0_raw: the corpus;
+    *  - s1_gated: lang ∈ {en, fr} AND n_chars ≥ 200 (metadata gates — a
+    *    scan-stage filter);
+    *  - s2_span_clean: [[Dedup.substringRemoveOf]] over the survivors
+    *    (docs unchanged in count; words drop by the removed-span mass);
+    *  - s3_dedup: keep min(doc_id) per CLEANED-text md5 (the min-struct
+    *    keeper — map-side combined, no window).
+    * All counts exact integers; the whole funnel replays in DuckDB via
+    * the shared removal chain ([[Dedup.substringRemoveChainSql]]). */
+  def pCurateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanout(Tables.table(spark, dir, "documents"))
+    val nWords = size(split(dsirNorm(col("text")), " ")).cast("long")
+    def stageRow(name: String, d: DataFrame, words: org.apache.spark.sql.Column) =
+      d.agg(count(lit(1)).as("n_docs"), sum(words).as("n_words"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_words"))
+    val gated = docs.where(col("lang").isin("en", "fr") && col("n_chars") >= 200)
+    val cleaned = Dedup.substringRemoveOf(gated.select(col("doc_id"), col("text")))
+      .select("doc_id", "kept_words", "clean_md5")
+      .localCheckpoint() // two stage rows + the keeper aggregate below
+    val deduped = cleaned.groupBy("clean_md5")
+      .agg(min(struct(col("doc_id"), col("kept_words"))).as("k"))
+      .select(col("k.kept_words").as("kept_words"))
+    stageRow("s0_raw", docs, nWords)
+      .unionAll(stageRow("s1_gated", gated, nWords))
+      .unionAll(stageRow("s2_span_clean", cleaned, col("kept_words")))
+      .unionAll(stageRow("s3_dedup", deduped, col("kept_words")))
+      .orderBy("stage")
+  }
+
+  // the removal chain splices in AFTER stripMargin (its shingle-concat
+  // continuation lines begin with the `||` operator, which a second
+  // stripMargin pass would mangle — the d_index_expire precedent)
+  val pCurateSpansSql: String =
+    s"""WITH gd AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE lang IN ('en', 'fr') AND n_chars >= 200),
+       |__SRM_CHAIN__,
+       |ddp AS (
+       |  SELECT clean_md5, min(doc_id) AS keep_id
+       |  FROM srm_out GROUP BY 1),
+       |ddw AS (
+       |  SELECT s.kept_words FROM ddp d
+       |  JOIN srm_out s ON s.doc_id = d.keep_id)
+       |SELECT 's0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(length(string_split($dsirNormSql, ' '))) AS BIGINT) AS n_words
+       |FROM documents
+       |UNION ALL
+       |SELECT 's1_gated', CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(length(string_split($dsirNormSql, ' '))) AS BIGINT)
+       |FROM documents WHERE lang IN ('en', 'fr') AND n_chars >= 200
+       |UNION ALL
+       |SELECT 's2_span_clean', CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(kept_words) AS BIGINT) FROM srm_out
+       |UNION ALL
+       |SELECT 's3_dedup', CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(kept_words) AS BIGINT) FROM ddw
+       |ORDER BY stage""".stripMargin
+      .replace("__SRM_CHAIN__", graft.ops.Dedup.substringRemoveChainSql("gd"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_dp_release" -> (pDpRelease _),
     "p_fertility" -> (pFertility _),
     "p_weighted_sample" -> (pWeightedSample _),
-    "p_dsir_sample" -> (pDsirSample _))
+    "p_dsir_sample" -> (pDsirSample _),
+    "p_curate_spans" -> (pCurateSpans _))
 
   val oracles: Map[String, String] = Map(
     "p_dp_release" -> pDpReleaseSql,
     "p_fertility" -> pFertilitySql,
     "p_weighted_sample" -> pWeightedSampleSql,
-    "p_dsir_sample" -> pDsirSampleSql)
+    "p_dsir_sample" -> pDsirSampleSql,
+    "p_curate_spans" -> pCurateSpansSql)
 }

@@ -93,6 +93,23 @@ class Round11Spec extends SparkSpec {
         s"KL(sample||target)=$klSmp !< KL(raw||target)=$klRaw")
   }
 
+  // ----------------------------------- span-dedup inside the curation funnel
+
+  test("p_curate_spans: monotone funnel, and span cleaning only ever removes words") {
+    val rows = graft.ops.Pipeline4.pCurateSpans(spark, sfDir).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"))).toMap
+    assert(rows.keySet == Set("s0_raw", "s1_gated", "s2_span_clean", "s3_dedup"))
+    // docs: raw ≥ gated = span_clean ≥ dedup (span stage edits, never drops)
+    assert(rows("s0_raw")._1 >= rows("s1_gated")._1)
+    assert(rows("s1_gated")._1 == rows("s2_span_clean")._1,
+      "span cleaning must not drop documents")
+    assert(rows("s2_span_clean")._1 >= rows("s3_dedup")._1)
+    // words: monotone non-increasing down the funnel
+    val w = Seq("s0_raw", "s1_gated", "s2_span_clean", "s3_dedup").map(rows(_)._2)
+    assert(w == w.sorted.reverse, s"word funnel must be non-increasing: $w")
+  }
+
   // ----------------------- MAINTAIN COMPACT: flat-table arm, history intact
 
   test("compactIfSkewed on a flat table: no-op below budget, history intact above it") {
