@@ -130,7 +130,9 @@ object Bench {
     }
     val warmAttempts = warmPasses.size
     val warmMaps = warmPasses.map(_._1._1.map(t => t._1 -> t).toMap).toSeq
-    val warmNames = warmPasses.head._1._1.map(_._1)
+    // ordered union across ALL warm passes: a query that errored in pass 1
+    // but succeeded later still gets min-stamped from its valid timings
+    val warmNames = warmPasses.flatMap(_._1._1.map(_._1)).distinct.toSeq
     // stamped row = the pass observation with the minimum wall (its cpu and
     // steal deltas travel with it — a row is a coherent observation, never
     // a mix of passes)

@@ -2555,8 +2555,19 @@ class LakeCatalog(spark: SparkSession, root: String) {
           // column); one output file; dynamic overwrite swaps just this dir
           val df = spark.read.option("basePath", base).parquet(s"$base/$pdir")
           overwritePartitions(ns, table, df.repartition(1), Seq(pcol))
-          val after = partitionsMeta(ns, table)
-            .collectFirst { case (p, f, _) if p == pdir => f }.getOrElse(-1L)
+          // 'after' = one listing of THE REWRITTEN DIRECTORY only — a full
+          // partitionsMeta here would re-list every partition (plus footer
+          // reads) per offender, an O(P*D) maintenance pass (ADVICE r11)
+          val after = {
+            val pd = Paths.get(base).resolve(pdir)
+            if (!Files.exists(pd)) -1L
+            else {
+              val fs = Files.list(pd)
+              try fs.iterator().asScala
+                .count(_.getFileName.toString.endsWith(".parquet")).toLong
+              finally fs.close()
+            }
+          }
           (pdir, files, after, rows, "compacted")
         } else (pdir, files, files, rows, "noop")
       }

@@ -469,7 +469,17 @@ object Dedup {
     * bounded by removed mass; reassembly is ONE doc_id aggregate whose
     * in-order md5 IS the gate (the t_c4_filter pattern — order proven,
     * not claimed). Oracle: the identical chain over shingle STRINGS in
-    * DuckDB (the d_substring_span equivalence precedent). */
+    * DuckDB (the d_substring_span equivalence precedent).
+    *
+    * Collision assumption (stated because this op MUTATES corpus text):
+    * Spark groups positional shingles by the 64-bit GF(2^61−1) polyhash
+    * while the oracle groups by shingle STRINGS — a hash collision between
+    * distinct 5-grams would mark a false duplicate span and diverge from
+    * the oracle. At 2^61 the birthday bound needs ~10^9 DISTINCT shingles
+    * per corpus for a ~1e-4 collision chance; the d_substring_span family
+    * has carried the same assumption green since r9, and the oracle gate
+    * itself is the per-round collision detector (a collision FAILS the
+    * hash gate rather than passing silently). */
   def dSubstringRemove(spark: SparkSession, dir: String): DataFrame =
     substringRemoveOf(Tables.fanout(Tables.table(spark, dir, "documents")))
 

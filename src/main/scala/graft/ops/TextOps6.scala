@@ -155,7 +155,10 @@ object TextOps6 {
     // (enabled=false) keeps the full drop-build-query derivation, and the
     // index content is deterministic in (data, recipe), so results are
     // identical either way.
-    val tag = f"${dir.hashCode}%08x"
+    // sanitized dir + hash (the Graph.cosupply path recipe): two data dirs
+    // with colliding 32-bit hashCodes must never share one index table
+    val tag =
+      dir.replaceAll("[^A-Za-z0-9_]", "_") + f"_${dir.hashCode}%08x"
     val (idxT, statsT) = (s"text_idx_$tag", s"text_idx_stats_$tag")
     ModelCache.memo(s"textidx:$dir") {
       cat.dropTable("scratch", idxT)

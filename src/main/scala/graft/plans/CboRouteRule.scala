@@ -101,8 +101,15 @@ case class CboRouteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     joined.transformAllExpressions {
       case l: ListQuery if l.hint.isEmpty =>
         try sideHint(l.plan) match {
+          // NAAJ guard, deliberately over-approximate: EVERY NOT IN subquery
+          // forgoes a non-broadcast pin, including the provably-non-nullable
+          // case Spark rewrites to a plain LeftAnti (where a shuffle pin
+          // would be enforceable). The cost is a missed routing decision on
+          // that subset; the alternative (nullability analysis of both the
+          // in-values and the subquery output) buys little — the planner's
+          // own join selection already handles the rewritten LeftAnti well.
           case Some(h) if notInQueries.contains(l) &&
-              !h.strategy.contains(BROADCAST) => l // NAAJ: shuffle pin unenforceable
+              !h.strategy.contains(BROADCAST) => l
           case Some(h) => l.copy(hint = Some(h))
           case None => l
         } catch { case scala.util.control.NonFatal(_) => l }
