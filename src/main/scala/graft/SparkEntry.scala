@@ -37,7 +37,7 @@ object SparkEntry {
       ops.Pipeline4.queries ++ ops.Similarity3.queries ++ ops.Sketches.queries ++
       ops.CatalogOps8.queries ++ ops.Graph3.queries ++ ops.StatsOps2.queries ++
       ops.CatalogOps9.queries ++ streaming.StreamOps4.queries ++
-      ops.CatalogOps10.queries ++ ops.Similarity4.queries ++
+      ops.CatalogOps10.queries ++ ops.CatalogOps11.queries ++ ops.Similarity4.queries ++
       streaming.StreamOps5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,6 +64,6 @@ object SparkEntry {
       ops.Pipeline4.oracles ++ ops.Similarity3.oracles ++ ops.Sketches.oracles ++
       ops.CatalogOps8.oracles ++ ops.Graph3.oracles ++ ops.StatsOps2.oracles ++
       ops.CatalogOps9.oracles ++ streaming.StreamOps4.oracles ++
-      ops.CatalogOps10.oracles ++ ops.Similarity4.oracles ++
+      ops.CatalogOps10.oracles ++ ops.CatalogOps11.oracles ++ ops.Similarity4.oracles ++
       streaming.StreamOps5.oracles
 }
