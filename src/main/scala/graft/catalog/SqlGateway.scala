@@ -124,6 +124,17 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   // zero copy-on-write — single-assignment form (the common sparse fix-up)
   private val updateMor =
     """(?is)\s*UPDATE\s+MOR\s+(?:(\w+)\.)?(\w+)\s+SET\s+(\w+)\s*=\s*(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  // equality delete (Iceberg v2 delete files — the streaming CDC writer's
+  // shape: keys, not positions); applies only to files committed before it
+  private val deleteEq =
+    """(?is)\s*DELETE\s+EQ\s+FROM\s+(?:(\w+)\.)?(\w+)\s+WHERE\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*""".r
+  // merge-on-read MERGE (MERGE INTO's DV + delta-file arm): zero rewrite
+  private val mergeMorInto =
+    """(?is)\s*MERGE\s+MOR\s+INTO\s+(?:(\w+)\.)?(\w+)\s+USING\s+(?:(\w+)\.)?(\w+)\s+ON\s+(\w+)\s*;?\s*""".r
+  // composite nightly pass: stats refresh → compaction policy → expiry →
+  // manifest rewrite → orphan sweep, per-arm report (LakeCatalog.maintainAll)
+  private val maintainAllTb =
+    """(?is)\s*MAINTAIN\s+ALL\s+(?:(?:IN|FOR)\s+)?(?:(\w+)\.)?(\w+)(?:\s+MAX\s+(\d+)\s+FILES?)?(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
   // manifest compaction (Iceberg rewrite_manifests)
   private val rewriteManifests =
     """(?is)\s*REWRITE\s+MANIFESTS\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
@@ -272,6 +283,31 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
           org.apache.spark.sql.functions.expr(cond), setCol,
           org.apache.spark.sql.functions.expr(setExpr))
         Seq(s"Updated $n rows (merge-on-read)").toDF("status")
+
+      case deleteEq(ns, table, keyCol, valList) => // disjoint from DELETE FROM
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        val keys: Seq[Any] = valList.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(v => if (v.startsWith("'") && v.endsWith("'"))
+            v.substring(1, v.length - 1): Any
+          else v.toLong: Any).toSeq
+        val n = catalog.deleteWhereEq(nsName, table, keyCol, keys)
+        Seq(s"Equality delete matched $n rows (${keys.size} keys)")
+          .toDF("status")
+
+      case mergeMorInto(tNs, target, sNs, source, key) => // disjoint from MERGE INTO
+        val targetNs = Option(tNs).getOrElse(resolveNs(target, "scratch"))
+        val sourceNs = Option(sNs).getOrElse(resolveNs(source, "scratch"))
+        val (nUpd, nIns) = catalog.mergeMor(targetNs, target,
+          catalog.load(sourceNs, source), key)
+        Seq(s"Merge (merge-on-read) committed: $nUpd updated, $nIns inserted")
+          .toDF("status")
+
+      case maintainAllTb(ns, table, maxF, keep) => // disjoint from MAINTAIN TABLE
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.maintainAll(nsName, table,
+            Option(maxF).map(_.toInt).getOrElse(4),
+            Option(keep).map(_.toInt).getOrElse(3))
+          .toDF("arm", "action", "before", "after")
 
       case rewriteManifests(ns, table) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

@@ -558,13 +558,29 @@ object Dedup {
 
   /** The screen over an arbitrary (doc_id, text) frame: doc_id % 10 ≠ 0 is
     * the indexed reference corpus, % 10 = 0 the arriving slice. */
-  private[graft] def substringScreenOf(docs: DataFrame): DataFrame = {
-    def wsOf(d: DataFrame) = d.select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
-    val index = posShingles(wsOf(docs.where(col("doc_id") % 10 =!= 0)))
+  private[graft] def substringScreenOf(docs: DataFrame): DataFrame =
+    spanScreenAgainst(docs.where(col("doc_id") % 10 === 0),
+      spanIndexOf(docs.where(col("doc_id") % 10 =!= 0)))
+
+  /** The frozen span index of a reference corpus: its DISTINCT positional
+    * 5-gram shingle hashes, one `h` column — what [[dSubstringScreen]]
+    * derives in-query and st_substring_screen PERSISTS as a catalog table
+    * (64 bits per distinct shingle, the production incremental-dedup
+    * shape). */
+  private[graft] def spanIndexOf(ref: DataFrame): DataFrame =
+    posShingles(ref.select(col("doc_id"),
+        split(norm(col("text")), " ").as("ws")))
       .select("h").distinct()
-    val arr = wsOf(docs.where(col("doc_id") % 10 === 0)).cache()
+
+  /** Screen `arriving` (doc_id, text) against a frozen span index —
+    * stateless per doc, the per-micro-batch body the streamed form runs
+    * verbatim. */
+  private[graft] def spanScreenAgainst(arriving: DataFrame,
+                                       index: DataFrame): DataFrame = {
+    val arr = arriving.select(col("doc_id"),
+      split(norm(col("text")), " ").as("ws")).cache()
     val dup = posShingles(arr)
-      .join(index, Seq("h"), "left_semi")
+      .join(index.select("h"), Seq("h"), "left_semi")
       .select("doc_id", "pos")
     cutSpans(arr, dup)
   }

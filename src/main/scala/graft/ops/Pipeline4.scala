@@ -212,11 +212,17 @@ object Pipeline4 {
       .join(raw, Seq("b"), "left").join(tgt, Seq("b"), "left")
       .crossJoin(broadcast(tots))
       .select(col("b"),
+        // ONE ln of the exactly-computed cross ratio (r11 hardening —
+        // What's-wrong watch item): ln(a)-ln(b) exposed TWO libm calls
+        // plus a subtraction to the 6-dp boundary; a single ln of
+        // (a·d)/(b·c) — three exactly-rounded IEEE ops on bit-identical
+        // integer-valued doubles — leaves exactly one libm call, same
+        // argument in both engines
         round(
-          log((coalesce(col("n_t"), lit(0L)) + 1).cast("double")
-            / (col("nt_tot") + B).cast("double"))
-            - log((coalesce(col("n_r"), lit(0L)) + 1).cast("double")
-              / (col("nr_tot") + B).cast("double")),
+          log(((coalesce(col("n_t"), lit(0L)) + 1).cast("double")
+              * (col("nr_tot") + B).cast("double"))
+            / ((coalesce(col("n_r"), lit(0L)) + 1).cast("double")
+              * (col("nt_tot") + B).cast("double"))),
           6).cast("decimal(18,6)").as("llr"))
   }
 
@@ -255,8 +261,8 @@ object Pipeline4 {
        |llr AS (
        |  SELECT raw.b,
        |    CAST(round(
-       |      ln(CAST(COALESCE(tgt.n_t, 0) + 1 AS DOUBLE) / CAST(tots.nt_tot + $DsirBuckets AS DOUBLE))
-       |      - ln(CAST(raw.n_r + 1 AS DOUBLE) / CAST(tots.nr_tot + $DsirBuckets AS DOUBLE)),
+       |      ln((CAST(COALESCE(tgt.n_t, 0) + 1 AS DOUBLE) * CAST(tots.nr_tot + $DsirBuckets AS DOUBLE))
+       |        / (CAST(raw.n_r + 1 AS DOUBLE) * CAST(tots.nt_tot + $DsirBuckets AS DOUBLE))),
        |      6) AS DECIMAL(18,6)) AS llr
        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots),
        |w AS (
@@ -338,17 +344,160 @@ object Pipeline4 {
        |ORDER BY stage""".stripMargin
       .replace("__SRM_CHAIN__", graft.ops.Dedup.substringRemoveChainSql("gd"))
 
+  // ------------------------------- selection → mix → pack composition
+
+  /** DSIR→mix→pack (VERDICT r11 next #7 — p_curate_spans proved funnel
+    * compositions gate cleanly; this is the SELECTION side): the staged
+    * pipeline a pretraining data drop actually runs once cleaning is done.
+    *  - s1_select: [[dsirSampleOf]] importance-resamples the corpus toward
+    *    the target distribution (Gumbel top-200 — the data-SELECTION
+    *    stage);
+    *  - s2_mix: the survivors are domain-rebalanced with p_domain_mix's
+    *    deterministic admit-hash rule — every source downsampled to the
+    *    smallest selected source (ratios computed IN-PLAN over the
+    *    selected slice, not the raw corpus: selection shifts the source
+    *    histogram, and mixing must see the shifted one);
+    *  - s3_pack: the mixed survivors are greedily packed into 512-token
+    *    training sequences (p_pack_sequences' bucketed prefix-sum — no
+    *    unpartitioned window), reporting sequence count and how many docs
+    *    straddle a sequence boundary.
+    * Per stage: surviving docs AND tokens (the p_gate_funnel loss-
+    * accounting contract), so the drop's provenance ledger is one frame.
+    * All counts exact integers; selection, thresholds, admits and the
+    * pack prefix all replay in DuckDB. */
+  def pSelectMixPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanout(Tables.table(spark, dir, "documents"))
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(dsirNorm(col("text")), " ")).cast("long").as("n_tokens"))
+    def stageRow(name: String, d: DataFrame) =
+      d.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
+          lit(0L).as("n_seqs"), lit(0L).as("n_split_docs"))
+    // s1: DSIR Gumbel top-200
+    val sel = dsirSampleOf(docs, 200).select("doc_id")
+    val selToks = toks.join(sel, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // three downstream derivations share the slice
+    // s2: admit-hash mix over the SELECTED slice's source histogram
+    val counts = selToks.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val minN = counts.agg(min(col("n_total")).as("min_n"))
+    val thresholds = counts.crossJoin(broadcast(minN))
+      .select(col("source"), expr("min_n * 10000 div n_total").as("thresh_bp"))
+    val mixed = selToks.join(broadcast(thresholds), Seq("source"))
+      .where(Pipeline.admitHash(10000) < col("thresh_bp"))
+      .select("doc_id", "source", "n_tokens")
+    // s3: contiguous greedy pack, the p_pack_sequences bucketed shape
+    val bucketed = mixed.withColumn("bucket", (col("doc_id") / 100L).cast("long"))
+    val offsets = bucketed.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("bucket_toks"))
+      .withColumn("bucket_off",
+        coalesce(sum(col("bucket_toks")).over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "bucket_off")
+    val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = bucketed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start_tok",
+        col("bucket_off") + sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("start_tok div 512").as("start_seq"),
+        expr("(start_tok + n_tokens - 1) div 512").as("end_seq"))
+    val packRow = packed.agg(
+        count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        (max(col("end_seq")) + 1).as("n_seqs"),
+        sum(when(col("start_seq") =!= col("end_seq"), 1L).otherwise(0L))
+          .as("n_split_docs"))
+      .select(lit("s3_pack").as("stage"), col("n_docs"), col("n_tokens"),
+        col("n_seqs"), col("n_split_docs"))
+    stageRow("s0_raw", toks)
+      .unionAll(stageRow("s1_select", selToks))
+      .unionAll(stageRow("s2_mix", mixed))
+      .unionAll(packRow)
+      .orderBy("stage")
+  }
+
+  val pSelectMixPackSql: String = {
+    val u = s"(CAST(${Pipeline.admitHashSql(1000003)} AS DOUBLE) + 1.0) / 1000004.0"
+    val admit = Pipeline.admitHashSql(10000).replace("doc_id", "s.doc_id")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split($dsirNormSql, ' ')) AS word
+       |  FROM documents),
+       |db AS (
+       |  SELECT doc_id, lang, ${graft.ops.Dedup.polySql("word")} % $DsirBuckets AS b,
+       |         COUNT(*) AS cnt
+       |  FROM tok GROUP BY 1, 2, 3),
+       |raw AS (SELECT b, SUM(cnt) AS n_r FROM db GROUP BY 1),
+       |tgt AS (SELECT b, SUM(cnt) AS n_t FROM db WHERE lang = 'en' GROUP BY 1),
+       |tots AS (
+       |  SELECT SUM(cnt) AS nr_tot,
+       |         SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS nt_tot
+       |  FROM db),
+       |llr AS (
+       |  SELECT raw.b,
+       |    CAST(round(
+       |      ln((CAST(COALESCE(tgt.n_t, 0) + 1 AS DOUBLE) * CAST(tots.nr_tot + $DsirBuckets AS DOUBLE))
+       |        / (CAST(raw.n_r + 1 AS DOUBLE) * CAST(tots.nt_tot + $DsirBuckets AS DOUBLE))),
+       |      6) AS DECIMAL(18,6)) AS llr
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots),
+       |wts AS (
+       |  SELECT db.doc_id, SUM(db.cnt * llr.llr) AS logw_dec
+       |  FROM db JOIN llr ON db.b = llr.b GROUP BY 1),
+       |sel AS (
+       |  SELECT doc_id FROM wts
+       |  ORDER BY round(CAST(logw_dec AS DOUBLE) - ln(-ln($u)), 6) DESC, doc_id
+       |  LIMIT 200),
+       |nt AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split($dsirNormSql, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |st AS (SELECT nt.* FROM nt JOIN sel USING (doc_id)),
+       |c AS (SELECT source, COUNT(*) AS n_total FROM st GROUP BY 1),
+       |m AS (SELECT min(n_total) AS min_n FROM c),
+       |th AS (SELECT source, min_n * 10000 // n_total AS thresh_bp
+       |       FROM c CROSS JOIN m),
+       |mx AS (
+       |  SELECT s.doc_id, s.source, s.n_tokens
+       |  FROM st s JOIN th ON s.source = th.source
+       |  WHERE $admit < th.thresh_bp),
+       |pk AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM mx)
+       |SELECT 's0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(0 AS BIGINT) AS n_seqs, CAST(0 AS BIGINT) AS n_split_docs
+       |FROM nt
+       |UNION ALL
+       |SELECT 's1_select', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+       |  CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM st
+       |UNION ALL
+       |SELECT 's2_mix', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+       |  CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM mx
+       |UNION ALL
+       |SELECT 's3_pack', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+       |  CAST(MAX((cum - 1) // 512) + 1 AS BIGINT),
+       |  CAST(SUM(CASE WHEN (cum - n_tokens) // 512 <> (cum - 1) // 512
+       |           THEN 1 ELSE 0 END) AS BIGINT)
+       |FROM pk
+       |ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_dp_release" -> (pDpRelease _),
     "p_fertility" -> (pFertility _),
     "p_weighted_sample" -> (pWeightedSample _),
     "p_dsir_sample" -> (pDsirSample _),
-    "p_curate_spans" -> (pCurateSpans _))
+    "p_curate_spans" -> (pCurateSpans _),
+    "p_select_mix_pack" -> (pSelectMixPack _))
 
   val oracles: Map[String, String] = Map(
     "p_dp_release" -> pDpReleaseSql,
     "p_fertility" -> pFertilitySql,
     "p_weighted_sample" -> pWeightedSampleSql,
     "p_dsir_sample" -> pDsirSampleSql,
+    "p_select_mix_pack" -> pSelectMixPackSql,
     "p_curate_spans" -> pCurateSpansSql)
 }

@@ -294,6 +294,255 @@ object Similarity4 {
        |WHERE t.rnk = 1 ORDER BY t.q_id""".stripMargin
   }
 
+  /** PQ-compressed graph search (the DiskANN/Vamana serving shape —
+    * Subramanya et al. NeurIPS'19; VERDICT r11 next #5): the hierarchy and
+    * base graph are BUILT with full-precision vectors (an offline index
+    * step, exactly [[sHnswSearch]]'s layer tables), but the SEARCH walks
+    * them scoring candidates against 8-byte PQ CODES via asymmetric
+    * distance — the query's raw vector against each candidate's decoded
+    * centroids ([[PqTrain]]'s s_pq_topk codebook, shared ModelCache memo).
+    * Only the ADC top-40
+    * of everything the walk visited (DiskANN's re-rank list L) gets exact
+    * full-vector cosines; `n_exact` in the output is that count, vs the
+    * 50-deep exact re-rank [[Similarity.sIvfPqTopk]] pays. This is what a
+    * 100 TB graph index actually holds in memory: codes + adjacency, with
+    * full vectors touched only for the handful of finalists. Round12Spec
+    * pins recall@5 ≥ s_ivfpq_topk's on the same queries at strictly fewer
+    * full-vector scores.
+    *
+    * Fully hash-gated: graph build, levels, layer tables, PQ training
+    * (pqCtes), encoding, every ADC superstep and the exact re-rank all
+    * replay in DuckDB — the ADC fold is the bit-stable in-order
+    * accumulator the whole PQ family gates on. */
+  def sHnswPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Vec.vnorm(col("embedding")).as("nrm"))
+    val edges = Similarity2.nswEdges(spark, dir)
+    val lv = e.select(col("vec_id"), expr(lvlSql("vec_id")).as("lvl"))
+    val scoredPairs = layerPairs(spark, dir, e, edges)
+    def layerEdges(l: Int): DataFrame = scoredPairs
+      .where(col("src_lvl") >= l && col("dst_lvl") >= l)
+      .withColumn("r", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+      .where(col("r") <= 3)
+      .select("src", "dst")
+    // the graph's own quantizer: same trainer as s_pq_topk, k=32 cells
+    // per subspace (5 bits × 8 subspaces) — a deployed graph index tunes
+    // its codebook for walk-guidance quality, where 16 cells misrank the
+    // near-ties the beam must keep alive
+    val codebook = PqTrain.train(e, 64, m = 8, kCent = 32, rounds = 4,
+      space = s"$dir:graph")
+    val coded = e.select(col("vec_id").as("node"),
+      graft.functions.Sketch.pqEncode(col("embedding"), codebook).as("codes"))
+
+    val qs = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // asymmetric distance: raw query vector × candidate's decoded code
+    def scoreAdc(cand: DataFrame): DataFrame =
+      cand.join(coded, Seq("node"))
+        .join(broadcast(qs), "q_id")
+        .select(col("q_id"), col("node"),
+          graft.functions.Sketch.pqAdc(col("q_emb"), col("codes"), codebook)
+            .as("adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("node"))
+    val entryId = lv.orderBy(col("lvl").desc, col("vec_id")).limit(1)
+      .head().getLong(0)
+    var seen = scoreAdc(qs.select(col("q_id")).withColumn("node", lit(entryId)))
+      .localCheckpoint()
+    def top1(s: DataFrame): DataFrame =
+      s.withColumn("r", row_number().over(w)).where(col("r") === 1)
+        .select("q_id", "node")
+    var cur = top1(seen)
+    for (l <- 3 to 1 by -1; _ <- 1 to 2) {
+      val le = layerEdges(l)
+      val cnd = cur.join(le, cur("node") === le("src"))
+        .select(col("q_id"), col("dst").as("node")).distinct()
+      seen = seen.union(scoreAdc(cnd)).distinct().localCheckpoint()
+      cur = top1(seen)
+    }
+    def topK(s: DataFrame, k: Int): DataFrame =
+      s.withColumn("r", row_number().over(w)).where(col("r") <= k)
+        .select("q_id", "node", "adc")
+    // DiskANN search-list width: the ADC-guided walk needs a WIDER beam
+    // than the full-precision one (codes misrank near-ties, so the beam
+    // must carry more survivors to keep the true neighborhood in play)
+    var beam = topK(seen, 13)
+    for (_ <- 1 to 5) {
+      val cnd = beam.join(edges, beam("node") === edges("src"))
+        .select(col("q_id"), col("dst").as("node")).distinct()
+      seen = seen.union(scoreAdc(cnd)).distinct().localCheckpoint()
+      beam = topK(seen, 13)
+    }
+    // exact full-vector re-rank of ONLY the ADC top-40 of everything
+    // visited (the DiskANN re-rank list L): n_exact ≤ 40, strictly fewer
+    // than the 50 full-vector scores ivfpq's shortlist pays
+    val finalBeam = topK(seen, 40).where(col("node") =!= col("q_id"))
+    val exact = finalBeam
+      .join(e.select(col("vec_id").as("node"), col("embedding"), col("nrm")),
+        Seq("node"))
+      .join(broadcast(qs), "q_id")
+      .select(col("q_id"), col("node"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cosine"))
+    val wx = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("node"))
+    val ranked = exact.withColumn("rnk", row_number().over(wx))
+    val approx = ranked.where(col("rnk") <= 5).select(col("q_id"), col("node"))
+    // recall gate (measurement appendix, whitelisted like sHnswSearch's)
+    val brute = qs.crossJoin(e).where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rnk") <= 5).select(col("q_id").as("b_q"), col("vec_id"))
+    val hits = approx.join(brute,
+        approx("q_id") === brute("b_q") && approx("node") === brute("vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    val vis = seen.groupBy("q_id").agg(countDistinct("node").as("n_visited"))
+    val nExact = finalBeam.groupBy("q_id")
+      .agg(countDistinct("node").as("n_exact"))
+    ranked.where(col("rnk") === 1)
+      .select(col("q_id"), col("node").as("top1_id"), col("cosine").as("top1_cos"))
+      .join(vis, "q_id")
+      .join(nExact, "q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("top1_id"), col("top1_cos"), col("n_visited"),
+        col("n_exact"),
+        (coalesce(col("hits"), lit(0L)) * 200000).as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
+  val sHnswPqSql: String = {
+    def cos(q: String, v: String): String =
+      s"""round(list_sum([CAST($q.embedding[i] AS DOUBLE)*CAST($v.embedding[i] AS DOUBLE)
+         |                for i in generate_series(1, len($q.embedding))])
+         |      / ($q.nrm * $v.nrm), 6)""".stripMargin
+    val adcOf =
+      "list_sum([q.emb[i] * f.fcv[i] for i in generate_series(1, 64)])"
+    val descent = (1 to 6).map { t =>
+      val p = t - 1
+      val l = 3 - (t - 1) / 2
+      s"""cnd$t AS MATERIALIZED (
+         |  SELECT DISTINCT c.q_id, e.dst AS node
+         |  FROM cur$p c JOIN le$l e ON e.src = c.node),
+         |sc$t AS MATERIALIZED (
+         |  SELECT c.q_id, c.node, $adcOf AS adc
+         |  FROM cnd$t c JOIN fc f ON f.vec_id = c.node
+         |  JOIN qs q ON q.q_id = c.q_id),
+         |seen$t AS MATERIALIZED (
+         |  SELECT DISTINCT * FROM (
+         |    SELECT * FROM seen$p UNION ALL SELECT * FROM sc$t)),
+         |cur$t AS MATERIALIZED (
+         |  SELECT q_id, node FROM (
+         |    SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc DESC, node) AS r FROM seen$t) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val baseSteps = (7 to 11).map { t =>
+      val p = t - 1
+      s"""cnd$t AS MATERIALIZED (
+         |  SELECT DISTINCT b.q_id, e.dst AS node
+         |  FROM beam$p b JOIN edges e ON e.src = b.node),
+         |sc$t AS MATERIALIZED (
+         |  SELECT c.q_id, c.node, $adcOf AS adc
+         |  FROM cnd$t c JOIN fc f ON f.vec_id = c.node
+         |  JOIN qs q ON q.q_id = c.q_id),
+         |seen$t AS MATERIALIZED (
+         |  SELECT DISTINCT * FROM (
+         |    SELECT * FROM seen$p UNION ALL SELECT * FROM sc$t)),
+         |beam$t AS MATERIALIZED (
+         |  SELECT q_id, node, adc FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc DESC, node) AS r FROM seen$t) WHERE r <= 13)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH knn AS MATERIALIZED (SELECT * FROM (${Similarity.sKnnJoinSql}) t),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+       |                   for i in generate_series(1, len(embedding))])) AS nrm
+       |  FROM embeddings),
+       |${PqTrain.srcCte(64)},
+       |${PqTrain.pqCtes("pn", 64, 8, 32, 4)},
+       |${PqTrain.encodeCtes("pn", "pc4", 64, 8)},
+       |edges AS MATERIALIZED (
+       |  SELECT q_id AS src, vec_id AS dst FROM knn
+       |  UNION SELECT vec_id, q_id FROM knn),
+       |lv AS MATERIALIZED (SELECT vec_id, ${lvlSql("vec_id")} AS lvl FROM n),
+       |he AS MATERIALIZED (
+       |  SELECT e.src, e.dst FROM edges e
+       |  JOIN lv a ON a.vec_id = e.src JOIN lv b ON b.vec_id = e.dst
+       |  WHERE a.lvl >= 1 AND b.lvl >= 1),
+       |cp AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT a.src, b.dst FROM he a JOIN he b ON a.dst = b.src
+       |    WHERE a.src <> b.dst
+       |    UNION ALL SELECT src, dst FROM he)),
+       |sp AS MATERIALIZED (
+       |  SELECT p.src, p.dst, ${cos("s", "d")} AS cos, a.lvl AS src_lvl, b.lvl AS dst_lvl
+       |  FROM cp p JOIN n s ON s.vec_id = p.src JOIN n d ON d.vec_id = p.dst
+       |  JOIN lv a ON a.vec_id = p.src JOIN lv b ON b.vec_id = p.dst),
+       |le3 AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS r
+       |    FROM sp WHERE src_lvl >= 3 AND dst_lvl >= 3) WHERE r <= 3),
+       |le2 AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS r
+       |    FROM sp WHERE src_lvl >= 2 AND dst_lvl >= 2) WHERE r <= 3),
+       |le1 AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS r
+       |    FROM sp WHERE src_lvl >= 1 AND dst_lvl >= 1) WHERE r <= 3),
+       |qs AS MATERIALIZED (
+       |  SELECT p.vec_id AS q_id, p.emb, p.nrm, nn.embedding
+       |  FROM pn p JOIN n nn ON nn.vec_id = p.vec_id
+       |  WHERE p.vec_id % 100 = 0),
+       |entry AS (SELECT vec_id AS node FROM lv ORDER BY lvl DESC, vec_id LIMIT 1),
+       |seen0 AS (
+       |  SELECT q.q_id, en.node, $adcOf AS adc
+       |  FROM qs q CROSS JOIN entry en JOIN fc f ON f.vec_id = en.node),
+       |cur0 AS (SELECT q_id, node FROM seen0),
+       |$descent,
+       |beam6 AS MATERIALIZED (
+       |  SELECT q_id, node, adc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, node) AS r FROM seen6) WHERE r <= 13),
+       |$baseSteps,
+       |fb AS MATERIALIZED (
+       |  SELECT q_id, node FROM (
+       |    SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, node) AS r FROM seen11)
+       |  WHERE r <= 40 AND node <> q_id),
+       |ranked AS MATERIALIZED (
+       |  SELECT b.q_id, b.node, ${cos("q", "v")} AS cosine,
+       |    row_number() OVER (PARTITION BY b.q_id
+       |      ORDER BY ${cos("q", "v")} DESC, b.node) AS rnk
+       |  FROM fb b JOIN n v ON v.vec_id = b.node
+       |  JOIN (SELECT q_id, embedding, nrm FROM qs) q ON q.q_id = b.q_id),
+       |brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, v.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cos("q", "v")} DESC, v.vec_id) AS rnk
+       |    FROM qs q CROSS JOIN n v WHERE v.vec_id <> q.q_id) WHERE rnk <= 5),
+       |hits AS (
+       |  SELECT a.q_id, COUNT(*) AS h
+       |  FROM (SELECT q_id, node FROM ranked WHERE rnk <= 5) a
+       |  JOIN brute b ON b.q_id = a.q_id AND b.vec_id = a.node
+       |  GROUP BY 1),
+       |vis AS (SELECT q_id, COUNT(DISTINCT node) AS n_visited FROM seen11 GROUP BY 1),
+       |nex AS (SELECT q_id, COUNT(DISTINCT node) AS n_exact FROM fb GROUP BY 1)
+       |SELECT t.q_id, t.node AS top1_id, t.cosine AS top1_cos, v.n_visited,
+       |  nex.n_exact, CAST(coalesce(h.h, 0) * 200000 AS BIGINT) AS recall_ppm
+       |FROM ranked t JOIN vis v USING (q_id) JOIN nex USING (q_id)
+       |LEFT JOIN hits h USING (q_id)
+       |WHERE t.rnk = 1 ORDER BY t.q_id""".stripMargin
+  }
+
   /** HNSW index APPEND (s_index_append's graph-tier sibling — the insert
     * path a deployed graph index runs continuously): new vectors
     * (vec_id % 10 = 7, the s_index_append convention) arrive against the
@@ -390,9 +639,11 @@ object Similarity4 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_hnsw_search" -> (sHnswSearch _),
-    "s_hnsw_append" -> (sHnswAppend _))
+    "s_hnsw_append" -> (sHnswAppend _),
+    "s_hnsw_pq" -> (sHnswPq _))
 
   val oracles: Map[String, String] = Map(
     "s_hnsw_search" -> sHnswSearchSql,
-    "s_hnsw_append" -> sHnswAppendSql)
+    "s_hnsw_append" -> sHnswAppendSql,
+    "s_hnsw_pq" -> sHnswPqSql)
 }

@@ -70,6 +70,9 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "COMPACT TABLE [ns.]t [INTO n FILES] (default 1 file); " +
           "MAINTAIN TABLE [ns.]t [INTO n FILES] [KEEP k] " +
           "(defaults: 4 files, keep 3 snapshots); " +
+          "MAINTAIN ALL [ns.]t [MAX n FILES] [KEEP k] (the full nightly " +
+          "pass: stats refresh, compaction policy, snapshot expiry, " +
+          "manifest rewrite, orphan sweep — per-arm report rows); " +
           "REWRITE MANIFESTS IN [ns.]t (compact the stats sidecar); " +
           "ADD FILES TO [ns.]t FROM 'landing_dir' (zero-copy adoption); " +
           "ALTER TABLE [ns.]t RENAME COLUMN a TO b (metadata-only); " +
@@ -88,10 +91,15 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "INSERT INTO [ns.]t [(cols)] VALUES (...); " +
           "DELETE FROM [ns.]t WHERE cond (copy-on-write); " +
           "DELETE MOR FROM [ns.]t WHERE cond (deletion vectors); " +
+          "DELETE EQ FROM [ns.]t WHERE key IN (v, ...) (equality delete " +
+          "file — applies only to data committed before it, so later " +
+          "re-inserts of a key stay alive); " +
           "UPDATE [ns.]t SET c = v WHERE cond (copy-on-write); " +
           "UPDATE MOR [ns.]t SET c = expr WHERE cond (deletion vectors " +
           "+ delta files, zero rewrite); " +
           "MERGE INTO [ns.]t USING [ns.]s ON keycol; " +
+          "MERGE MOR INTO [ns.]t USING [ns.]s ON keycol (DV-mark matched " +
+          "rows + delta files, zero rewrite); " +
           "COPY (SELECT ...) TO 'path' [FORMAT csv|json|parquet]; " +
           "EXPLAIN [FORMATTED|EXTENDED] SELECT ... (plan audit: verify " +
           "filter pushdown / column pruning / join strategy before paying " +
