@@ -789,12 +789,8 @@ class LakeCatalog(spark: SparkSession, root: String) {
     // sees); the committed names may be `../src/<base>` clone references
     val inScan = files.map(f => Paths.get(f).getFileName.toString).toSet
     val pairs = liveDvPairs(ns, table, atV).filter(p => inScan(p._1))
-    val eqs = liveEqDeletes(ns, table, atV)
-    val eqRelevant = eqs.nonEmpty && {
-      val addedV = fileAddedVersion(ns, table)
-      eqs.exists(e =>
-        inScan.exists(f => addedV.getOrElse(f, Int.MaxValue) < e.scope))
-    }
+    val eqRelevant = eqKeyFilePairs(liveEqDeletes(ns, table, atV), inScan,
+      fileAddedVersion(ns, table)).nonEmpty
     if (pairs.isEmpty && !eqRelevant) readFiles(ns, table, files)
     else visibleWithPos(ns, table, files, atV).drop("__dv_file", "__dv_pos")
   }
@@ -928,10 +924,15 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * strictly before it). They start equal; expiry folds and clone
     * inheritance rewrite `v` while `scope` must keep the original bound —
     * collapsing the two would widen a delete onto rows re-inserted after
-    * it. */
+    * it. `applies`, when present, REPLACES the scope rule with an explicit
+    * applicable-file list: the expiry fold writes it because log
+    * truncation destroys the added-version ordering the scope comparison
+    * reads (a folded line scoped by version number alone would go inert —
+    * resurrecting its deletes — once every surviving file re-registers at
+    * the surviving version). */
   private case class EqDelete(v: Int, token: Option[String], col: String,
                               vals: Seq[String], fileCounts: Map[String, Long],
-                              scope: Int)
+                              scope: Int, applies: Option[Seq[String]])
 
   private def eqDelEntries(ns: String, table: String): Seq[EqDelete] = {
     val p = eqDelPath(ns, table)
@@ -953,9 +954,32 @@ class LakeCatalog(spark: SparkSession, root: String) {
           case _ => Map.empty[String, Long]
         }
         val sc = (j \ "scope") match { case JInt(x) => x.toInt; case _ => v }
-        EqDelete(v, tok, c, vs, fc, sc)
+        val ap = (j \ "applies") match {
+          case JArray(a) => Some(a.collect { case JString(x) => x })
+          case _ => None
+        }
+        EqDelete(v, tok, c, vs, fc, sc, ap)
       }
     }
+  }
+
+  /** The (key, applicable file basename) pairs of equality-delete entries,
+    * restricted to `inScan` — scope expanded per file: explicit `applies`
+    * list when the line carries one, otherwise every in-scan file whose
+    * added version precedes the line's sequence-number bound. Metadata
+    * scale: |batch keys| × |applicable files|. */
+  private def eqKeyFilePairs(entries: Seq[EqDelete], inScan: Set[String],
+                             addedV: => Map[String, Int])
+      : Seq[(String, String, String)] = {
+    lazy val av = addedV
+    entries.flatMap { e =>
+      val files = e.applies match {
+        case Some(fs) => fs.filter(inScan)
+        case None => inScan.toSeq.filter(f =>
+          av.getOrElse(f, Int.MaxValue) < e.scope)
+      }
+      for (f <- files; k <- e.vals) yield (e.col, k, f)
+    }.distinct
   }
 
   /** Equality-delete lines LIVE at version `atV` — same token-orphan rule
@@ -987,30 +1011,19 @@ class LakeCatalog(spark: SparkSession, root: String) {
                                  files: Seq[String], atV: Int): DataFrame = {
     val inScan = files.map(f => Paths.get(f).getFileName.toString).toSet
     val pairs = liveDvPairs(ns, table, atV).filter(p => inScan(p._1))
-    val eqs = liveEqDeletes(ns, table, atV)
-    val addedV = if (eqs.isEmpty) Map.empty[String, Int]
-      else fileAddedVersion(ns, table)
-    val eqLive = eqs.filter(e =>
-      inScan.exists(f => addedV.getOrElse(f, Int.MaxValue) < e.scope))
+    val eqPairs = eqKeyFilePairs(liveEqDeletes(ns, table, atV), inScan,
+      fileAddedVersion(ns, table))
     var df = df0
     if (pairs.nonEmpty) {
       val dvDf = spark.createDataFrame(pairs).toDF("__dv_file", "__dv_pos")
       df = df.join(broadcast(dvDf), Seq("__dv_file", "__dv_pos"), "left_anti")
     }
-    if (eqLive.nonEmpty) {
-      val addDf = broadcast(spark.createDataFrame(
-        inScan.toSeq.sorted.map(f => (f, addedV.getOrElse(f, Int.MaxValue)))
-      ).toDF("__dv_file", "__added_v"))
-      df = df.join(addDf, Seq("__dv_file"), "left")
-      eqLive.groupBy(_.col).toSeq.sortBy(_._1).foreach { case (kc, es) =>
-        val keyed = spark.createDataFrame(
-          es.flatMap(e => e.vals.map(x => (x, e.scope))).distinct
-        ).toDF("__eq_key", "__eq_v")
-        df = df.join(broadcast(keyed),
-          col(kc).cast("string") === col("__eq_key") &&
-            col("__eq_v") > col("__added_v"), "left_anti")
-      }
-      df = df.drop("__added_v")
+    eqPairs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (kc, ps) =>
+      val keyed = spark.createDataFrame(ps.map(p => (p._2, p._3)))
+        .toDF("__eq_key", "__eq_file")
+      df = df.join(broadcast(keyed),
+        col(kc).cast("string") === col("__eq_key") &&
+          col("__dv_file") === col("__eq_file"), "left_anti")
     }
     df
   }
@@ -1283,14 +1296,13 @@ class LakeCatalog(spark: SparkSession, root: String) {
       val newDv = (liveDvPairs(ns, table, vTo).toSet --
         liveDvPairs(ns, table, vFrom)).filter(p => basenames(p._1)).toSeq
       val newEq = liveEqDeletes(ns, table, vTo).filter(_.v > vFrom)
-      val addedV = if (newEq.isEmpty) Map.empty[String, Int]
-        else fileAddedVersion(ns, table)
-      // candidate files: hold a newly-covered DV position, or predate an
-      // equality delete committed in the range
+      val eqPairs = eqKeyFilePairs(newEq, basenames,
+        fileAddedVersion(ns, table))
+      // candidate files: hold a newly-covered DV position, or are in a
+      // range-committed equality delete's applicable set
       val cand = common.filter { f =>
         val b = Paths.get(f).getFileName.toString
-        newDv.exists(_._1 == b) ||
-          newEq.exists(e => addedV.getOrElse(b, Int.MaxValue) < e.scope)
+        newDv.exists(_._1 == b) || eqPairs.exists(_._3 == b)
       }
       if (cand.isEmpty) readFiles(ns, table, Seq.empty)
       else {
@@ -1302,25 +1314,15 @@ class LakeCatalog(spark: SparkSession, root: String) {
             broadcast(spark.createDataFrame(newDv).toDF("__dv_file", "__dv_pos")),
             Seq("__dv_file", "__dv_pos"), "left_semi"))
         val eqHit =
-          if (newEq.isEmpty) None
-          else {
-            val addDf = broadcast(spark.createDataFrame(
-              cand.map(f => Paths.get(f).getFileName.toString).distinct.sorted
-                .map(b => (b, addedV.getOrElse(b, Int.MaxValue)))
-            ).toDF("__dv_file", "__added_v"))
-            val hits = newEq.groupBy(_.col).toSeq.sortBy(_._1)
-              .map { case (kc, es) =>
-                val keyed = spark.createDataFrame(
-                  es.flatMap(e => e.vals.map(x => (x, e.scope))).distinct
-                ).toDF("__eq_key", "__eq_v")
-                scan.join(addDf, Seq("__dv_file"))
-                  .join(broadcast(keyed),
-                    col(kc).cast("string") === col("__eq_key") &&
-                      col("__eq_v") > col("__added_v"), "left_semi")
-                  .drop("__added_v")
-              }
-            Some(hits.reduce(_ unionByName _))
-          }
+          if (eqPairs.isEmpty) None
+          else Some(eqPairs.groupBy(_._1).toSeq.sortBy(_._1)
+            .map { case (kc, ps) =>
+              val keyed = spark.createDataFrame(ps.map(p => (p._2, p._3)))
+                .toDF("__eq_key", "__eq_file")
+              scan.join(broadcast(keyed),
+                col(kc).cast("string") === col("__eq_key") &&
+                  col("__dv_file") === col("__eq_file"), "left_semi")
+            }.reduce(_ unionByName _))
         val died = (dvHit.toSeq ++ eqHit.toSeq).reduce(_ unionByName _)
           // (file, pos) is a unique row id: a row both DV'd and eq-matched
           // in the range must still surface exactly once
@@ -2614,35 +2616,52 @@ class LakeCatalog(spark: SparkSession, root: String) {
       }
       // Equality-delete lines need the SAME fold (their tokens validate
       // against log lines about to be truncated), with one extra rule: the
-      // fold rewrites the LIVENESS version to the smallest surviving one
-      // but records the original version as an explicit `scope` — the
-      // sequence-number bound must not widen onto files committed between
-      // the delete and the fold target (rows re-inserted after the delete
-      // are alive and must stay so).
+      // fold must MATERIALIZE the line's applicable-file set as an explicit
+      // `applies` list. The sequence-number scope rule compares against
+      // file added-versions derived FROM THE LOG — and this truncation is
+      // about to re-register every surviving file at the surviving
+      // version, which would make a version-scoped line inert (deletes
+      // resurrect) or, folded naively onto the new version, too wide
+      // (post-delete re-inserts die). The explicit list is computed NOW,
+      // while the full log can still answer "which files predate scope".
       val eqp = eqDelPath(ns, table)
       if (Files.exists(eqp)) {
         val head = currentVersion(ns, table)
         val toks = snapshotTokens(ns, table)
+        val addedV = fileAddedVersion(ns, table)
+        val surviving = all.filter(s => survivorVs(s._1)).flatMap(_._2)
+          .map(f => Paths.get(f).getFileName.toString).distinct.sorted
         def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
         def render(e: EqDelete): String = {
           val t = e.token.map(x => s""""token":"$x",""").getOrElse("")
+          val ap = e.applies.map(fs =>
+            s""","applies":[${fs.map(f => "\"" + esc(f) + "\"").mkString(",")}]""")
+            .getOrElse("")
           s"""{"v":${e.v},$t"col":"${esc(e.col)}","vals":[${
             e.vals.map(k => "\"" + esc(k) + "\"").mkString(",")}],"files":{${
             e.fileCounts.toSeq.sortBy(_._1)
               .map { case (f, n) => "\"" + esc(f) + "\":" + n }.mkString(",")
-          }},"scope":${e.scope}}"""
+          }},"scope":${e.scope}$ap}"""
         }
         val entries = eqDelEntries(ns, table)
         val (expTok, keepE) = entries.partition(e =>
           e.token.isDefined && !survivorVs.contains(e.v))
+        def materialized(e: EqDelete): Seq[String] =
+          e.applies.getOrElse(surviving.filter(f =>
+            addedV.getOrElse(f, Int.MaxValue) < e.scope))
         val folded = expTok
           .filter(e => e.v <= head &&
             e.token.forall(t => toks.get(e.v).contains(t)))
           .flatMap(e => survivorVs.toSeq.sorted.find(_ >= e.v)
-            .map(tgt => e.copy(v = tgt, token = None)))
+            .map(tgt => e.copy(v = tgt, token = None,
+              applies = Some(materialized(e)))))
+        // SURVIVING lines materialize too: truncation re-registers files
+        // kept from expired snapshots at their first SURVIVING version, so
+        // even a kept line's version-scope comparison would drift
+        val kept = keepE.map(e => e.copy(applies = Some(materialized(e))))
         val tmp = eqp.resolveSibling(eqp.getFileName.toString + ".tmp")
         Files.writeString(tmp,
-          (folded ++ keepE).map(render).mkString("", "\n", "\n"))
+          (folded ++ kept).map(render).mkString("", "\n", "\n"))
         Files.move(tmp, eqp,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)

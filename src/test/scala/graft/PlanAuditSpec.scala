@@ -107,8 +107,17 @@ class PlanAuditSpec extends SparkSpec {
     "st_dsir_screen",  // same one-row totals broadcast onto the 64-row spine
                        //   + one-row truth-total broadcast; truth itself is
                        //   the capped s_cosine_topk probe batch
-    "st_quality_drift" // two one-row corpus-total broadcasts onto the 10-row
+    "st_quality_drift", // two one-row corpus-total broadcasts onto the 10-row
                        //   decile spine
+    "s_hnsw_pq",       // brute ground-truth baseline (same capped |corpus|/100
+                       //   query batch × corpus as s_hnsw_search) + the one-row
+                       //   entry-node broadcast; the walk itself is frontier
+                       //   equi-joins over PQ codes
+    "c_mor_changes",   // three one-row per-window feed aggregates assembled
+                       //   into the single report row
+    "p_select_mix_pack" // p_dsir_sample's one-row totals broadcast onto the
+                       //   64-bucket LLR spine + p_domain_mix's one-row
+                       //   min-count broadcast, composed
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
@@ -138,8 +147,10 @@ class PlanAuditSpec extends SparkSpec {
                        //   day-pair frame (both inputs per-DAY aggregates)
     "q_harmonic_centrality", // row_number over a post-limit(20) frame
     "q_degree_distribution", // cumulative over DEGREE-histogram aggregate rows
-    "m_token_budget"   // prefix-sum over per-bucket token totals (the
+    "m_token_budget",  // prefix-sum over per-bucket token totals (the
                        //   p_pack_sequences two-level shape, mixed-modality)
+    "p_select_mix_pack" // prefix-sum over per-bucket token totals of the
+                       //   ≤200-doc selected slice (p_pack_sequences' shape)
   )
 
   // one planning pass over the whole surface, shared by every assertion
