@@ -1145,6 +1145,79 @@ class LakeCatalog(spark: SparkSession, root: String) {
     (hits.map(_._2.length.toLong).sum, nIns)
   }
 
+  /** CDC batch applied MERGE-ON-READ (the Flink-on-Iceberg-v2 writer shape
+    * — [[applyCdc]]'s zero-rewrite sibling): instead of the touched-file
+    * COW rewrite, the batch commits ONE snapshot carrying (a) an equality-
+    * delete line over EVERY key the batch touches — upsert keys kill their
+    * old copies, delete keys kill outright; a streaming writer never knows
+    * positions, which is why this delete shape exists — and (b) the upsert
+    * rows as delta files. The delete's sequence-number scope excludes the
+    * delta files committed in the same snapshot (their added version IS
+    * the delete's version, not before it), so the new copies are alive by
+    * construction — Iceberg's same-commit sequencing, exactly. Duplicate
+    * keys collapse to the same deterministic winner as [[applyCdc]], and
+    * the batch-id fence rides the same snapshot-log line as the data —
+    * a foreachBatch redelivery is dropped whole. Matched counts recorded
+    * per file over VISIBLE rows keep [[countStar]] metadata-only.
+    * Returns (rows the equality delete matched, upsert rows appended). */
+  def applyCdcMor(ns: String, table: String, changes: DataFrame, key: String,
+                  opCol: String, batch: Option[Long] = None): (Long, Long) = {
+    if (batch.exists(b => lastCommittedBatch(ns, table).exists(_ >= b)))
+      return (0L, 0L)
+    val known = changes.where(col(opCol).isin("u", "d"))
+    val deleteKeys = known.where(col(opCol) === "d").select(col(key)).distinct()
+    val upserts = {
+      // delete wins over upsert for the same key; duplicates collapse
+      val u = known.where(col(opCol) === "u").drop(opCol)
+        .join(broadcast(deleteKeys), Seq(key), "left_anti")
+      val others = u.columns.filterNot(_ == key)
+      if (others.isEmpty) u.distinct()
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(key))
+          .orderBy(others.map(c => col(c).desc_nulls_last): _*)
+        u.withColumn("_graft_rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("_graft_rn") === 1).drop("_graft_rn")
+      }
+    }
+    val cur = currentFiles(ns, table)
+      .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val v = currentVersion(ns, table)
+    // the batch's key set IS the equality-delete payload (batch scale)
+    val keyStrs = known.select(col(key).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val hits =
+      if (cur.isEmpty || keyStrs.isEmpty) Array.empty[(String, Long)]
+      else visibleWithPos(ns, table, cur, v)
+        .where(col(key).cast("string").isin(keyStrs: _*))
+        .groupBy(col("__dv_file")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val tcols = load(ns, table).columns
+    // crash order: delta files staged first (orphan debris on crash) …
+    val deltaFiles = writeNewFiles(ns, table,
+      upserts.select(tcols.map(col).toSeq: _*))
+    val nextV = snapshots(ns, table).map(_._1).maxOption.getOrElse(-1) + 1
+    val tok = java.util.UUID.randomUUID().toString
+    // … tokened equality-delete line second …
+    if (keyStrs.nonEmpty) {
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val line =
+        s"""{"v":$nextV,"token":"$tok","col":"${esc(key)}","vals":[${
+          keyStrs.map(k => "\"" + esc(k) + "\"").mkString(",")}],"files":{${
+          hits.map { case (f, n) => "\"" + esc(f) + "\":" + n }.mkString(",")}}}""" + "\n"
+      Files.writeString(eqDelPath(ns, table), line,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    // … and the CAS'd commit (data + fence + token, one log line) last
+    val committed = commitSnapshot(ns, table, cur ++ deltaFiles,
+      batch = batch, expectedBase = Some(v), token = Some(tok))
+    require(committed == nextV,
+      s"concurrent commit: CDC batch written for v$nextV but log advanced to v$committed")
+    (hits.map(_._2).sum, upserts.count())
+  }
+
   /** MAINTAIN ALL — the nightly maintenance pass as ONE composite call:
     * stats refresh → compaction policy → snapshot expiry → manifest
     * rewrite → orphan sweep, each arm reporting (action | noop). The ORDER

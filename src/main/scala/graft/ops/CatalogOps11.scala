@@ -340,15 +340,75 @@ object CatalogOps11 {
       |  (SELECT COUNT(*) FROM t, r WHERE k >= lo AND k < hi)
       |    AS n_in_range_post""".stripMargin
 
+  /** CDC round-trip (the property the change-feed surface EXISTS for — a
+    * consumer reconstructing state from feeds alone): a replica starts as
+    * the v1 snapshot, then applies ONLY the per-boundary change feeds —
+    * replica := (replica ∖ deletes) ⊎ inserts — across a history mixing
+    * every mutation mechanism the lake has: MOR positional delete, MOR
+    * update (DV + delta), equality delete, COW delete. If any feed lost a
+    * row (the r11 file-diff feed lost ALL of the pure-DV window) or
+    * double-reported one, the multiset equality with the final table
+    * breaks. `mirror_exact` is that equality, proven BOTH directions via
+    * exceptAll; the hash gate replays the final state's count and decimal
+    * sum from first principles. Consumer cost ∝ Σ feed sizes (each feed
+    * reads its mutation sliver), never ∝ table × boundaries. */
+  def cCdcMirror(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(spark, scratch)
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice").as("price"))
+      .where(col("k") % 3 === 0)
+    cat.dropTable("scratch", "li_mir")
+    cat.createTable("scratch", "li_mir", StructType(Seq(
+      StructField("k", LongType), StructField("price", DoubleType))))
+    cat.append("scratch", "li_mir", li)
+    val v1 = cat.headVersion("scratch", "li_mir")
+    cat.deleteWhereMor("scratch", "li_mir", col("k") % 5 === 0)
+    cat.updateWhereMor("scratch", "li_mir",
+      col("k") % 7 === 0, "price", col("price") * -1)
+    val eqKeys = li.where(col("k") % 13 === 0)
+      .select(col("k")).distinct().collect().map(_.getLong(0)).sorted.toSeq
+    cat.deleteWhereEq("scratch", "li_mir", "k", eqKeys)
+    cat.deleteWhere("scratch", "li_mir", col("k") % 11 === 0)
+    val vEnd = cat.headVersion("scratch", "li_mir")
+    var replica = cat.loadSnapshot("scratch", "li_mir", v1).localCheckpoint()
+    (v1 until vEnd).foreach { a =>
+      val feed = cat.changes("scratch", "li_mir", a, a + 1).localCheckpoint()
+      val ins = feed.where(col("_change") === "insert").drop("_change")
+      val del = feed.where(col("_change") === "delete").drop("_change")
+      replica = replica.exceptAll(del).unionByName(ins).localCheckpoint()
+    }
+    val fin = cat.load("scratch", "li_mir")
+    val mirrorExact = replica.exceptAll(fin).isEmpty &&
+      fin.exceptAll(replica).isEmpty
+    fin.agg(count(lit(1)).as("rows_final"),
+        Tables.dsum(col("price")).as("sum_price"))
+      .select(col("rows_final"), col("sum_price"),
+        lit(mirrorExact).as("mirror_exact"),
+        lit((vEnd - v1).toLong).as("n_boundaries"))
+  }
+
+  val cCdcMirrorSql: String =
+    """WITH b AS (SELECT l_orderkey AS k, l_extendedprice AS price
+      |           FROM lineitem WHERE l_orderkey % 3 = 0),
+      |fin AS (
+      |  SELECT k, CASE WHEN k % 7 = 0 THEN -price ELSE price END AS price
+      |  FROM b WHERE k % 5 <> 0 AND k % 13 <> 0 AND k % 11 <> 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS rows_final,
+      |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+      |  true AS mirror_exact, CAST(4 AS BIGINT) AS n_boundaries
+      |FROM fin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_mor_changes" -> (cMorChanges _),
     "c_eq_delete" -> (cEqDelete _),
     "c_mor_merge" -> (cMorMerge _),
-    "c_maintain_all" -> (cMaintainAll _))
+    "c_maintain_all" -> (cMaintainAll _),
+    "c_cdc_mirror" -> (cCdcMirror _))
 
   val oracles: Map[String, String] = Map(
     "c_mor_changes" -> cMorChangesSql,
     "c_eq_delete" -> cEqDeleteSql,
     "c_mor_merge" -> cMorMergeSql,
-    "c_maintain_all" -> cMaintainAllSql)
+    "c_maintain_all" -> cMaintainAllSql,
+    "c_cdc_mirror" -> cCdcMirrorSql)
 }

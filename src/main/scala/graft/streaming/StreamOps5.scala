@@ -128,11 +128,68 @@ object StreamOps5 {
         "  md5(coalesce(string_agg(")
   }
 
+  /** Streaming CDC apply, MERGE-ON-READ (st_cdc_apply's zero-rewrite arm —
+    * the write path a Flink-style continuous writer actually uses on an
+    * Iceberg v2 table): each micro-batch commits ONE fenced snapshot
+    * carrying an equality-delete line over every key the batch touches
+    * plus the upsert rows as delta files ([[graft.catalog.LakeCatalog
+    * .applyCdcMor]]) — the writer never rewrites a data file, ever. The
+    * same deterministic 3-batch orders feed as st_cdc_apply (insert →
+    * update+delete → resurrecting re-insert), so the two arms' final
+    * states must be IDENTICAL — one oracle describes both; this op
+    * additionally pins, in-row, that no pre-existing file was ever
+    * rewritten across all three batches (`zero_rewrite` — file lists grow
+    * monotonically), that a batch-id REPLAY is dropped whole
+    * (`fenced_noop`), and that countStar still answers from metadata
+    * under three generations of equality deletes (`meta_ok`). At 100 TB:
+    * per-batch cost ∝ batch (one visible-scan matched count + delta
+    * write), and the reader's anti-join grows with live delete payload,
+    * reclaimed by compaction. */
+  def stCdcMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.LakeCatalog
+    val cat = new LakeCatalog(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+    StreamOps2.freshCdcTable(cat, "cdc_mor")
+    var zeroRewrite = true
+    StreamOps2.cdcBatches(spark, dir).zipWithIndex.foreach { case (b, i) =>
+      val before = cat.snapshots("scratch", "cdc_mor").last._2.toSet
+      cat.applyCdcMor("scratch", "cdc_mor", b, "k", "op", Some(i.toLong))
+      val after = cat.snapshots("scratch", "cdc_mor").last._2.toSet
+      zeroRewrite &&= before.subsetOf(after)
+    }
+    // replay fence: re-delivering batch 1 must change NOTHING
+    val headBefore = cat.headVersion("scratch", "cdc_mor")
+    val replay = cat.applyCdcMor("scratch", "cdc_mor",
+      StreamOps2.cdcBatches(spark, dir)(1), "k", "op", Some(1L))
+    val fenced = replay == ((0L, 0L)) &&
+      cat.headVersion("scratch", "cdc_mor") == headBefore
+    val metaOk = cat.countStar("scratch", "cdc_mor")
+      .contains(cat.load("scratch", "cdc_mor").count())
+    cat.load("scratch", "cdc_mor")
+      .withColumn("zero_rewrite", lit(zeroRewrite))
+      .withColumn("fenced_noop", lit(fenced))
+      .withColumn("meta_ok", lit(metaOk))
+      .orderBy("k")
+  }
+
+  val stCdcMorSql: String =
+    """SELECT o_orderkey AS k,
+      |  CAST(CASE WHEN o_orderkey BETWEEN 5 AND 15
+      |         THEN round(CAST(o_totalprice AS DECIMAL(30,6)) * CAST(0.5 AS DECIMAL(2,1)), 2)
+      |       WHEN o_orderkey BETWEEN 16 AND 19
+      |         THEN round(CAST(o_totalprice AS DECIMAL(30,6)), 2)
+      |       ELSE round(CAST(o_totalprice AS DECIMAL(30,6)) * 2, 2) END AS DOUBLE) AS v,
+      |  true AS zero_rewrite, true AS fenced_noop, true AS meta_ok
+      |FROM orders WHERE o_orderkey BETWEEN 5 AND 50
+      |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_dsir_screen" -> (stDsirScreen _),
-    "st_substring_screen" -> (stSubstringScreen _))
+    "st_substring_screen" -> (stSubstringScreen _),
+    "st_cdc_mor" -> (stCdcMor _))
 
   val oracles: Map[String, String] = Map(
     "st_dsir_screen" -> stDsirScreenSql,
-    "st_substring_screen" -> stSubstringScreenSql)
+    "st_substring_screen" -> stSubstringScreenSql,
+    "st_cdc_mor" -> stCdcMorSql)
 }

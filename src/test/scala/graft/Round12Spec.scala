@@ -246,6 +246,39 @@ class Round12Spec extends SparkSpec {
       s"PQ graph search lost recall: hnsw_pq=$pqRecall ivfpq=$ivfRecall")
   }
 
+  // ------------------------- MOR CDC writer: compaction + fence interplay
+
+  test("applyCdcMor: compaction between batches materializes deletes without breaking the fence") {
+    val cat = new LakeCatalog(spark, warehouse)
+    import spark.implicits._
+    cat.dropTable("spec", "cdcm")
+    cat.createTable("spec", "cdcm", StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    def batch(rows: Seq[(Long, Double, String)]) =
+      rows.toDF("k", "v", "op")
+    val (d0, u0) = cat.applyCdcMor("spec", "cdcm",
+      batch(Seq((1L, 1.0, "u"), (2L, 2.0, "u"), (3L, 3.0, "u"))),
+      "k", "op", Some(0L))
+    assert((d0, u0) == (0L, 3L))
+    val (d1, u1) = cat.applyCdcMor("spec", "cdcm",
+      batch(Seq((2L, 22.0, "u"), (3L, 0.0, "d"))), "k", "op", Some(1L))
+    assert((d1, u1) == (2L, 1L), "both touched keys' old copies must die")
+    // compact mid-stream: materializes the eq deletes, commits WITHOUT a
+    // batch id — the fence must survive it
+    cat.compact("spec", "cdcm", 1)
+    assert(loaded(cat, "cdcm") == Map(1L -> Seq(1.0), 2L -> Seq(22.0)))
+    // a replay of batch 1 after the compact is still fenced
+    assert(cat.applyCdcMor("spec", "cdcm",
+      batch(Seq((2L, 999.0, "u"))), "k", "op", Some(1L)) == ((0L, 0L)))
+    // and the next real batch applies normally, resurrecting key 3
+    val (d2, u2) = cat.applyCdcMor("spec", "cdcm",
+      batch(Seq((3L, 33.0, "u"))), "k", "op", Some(2L))
+    assert((d2, u2) == (0L, 1L))
+    assert(loaded(cat, "cdcm") ==
+      Map(1L -> Seq(1.0), 2L -> Seq(22.0), 3L -> Seq(33.0)))
+    assert(cat.countStar("spec", "cdcm").contains(3L))
+  }
+
   // ------------------------------- select→mix→pack composition (r11 #7)
 
   test("p_select_mix_pack: monotone loss accounting and exact pack arithmetic") {
