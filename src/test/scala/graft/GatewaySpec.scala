@@ -293,6 +293,49 @@ class GatewaySpec extends SparkSpec {
       "orphan survived the maintenance pass")
   }
 
+  test("r12 verbs: DELETE EQ FROM / MERGE MOR INTO / MAINTAIN ALL through the dialect") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gw_r12").toString
+    val cat = new LakeCatalog(spark, root)
+    val gw = new SqlGateway(spark, cat)
+    gw.execute("CREATE TABLE scratch.eqt (k BIGINT, v STRING)")
+    (1L to 6L).foreach(k => gw.execute(s"INSERT INTO scratch.eqt VALUES ($k, 'v$k')"))
+    // equality delete by key list — file list must be unchanged
+    val filesBefore = cat.snapshots("scratch", "eqt").last._2.toSet
+    val msg = gw.execute("DELETE EQ FROM scratch.eqt WHERE k IN (2, 4)")
+      .head().getString(0)
+    assert(msg.contains("matched 2 rows"), msg)
+    assert(cat.snapshots("scratch", "eqt").last._2.toSet == filesBefore,
+      "equality delete must not touch the file list")
+    // re-insert of a deleted key stays alive (sequence-number scope)
+    gw.execute("INSERT INTO scratch.eqt VALUES (2, 'reborn')")
+    val got = cat.load("scratch", "eqt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "v1"), (2L, "reborn"), (3L, "v3"),
+      (5L, "v5"), (6L, "v6")), got.toString)
+    // MOR MERGE: zero rewrite, delta files only
+    gw.execute("CREATE TABLE scratch.mms (k BIGINT, v STRING)")
+    gw.execute("INSERT INTO scratch.mms VALUES (3, 'merged3')")
+    gw.execute("INSERT INTO scratch.mms VALUES (9, 'new9')")
+    val preMerge = cat.snapshots("scratch", "eqt").last._2.toSet
+    val mm = gw.execute("MERGE MOR INTO scratch.eqt USING scratch.mms ON k")
+      .head().getString(0)
+    assert(mm.contains("1 updated") && mm.contains("1 inserted"), mm)
+    assert(preMerge.subsetOf(cat.snapshots("scratch", "eqt").last._2.toSet),
+      "MOR merge must keep every pre-merge file verbatim")
+    assert(cat.load("scratch", "eqt").where($"k" === 3L).head().getString(1)
+      == "merged3")
+    // MAINTAIN ALL: five arms, reader answers unchanged
+    val nBefore = cat.load("scratch", "eqt").count()
+    val report = gw.execute("MAINTAIN ALL scratch.eqt MAX 2 FILES KEEP 1")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(report.map(_._1).toSeq ==
+      Seq("stats", "compact", "expire", "manifests", "orphans"), report.toSeq)
+    assert(cat.load("scratch", "eqt").count() == nBefore,
+      "maintenance changed a reader answer")
+  }
+
   test("SHOW CREATE TABLE reconstructs DDL from metadata — and the DDL re-executes") {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("graft_gw_ddl").toString

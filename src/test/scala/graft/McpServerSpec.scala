@@ -313,6 +313,53 @@ class McpServerSpec extends SparkSpec {
       "ReadSchema not pruned — full-width scan for a 2-column projection")
   }
 
+  test("r12 verbs over the protocol: equality delete, MOR merge, MAINTAIN ALL") {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_mcp_wh4"
+    val dir = java.nio.file.Paths.get(wh)
+    if (java.nio.file.Files.exists(dir)) {
+      val w = java.nio.file.Files.walk(dir)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    val srv2 = new McpServer(spark, wh)
+    var nextId = 400
+    def drive(tool: String, q: String): String = {
+      nextId += 1
+      val frame = JsonMethods.compact(JsonMethods.render(JObject(
+        "jsonrpc" -> JString("2.0"), "id" -> JInt(nextId),
+        "method" -> JString("tools/call"),
+        "params" -> JObject("name" -> JString(tool),
+          "arguments" -> JObject("query" -> JString(q))))))
+      val resp = JsonMethods.parse(srv2.handleLine(frame).getOrElse(fail(s"no reply: $q")))
+      assert(resp \ "result" \ "isError" == JBool(false),
+        s"$q failed: ${(resp \ "result" \ "content") (0) \ "text"}")
+      (resp \ "result" \ "content") (0) \ "text" match {
+        case JString(t) => t
+        case other => fail(s"no text content for $q: $other")
+      }
+    }
+    drive("query_table", "CREATE TABLE scratch.mcp_r12 (k BIGINT, v DOUBLE)")
+    (1L to 4L).foreach(k =>
+      drive("query_table", s"INSERT INTO scratch.mcp_r12 VALUES ($k, $k.0)"))
+    val eqTxt = drive("query_table",
+      "DELETE EQ FROM scratch.mcp_r12 WHERE k IN (2, 3)")
+    assert(eqTxt.contains("matched 2 rows"), eqTxt.take(200))
+    drive("query_table", "CREATE TABLE scratch.mcp_r12s (k BIGINT, v DOUBLE)")
+    drive("query_table", "INSERT INTO scratch.mcp_r12s VALUES (4, 44.0)")
+    drive("query_table", "INSERT INTO scratch.mcp_r12s VALUES (9, 9.0)")
+    val mmTxt = drive("query_table",
+      "MERGE MOR INTO scratch.mcp_r12 USING scratch.mcp_r12s ON k")
+    assert(mmTxt.contains("1 updated") && mmTxt.contains("1 inserted"),
+      mmTxt.take(200))
+    val maTxt = drive("query_catalog",
+      "MAINTAIN ALL scratch.mcp_r12 MAX 2 FILES KEEP 1")
+    assert(maTxt.contains("stats") && maTxt.contains("orphans"), maTxt.take(300))
+    val cnt = drive("query_table",
+      "SELECT COUNT(*) AS n FROM scratch.mcp_r12")
+    assert(cnt.contains("\"n\" : 3"),
+      s"final state wrong through protocol: ${cnt.take(200)}")
+  }
+
   test("row cap: payload truncation is explicit, never silent") {
     val small = new McpServer(spark, sfDir, maxRows = 5)
     val resp = JsonMethods.parse(small.handleLine(
