@@ -38,7 +38,9 @@ object SparkEntry {
       ops.CatalogOps8.queries ++ ops.Graph3.queries ++ ops.StatsOps2.queries ++
       ops.CatalogOps9.queries ++ streaming.StreamOps4.queries ++
       ops.CatalogOps10.queries ++ ops.CatalogOps11.queries ++ ops.Similarity4.queries ++
-      streaming.StreamOps5.queries
+      streaming.StreamOps5.queries ++ ops.TextOps7.queries ++
+      ops.Events2.queries ++ ops.Similarity5.queries ++
+      ops.CatalogOps12.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -65,5 +67,7 @@ object SparkEntry {
       ops.CatalogOps8.oracles ++ ops.Graph3.oracles ++ ops.StatsOps2.oracles ++
       ops.CatalogOps9.oracles ++ streaming.StreamOps4.oracles ++
       ops.CatalogOps10.oracles ++ ops.CatalogOps11.oracles ++ ops.Similarity4.oracles ++
-      streaming.StreamOps5.oracles
+      streaming.StreamOps5.oracles ++ ops.TextOps7.oracles ++
+      ops.Events2.oracles ++ ops.Similarity5.oracles ++
+      ops.CatalogOps12.oracles
 }

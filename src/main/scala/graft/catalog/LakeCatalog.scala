@@ -806,6 +806,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * reuses the version number), never a silently lost OR resurrected
     * delete. */
   def deleteWhereMor(ns: String, table: String, cond: Column): Long = {
+    requireRowLevel(ns, table, "DELETE MOR (deletion vectors)")
     val cur = currentFiles(ns, table)
       .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
     if (cur.isEmpty) return 0L
@@ -852,6 +853,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * Returns the number of rows updated. */
   def updateWhereMor(ns: String, table: String, cond: Column,
                      setCol: String, setExpr: Column): Long = {
+    requireRowLevel(ns, table, "UPDATE MOR (deletion vectors + delta files)")
     val cur = currentFiles(ns, table)
       .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
     if (cur.isEmpty) return 0L
@@ -1051,6 +1053,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * inert. Returns the number of rows the delete matched. */
   def deleteWhereEq(ns: String, table: String, keyCol: String,
                     keys: Seq[Any]): Long = {
+    requireRowLevel(ns, table, "DELETE EQ (equality-delete files)")
     val cur = currentFiles(ns, table)
       .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
     if (cur.isEmpty || keys.isEmpty) return 0L
@@ -1096,6 +1099,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * Returns (rows updated, rows inserted). */
   def mergeMor(ns: String, table: String, rawSource: DataFrame,
                key: String): (Long, Long) = {
+    requireRowLevel(ns, table, "MERGE MOR (deletion vectors + delta files)")
     val source = {
       val others = rawSource.columns.filterNot(_ == key)
       if (others.isEmpty) rawSource.distinct()
@@ -1162,6 +1166,7 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * Returns (rows the equality delete matched, upsert rows appended). */
   def applyCdcMor(ns: String, table: String, changes: DataFrame, key: String,
                   opCol: String, batch: Option[Long] = None): (Long, Long) = {
+    requireRowLevel(ns, table, "CDC MOR apply (equality deletes + delta files)")
     if (batch.exists(b => lastCommittedBatch(ns, table).exists(_ >= b)))
       return (0L, 0L)
     val known = changes.where(col(opCol).isin("u", "d"))
@@ -1980,6 +1985,150 @@ class LakeCatalog(spark: SparkSession, root: String) {
     tableMeta(ns, table)._3.collect {
       case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
     }
+
+  /** Iceberg-style table format version, from the `format-version`
+    * property. Tables created without the property (including the flat
+    * test-data warehouse) default to 2 — row-level deletes allowed. A
+    * table explicitly created at version 1 models an Iceberg v1 table:
+    * copy-on-write only, no delete files, until [[upgradeFormat]]. */
+  def formatVersion(ns: String, table: String): Int =
+    tableMeta(ns, table)._3.getOrElse("format-version", "2").toInt
+
+  /** Row-level-delete capability gate (the Iceberg contract: deletion
+    * vectors and equality-delete files REQUIRE format-version ≥ 2; a
+    * writer that emitted them into a v1 table would strand readers that
+    * only know v1 semantics — so the write must be REFUSED, not the read
+    * left to break later). */
+  private def requireRowLevel(ns: String, table: String, verb: String): Unit = {
+    val fv = formatVersion(ns, table)
+    if (fv < 2) throw new IllegalStateException(
+      s"$verb requires format-version >= 2 on $ns.$table (found $fv: a v1 " +
+        "table cannot hold row-level delete files); run " +
+        s"ALTER TABLE $ns.$table SET PROPERTY 'format-version' = '2'")
+  }
+
+  /** Metadata-only property update (Iceberg ALTER TABLE SET TBLPROPERTIES):
+    * rewrites the `_meta.json` sidecar's properties object, touching no
+    * data file and committing no snapshot — exactly the cost profile an
+    * upgrade must have on a 100 TB table. */
+  def setProperty(ns: String, table: String, key: String, value: String): Unit = {
+    val p = Paths.get(s"$root/$ns/${table}_meta.json")
+    require(Files.exists(p), s"no metadata sidecar for $ns.$table")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(Files.readString(p))
+    val props = tableMeta(ns, table)._3 + (key -> value)
+    val newProps: JValue = JObject(props.toSeq.sortBy(_._1)
+      .map { case (k, v) => k -> (JString(v): JValue) }.toList)
+    val updated = j match {
+      case JObject(fs) =>
+        JObject(fs.filterNot(_._1 == "properties") :+ ("properties" -> newProps))
+      case other => other
+    }
+    Files.writeString(p, JsonMethods.compact(JsonMethods.render(updated)))
+  }
+
+  /** v1 → v2 upgrade (metadata-only, idempotent): returns
+    * (version_before, version_after). After this, [[deleteWhereMor]]/
+    * [[deleteWhereEq]]/[[updateWhereMor]]/[[mergeMor]]/[[applyCdcMor]]
+    * accept the table. */
+  def upgradeFormat(ns: String, table: String): (Int, Int) = {
+    val before = formatVersion(ns, table)
+    if (before < 2) setProperty(ns, table, "format-version", "2")
+    (before, formatVersion(ns, table))
+  }
+
+  // --- per-file NDV sketches (Iceberg Puffin theta-sketch stats, as KMV) ---
+  //
+  // Distinct-count stats for the CBO, maintained the only way that works at
+  // 100 TB: a tiny MERGEABLE sketch per data file (the k smallest GF(2^61−1)
+  // hash values of the column — k-minimum-values, the same estimator family
+  // as Iceberg's Puffin apache-datasketches-theta-v1 blobs), written by an
+  // explicit ANALYZE-style action that scans ONLY files not yet covered.
+  // Table-level NDV then answers METADATA-ONLY by merging live files'
+  // sketches (k smallest of the union of k-smallest sets ≡ the k smallest of
+  // the union — the KMV merge identity), so stats maintenance costs ∝ new
+  // data, and compaction simply invalidates by file identity (rewritten
+  // files are new files: they get fresh sketches on the next analyze pass).
+
+  private def ndvPath(ns: String, table: String): Path =
+    Paths.get(s"$root/$ns/${table}_ndv.json")
+
+  private def ndvEntries(ns: String, table: String,
+                         colName: String): Map[String, Seq[Long]] = {
+    val p = ndvPath(ns, table)
+    if (!Files.exists(p)) Map.empty
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { l =>
+        val j = JsonMethods.parse(l)
+        val c = (j \ "col") match { case JString(x) => x; case _ => "" }
+        val f = (j \ "file") match { case JString(x) => x; case _ => "" }
+        val mins = (j \ "mins") match {
+          case JArray(a) => a.collect { case JInt(x) => x.toLong }
+          case _ => Seq.empty[Long]
+        }
+        if (c == colName && f.nonEmpty) Some(f -> mins) else None
+      }.toMap
+    }
+  }
+
+  /** Incremental NDV-sketch maintenance: compute the per-file KMV sketch of
+    * `colName` for every CURRENT data file that has no recorded sketch yet,
+    * append them to the sidecar, return the number of files newly scanned.
+    * Already-covered files are NEVER re-read — the mergeability of KMV is
+    * exactly what makes that sound. One distributed scan over the new files
+    * (distinct hash per file, k-smallest via a per-file rank that Spark
+    * executes as a map-side group limit); only k×|new files| rows reach the
+    * driver — sketch payload, not data. */
+  def recordNdvSketch(ns: String, table: String, colName: String,
+                      k: Int = 64): Int = {
+    val dir = Paths.get(tablePath(ns, table))
+    val cur = currentFiles(ns, table).getOrElse(listParquet(dir))
+    val have = ndvEntries(ns, table, colName).keySet
+    val fresh = cur.filterNot(have).sorted
+    if (fresh.isEmpty) return 0
+    import org.apache.spark.sql.expressions.Window
+    val scan = spark.read.parquet(fresh.map(f => dir.resolve(f).toString): _*)
+      .select(input_file_name().as("__f"),
+        graft.functions.Poly.stringHash(col(colName)).as("h"))
+      .groupBy("__f", "h").agg(count(lit(1)).as("_n")) // distinct (file, hash)
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("__f").orderBy("h")))
+      .where(col("r") <= k)
+      .select(col("__f"), col("h"))
+      .collect()
+      // input_file_name() may carry a URI scheme; the basename is the
+      // stable file identity the sidecar keys on
+      .groupBy(_.getString(0).split('/').last)
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted.toSeq }
+    val lines = fresh.map { f =>
+      val mins = scan.getOrElse(f, Seq.empty) // empty file: empty sketch
+      s"""{"file":"$f","col":"$colName","k":$k,"mins":[${mins.mkString(",")}]}"""
+    }.mkString("", "\n", "\n")
+    Files.writeString(ndvPath(ns, table), lines,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    fresh.size
+  }
+
+  /** Metadata-only table-level NDV from the sidecar: merge the sketches of
+    * LIVE files only (k smallest of their union), estimate
+    * (k−1)·M/h_k for a full sketch, exact n_kept below k. Returns
+    * (n_kept, h_k or -1, files covered, live files) — the caller derives
+    * the estimate so the arithmetic text can be mirrored in SQL. */
+  def ndvSketchMerged(ns: String, table: String, colName: String,
+                      k: Int = 64): (Long, Long, Int, Int) = {
+    val cur = currentFiles(ns, table)
+      .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    val entries = ndvEntries(ns, table, colName)
+    val covered = cur.count(entries.contains)
+    val merged = cur.flatMap(f => entries.getOrElse(f, Seq.empty))
+      .distinct.sorted.take(k)
+    (merged.size.toLong, if (merged.size == k) merged.last else -1L,
+      covered, cur.size)
+  }
 
   def append(ns: String, table: String, df: DataFrame,
              batch: Option[Long] = None): Unit = {

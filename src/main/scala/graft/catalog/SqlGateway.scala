@@ -145,6 +145,11 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   // metadata-only column rename (Iceberg field-id rename)
   private val renameCol =
     """(?is)\s*ALTER\s+TABLE\s+(?:(\w+)\.)?(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  // metadata-only property update (Iceberg ALTER TABLE SET TBLPROPERTIES);
+  // setting 'format-version' = '2' is the v1 → v2 upgrade that unlocks the
+  // row-level-delete verbs (DELETE MOR / DELETE EQ / UPDATE MOR / MERGE MOR)
+  private val setProp =
+    """(?is)\s*ALTER\s+TABLE\s+(?:(\w+)\.)?(\w+)\s+SET\s+PROPERTY\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*""".r
   // zone-map pruning observability (Iceberg scan-metrics analog): which
   // files a predicate would drop/keep per the manifest sidecar, BEFORE
   // paying for a scan — the planning-time decision ZoneMapPruneRule makes,
@@ -162,6 +167,11 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
   // fast-forward would lose after divergence)
   private val diffBranch =
     """(?is)\s*DIFF\s+BRANCH\s+(\w+)(?:\s+AGAINST\s+(\w+))?\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s*;?\s*""".r
+  // changelog scan surfaced to the client (Iceberg's `changes` metadata
+  // query): the row-level insert/delete feed between two snapshot versions
+  // — c_mor_changes' DV/equality-delete-aware changes(), verbatim
+  private val showChanges =
+    """(?is)\s*SHOW\s+CHANGES\s+(?:IN|FOR)\s+(?:(\w+)\.)?(\w+)\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\s*;?\s*""".r
 
   /** Reference type names → Spark types (IcebergConnection.py:189-207 maps
     * STRING/INT/DOUBLE/TIMESTAMP and defaults to string — same here, plus
@@ -324,6 +334,10 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         catalog.branchDiff(nsName, table, branch,
           Option(base).getOrElse("main"))
 
+      case showChanges(ns, table, vFrom, vTo) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.changes(nsName, table, vFrom.toInt, vTo.toInt)
+
       case explainRoute(ns, table, cond, thrOpt) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
         val qe = catalog.loadRenamed(nsName, table)
@@ -429,6 +443,11 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         catalog.renameColumn(nsName, table, oldName, newName)
         Seq(s"Column $oldName renamed to $newName (metadata-only)")
           .toDF("status")
+
+      case setProp(ns, table, key, value) =>
+        val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))
+        catalog.setProperty(nsName, table, key, value)
+        Seq(s"Property $key set to '$value' (metadata-only)").toDF("status")
 
       case updateTb(ns, table, assignments, cond) =>
         val nsName = Option(ns).getOrElse(resolveNs(table, "scratch"))

@@ -36,7 +36,7 @@ object Cluster {
   private def dot(a: Column, b: Column): Column = graft.functions.Vec.vdot(a, b)
   private def norm2(a: Column): Column = graft.functions.Vec.vnorm(a)
 
-  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def withNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.fanout(Tables.table(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
 
@@ -48,7 +48,7 @@ object Cluster {
     }
 
   /** 1-based argmax over the centroid cosines → 0-based cell id */
-  private def argmax(cents: Array[Array[Float]])(emb: Column, nrm: Column): Column = {
+  private[ops] def argmax(cents: Array[Array[Float]])(emb: Column, nrm: Column): Column = {
     val s = array(sims(cents)(emb, nrm): _*)
     (array_position(s, array_max(s)) - 1).cast("int")
   }

@@ -195,7 +195,15 @@ object TextOps2 {
     * model "training" IS the aggregation — no driver-side anything.
     * Rounded per §4: ln/exp last-ulp rules (decimal-sum the logps, rank on
     * rounded values). */
-  def tCharLm(spark: SparkSession, dir: String): DataFrame = {
+  def tCharLm(spark: SparkSession, dir: String): DataFrame =
+    charLmScores(spark, dir)
+      .withColumn("ppl", round(exp(col("xent")), 4))
+      .orderBy("doc_id")
+
+  /** (doc_id, n_tri, xent) — the per-doc cross-entropy under the
+    * corpus-trained char-trigram LM. Shared by [[tCharLm]] and the CCNet
+    * bucketing op ([[TextOps7.tCcnetBuckets]]). */
+  private[graft] def charLmScores(spark: SparkSession, dir: String): DataFrame = {
     val chars = split(norm(col("text")), "")
     val base = Tables.fanout(Tables.table(spark, dir, "documents"))
       .select(col("doc_id"),
@@ -211,18 +219,18 @@ object TextOps2 {
     val triC = rows.groupBy("tri_h").agg(count(lit(1)).as("tri_n"))
     val preC = rows.groupBy("pre_h").agg(count(lit(1)).as("pre_n"))
     val logp = log(col("tri_n").cast("double") / col("pre_n"))
-    val scored = rows
+    rows
       .join(broadcast(triC), Seq("tri_h"))
       .join(broadcast(preC), Seq("pre_h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tri"),
         round(-(Tables.dsum(logp) / count(lit(1))), 4).as("xent"))
-    scored.withColumn("ppl", round(exp(col("xent")), 4))
-      .orderBy("doc_id")
   }
 
-  val tCharLmSql: String =
-    s"""WITH d AS (SELECT doc_id, $normSql AS nt FROM documents),
+  /** CTE chain ending in `agg(doc_id, n_tri, xent)` — the oracle twin of
+    * [[charLmScores]], shared with TextOps7's CCNet bucketing oracle. */
+  private[graft] val charLmCtes: String =
+    s"""d AS (SELECT doc_id, $normSql AS nt FROM documents),
        |pos AS (
        |  SELECT doc_id, nt, unnest(generate_series(1, length(nt) - 2)) AS i
        |  FROM d),
@@ -238,7 +246,10 @@ object TextOps2 {
        |agg AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
        |    round(-(CAST(SUM(CAST(logp AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)), 4) AS xent
-       |  FROM s GROUP BY doc_id)
+       |  FROM s GROUP BY doc_id)""".stripMargin
+
+  val tCharLmSql: String =
+    s"""WITH $charLmCtes
        |SELECT doc_id, n_tri, xent, round(exp(xent), 4) AS ppl
        |FROM agg ORDER BY doc_id""".stripMargin
 

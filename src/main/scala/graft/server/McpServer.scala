@@ -76,13 +76,19 @@ class McpServer(spark: SparkSession, warehouse: String, maxRows: Int = 1000) {
           "REWRITE MANIFESTS IN [ns.]t (compact the stats sidecar); " +
           "ADD FILES TO [ns.]t FROM 'landing_dir' (zero-copy adoption); " +
           "ALTER TABLE [ns.]t RENAME COLUMN a TO b (metadata-only); " +
+          "ALTER TABLE [ns.]t SET PROPERTY 'k' = 'v' (metadata-only; " +
+          "'format-version'='2' is the v1->v2 upgrade unlocking the " +
+          "row-level-delete verbs); " +
           "EXPLAIN PRUNING [ns.]t WHERE cond (per-file zone-map skip " +
           "decision + summary, metadata only — no scan); " +
           "EXPLAIN ROUTE [ns.]t WHERE cond [THRESHOLD n] (the " +
           "broadcast-vs-shuffle join choice the stats sidecar makes for " +
           "the filtered table, metadata only); " +
           "DIFF BRANCH b [AGAINST base] IN [ns.]t (WAP publish audit: " +
-          "row-level insert/delete diff of the branch vs the base head)"),
+          "row-level insert/delete diff of the branch vs the base head); " +
+          "SHOW CHANGES IN [ns.]t BETWEEN v1 AND v2 (changelog scan: the " +
+          "row-level insert/delete feed between two snapshots, deletion-" +
+          "vector- and equality-delete-aware)"),
       tool("query_table", "Execute a query on lake tables",
         "Table reads and writes: any Spark SELECT over registered tables " +
           "(joins, aggregates, window functions), with time travel via " +
