@@ -40,7 +40,7 @@ object SparkEntry {
       ops.CatalogOps10.queries ++ ops.CatalogOps11.queries ++ ops.Similarity4.queries ++
       streaming.StreamOps5.queries ++ ops.TextOps7.queries ++
       ops.Events2.queries ++ ops.Similarity5.queries ++
-      ops.CatalogOps12.queries
+      ops.CatalogOps12.queries ++ ops.Pipeline5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -69,5 +69,5 @@ object SparkEntry {
       ops.CatalogOps10.oracles ++ ops.CatalogOps11.oracles ++ ops.Similarity4.oracles ++
       streaming.StreamOps5.oracles ++ ops.TextOps7.oracles ++
       ops.Events2.oracles ++ ops.Similarity5.oracles ++
-      ops.CatalogOps12.oracles
+      ops.CatalogOps12.oracles ++ ops.Pipeline5.oracles
 }

@@ -20,9 +20,11 @@ object TextOps7 {
   private def norm(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  /** the normalizer's SQL text, shared with Pipeline5's funnel oracle */
+  private[ops] def normSqlText: String = normSql
 
-  private val W = 40 // chunk width (words)
-  private val S = 30 // stride (words) → 10-word overlap between neighbors
+  private[ops] val W = 40 // chunk width (words)
+  private[ops] val S = 30 // stride (words) → 10-word overlap between neighbors
 
   /** Sliding-window chunking with overlap — the chunk shape RAG corpora and
     * long-context training shards are cut into (fixed window W, stride S,
@@ -38,7 +40,12 @@ object TextOps7 {
     * zero shuffle, embarrassingly parallel at any corpus size. n_chunks =
     * 1 + ceil((n−W)/S) for n>W (exact in doubles far past any real doc
     * length; both engines replay it as the same integer arithmetic). */
-  def tChunkRag(spark: SparkSession, dir: String): DataFrame = {
+  def tChunkRag(spark: SparkSession, dir: String): DataFrame =
+    chunkFrame(spark, dir).orderBy("doc_id", "chunk_id")
+
+  /** (doc_id, chunk_id, start_word, n_words, chunk_md5) — the unordered
+    * chunk manifest, shared with [[Pipeline5.pRagPrep]]'s funnel. */
+  private[graft] def chunkFrame(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.fanout(Tables.table(spark, dir, "documents"))
       .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
@@ -56,7 +63,6 @@ object TextOps7 {
           slice(col("ws"), (col("chunk_id") * S + 1).cast("int"),
             least(lit(W), col("n") - col("chunk_id") * S).cast("int")), " "))
           .as("chunk_md5"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   val tChunkRagSql: String =

@@ -149,8 +149,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_degree_distribution", // cumulative over DEGREE-histogram aggregate rows
     "m_token_budget",  // prefix-sum over per-bucket token totals (the
                        //   p_pack_sequences two-level shape, mixed-modality)
-    "p_select_mix_pack" // prefix-sum over per-bucket token totals of the
+    "p_select_mix_pack", // prefix-sum over per-bucket token totals of the
                        //   ≤200-doc selected slice (p_pack_sequences' shape)
+    "q_sax_motif"      // ntile/lead over per-DAY aggregate rows (the
+                       //   calendar-bounded daily spine, q_dau_mau's contract)
   )
 
   // one planning pass over the whole surface, shared by every assertion

@@ -149,6 +149,28 @@ class Round12bSpec extends SparkSpec {
     assert(live3.collect().forall(_.getLong(1) == 3L))
   }
 
+  // --------------------------------------------------------- p_rag_prep
+
+  test("p_rag_prep: monotone funnel ledger, exact pack arithmetic, dedup consistency") {
+    val rows = ops.Pipeline5.pRagPrep(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (cd, cu, cw) = rows("chunk")
+    val (dd, du, dw) = rows("dedup")
+    val (pd, pu, pw) = rows("pack")
+    // chunk stage covers every doc; dedup can only lose material
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(cd == nDocs)
+    assert(du <= cu && dw <= cw && dd <= cd)
+    // dedup'd unit count equals the number of distinct chunk texts
+    val distinctMd5 = ops.TextOps7.chunkFrame(spark, sfDir)
+      .select("chunk_md5").distinct().count()
+    assert(du == distinctMd5)
+    // pack stage loses nothing and its arithmetic is exact
+    assert(pw == dw && pd == dd)
+    assert(pu == (dw + 511) / 512)
+    assert(pu >= 1)
+  }
+
   // ---------------------------------------- format-version (c_v2_upgrade)
 
   test("format-version: v1 refuses ALL row-level-delete verbs without committing, upgrade unlocks them") {
