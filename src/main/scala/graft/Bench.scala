@@ -1,6 +1,52 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** One timed pass over `queries` (VERDICT r12 #1): a query that throws
+    * records its error VERBATIM and NO timing row — the r12 close had a
+    * dying SparkContext turn 52 fail-fast exceptions into sub-0.1 s "timings"
+    * that the min-over-passes stamp then silently selected, deflating
+    * total_warm in the graded artifact. Timing rows exist ONLY for passes
+    * where the action completed. Object-level so BenchHarnessSpec can plant a
+    * throwing query and assert the no-timing invariant directly. */
+  def runPass(spark: SparkSession, sfDir: String,
+              queries: Seq[(String, (SparkSession, String) => DataFrame)],
+              procCpuSec: () => Double, hostStealSec: () => Double)
+      : (Seq[(String, Double, Double, Double)], Seq[(String, String)]) = {
+    val times = Seq.newBuilder[(String, Double, Double, Double)]
+    val errors = Seq.newBuilder[(String, String)]
+    queries.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val c0 = procCpuSec()
+      val s0 = hostStealSec()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors += name -> (e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(300))
+          false
+        }
+        finally {
+          // release BOTH cache layers between queries: the SQL cache manager
+          // (operator .cache()s) AND rdd-level persists — localCheckpoint
+          // blocks (d_dup_clusters' iteration state) are invisible to
+          // clearCache and would otherwise accumulate across 300+ query runs,
+          // pinning storage memory until later queries thrash under eviction
+          // (the measured warm>cold pathology of r2's bench).
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        }
+      // deltas only when BOTH endpoints read validly (-1.0 = probe
+      // failure); a one-sided failure would otherwise yield a delta off
+      // by ~1s or garbage and could false-trip the starved classifier
+      if (ok) {
+        val c1 = procCpuSec(); val s1 = hostStealSec()
+        times += ((name, (System.nanoTime() - t0) / 1e9,
+          if (c0 >= 0 && c1 >= 0) c1 - c0 else -1.0,
+          if (s0 >= 0 && s1 >= 0) s1 - s0 else -1.0))
+      }
+    }
+    (times.result(), errors.result())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,43 +78,16 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
     // (times, errors): a query that throws records its error VERBATIM in the
-    // artifact — never a silent fast timing for a broken query.
-    // Each timing carries its PER-QUERY process-CPU and host-steal deltas
-    // (VERDICT r5 #1a): wall ≫ cpu alone can be honest I/O wait (the
-    // catalog writers fsync), but wall ≫ cpu WITH a steal spike in the same
-    // window mechanically proves the JVM wasn't scheduled — per-query, so
-    // heavy queries can be discounted individually.
-    def pass(): (Seq[(String, Double, Double, Double)], Seq[(String, String)]) = {
-      val times = Seq.newBuilder[(String, Double, Double, Double)]
-      val errors = Seq.newBuilder[(String, String)]
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val c0 = processCpuSec()
-        val s0 = stealNow()
-        try { fn(spark, sfDir).count(); () }
-        catch { case e: Throwable =>
-          errors += name -> (e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(300))
-        }
-        finally {
-          // release BOTH cache layers between queries: the SQL cache manager
-          // (operator .cache()s) AND rdd-level persists — localCheckpoint
-          // blocks (d_dup_clusters' iteration state) are invisible to
-          // clearCache and would otherwise accumulate across 216 query runs,
-          // pinning storage memory until later queries thrash under eviction
-          // (the measured warm>cold pathology of r2's bench).
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        }
-        // deltas only when BOTH endpoints read validly (-1.0 = probe
-        // failure); a one-sided failure would otherwise yield a delta off
-        // by ~1s or garbage and could false-trip the starved classifier
-        val c1 = processCpuSec(); val s1 = stealNow()
-        times += ((name, (System.nanoTime() - t0) / 1e9,
-          if (c0 >= 0 && c1 >= 0) c1 - c0 else -1.0,
-          if (s0 >= 0 && s1 >= 0) s1 - s0 else -1.0))
-      }
-      (times.result(), errors.result())
-    }
+    // artifact and NO timing row (runPass, VERDICT r12 #1) — never a silent
+    // fast timing for a broken query. Each timing carries its PER-QUERY
+    // process-CPU and host-steal deltas (VERDICT r5 #1a): wall ≫ cpu alone
+    // can be honest I/O wait (the catalog writers fsync), but wall ≫ cpu
+    // WITH a steal spike in the same window mechanically proves the JVM
+    // wasn't scheduled — per-query, so heavy queries can be discounted
+    // individually.
+    def pass(): (Seq[(String, Double, Double, Double)], Seq[(String, String)]) =
+      runPass(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1),
+        () => processCpuSec(), () => stealNow())
     // --- starvation telemetry (VERDICT r4 task 4): the host intermittently
     // steals this container's vCPUs in bursts, inflating wall times 5-30×
     // with zero code change. Record, per pass, the facts that make a sick
@@ -172,9 +191,12 @@ object Bench {
         c < 0.25 * w && st > 0.25 * w => name
     }.distinct
     val suspectQueries = (inversions ++ starved).distinct
-    // top-level suspect covers BOTH per-query anomalies and a stamped warm
-    // window that stayed steal-contaminated after every retry
-    val suspect = suspectQueries.nonEmpty || stealDirty
+    // top-level suspect covers per-query anomalies, a stamped warm window
+    // that stayed steal-contaminated after every retry, AND any errored
+    // query (VERDICT r12 #1): an error means total_warm is a partial sum
+    // (the errored query has no timing row at all), so the headline totals
+    // are not comparable to a clean run and must read as such.
+    val suspect = suspectQueries.nonEmpty || stealDirty || errs.nonEmpty || warmErrs.nonEmpty
     def render(m: Seq[(String, Double)]) = m.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def renderErr(m: Seq[(String, String)]) = m.map { case (k, v) =>
@@ -191,7 +213,7 @@ object Bench {
     val buildTotal = builds.map(_._2).sum
     val warmPassTotals = warmPasses.map(_._1._1.map(_._2).sum)
       .map(v => math.round(v * 1000.0) / 1000.0).mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${render(results)},"total_warm":$totalWarm,"queries_warm":${render(warm)},"queries_warm_var":${render(warmVar)},"warm_pass_totals":$warmPassTotals,"queries_cpu":${renderCpu(results4)},"queries_warm_cpu":${renderCpu(warm4)},"queries_steal":${renderSteal(results4)},"queries_warm_steal":${renderSteal(warm4)},"errors":${renderErr(errs)},"errors_warm":${renderErr(warmErrs)},"n_errors":${errs.size + warmErrs.size},"telemetry_cold":${teleJson(teleCold)},"telemetry_warm":${teleJson(teleWarm)},"suspect":$suspect,"suspect_queries":$suspectJson,"warm_attempts":$warmAttempts,"steal_dirty":$stealDirty,"builds":${render(builds.map { case (k, v) => (jsonEscape(k), v) })},"build_total_sec":$buildTotal,"builds_note":"one-time ANN model training, paid inside the first cold query that touches each model; warm rows are pure query cost","warm_note":"queries_warm = per-query MIN over warm_attempts passes (position-noise defense, r11); queries_warm_var = per-query (max-min)/min across those passes","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${render(results)},"total_warm":$totalWarm,"queries_warm":${render(warm)},"queries_warm_var":${render(warmVar)},"warm_pass_totals":$warmPassTotals,"queries_cpu":${renderCpu(results4)},"queries_warm_cpu":${renderCpu(warm4)},"queries_steal":${renderSteal(results4)},"queries_warm_steal":${renderSteal(warm4)},"errors":${renderErr(errs)},"errors_warm":${renderErr(warmErrs)},"n_errors":${errs.size + warmErrs.size},"telemetry_cold":${teleJson(teleCold)},"telemetry_warm":${teleJson(teleWarm)},"suspect":$suspect,"suspect_queries":$suspectJson,"warm_attempts":$warmAttempts,"steal_dirty":$stealDirty,"builds":${render(builds.map { case (k, v) => (jsonEscape(k), v) })},"build_total_sec":$buildTotal,"builds_note":"one-time ANN model training, paid inside the first cold query that touches each model; warm rows are pure query cost","warm_note":"queries_warm = per-query MIN over warm_attempts passes (position-noise defense, r11); queries_warm_var = per-query (max-min)/min across those passes; an errored query records its error only, never a timing row (r13)","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), full + "\n")
     catch { case _: Throwable => () }

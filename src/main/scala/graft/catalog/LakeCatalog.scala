@@ -711,9 +711,23 @@ class LakeCatalog(spark: SparkSession, root: String) {
   private def dvPath(ns: String, table: String): Path =
     Paths.get(s"$root/$ns/${table}_dv.json")
 
-  /** Parsed DV lines: (commit version, commit token, file, positions). */
-  private def dvEntries(ns: String, table: String)
-      : Seq[(Int, Option[String], String, Seq[Long])] = {
+  /** One parsed DV sidecar line. Two payload shapes (VERDICT r12 #4):
+    * INLINE — `file` + `pos` carry the (file, position) pairs in the JSON
+    * line itself (small deletes: the payload is Iceberg-commit-metadata
+    * scale); REF — `ref` names a DISTRIBUTED parquet delete-file directory
+    * (root-relative) holding (__dv_file, __dv_pos) rows written one file
+    * per task, and `nfiles` records per-file marked counts so countStar
+    * and scan-relevance checks stay metadata-only. A DELETE matching
+    * billions of rows commits via REF without the row payload ever
+    * transiting the driver — the Iceberg delete-file design. */
+  private case class DvLine(v: Int, token: Option[String], file: String,
+                            ps: Seq[Long], ref: Option[String],
+                            nfiles: Map[String, Long]) {
+    def files: Set[String] = if (ref.isDefined) nfiles.keySet else Set(file)
+  }
+
+  /** Parsed DV lines (inline and ref shapes). */
+  private def dvEntries(ns: String, table: String): Seq[DvLine] = {
     val p = dvPath(ns, table)
     if (!Files.exists(p)) Seq.empty
     else {
@@ -728,9 +742,33 @@ class LakeCatalog(spark: SparkSession, root: String) {
           case JArray(a) => a.collect { case JInt(x) => x.toLong }
           case _ => Seq.empty[Long]
         }
-        (v, tok, f, ps)
+        val ref = (j \ "ref") match { case JString(x) => Some(x); case _ => None }
+        val nf = (j \ "nfiles") match {
+          case JObject(fs) => fs.collect { case (k, JInt(n)) => k -> n.toLong }.toMap
+          case _ => Map.empty[String, Long]
+        }
+        DvLine(v, tok, f, ps, ref, nf)
       }
     }
+  }
+
+  /** DV lines LIVE at `atV` under the token-orphan rule (see
+    * [[liveDvPairs]]) — both payload shapes. */
+  private def liveDvLines(ns: String, table: String, atV: Int): Seq[DvLine] = {
+    val entries = dvEntries(ns, table)
+    if (entries.isEmpty) return Seq.empty
+    val toks = snapshotTokens(ns, table)
+    entries.filter(e =>
+      e.v <= atV && e.token.forall(t => toks.get(e.v).contains(t)))
+  }
+
+  /** The (__dv_file, __dv_pos) rows of ref-shaped lines, read DISTRIBUTED
+    * from their parquet delete files — never collected. */
+  private def dvRefDf(lines: Seq[DvLine]): Option[DataFrame] = {
+    val refs = lines.flatMap(_.ref).distinct.sorted
+    if (refs.isEmpty) None
+    else Some(spark.read.parquet(refs.map(r => s"$root/$r"): _*)
+      .select(col("__dv_file"), col("__dv_pos")))
   }
 
   /** Commit token recorded in each snapshot-log line (absent on non-MOR
@@ -754,18 +792,15 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * therefore permanently inert: sequential version numbers alone can no
     * longer resurrect an orphan delete against live files. Untokened lines
     * (pre-token history, clone inheritance at v0) keep the plain version
-    * rule. */
+    * rule. INLINE payloads only — ref-shaped lines (parquet delete files)
+    * stay distributed; their pairs are reached via [[dvRefDf]] and their
+    * counts via `nfiles`, never through this driver-side path. */
   private def liveDvPairs(ns: String, table: String,
-                          atV: Int): Seq[(String, Long)] = {
-    val entries = dvEntries(ns, table)
-    if (entries.isEmpty) return Seq.empty
-    val toks = snapshotTokens(ns, table)
-    entries
-      .filter { case (v, tok, _, _) =>
-        v <= atV && tok.forall(t => toks.get(v).contains(t)) }
-      .flatMap { case (_, _, f, ps) => ps.map(p => (f, p)) }
+                          atV: Int): Seq[(String, Long)] =
+    liveDvLines(ns, table, atV)
+      .filter(_.ref.isEmpty)
+      .flatMap(e => e.ps.map(p => (e.file, p)))
       .distinct
-  }
 
   private def currentVersion(ns: String, table: String): Int =
     refs(ns, table).get("main")
@@ -789,16 +824,31 @@ class LakeCatalog(spark: SparkSession, root: String) {
     // sees); the committed names may be `../src/<base>` clone references
     val inScan = files.map(f => Paths.get(f).getFileName.toString).toSet
     val pairs = liveDvPairs(ns, table, atV).filter(p => inScan(p._1))
-    val eqRelevant = eqKeyFilePairs(liveEqDeletes(ns, table, atV), inScan,
-      fileAddedVersion(ns, table)).nonEmpty
-    if (pairs.isEmpty && !eqRelevant) readFiles(ns, table, files)
+    // ref-shaped DV lines: relevance from the metadata-only nfiles map
+    val dvRefRelevant = liveDvLines(ns, table, atV)
+      .exists(e => e.ref.isDefined && e.nfiles.keys.exists(inScan))
+    val eqLive = liveEqDeletes(ns, table, atV)
+    val eqRelevant = eqKeyFilePairs(eqLive, inScan,
+      fileAddedVersion(ns, table)).nonEmpty ||
+      eqRefApplicable(eqLive, inScan, fileAddedVersion(ns, table)).nonEmpty
+    if (pairs.isEmpty && !dvRefRelevant && !eqRelevant) readFiles(ns, table, files)
     else visibleWithPos(ns, table, files, atV).drop("__dv_file", "__dv_pos")
   }
 
+  /** Positions per MOR commit above which the payload is written as
+    * DISTRIBUTED parquet delete files (a ref-shaped sidecar line) instead
+    * of inline sidecar JSON — the size gate between "commit-metadata
+    * scale" and "must not transit the driver" (VERDICT r12 #4). `var` so
+    * specs can force the ref arm on small tables. */
+  var dvInlineMax: Long = 10000L
+
   /** DELETE WHERE cond, merge-on-read: mark row positions instead of
-    * rewriting files. Returns the number of rows marked. Only the (file,
-    * pos) pairs cross to the driver — deleted-row scale, the payload an
-    * Iceberg commit carries as delete files. Crash order: the DV lines are
+    * rewriting files. Returns the number of rows marked. Small deletes
+    * (≤ [[dvInlineMax]] positions) inline their (file, pos) payload in
+    * sidecar lines; larger ones write DISTRIBUTED parquet delete files —
+    * one per task, the Iceberg delete-file shape — so only per-file
+    * COUNTS (∝ #data files) ever cross to the driver, never the row
+    * payload. Crash order: the DV lines are
     * written FIRST, tagged with this transaction's unique commit TOKEN, the
     * snapshot commit (carrying the same token) second — a crash or lost CAS
     * between them leaves lines whose token no log line ever records, which
@@ -813,29 +863,59 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val v = currentVersion(ns, table)
     // visible scan (DV- AND eq-aware): a row already dead by either
     // row-level mechanism is never re-marked (which would double-subtract
-    // in countStar)
-    val hits = visibleWithPos(ns, table, cur, v)
+    // in countStar). Pinned ONCE (localCheckpoint) so the per-file counts
+    // and the payload derive from the same evaluation even for a
+    // nondeterministic predicate.
+    val hits0 = visibleWithPos(ns, table, cur, v)
       .where(coalesce(cond, lit(false))) // 3VL: NULL predicate deletes nothing
-      .groupBy(col("__dv_file"))
-      .agg(collect_list(col("__dv_pos")).as("ps"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1).sorted)
-      .filter(_._2.nonEmpty)
-    if (hits.isEmpty) return 0L
+      .select(col("__dv_file"), col("__dv_pos"))
+      .localCheckpoint()
+    // per-file marked counts: FILE-scale metadata, never row-scale payload
+    val counts = hits0.groupBy(col("__dv_file")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    if (n == 0) { hits0.unpersist(); return 0L }
     val nextV = snapshots(ns, table).map(_._1).maxOption.getOrElse(-1) + 1
     val tok = java.util.UUID.randomUUID().toString
-    val lines = hits.sortBy(_._1).map { case (f, ps) =>
-      s"""{"v":$nextV,"token":"$tok","file":"$f","pos":[${ps.mkString(",")}]}"""
-    }.mkString("", "\n", "\n")
-    Files.writeString(dvPath(ns, table), lines,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    if (n <= dvInlineMax) {
+      // small delete: the payload is commit-metadata scale — inline sidecar
+      // lines, the positional-delete fast path
+      val hits = hits0
+        .groupBy(col("__dv_file"))
+        .agg(collect_list(col("__dv_pos")).as("ps"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).sorted)
+        .filter(_._2.nonEmpty)
+      val lines = hits.sortBy(_._1).map { case (f, ps) =>
+        s"""{"v":$nextV,"token":"$tok","file":"$f","pos":[${ps.mkString(",")}]}"""
+      }.mkString("", "\n", "\n")
+      Files.writeString(dvPath(ns, table), lines,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } else {
+      // large delete (VERDICT r12 #4): the (file, pos) payload is written
+      // as DISTRIBUTED parquet delete files — one per task, the Iceberg
+      // delete-file shape — and the sidecar line carries only the ref +
+      // per-file counts. A DELETE matching billions of rows never
+      // materializes its hits on the driver; only `counts` (∝ #data files)
+      // crosses. Crash order unchanged: staged delete files without a
+      // committed tokened line are orphan-sweep debris.
+      val refRel = s"$ns/${table}_deletes/dv-$tok"
+      hits0.write.parquet(s"$root/$refRel")
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val line =
+        s"""{"v":$nextV,"token":"$tok","ref":"${esc(refRel)}","nfiles":{${
+          counts.map { case (f, c) => "\"" + esc(f) + "\":" + c }.mkString(",")
+        }}}""" + "\n"
+      Files.writeString(dvPath(ns, table), line,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
     // expectedBase CAS: on conflict the lines above are token-orphaned —
     // the reused version number can never adopt them
     val committed = commitSnapshot(ns, table, cur, expectedBase = Some(v),
       token = Some(tok))
     require(committed == nextV,
       s"concurrent commit: DV written for v$nextV but log advanced to v$committed")
-    hits.map(_._2.length.toLong).sum
+    n
   }
 
   /** MOR UPDATE (the Iceberg v3 deletion-vector + delta-file pattern —
@@ -934,7 +1014,8 @@ class LakeCatalog(spark: SparkSession, root: String) {
     * the surviving version). */
   private case class EqDelete(v: Int, token: Option[String], col: String,
                               vals: Seq[String], fileCounts: Map[String, Long],
-                              scope: Int, applies: Option[Seq[String]])
+                              scope: Int, applies: Option[Seq[String]],
+                              ref: Option[String] = None)
 
   private def eqDelEntries(ns: String, table: String): Seq[EqDelete] = {
     val p = eqDelPath(ns, table)
@@ -960,7 +1041,8 @@ class LakeCatalog(spark: SparkSession, root: String) {
           case JArray(a) => Some(a.collect { case JString(x) => x })
           case _ => None
         }
-        EqDelete(v, tok, c, vs, fc, sc, ap)
+        val ref = (j \ "ref") match { case JString(x) => Some(x); case _ => None }
+        EqDelete(v, tok, c, vs, fc, sc, ap, ref)
       }
     }
   }
@@ -1013,13 +1095,21 @@ class LakeCatalog(spark: SparkSession, root: String) {
                                  files: Seq[String], atV: Int): DataFrame = {
     val inScan = files.map(f => Paths.get(f).getFileName.toString).toSet
     val pairs = liveDvPairs(ns, table, atV).filter(p => inScan(p._1))
-    val eqPairs = eqKeyFilePairs(liveEqDeletes(ns, table, atV), inScan,
-      fileAddedVersion(ns, table))
+    val eqLive = liveEqDeletes(ns, table, atV)
+    val eqPairs = eqKeyFilePairs(eqLive, inScan, fileAddedVersion(ns, table))
     var df = df0
     if (pairs.nonEmpty) {
       val dvDf = spark.createDataFrame(pairs).toDF("__dv_file", "__dv_pos")
       df = df.join(broadcast(dvDf), Seq("__dv_file", "__dv_pos"), "left_anti")
     }
+    // ref-shaped DV lines: the delete-file parquet joins DISTRIBUTED (no
+    // broadcast hint — a billion-row delete file must be free to shuffle;
+    // AQE still broadcasts the small ones at runtime)
+    dvRefDf(liveDvLines(ns, table, atV)
+        .filter(e => e.ref.isDefined && e.nfiles.keys.exists(inScan)))
+      .foreach { refDf =>
+        df = df.join(refDf, Seq("__dv_file", "__dv_pos"), "left_anti")
+      }
     eqPairs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (kc, ps) =>
       val keyed = spark.createDataFrame(ps.map(p => (p._2, p._3)))
         .toDF("__eq_key", "__eq_file")
@@ -1027,7 +1117,36 @@ class LakeCatalog(spark: SparkSession, root: String) {
         col(kc).cast("string") === col("__eq_key") &&
           col("__dv_file") === col("__eq_file"), "left_anti")
     }
+    // ref-shaped equality deletes: keys read distributed from their parquet
+    // ref; the applicable-file set (metadata scale) restricts by scan file
+    eqRefApplicable(eqLive, inScan, fileAddedVersion(ns, table))
+      .foreach { case (e, applicable) =>
+        val keys = spark.read.parquet(s"$root/${e.ref.get}")
+          .select(col("__eq_key"))
+        df = df.join(keys,
+          col(e.col).cast("string") === col("__eq_key") &&
+            col("__dv_file").isin(applicable.toSeq.sorted: _*), "left_anti")
+      }
     df
+  }
+
+  /** Ref-shaped equality-delete lines paired with their applicable files
+    * restricted to `inScan` (metadata scale) — the scope/applies expansion
+    * [[eqKeyFilePairs]] does for inline lines, without touching key
+    * payloads. */
+  private def eqRefApplicable(entries: Seq[EqDelete], inScan: Set[String],
+                              addedV: => Map[String, Int])
+      : Seq[(EqDelete, Set[String])] = {
+    val refs = entries.filter(_.ref.isDefined)
+    if (refs.isEmpty) return Seq.empty
+    lazy val av = addedV
+    refs.flatMap { e =>
+      val files = e.applies match {
+        case Some(fs) => fs.filter(inScan).toSet
+        case None => inScan.filter(f => av.getOrElse(f, Int.MaxValue) < e.scope)
+      }
+      if (files.isEmpty) None else Some((e, files))
+    }
   }
 
   /** `files` scanned with position metadata, minus every row-level delete
@@ -1071,6 +1190,57 @@ class LakeCatalog(spark: SparkSession, root: String) {
     val line =
       s"""{"v":$nextV,"token":"$tok","col":"${esc(keyCol)}","vals":[${
         keyStrs.map(k => "\"" + esc(k) + "\"").mkString(",")}],"files":{${
+        hits.map { case (f, n) => "\"" + esc(f) + "\":" + n }.mkString(",")}}}""" + "\n"
+    Files.writeString(eqDelPath(ns, table), line,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    val committed = commitSnapshot(ns, table, cur, expectedBase = Some(v),
+      token = Some(tok))
+    require(committed == nextV,
+      s"concurrent commit: equality delete written for v$nextV but log advanced to v$committed")
+    hits.map(_._2).sum
+  }
+
+  /** DataFrame-keyed DELETE EQ (VERDICT r12 #4): the key set stays a
+    * DataFrame end to end — the API a CDC consumer actually has (its keys
+    * are a frame, not a driver Seq). Small key sets (≤ [[dvInlineMax]]
+    * distinct keys) delegate to the inline arm; larger ones write the keys
+    * as DISTRIBUTED parquet delete files (one per task) and the sidecar
+    * line carries only the ref + per-file matched counts — a delete of
+    * millions of keys never materializes them on the driver. Scope,
+    * token-orphan crash safety, countStar accounting, expiry folds and
+    * clone inheritance all match the inline arm (the ref is just the key
+    * payload's storage shape). */
+  def deleteWhereEq(ns: String, table: String, keyCol: String,
+                    keys: DataFrame): Long = {
+    requireRowLevel(ns, table, "DELETE EQ (equality-delete files)")
+    val cur = currentFiles(ns, table)
+      .getOrElse(listParquet(Paths.get(tablePath(ns, table))))
+    if (cur.isEmpty) return 0L
+    // NULL keys never match (SQL equality semantics) — same as inline;
+    // pinned once so the count, the payload write, and the matched-count
+    // scan all see the same key set
+    val keyDf = keys.select(col(keyCol).cast("string").as("__eq_key"))
+      .where(col("__eq_key").isNotNull).distinct().localCheckpoint()
+    val nKeys = keyDf.count()
+    if (nKeys == 0L) { keyDf.unpersist(); return 0L }
+    if (nKeys <= dvInlineMax)
+      return deleteWhereEq(ns, table, keyCol,
+        keyDf.collect().map(_.getString(0)).toSeq)
+    val v = currentVersion(ns, table)
+    // per-file matched counts over VISIBLE rows: keeps countStar
+    // metadata-only; file-scale, never key-scale
+    val hits = visibleWithPos(ns, table, cur, v)
+      .join(keyDf, col(keyCol).cast("string") === col("__eq_key"), "left_semi")
+      .groupBy(col("__dv_file")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val nextV = snapshots(ns, table).map(_._1).maxOption.getOrElse(-1) + 1
+    val tok = java.util.UUID.randomUUID().toString
+    val refRel = s"$ns/${table}_deletes/eq-$tok"
+    keyDf.write.parquet(s"$root/$refRel")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val line =
+      s"""{"v":$nextV,"token":"$tok","col":"${esc(keyCol)}","ref":"${esc(refRel)}","files":{${
         hits.map { case (f, n) => "\"" + esc(f) + "\":" + n }.mkString(",")}}}""" + "\n"
     Files.writeString(eqDelPath(ns, table), line,
       java.nio.file.StandardOpenOption.CREATE,
@@ -1373,14 +1543,22 @@ class LakeCatalog(spark: SparkSession, root: String) {
       val basenames = common.map(f => Paths.get(f).getFileName.toString).toSet
       val newDv = (liveDvPairs(ns, table, vTo).toSet --
         liveDvPairs(ns, table, vFrom)).filter(p => basenames(p._1)).toSeq
+      // ref-shaped DV lines committed inside the range: live at vTo with
+      // v > vFrom (a line live at vFrom contributes no NEW deletes)
+      val newDvRefs = liveDvLines(ns, table, vTo)
+        .filter(e => e.ref.isDefined && e.v > vFrom &&
+          e.nfiles.keys.exists(basenames))
       val newEq = liveEqDeletes(ns, table, vTo).filter(_.v > vFrom)
       val eqPairs = eqKeyFilePairs(newEq, basenames,
         fileAddedVersion(ns, table))
-      // candidate files: hold a newly-covered DV position, or are in a
-      // range-committed equality delete's applicable set
+      val eqRefs = eqRefApplicable(newEq, basenames, fileAddedVersion(ns, table))
+      // candidate files: hold a newly-covered DV position (inline pairs or
+      // a ref line's nfiles keys), or are in a range-committed equality
+      // delete's applicable set
       val cand = common.filter { f =>
         val b = Paths.get(f).getFileName.toString
-        newDv.exists(_._1 == b) || eqPairs.exists(_._3 == b)
+        newDv.exists(_._1 == b) || newDvRefs.exists(_.nfiles.contains(b)) ||
+          eqPairs.exists(_._3 == b) || eqRefs.exists(_._2.contains(b))
       }
       if (cand.isEmpty) readFiles(ns, table, Seq.empty)
       else {
@@ -1391,6 +1569,9 @@ class LakeCatalog(spark: SparkSession, root: String) {
           else Some(scan.join(
             broadcast(spark.createDataFrame(newDv).toDF("__dv_file", "__dv_pos")),
             Seq("__dv_file", "__dv_pos"), "left_semi"))
+        // … or by a ref-shaped delete file (payload joins distributed)
+        val dvRefHit = dvRefDf(newDvRefs).map(refDf =>
+          scan.join(refDf, Seq("__dv_file", "__dv_pos"), "left_semi"))
         val eqHit =
           if (eqPairs.isEmpty) None
           else Some(eqPairs.groupBy(_._1).toSeq.sortBy(_._1)
@@ -1401,7 +1582,17 @@ class LakeCatalog(spark: SparkSession, root: String) {
                 col(kc).cast("string") === col("__eq_key") &&
                   col("__dv_file") === col("__eq_file"), "left_semi")
             }.reduce(_ unionByName _))
-        val died = (dvHit.toSeq ++ eqHit.toSeq).reduce(_ unionByName _)
+        val eqRefHit =
+          if (eqRefs.isEmpty) None
+          else Some(eqRefs.map { case (e, applicable) =>
+            val keys = spark.read.parquet(s"$root/${e.ref.get}")
+              .select(col("__eq_key"))
+            scan.join(keys,
+              col(e.col).cast("string") === col("__eq_key") &&
+                col("__dv_file").isin(applicable.toSeq.sorted: _*), "left_semi")
+          }.reduce(_ unionByName _))
+        val died = (dvHit.toSeq ++ dvRefHit.toSeq ++ eqHit.toSeq ++ eqRefHit.toSeq)
+          .reduce(_ unionByName _)
           // (file, pos) is a unique row id: a row both DV'd and eq-matched
           // in the range must still surface exactly once
           .dropDuplicates("__dv_file", "__dv_pos")
@@ -1886,7 +2077,11 @@ class LakeCatalog(spark: SparkSession, root: String) {
       // exact row sets by construction)
       val inScan = cur.map(f => Paths.get(f).getFileName.toString).toSet
       val v = currentVersion(ns, table)
-      val dvDeleted = liveDvPairs(ns, table, v).count(p => inScan(p._1))
+      // inline lines count their pairs; ref lines (distributed delete
+      // files) carry per-file counts in metadata — both stay IO-free here
+      val dvDeleted = liveDvPairs(ns, table, v).count(p => inScan(p._1)) +
+        liveDvLines(ns, table, v).filter(_.ref.isDefined)
+          .flatMap(_.nfiles).collect { case (f, c) if inScan(f) => c }.sum
       // equality deletes: subtract the per-file matched counts recorded at
       // commit, for files still in the scan (a rewrite materialized the
       // rest and their counts went inert with the old filename). Matched
@@ -2014,6 +2209,24 @@ class LakeCatalog(spark: SparkSession, root: String) {
   def setProperty(ns: String, table: String, key: String, value: String): Unit = {
     val p = Paths.get(s"$root/$ns/${table}_meta.json")
     require(Files.exists(p), s"no metadata sidecar for $ns.$table")
+    // format-version is a capability CONTRACT, not a free-form property
+    // (ADVICE r12): it must parse as an int, and downgrades are refused —
+    // Iceberg does the same, because a v1 table holding deletion-vector /
+    // equality-delete sidecars is exactly the unsafe state requireRowLevel
+    // exists to rule out (readers that honor v1 would resurrect the
+    // deleted rows).
+    if (key == "format-version") {
+      val parsed = value.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"format-version must be an integer, got '$value'"))
+      val cur = formatVersion(ns, table)
+      if (parsed < cur) throw new IllegalStateException(
+        s"cannot downgrade format-version $cur -> $parsed on $ns.$table " +
+          "(Iceberg rejects format-version downgrades)")
+      val hasDeleteSidecars = Files.exists(dvPath(ns, table)) ||
+        Files.exists(eqDelPath(ns, table))
+      if (parsed < 2 && hasDeleteSidecars) throw new IllegalStateException(
+        s"$ns.$table holds row-level delete sidecars; format-version must stay >= 2")
+    }
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val j = JsonMethods.parse(Files.readString(p))
@@ -2091,6 +2304,12 @@ class LakeCatalog(spark: SparkSession, root: String) {
     if (fresh.isEmpty) return 0
     import org.apache.spark.sql.expressions.Window
     val scan = spark.read.parquet(fresh.map(f => dir.resolve(f).toString): _*)
+      // NDV counts VALUES: NULLs are excluded up front (ADVICE r12 — a
+      // NULL row would hash to NULL, survive the groupBy, rank first
+      // under nulls-first ordering and NPE the getLong below; and both
+      // engines' count(DISTINCT col) ignores NULLs, so excluding them is
+      // also the correct estimate)
+      .where(col(colName).isNotNull)
       .select(input_file_name().as("__f"),
         graft.functions.Poly.stringHash(col(colName)).as("h"))
       .groupBy("__f", "h").agg(count(lit(1)).as("_n")) // distinct (file, hash)
@@ -2103,9 +2322,14 @@ class LakeCatalog(spark: SparkSession, root: String) {
       // stable file identity the sidecar keys on
       .groupBy(_.getString(0).split('/').last)
       .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted.toSeq }
+    // json4s rendering (ADVICE r12): a column/file name containing a quote
+    // or backslash must not corrupt the sidecar line
     val lines = fresh.map { f =>
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
       val mins = scan.getOrElse(f, Seq.empty) // empty file: empty sketch
-      s"""{"file":"$f","col":"$colName","k":$k,"mins":[${mins.mkString(",")}]}"""
+      JsonMethods.compact(JsonMethods.render(
+        ("file" -> f) ~ ("col" -> colName) ~ ("k" -> k) ~ ("mins" -> mins)))
     }.mkString("", "\n", "\n")
     Files.writeString(ndvPath(ns, table), lines,
       java.nio.file.StandardOpenOption.CREATE,
@@ -2501,12 +2725,29 @@ class LakeCatalog(spark: SparkSession, root: String) {
     // CAS must not activate in the clone. Rewritten lines drop version AND
     // token (v:0 untokened = unconditionally live baseline state).
     if (Files.exists(dvPath(ns, src))) {
-      val live = liveDvPairs(ns, src, currentVersion(ns, src))
+      val headV = currentVersion(ns, src)
+      val live = liveDvPairs(ns, src, headV)
         .groupBy(_._1).toSeq.sortBy(_._1)
-      if (live.nonEmpty) {
-        val lines = live.map { case (f, ps) =>
+      // ref-shaped lines: COPY the immutable delete-file parquet into the
+      // clone's own _deletes dir (file IO ∝ delete-file bytes, the same
+      // cost class as deep-cloning a data file) so the clone never dangles
+      // on a later drop/expire of the source, then re-line at v0 untokened
+      val liveRefs = liveDvLines(ns, src, headV).filter(_.ref.isDefined)
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val refLines = liveRefs.map { e =>
+        val srcDir = Paths.get(s"$root/${e.ref.get}")
+        val base = srcDir.getFileName.toString
+        val dstRel = s"$ns/${dst}_deletes/$base"
+        copyDir(srcDir, Paths.get(s"$root/$dstRel"))
+        s"""{"v":0,"ref":"${esc(dstRel)}","nfiles":{${
+          e.nfiles.toSeq.sortBy(_._1)
+            .map { case (f, c) => "\"" + esc(f) + "\":" + c }.mkString(",")
+        }}}"""
+      }
+      if (live.nonEmpty || refLines.nonEmpty) {
+        val lines = (live.map { case (f, ps) =>
           s"""{"v":0,"file":"$f","pos":[${ps.map(_._2).sorted.mkString(",")}]}"""
-        }.mkString("", "\n", "\n")
+        } ++ refLines).mkString("", "\n", "\n")
         Files.writeString(dvPath(ns, dst), lines,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
@@ -2523,16 +2764,42 @@ class LakeCatalog(spark: SparkSession, root: String) {
       if (live.nonEmpty) {
         def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
         val lines = live.map { e =>
-          s"""{"v":0,"col":"${esc(e.col)}","vals":[${
-            e.vals.map(k => "\"" + esc(k) + "\"").mkString(",")}],"files":{${
-            e.fileCounts.toSeq.sortBy(_._1)
-              .map { case (f, n) => "\"" + esc(f) + "\":" + n }.mkString(",")
-          }},"scope":1}"""
+          e.ref match {
+            case Some(r) =>
+              // ref-shaped key payload: copy the immutable parquet into the
+              // clone's _deletes dir (same dangling-source rationale as the
+              // DV ref inherit above)
+              val srcDir = Paths.get(s"$root/$r")
+              val dstRel = s"$ns/${dst}_deletes/${srcDir.getFileName}"
+              copyDir(srcDir, Paths.get(s"$root/$dstRel"))
+              s"""{"v":0,"col":"${esc(e.col)}","ref":"${esc(dstRel)}","files":{${
+                e.fileCounts.toSeq.sortBy(_._1)
+                  .map { case (f, n) => "\"" + esc(f) + "\":" + n }.mkString(",")
+              }},"scope":1}"""
+            case None =>
+              s"""{"v":0,"col":"${esc(e.col)}","vals":[${
+                e.vals.map(k => "\"" + esc(k) + "\"").mkString(",")}],"files":{${
+                e.fileCounts.toSeq.sortBy(_._1)
+                  .map { case (f, n) => "\"" + esc(f) + "\":" + n }.mkString(",")
+              }},"scope":1}"""
+          }
         }.mkString("", "\n", "\n")
         Files.writeString(eqDelPath(ns, dst), lines,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
       }
+    }
+  }
+
+  /** Recursive directory copy (delete-file ref inheritance on clone). */
+  private def copyDir(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    Files.walk(src).forEach { p =>
+      val rel = src.relativize(p)
+      val tgt = dst.resolve(rel.toString)
+      if (Files.isDirectory(p)) Files.createDirectories(tgt)
+      else Files.copy(p, tgt,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -2813,21 +3080,36 @@ class LakeCatalog(spark: SparkSession, root: String) {
         val head = currentVersion(ns, table)
         val toks = snapshotTokens(ns, table)
         val entries = dvEntries(ns, table)
-        val (expTok, keepE) = entries.partition { case (v, tok, _, _) =>
-          tok.isDefined && !survivorVs.contains(v) }
-        val foldedPairs = expTok
-          .filter { case (v, tok, _, _) =>
-            v <= head && tok.forall(t => toks.get(v).contains(t)) }
-          .flatMap { case (v, _, f, ps) =>
-            survivorSorted.find(_ >= v).map(tgt => ps.map(p => (tgt, f, p)))
-          }.flatten
+        val (expTok, keepE) = entries.partition(e =>
+          e.token.isDefined && !survivorVs.contains(e.v))
+        val liveExp = expTok.filter(e =>
+          e.v <= head && e.token.forall(t => toks.get(e.v).contains(t)))
+        val foldedPairs = liveExp.filter(_.ref.isEmpty)
+          .flatMap(e => survivorSorted.find(_ >= e.v)
+            .map(tgt => e.ps.map(p => (tgt, e.file, p))))
+          .flatten
           .distinct.groupBy(p => (p._1, p._2)).toSeq.sortBy(_._1)
+        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        def renderRef(v: Int, tokOpt: Option[String], e: DvLine): String = {
+          val t = tokOpt.map(x => s""""token":"$x",""").getOrElse("")
+          s"""{"v":$v,$t"ref":"${esc(e.ref.get)}","nfiles":{${
+            e.nfiles.toSeq.sortBy(_._1)
+              .map { case (f, c) => "\"" + esc(f) + "\":" + c }.mkString(",")
+          }}}"""
+        }
         val foldedLines = foldedPairs.map { case ((tgt, f), ps) =>
           s"""{"v":$tgt,"file":"$f","pos":[${ps.map(_._3).sorted.mkString(",")}]}"""
-        }
-        val keptLines = keepE.map { case (v, tok, f, ps) =>
-          val t = tok.map(x => s""""token":"$x",""").getOrElse("")
-          s"""{"v":$v,$t"file":"$f","pos":[${ps.mkString(",")}]}"""
+        } ++
+          // ref-shaped lines fold like inline ones — same target rule,
+          // token dropped, the immutable parquet payload kept by reference
+          liveExp.filter(_.ref.isDefined).flatMap(e =>
+            survivorSorted.find(_ >= e.v).map(tgt => renderRef(tgt, None, e)))
+        val keptLines = keepE.map { e =>
+          if (e.ref.isDefined) renderRef(e.v, e.token, e)
+          else {
+            val t = e.token.map(x => s""""token":"$x",""").getOrElse("")
+            s"""{"v":${e.v},$t"file":"${e.file}","pos":[${e.ps.mkString(",")}]}"""
+          }
         }
         val tmp = dvp.resolveSibling(dvp.getFileName.toString + ".tmp")
         Files.writeString(tmp,
@@ -2859,8 +3141,15 @@ class LakeCatalog(spark: SparkSession, root: String) {
           val ap = e.applies.map(fs =>
             s""","applies":[${fs.map(f => "\"" + esc(f) + "\"").mkString(",")}]""")
             .getOrElse("")
-          s"""{"v":${e.v},$t"col":"${esc(e.col)}","vals":[${
-            e.vals.map(k => "\"" + esc(k) + "\"").mkString(",")}],"files":{${
+          // ref-shaped lines keep their parquet key payload by reference;
+          // inline lines keep their vals — either way the fold only
+          // rewrites v/token/applies
+          val payload = e.ref match {
+            case Some(r) => s""""ref":"${esc(r)}""""
+            case None => s""""vals":[${
+              e.vals.map(k => "\"" + esc(k) + "\"").mkString(",")}]"""
+          }
+          s"""{"v":${e.v},$t"col":"${esc(e.col)}",$payload,"files":{${
             e.fileCounts.toSeq.sortBy(_._1)
               .map { case (f, n) => "\"" + esc(f) + "\":" + n }.mkString(",")
           }},"scope":${e.scope}$ap}"""
@@ -2940,6 +3229,12 @@ class LakeCatalog(spark: SparkSession, root: String) {
     // equality-delete sidecar: a recreated table must not inherit deletes
     val eq = eqDelPath(ns, table)
     if (Files.exists(eq)) Files.delete(eq)
+    // distributed delete-file refs (parquet payloads of ref-shaped lines)
+    val delDir = Paths.get(s"$root/$ns/${table}_deletes")
+    if (Files.exists(delDir)) {
+      Files.walk(delDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
     // the bloom sidecar too (ADVICE r6): a recreated table must not inherit
     // the old table's per-file blooms — prune soundness would silently rest
     // on parquet part-file names never being reused

@@ -164,7 +164,7 @@ object PqTrain {
        |  SELECT q.vec_id AS q_id, f.vec_id,
        |    list_sum([q.emb[i] * f.fcv[i] for i in generate_series(1, $dims)]) AS adc
        |  FROM $qsrc q JOIN fc f ON f.vec_id <> q.vec_id
-       |  WHERE q.vec_id % 20 = 0)""".stripMargin
+       |  WHERE q.vec_id % 20 = 0 AND q.vec_id < 20000)""".stripMargin
 
   /** Top-50 ADC shortlist + exact re-rank in ORIGINAL space (`pn`) + final
     * top-5 — the tail shared by all PQ-family oracles; expects an `adc`

@@ -61,7 +61,7 @@ object Similarity2 {
             |         * (mxs[i] - mns[i]) / 256.0d
             |    ELSE mns[i] END)""".stripMargin).as("deq"))
       .withColumn("dnrm", norm2(col("deq")))
-    val q = e.where(col("vec_id") % 20 === 0)
+    val q = e.where(col("vec_id") % 20 === 0 && col("vec_id") < 20000)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm2(col("embedding")).as("q_nrm"))
     val scored = q.crossJoin(deq)
@@ -101,7 +101,7 @@ object Similarity2 {
       |  SELECT vec_id AS q_id, embedding AS q_emb,
       |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
       |                   for i in generate_series(1, len(embedding))])) AS q_nrm
-      |  FROM embeddings WHERE vec_id % 20 = 0),
+      |  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 20000),
       |scored AS (
       |  SELECT q.q_id, c.vec_id,
       |    round(list_sum([CAST(q.q_emb[i] AS DOUBLE) * c.deq[i]
@@ -137,7 +137,7 @@ object Similarity2 {
         slice(col("embedding"), 1, pre).as("stub"))
       .withColumn("nrm", norm2(col("embedding")))
       .withColumn("snrm", norm2(col("stub")))
-    val q = e.where(col("vec_id") % 20 === 0)
+    val q = e.where(col("vec_id") % 20 === 0 && col("vec_id") < 20000)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("stub").as("q_stub"), col("nrm").as("q_nrm"), col("snrm").as("q_snrm"))
     val stage1 = q.crossJoin(e.select(col("vec_id"), col("embedding"), col("nrm"),
@@ -176,7 +176,7 @@ object Similarity2 {
       |                    for i in generate_series(1, 16)])
       |          / (q.snrm * c.snrm), 6) AS stub_cos
       |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
-      |  WHERE q.vec_id % 20 = 0),
+      |  WHERE q.vec_id % 20 = 0 AND q.vec_id < 20000),
       |cand AS (
       |  SELECT * FROM (
       |    SELECT q_id, q_emb, q_nrm, vec_id, embedding, nrm,
@@ -210,7 +210,7 @@ object Similarity2 {
     val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
       .select(col("vec_id"), col("label"), col("embedding"),
         norm2(col("embedding")).as("nrm"))
-    val q = e.where(col("vec_id") % 20 === 0)
+    val q = e.where(col("vec_id") % 20 === 0 && col("vec_id") < 20000)
       .select(col("vec_id").as("q_id"), col("label"),
         col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = q.join(e, Seq("label")) // equi-join on the filter attribute
@@ -237,7 +237,7 @@ object Similarity2 {
       |                    for i in generate_series(1, len(q.embedding))])
       |          / (q.nrm * c.nrm), 6) AS cosine
       |  FROM n q JOIN n c ON q.label = c.label AND c.vec_id <> q.vec_id
-      |  WHERE q.vec_id % 20 = 0),
+      |  WHERE q.vec_id % 20 = 0 AND q.vec_id < 20000),
       |ranked AS (
       |  SELECT q_id, label, vec_id, cosine,
       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
@@ -298,7 +298,7 @@ object Similarity2 {
     val sig = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
       .cache()
-    val q = sig.where(col("vec_id") % 20 === 0)
+    val q = sig.where(col("vec_id") % 20 === 0 && col("vec_id") < 20000)
       .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
@@ -324,7 +324,7 @@ object Similarity2 {
       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
       |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS INTEGER) AS hamming
       |  FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
-      |  WHERE q.vec_id % 20 = 0),
+      |  WHERE q.vec_id % 20 = 0 AND q.vec_id < 20000),
       |ranked AS (
       |  SELECT q_id, vec_id, hamming,
       |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rnk
@@ -448,7 +448,7 @@ object Similarity2 {
     val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     val edges = nswEdges(spark, dir)
-    val qs = e.where(col("vec_id") % 100 === 0)
+    val qs = e.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     def score(cand: DataFrame): DataFrame =
@@ -525,7 +525,7 @@ object Similarity2 {
        |edges AS MATERIALIZED (
        |  SELECT q_id AS src, vec_id AS dst FROM knn
        |  UNION SELECT vec_id, q_id FROM knn),
-       |qs AS MATERIALIZED (SELECT vec_id AS q_id, embedding, nrm FROM n WHERE vec_id % 100 = 0),
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, embedding, nrm FROM n WHERE vec_id % 100 = 0 AND vec_id < 100000),
        |seen0 AS (
        |  SELECT q.q_id, v.vec_id AS node, ${cos("q", "v")} AS cosine
        |  FROM qs q JOIN n v ON v.vec_id = 1),

@@ -118,7 +118,7 @@ object Similarity4 {
       .select("src", "dst")
 
     // ---- search
-    val qs = e.where(col("vec_id") % 100 === 0)
+    val qs = e.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     def score(cand: DataFrame): DataFrame =
@@ -260,7 +260,7 @@ object Similarity4 {
        |    SELECT src, dst, row_number() OVER (PARTITION BY src
        |      ORDER BY cos DESC, dst) AS r
        |    FROM sp WHERE src_lvl >= 1 AND dst_lvl >= 1) WHERE r <= 3),
-       |qs AS MATERIALIZED (SELECT vec_id AS q_id, embedding, nrm FROM n WHERE vec_id % 100 = 0),
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, embedding, nrm FROM n WHERE vec_id % 100 = 0 AND vec_id < 100000),
        |entry AS (SELECT vec_id AS node FROM lv ORDER BY lvl DESC, vec_id LIMIT 1),
        |seen0 AS (
        |  SELECT q.q_id, en.node, ${cos("q", "v")} AS cosine
@@ -336,7 +336,7 @@ object Similarity4 {
     val coded = e.select(col("vec_id").as("node"),
       graft.functions.Sketch.pqEncode(col("embedding"), codebook).as("codes"))
 
-    val qs = e.where(col("vec_id") % 100 === 0)
+    val qs = e.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     // asymmetric distance: raw query vector × candidate's decoded code
@@ -500,7 +500,7 @@ object Similarity4 {
        |qs AS MATERIALIZED (
        |  SELECT p.vec_id AS q_id, p.emb, p.nrm, nn.embedding
        |  FROM pn p JOIN n nn ON nn.vec_id = p.vec_id
-       |  WHERE p.vec_id % 100 = 0),
+       |  WHERE p.vec_id % 100 = 0 AND p.vec_id < 100000),
        |entry AS (SELECT vec_id AS node FROM lv ORDER BY lvl DESC, vec_id LIMIT 1),
        |seen0 AS (
        |  SELECT q.q_id, en.node, $adcOf AS adc

@@ -1,7 +1,8 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.5 Similarity search, part 5 (round 12): the DELETE path of a deployed
@@ -78,9 +79,161 @@ object Similarity5 {
        |ORDER BY c.cell""".stripMargin
   }
 
+  /** DiskANN-style LAZY DELETE on the graph tier (VERDICT r12 #5 — the
+    * lifecycle gap next to [[sIndexDelete]]'s IVF arm): ~10% of nodes
+    * (vec_id % 10 = 3, "a source got retracted") are TOMBSTONED, not
+    * removed — the graph keeps them as ROUTERS (a walk may pass through a
+    * dead node; severing them outright would shatter connectivity), while
+    * the repair pass bridges every dead node's in-neighbors directly to
+    * its out-neighbors (DiskANN delete-consolidation's re-link) so the
+    * neighborhood stays reachable even where tombstones cluster. Results
+    * and the exact baseline both exclude dead ids — a deleted vector must
+    * never be SERVED, only traversed.
+    *
+    * Output contract matches [[Similarity2.sNswSearch]] (same walk: entry
+    * node 1, 5 supersteps, beam 8, recall@5 vs the live-corpus brute
+    * baseline over the capped query panel) so the recall cost of deleting
+    * 10% of the index is directly readable against the intact index —
+    * Round13Spec pins it ≥ intact recall − ε and pins that no tombstoned
+    * id ever surfaces. 100 TB shape: the bridge join is |dead|·deg² rows,
+    * the walk is the standard frontier ⋈ edges ⋈ corpus chain; nothing
+    * scans corpus² (panel capped at 1000 queries). Fully hash-gated: the
+    * oracle replays graph build, bridges, all 5 supersteps and the
+    * live-filtered rollup. */
+  def sHnswDelete(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanout(Tables.table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Vec.vnorm(col("embedding")).as("nrm"))
+    def dot(a: Column, b: Column): Column = graft.functions.Vec.vdot(a, b)
+    def isDead(c: Column): Column = c % 10 === 3
+    val edges0 = Similarity2.nswEdges(spark, dir)
+    // repair bridges: live in-neighbor → (dead mid) → live out-neighbor
+    val inE = edges0.where(isDead(col("dst")) && !isDead(col("src")))
+      .select(col("src"), col("dst").as("mid"))
+    val outE = edges0.where(isDead(col("src")))
+      .select(col("src").as("mid"), col("dst"))
+    val bridges = inE.join(outE, "mid")
+      .where(!isDead(col("dst")) && col("src") =!= col("dst"))
+      .select("src", "dst")
+    val edges = edges0.unionByName(bridges).distinct()
+    val qs = e.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(e, cand("node") === e("vec_id"))
+        .join(broadcast(qs), "q_id")
+        .select(col("q_id"), col("node"),
+          round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+            .as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("node"))
+    var seen = score(qs.select(col("q_id")).withColumn("node", lit(1L)))
+      .localCheckpoint()
+    var beam = seen
+    for (_ <- 1 to 5) {
+      val cand = beam.join(edges, beam("node") === edges("src"))
+        .select(col("q_id"), col("dst").as("node")).distinct()
+      seen = seen.union(score(cand)).distinct().localCheckpoint()
+      beam = seen.withColumn("r", row_number().over(w))
+        .where(col("r") <= 8).select("q_id", "node", "cosine")
+    }
+    // serving filter: tombstoned ids routed but are never RETURNED
+    val ranked = seen.where(col("node") =!= col("q_id") && !isDead(col("node")))
+      .withColumn("rnk", row_number().over(w))
+    val approx = ranked.where(col("rnk") <= 5).select(col("q_id"), col("node"))
+    val brute = qs.crossJoin(e)
+      .where(col("vec_id") =!= col("q_id") && !isDead(col("vec_id")))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rnk") <= 5).select(col("q_id").as("b_q"), col("vec_id"))
+    val hits = approx.join(brute,
+        approx("q_id") === brute("b_q") && approx("node") === brute("vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    val vis = seen.groupBy("q_id").agg(countDistinct("node").as("n_visited"))
+    ranked.where(col("rnk") === 1)
+      .select(col("q_id"), col("node").as("top1_id"), col("cosine").as("top1_cos"))
+      .join(vis, "q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("top1_id"), col("top1_cos"), col("n_visited"),
+        (coalesce(col("hits"), lit(0L)) * 200000).as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
+  val sHnswDeleteSql: String = {
+    def cos(q: String, v: String): String =
+      s"""round(list_sum([CAST($q.embedding[i] AS DOUBLE)*CAST($v.embedding[i] AS DOUBLE)
+         |                for i in generate_series(1, len($q.embedding))])
+         |      / ($q.nrm * $v.nrm), 6)""".stripMargin
+    val steps = (1 to 5).map { t =>
+      val p = t - 1
+      s"""cand$t AS MATERIALIZED (
+         |  SELECT DISTINCT b.q_id, e.dst AS node
+         |  FROM beam$p b JOIN edges e ON e.src = b.node),
+         |sc$t AS MATERIALIZED (
+         |  SELECT c.q_id, c.node, ${cos("q", "v")} AS cosine
+         |  FROM cand$t c JOIN n v ON v.vec_id = c.node
+         |  JOIN qs q ON q.q_id = c.q_id),
+         |seen$t AS MATERIALIZED (
+         |  SELECT DISTINCT * FROM (
+         |    SELECT * FROM seen$p UNION ALL SELECT * FROM sc$t)),
+         |beam$t AS MATERIALIZED (
+         |  SELECT q_id, node, cosine FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, node) AS r FROM seen$t) WHERE r <= 8)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH knn AS MATERIALIZED (SELECT * FROM (${Similarity.sKnnJoinSql}) t),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+       |                   for i in generate_series(1, len(embedding))])) AS nrm
+       |  FROM embeddings),
+       |edges0 AS MATERIALIZED (
+       |  SELECT q_id AS src, vec_id AS dst FROM knn
+       |  UNION SELECT vec_id, q_id FROM knn),
+       |br AS MATERIALIZED (
+       |  SELECT a.src, b.dst
+       |  FROM edges0 a JOIN edges0 b ON b.src = a.dst
+       |  WHERE a.dst % 10 = 3 AND a.src % 10 <> 3
+       |    AND b.dst % 10 <> 3 AND a.src <> b.dst),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM edges0 UNION ALL SELECT src, dst FROM br)),
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, embedding, nrm FROM n WHERE vec_id % 100 = 0 AND vec_id < 100000),
+       |seen0 AS (
+       |  SELECT q.q_id, v.vec_id AS node, ${cos("q", "v")} AS cosine
+       |  FROM qs q JOIN n v ON v.vec_id = 1),
+       |beam0 AS (SELECT * FROM seen0),
+       |$steps,
+       |ranked AS MATERIALIZED (
+       |  SELECT q_id, node, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, node) AS rnk
+       |  FROM seen5 WHERE node <> q_id AND node % 10 <> 3),
+       |brute AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, v.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cos("q", "v")} DESC, v.vec_id) AS rnk
+       |    FROM qs q CROSS JOIN n v
+       |    WHERE v.vec_id <> q.q_id AND v.vec_id % 10 <> 3) WHERE rnk <= 5),
+       |hits AS (
+       |  SELECT a.q_id, COUNT(*) AS h
+       |  FROM (SELECT q_id, node FROM ranked WHERE rnk <= 5) a
+       |  JOIN brute b ON b.q_id = a.q_id AND b.vec_id = a.node
+       |  GROUP BY 1),
+       |vis AS (SELECT q_id, COUNT(DISTINCT node) AS n_visited FROM seen5 GROUP BY 1)
+       |SELECT t.q_id, t.node AS top1_id, t.cosine AS top1_cos, v.n_visited,
+       |  CAST(coalesce(h.h, 0) * 200000 AS BIGINT) AS recall_ppm
+       |FROM ranked t JOIN vis v USING (q_id) LEFT JOIN hits h USING (q_id)
+       |WHERE t.rnk = 1 ORDER BY t.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s_index_delete" -> (sIndexDelete _))
+    "s_index_delete" -> (sIndexDelete _),
+    "s_hnsw_delete" -> (sHnswDelete _))
 
   val oracles: Map[String, String] = Map(
-    "s_index_delete" -> sIndexDeleteSql)
+    "s_index_delete" -> sIndexDeleteSql,
+    "s_hnsw_delete" -> sHnswDeleteSql)
 }

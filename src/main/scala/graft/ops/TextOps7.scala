@@ -103,9 +103,12 @@ object TextOps7 {
     * production variant computes the same thresholds from a per-lang sample
     * and this op's map-side bucket apply is unchanged. */
   def tCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // cached: sd feeds THREE consumers (vc, tot, the bucket apply) — an
+    // uncached frame would re-derive the LM scores per consumer
     val sd = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .join(TextOps2.charLmScores(spark, dir).select("doc_id", "xent"), "doc_id")
+      .cache()
     val vc = sd.groupBy("lang", "xent").agg(count(lit(1)).as("cnt"))
     val cum = vc.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy("lang").orderBy("xent")))

@@ -115,9 +115,12 @@ class PlanAuditSpec extends SparkSpec {
                        //   equi-joins over PQ codes
     "c_mor_changes",   // three one-row per-window feed aggregates assembled
                        //   into the single report row
-    "p_select_mix_pack" // p_dsir_sample's one-row totals broadcast onto the
+    "p_select_mix_pack", // p_dsir_sample's one-row totals broadcast onto the
                        //   64-bucket LLR spine + p_domain_mix's one-row
                        //   min-count broadcast, composed
+    "s_hnsw_delete"    // brute LIVE-corpus ground-truth baseline over the
+                       //   same FIXED 1000-query panel as its siblings; the
+                       //   tombstone walk itself is frontier equi-joins
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
@@ -169,6 +172,29 @@ class PlanAuditSpec extends SparkSpec {
     try n -> planOf(df)
     catch { case e: Throwable => fail(s"$n failed to plan: ${e.getMessage}") }
   }.toMap
+
+  test("every brute-force recall panel carries a FIXED literal bound (VERDICT r12 #3)") {
+    // the exact-scored arm of each recall gate must be panel(const) ×
+    // corpus — linear in corpus — never proportional-panel × corpus
+    // (0.01·n², the shape that grows 10,000× at 100× data). The fixed cap
+    // is a literal pushdown filter on the panel side (vec_id < 20000 for
+    // %20 panels, < 100000 for %100 panels; doc_id < 100000 for
+    // d_lsh_recall's anchor side), visible in the optimized plan.
+    val panelBound = Map(
+      "s_cosine_topk" -> "20000",
+      "s_ann_recall" -> "20000",
+      "s_nsw_search" -> "100000",
+      "s_hnsw_search" -> "100000",
+      "s_hnsw_pq" -> "100000",
+      "s_hnsw_delete" -> "100000",
+      "d_lsh_recall" -> "100000")
+    val byName = optimized.toMap
+    panelBound.foreach { case (op, bound) =>
+      val p = byName(op).toString
+      assert(p.contains(bound),
+        s"$op: fixed panel bound $bound missing from the optimized plan")
+    }
+  }
 
   test("window top-k gets map-side WindowGroupLimit (Partial before the shuffle)") {
     // The design reason graft has no custom top-k-per-key operator: Spark
