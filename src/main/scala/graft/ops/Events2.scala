@@ -33,7 +33,10 @@ object Events2 {
     * start day. Words require calendar-contiguous days (a gap breaks the
     * word — lead-by-row would silently bridge it, so the gap filter checks
     * lead(day,2) = day+2). */
-  def qSaxMotif(spark: SparkSession, dir: String): DataFrame = {
+  /** (day, motif) — every contiguous 3-day quartile word; the shared
+    * derivation under [[qSaxMotif]] (recurrence) and [[qSaxDiscord]]
+    * (isolation). */
+  private def saxWords(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.table(spark, dir, "events")
       .select(expr(s"ts div $NS_DAY").as("day"), col("value"))
       .groupBy("day")
@@ -48,10 +51,14 @@ object Events2 {
           lead(col("sym"), 2).over(w)).as("motif"),
         lead(col("day"), 2).over(w).as("d2"))
       .where(col("d2") === col("day") + 2)
+      .select("day", "motif")
+  }
+
+  def qSaxMotif(spark: SparkSession, dir: String): DataFrame =
+    saxWords(spark, dir)
       .groupBy("motif")
       .agg(count(lit(1)).as("n"), min(col("day")).as("first_day"))
       .orderBy(col("n").desc, col("motif"))
-  }
 
   val qSaxMotifSql: String =
     s"""WITH daily AS (
@@ -71,9 +78,74 @@ object Events2 {
        |FROM words WHERE d2 = day + 2
        |GROUP BY 1 ORDER BY n DESC, motif""".stripMargin
 
+  /** SAX discord discovery — motif's anomaly-side sibling (Keogh et al.,
+    * "HOT SAX", ICDM 2005): a DISCORD is the subsequence most unlike every
+    * other, the shape that happened once and never again. Candidates are
+    * the words with occurrence count 1; each is scored by its symbolic
+    * Hamming distance to the NEAREST other word occurrence (position-wise
+    * symbol mismatches over the 3-day word), ranked most-isolated first —
+    * exactly the "top discord" report an anomaly triage reads.
+    *
+    * Scale shape: everything after the daily aggregate runs on the
+    * calendar-bounded |days|-row word spine; the nearest-neighbor pass is
+    * the |uniques| × |words| non-equi pair frame — q_mann_kendall's
+    * calendar-bounded contract, it grows with the calendar, never with
+    * event volume. Symbols are rank-coded (no float coupling), distances
+    * are exact ints: fully hash-gated. */
+  def qSaxDiscord(spark: SparkSession, dir: String): DataFrame = {
+    // pinned once: the word spine feeds the unique-word pass AND both
+    // sides of the nearest-neighbor pair frame
+    val words = saxWords(spark, dir).localCheckpoint()
+    val uniq = words.groupBy("motif")
+      .agg(count(lit(1)).as("n"), min(col("day")).as("day"))
+      .where(col("n") === 1)
+      .select(col("day"), col("motif"))
+    val others = words.select(col("day").as("o_day"), col("motif").as("o_motif"))
+    uniq.join(others, col("o_day") =!= col("day"))
+      .select(col("day"), col("motif"),
+        (when(expr("substr(motif, 1, 1)") =!= expr("substr(o_motif, 1, 1)"), 1).otherwise(0)
+          + when(expr("substr(motif, 2, 1)") =!= expr("substr(o_motif, 2, 1)"), 1).otherwise(0)
+          + when(expr("substr(motif, 3, 1)") =!= expr("substr(o_motif, 3, 1)"), 1).otherwise(0))
+          .as("dist"))
+      .groupBy("day", "motif")
+      .agg(min(col("dist")).cast("long").as("min_dist"))
+      .orderBy(col("min_dist").desc, col("day"))
+  }
+
+  val qSaxDiscordSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_ns(ts) // $NS_DAY AS day,
+       |    round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS total
+       |  FROM events GROUP BY 1),
+       |sym AS (
+       |  SELECT day, substr('abcd', ntile(4) OVER (ORDER BY total, day), 1) AS sym
+       |  FROM daily),
+       |w0 AS (
+       |  SELECT day,
+       |    sym || lead(sym, 1) OVER (ORDER BY day)
+       |        || lead(sym, 2) OVER (ORDER BY day) AS motif,
+       |    lead(day, 2) OVER (ORDER BY day) AS d2
+       |  FROM sym),
+       |words AS (SELECT day, motif FROM w0 WHERE d2 = day + 2),
+       |uw AS (
+       |  SELECT MIN(day) AS day, motif FROM words
+       |  GROUP BY motif HAVING COUNT(*) = 1),
+       |d AS (
+       |  SELECT u.day, u.motif,
+       |    MIN(CASE WHEN substr(u.motif, 1, 1) <> substr(w.motif, 1, 1) THEN 1 ELSE 0 END
+       |      + CASE WHEN substr(u.motif, 2, 1) <> substr(w.motif, 2, 1) THEN 1 ELSE 0 END
+       |      + CASE WHEN substr(u.motif, 3, 1) <> substr(w.motif, 3, 1) THEN 1 ELSE 0 END)
+       |      AS min_dist
+       |  FROM uw u JOIN words w ON w.day <> u.day
+       |  GROUP BY 1, 2)
+       |SELECT day, motif, CAST(min_dist AS BIGINT) AS min_dist
+       |FROM d ORDER BY min_dist DESC, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sax_motif" -> (qSaxMotif _))
+    "q_sax_motif" -> (qSaxMotif _),
+    "q_sax_discord" -> (qSaxDiscord _))
 
   val oracles: Map[String, String] = Map(
-    "q_sax_motif" -> qSaxMotifSql)
+    "q_sax_motif" -> qSaxMotifSql,
+    "q_sax_discord" -> qSaxDiscordSql)
 }

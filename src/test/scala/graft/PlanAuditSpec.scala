@@ -118,9 +118,12 @@ class PlanAuditSpec extends SparkSpec {
     "p_select_mix_pack", // p_dsir_sample's one-row totals broadcast onto the
                        //   64-bucket LLR spine + p_domain_mix's one-row
                        //   min-count broadcast, composed
-    "s_hnsw_delete"    // brute LIVE-corpus ground-truth baseline over the
+    "s_hnsw_delete",   // brute LIVE-corpus ground-truth baseline over the
                        //   same FIXED 1000-query panel as its siblings; the
                        //   tombstone walk itself is frontier equi-joins
+    "q_sax_discord"    // |uniques|×|words| calendar-bounded day-pair BNLJ
+                       //   (q_mann_kendall's contract — grows with the
+                       //   calendar, never event volume)
   )
 
   /** p_pack_sequences' two-level prefix-sum deliberately runs ONE global
@@ -154,8 +157,9 @@ class PlanAuditSpec extends SparkSpec {
                        //   p_pack_sequences two-level shape, mixed-modality)
     "p_select_mix_pack", // prefix-sum over per-bucket token totals of the
                        //   ≤200-doc selected slice (p_pack_sequences' shape)
-    "q_sax_motif"      // ntile/lead over per-DAY aggregate rows (the
+    "q_sax_motif",     // ntile/lead over per-DAY aggregate rows (the
                        //   calendar-bounded daily spine, q_dau_mau's contract)
+    "q_sax_discord"    // same ntile/lead daily-spine windows (shared saxWords)
   )
 
   // one planning pass over the whole surface, shared by every assertion
