@@ -709,10 +709,24 @@ class SqlGateway(spark: SparkSession, catalog: LakeCatalog) {
         })
         // `FROM t TAG AS OF name` — the tag twin of VERSION AS OF
         val tagOf = """(?is)(\w+)\s+TAG\s+AS\s+OF\s+(\w+)""".r
-        val rewritten = tagOf.replaceAllIn(preRewritten, m => {
+        val tagRewritten = tagOf.replaceAllIn(preRewritten, m => {
           val (t, tag) = (m.group(1), m.group(2))
           val alias = s"${t}_tag_$tag"
           catalog.loadTag(resolveNs(t, "main"), t, tag)
+            .createOrReplaceTempView(alias)
+          alias
+        })
+        // `FROM t CHANGES BETWEEN a AND b` — the change feed as a
+        // SELECT-able RELATION (Iceberg's changelog scan composed into
+        // arbitrary SQL: joins, aggregates, filters), not just the SHOW
+        // CHANGES verb. Same DV/equality-delete-aware changes() underneath;
+        // the verb form is matched earlier so only embedded FROM-position
+        // uses reach this rewrite.
+        val changesOf = """(?is)(\w+)\s+CHANGES\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)""".r
+        val rewritten = changesOf.replaceAllIn(tagRewritten, m => {
+          val (t, a, b) = (m.group(1), m.group(2).toInt, m.group(3).toInt)
+          val alias = s"${t}_ch_${a}_$b"
+          catalog.changes(resolveNs(t, "main"), t, a, b)
             .createOrReplaceTempView(alias)
           alias
         })

@@ -108,7 +108,13 @@ object CatalogOps12 {
     * fewer than k distinct values (the v0 empty file always does). */
   def cStatsNdv(spark: SparkSession, dir: String): DataFrame = {
     val cat = new LakeCatalog(spark, scratch)
+    // NULL names excluded at the source (mirrored in the oracle's c CTE):
+    // NDV ≡ count(DISTINCT) excludes NULLs in both engines, and Spark's
+    // .distinct().count() exact arms would otherwise count a NULL row
+    // DuckDB's COUNT(DISTINCT) ignores — vacuous on this data,
+    // load-bearing the day c_name gains NULLs
     val cust = Tables.table(spark, dir, "customer")
+      .where(col("c_name").isNotNull)
       .select(col("c_custkey").cast("long").as("k"), col("c_name").as("name"))
     cat.dropTable("scratch", "cust_ndv")
     cat.createTable("scratch", "cust_ndv", StructType(Seq(
@@ -121,8 +127,12 @@ object CatalogOps12 {
       cust.where(col("k") % 3 === 2).repartition(1))
     val scan2 = cat.recordNdvSketch("scratch", "cust_ndv", "name")
     val (n2, h2, covered, live) = cat.ndvSketchMerged("scratch", "cust_ndv", "name")
-    // direct whole-data sketch: the KMV merge identity check
+    // direct whole-data sketch: the KMV merge identity check. NULLs
+    // excluded up front like recordNdvSketch (NDV ≡ count(DISTINCT): a NULL
+    // hash would rank nulls-first and NPE the getLong — vacuous on this
+    // data, load-bearing the day c_name gains NULLs)
     val direct = cat.load("scratch", "cust_ndv")
+      .where(col("name").isNotNull)
       .select(graft.functions.Poly.stringHash(col("name")).as("h"))
       .distinct().orderBy("h").limit(64)
       .collect().map(_.getLong(0)).toSeq
@@ -155,7 +165,8 @@ object CatalogOps12 {
       s"""(SELECT round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
          |  ELSE CAST(63 AS DOUBLE) * CAST($M AS DOUBLE) / CAST(theta AS DOUBLE)
          |  END, 4) FROM s$tag)""".stripMargin
-    s"""WITH c AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+    s"""WITH c AS (SELECT c_custkey AS k, c_name AS name FROM customer
+       |           WHERE c_name IS NOT NULL),
        |${sketch("1", "WHERE k % 3 < 2")},
        |${sketch("2", "")}
        |SELECT

@@ -157,11 +157,101 @@ object TextOps7 {
        |  MIN(xent) AS min_xent, MAX(xent) AS max_xent
        |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  /** Word-bigram LM perplexity with Stupid Backoff — [[TextOps2.tCharLm]]'s
+    * WORD-granularity sibling, the KenLM-ish quality signal CCNet-style
+    * pipelines actually rank on (char trigrams catch encoding junk; word
+    * bigrams catch incoherent-but-well-spelled text). The LM trains on the
+    * EVEN-doc_id half of the corpus and scores the HELD-OUT odd half, which
+    * is what makes backoff real: an LM scored on its own training data
+    * never meets an unseen bigram. Scoring (Stupid Backoff, Brants et al.
+    * 2007): a seen bigram scores the MLE ln(c2(w1,w2)/c1(w1)); an unseen
+    * one backs off to α·unigram with add-one smoothing,
+    * ln(0.4·(c1(w2)+1)/(T+V)) — one ln call per position on a
+    * bit-identical IEEE argument in both engines (the DSIR single-ln
+    * discipline), summed as 6-dp decimals (Tables.dsum) and rendered as a
+    * 4-dp per-word cross-entropy.
+    *
+    * Scale shape: token/bigram counts are map-side-combined groupBys; the
+    * scored-bigram joins hash-partition on word keys (AQE broadcasts the
+    * unigram table when it is small, shuffles when vocabulary is genuinely
+    * large) — no driver materialization, no caps; held-out scoring reads
+    * each half exactly once. */
+  def tWordLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanout(Tables.table(spark, dir, "documents"))
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+    val tr = d.where(col("doc_id") % 2 === 0)
+    val sc = d.where(col("doc_id") % 2 === 1)
+    val tru = tr.select(explode(col("ws")).as("w"))
+    val c1 = tru.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = tru.agg(count(lit(1)).as("t"),
+      count_distinct(col("w")).as("v"))
+    def bigrams(df: DataFrame, extra: Column*): DataFrame = df
+      .select(extra :+ explode(sequence(lit(1), size(col("ws")) - 1)).as("i")
+        :+ col("ws"): _*)
+      .select(extra :+ expr("element_at(ws, cast(i as int))").as("w1")
+        :+ expr("element_at(ws, cast(i as int) + 1)").as("w2"): _*)
+    val c2 = bigrams(tr).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scb = bigrams(sc, col("doc_id"))
+    val logp = when(col("c2").isNotNull,
+        log(col("c2").cast("double") / col("c1w1")))
+      .otherwise(log(lit(0.4) * (coalesce(col("c1w2"), lit(0L)) + 1) /
+        (col("t") + col("v"))))
+    scb
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1w1"),
+        Seq("w1"), "left")
+      .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c", "c1w2"),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bi"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        round(-(Tables.dsum(logp) / count(lit(1))), 4).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  val tWordLmSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents
+       |  WHERE length(text) > 0 AND len(string_split($normSql, ' ')) >= 2),
+       |tr AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+       |sc AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+       |tru AS (SELECT unnest(ws) AS w FROM tr),
+       |c1 AS (SELECT w, COUNT(*) AS c FROM tru GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+       |               CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tru),
+       |trb AS (
+       |  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+       |  FROM tr, unnest(range(1, len(ws))) AS x(i)),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM trb GROUP BY 1, 2),
+       |scb AS (
+       |  SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+       |  FROM sc, unnest(range(1, len(ws))) AS x(i)),
+       |s AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN c2.c2 IS NOT NULL
+       |         THEN ln(CAST(c2.c2 AS DOUBLE) / u1.c)
+       |         ELSE ln(0.4 * (COALESCE(u2.c, 0) + 1) / (tot.t + tot.v))
+       |    END AS logp,
+       |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS bo
+       |  FROM scb b
+       |  LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+       |  LEFT JOIN c1 u1 ON u1.w = b.w1
+       |  LEFT JOIN c1 u2 ON u2.w = b.w2, tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
+       |  CAST(SUM(bo) AS BIGINT) AS n_backoff,
+       |  round(-(CAST(SUM(CAST(logp AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)), 4) AS xent
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_chunk_rag" -> (tChunkRag _),
-    "t_ccnet_buckets" -> (tCcnetBuckets _))
+    "t_ccnet_buckets" -> (tCcnetBuckets _),
+    "t_word_lm" -> (tWordLm _))
 
   val oracles: Map[String, String] = Map(
     "t_chunk_rag" -> tChunkRagSql,
-    "t_ccnet_buckets" -> tCcnetBucketsSql)
+    "t_ccnet_buckets" -> tCcnetBucketsSql,
+    "t_word_lm" -> tWordLmSql)
 }

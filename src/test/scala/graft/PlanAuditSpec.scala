@@ -49,6 +49,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_triangle_count", // one-row census assembly (nodes × edges × wedges × triangles)
     "s_hamming_topk",  // capped probe batch × 16-byte signature scan
     "t_pmi_bigrams",   // one-row unigram/bigram-total broadcasts
+    "t_word_lm",       // one-row train-token-total/vocab (T, V) broadcast
     "q_hll_merge",     // one-row estimate/consistency broadcasts over 256-row register frames
     "d_cdc_chunks",    // one-row doc-count broadcast onto the summary row
     "q_time_to_event", // one-row viewer/converted-count broadcasts
