@@ -55,6 +55,14 @@ object Sessions {
       .config("spark.speculation", "true")
       .config("spark.speculation.multiplier", "3")
       .config("spark.speculation.quantile", "0.75")
+      // AQE coalescing knobs are left at their DEFAULTS. r13 measured a
+      // global minPartitionSize=64k across the full suite: it won 1.2-1.6 s
+      // on the handful of CPU-dense post-shuffle stages (IVF-blocked top-k
+      // windows) but inflated process CPU 3-8× on a long tail of
+      // allocation-heavy ops (s_pq_topk 2.3→18.4 cpu-s, s_tier_report
+      // 12.9→37) — 32 concurrent tasks contending on the allocator cost
+      // more than the parallelism bought. The few genuinely CPU-dense
+      // stages pin their exchange explicitly at the operator instead.
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -56,8 +56,20 @@ object Tables {
     * the cluster's default parallelism, so the pattern stays correct — the
     * shuffle is what you pay to fix pathological split skew (many small
     * files per executor is the cluster analog of this local case). */
-  def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def fanout(df: DataFrame): DataFrame = {
+    // Scale-adaptive (r13, guide §2.5 "input skew — one huge unsplittable
+    // file"): repartition ONLY when the scan arrives with fewer splits than
+    // the session's parallelism. Locally a single small parquet file is one
+    // split and the shuffle is what buys 32-way map parallelism; at 100 TB
+    // the same scan already has thousands of splits and this is a NO-OP —
+    // the old unconditional repartition would have been a full-table
+    // shuffle for nothing at exactly the scale that can't afford it.
+    // Row multiset is unchanged either way (round-robin repartition), and
+    // every consumer downstream is order-independent (decimal sums,
+    // hash joins, windows with explicit ORDER BY) — results identical.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 
   /** Register every table as a temp view so `spark.sql` covers the
     * reference's arbitrary-SQL surface (IcebergConnection.py:113-120). */

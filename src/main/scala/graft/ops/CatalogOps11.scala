@@ -361,8 +361,11 @@ object CatalogOps11 {
     * per-row multiset equality proof (two full-table exceptAll passes,
     * 15.4 s warm on the judge's box and a scale-killer at 100×) lives in
     * Round13Spec, where a gate belongs. */
-  def cdcMirrorReplay(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, Long) = {
+  /** The mixed five-mechanism history both mirror paths replay — factored
+    * so the served op and Round13Spec's proof build the IDENTICAL history
+    * (a recipe change cannot miss one side). Returns (catalog, v1, vEnd). */
+  private[ops] def cdcMirrorHistory(spark: SparkSession, dir: String)
+      : (LakeCatalog, Int, Int) = {
     val cat = new LakeCatalog(spark, scratch)
     val li = Tables.table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_extendedprice").as("price"))
@@ -380,7 +383,12 @@ object CatalogOps11 {
     cat.deleteWhereEq("scratch", "li_mir", "k",
       li.where(col("k") % 13 === 0).select(col("k")))
     cat.deleteWhere("scratch", "li_mir", col("k") % 11 === 0)
-    val vEnd = cat.headVersion("scratch", "li_mir")
+    (cat, v1, cat.headVersion("scratch", "li_mir"))
+  }
+
+  def cdcMirrorReplay(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) = {
+    val (cat, v1, vEnd) = cdcMirrorHistory(spark, dir)
     var replica = cat.loadSnapshot("scratch", "li_mir", v1).localCheckpoint()
     (v1 until vEnd).foreach { a =>
       val feed = cat.changes("scratch", "li_mir", a, a + 1).localCheckpoint()
@@ -392,11 +400,30 @@ object CatalogOps11 {
   }
 
   def cCdcMirror(spark: SparkSession, dir: String): DataFrame = {
-    val (replica, _, nBoundaries) = cdcMirrorReplay(spark, dir)
-    replica.agg(count(lit(1)).as("rows_final"),
-        Tables.dsum(col("price")).as("sum_price"))
+    // r13 optimization (guide §1.2 "don't compute things you throw away"):
+    // the served ledger row needs only the replica's COUNT and exact
+    // decimal SUM, and the replay is a multiset identity — every feed
+    // delete matches a live replica row (the Round13Spec exceptAll proof,
+    // both directions, all three scales), so count and sum DISTRIBUTE over
+    // the fold: replica = v1 ⊎ Σ inserts ∖ Σ deletes. The old per-boundary
+    // exceptAll/unionByName/localCheckpoint chain materialized the
+    // full-table replica 4× (≈90 Spark jobs); this signed union aggregates
+    // ONCE, in exact decimal (order-independent), one action. Lab-verified
+    // identical output; the row-level replay lives on in cdcMirrorReplay
+    // for the spec's multiset proof.
+    val (cat, v1, vEnd) = cdcMirrorHistory(spark, dir)
+    val base = cat.loadSnapshot("scratch", "li_mir", v1)
+      .select(col("price"), lit(1L).as("sign"))
+    val signed = (v1 until vEnd).map { a =>
+      cat.changes("scratch", "li_mir", a, a + 1)
+        .select(col("price"),
+          when(col("_change") === "insert", 1L).otherwise(-1L).as("sign"))
+    }.foldLeft(base)(_ unionByName _)
+    signed.agg(sum(col("sign")).as("rows_final"),
+        sum(col("price").cast("decimal(30,6)") * col("sign")).cast("double")
+          .as("sum_price"))
       .select(col("rows_final"), col("sum_price"),
-        lit(nBoundaries).as("n_boundaries"))
+        lit((vEnd - v1).toLong).as("n_boundaries"))
   }
 
   val cCdcMirrorSql: String =

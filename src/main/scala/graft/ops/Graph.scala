@@ -422,8 +422,20 @@ object Graph {
     val adj = edges.select(col("lo").as("node"), col("hi").as("nb"))
       .union(edges.select(col("hi").as("node"), col("lo").as("nb")))
     val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    // r13: pin the wedge join's input partitioning explicitly. Its input is
+    // a few hundred KB — AQE's byte-proportional coalescing folded it to
+    // ONE task — but its OUTPUT is the Σd² wedge fan, the expensive part.
+    // An explicit co-partitioning on the join key keeps the fan spread
+    // parallelism-wide at any scale (the exchange is required by the join
+    // anyway, so this adds no shuffle — it only forbids under-coalescing).
     val nbDeg = adj.join(deg.select(col("node").as("nb"), col("deg").as("nbdeg")), "nb")
       .where(col("nbdeg") <= maxMidDegree)
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism, col("nb"))
+      // localCheckpoint: materialize AT that width (AQE would otherwise
+      // re-coalesce the reducer side — the sKnnJoin finding), and the
+      // self-join below reads nbDeg twice, so the one materialization also
+      // halves its recomputation.
+      .localCheckpoint()
     val cand = nbDeg.as("x").join(nbDeg.as("y"),
         col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
       .groupBy(col("x.node").as("u"), col("y.node").as("v"))

@@ -407,10 +407,14 @@ object Relational3 {
     * in-plan). At 100 TB a d-column correlation matrix is exactly this:
     * one pass, d(d+3)/2 decimal sums shuffled, never rows. */
   def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem")
+    // fanout (r13): the ten decimal power sums are the map-side cost and a
+    // single-file scan serialized them onto one core (measured: one 2.54 s
+    // task = the whole query). Decimal sums are order-independent, so the
+    // round-robin spread changes nothing but the parallelism.
+    val li = Tables.fanout(Tables.table(spark, dir, "lineitem")
       .select(col("l_quantity").cast("double").as("q"),
         col("l_extendedprice").cast("double").as("p"),
-        col("l_discount").cast("double").as("d"))
+        col("l_discount").cast("double").as("d")))
     val a = li.agg(
       count(lit(1)).cast("double").as("n"),
       Tables.dsum(col("q")).as("sq"), Tables.dsum(col("p")).as("sp"),

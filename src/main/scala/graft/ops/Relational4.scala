@@ -174,17 +174,21 @@ object Relational4 {
     // alpha_256 = 0.7213/(1 + 1.079/256), inlined as the SAME literal text
     // both engines so no cross-engine literal arithmetic exists
     val E = "0.7182725932495458e0 * 65536e0 * 18014398509481984e0 / s"
-    val hashed = Tables.table(spark, dir, "events")
-      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+    // r13: fanout — the decimal mod-M hash chain is the map-side cost and a
+    // single-file scan serialized it onto one core; then ONE cached run of
+    // the (day, j, rho) pipeline feeds all three register views (the old
+    // shape cached dayreg but re-ran the full hash chain for `direct`).
+    val hashed = Tables.fanout(Tables.table(spark, dir, "events")
+        .select(expr("ts div 86400000000000").as("day"), col("user_id")))
       .withColumn("h1", expr(
         s"cast((cast($PHI as decimal(19,0)) * cast(user_id as decimal(19,0)) + $PSI) % $M as decimal(19,0))"))
       .withColumn("h", expr(s"cast((cast((h1 * h1) % $M as decimal(19,0)) * h1) % $M as bigint)"))
     val r = hashed.select(col("day"), expr("h % 256").as("j"),
       expr("case when h div 256 = 0 then 54 else 54 - length(bin(h div 256)) end")
-        .as("rho"))
-    val dayreg = r.groupBy("day", "j").agg(max("rho").as("r")).cache()
+        .as("rho")).cache()
+    val dayreg = r.groupBy("day", "j").agg(max("rho").as("r"))
     val merged = dayreg.groupBy("j").agg(max("r").as("r")).cache()
-    val direct = r.groupBy("j").agg(max("rho").as("r"))
+    val direct = r.groupBy("j").agg(max("rho").as("r")).cache()
     def estOf(regs: DataFrame, out: String): DataFrame = regs
       .agg(expr("cast(sum(shiftleft(1L, cast(54 - r as int))) as bigint)" +
           " + (256 - count(1)) * shiftleft(1L, 54)").as("s"),
@@ -303,8 +307,15 @@ object Relational4 {
     val g = Tables.table(spark, dir, "lineitem")
       .groupBy(col("l_extendedprice").as("price"),
         col("l_quantity").as("qty"))
-      .agg(count(lit(1)).as("n_rows")).cache()
-    val pm = g.groupBy("price").agg(max("qty").as("qty"))
+      .agg(count(lit(1)).as("n_rows"))
+    // r13: n_rows rides THROUGH pm via max(struct(qty, n_rows)) — (price,
+    // qty) is unique in g, so per price the max-qty row is unique and the
+    // struct max picks exactly its n_rows. The old shape joined the full
+    // pair table back in at the end (one more exchange + the cache that
+    // fed it); Lab-verified identical output, ~0.7 s warm saved.
+    val pm = g.groupBy("price")
+      .agg(max(struct(col("qty"), col("n_rows"))).as("m"))
+      .select(col("price"), col("m.qty").as("qty"), col("m.n_rows").as("n_rows"))
       .withColumn("band", expr("cast(floor(price / 1000) as bigint)"))
     val carry = pm.groupBy("band").agg(max("qty").as("bmax"))
       .withColumn("carry_in", max(col("bmax")).over(
@@ -316,7 +327,6 @@ object Relational4 {
       .withColumn("prevmax",
         greatest(max(col("qty")).over(inBand), col("carry_in")))
       .where(col("prevmax").isNull || col("qty") > col("prevmax"))
-      .join(g, Seq("price", "qty"))
       .select(col("price"), col("qty"), col("n_rows"))
       .orderBy("price")
   }
@@ -537,6 +547,11 @@ object Relational4 {
     val x = Tables.table(spark, dir, "events")
       .where(col("event_type") === "purchase")
       .select(col("event_id"), col("value"))
+    // (r13 note: fanning the pre-explode rows out was measured a WASH —
+    // the exploded pipeline is ~1.5 CPU-s single-threaded, and the 32-way
+    // spread paid ~13× CPU in allocator/GC contention for the same wall.
+    // Left single-split deliberately; at real scale the scan arrives with
+    // thousands of splits and parallelism is free.)
     val reps = x.select(col("event_id"), col("value"),
         explode(sequence(lit(0), lit(B - 1))).as("b"))
       .withColumn("u", expr(uSql))

@@ -173,13 +173,13 @@ object Similarity {
     * own index. The PQ CODEBOOKS remain sample-trained (codebook quality is
     * statistical, sample-sufficient; cell assignment is what must see the
     * full distribution). Shared by [[ivfTopk]], [[ivfPqTopk]], [[sKnnJoin]]. */
-  private[ops] def ivfCells(spark: SparkSession, dir: String,
+  private[graft] def ivfCells(spark: SparkSession, dir: String,
                        kCells: Int): Array[(Int, Array[Float])] =
     Cluster.train(spark, dir, kCells, rounds = 4).zipWithIndex
       .map { case (c, i) => i -> c }.toArray
 
   /** per-row cell similarities as literal-centroid vdots (codegen'd) */
-  private def cellSims(cents: Array[(Int, Array[Float])])(
+  private[graft] def cellSims(cents: Array[(Int, Array[Float])])(
       emb: Column, nrm: Column): Seq[(Int, Column)] =
     cents.toSeq.map { case (cell, cvec) =>
       val cn = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
@@ -189,7 +189,7 @@ object Similarity {
   /** argmax cell: sims packed into an array (cell order), argmax = 1-based
     * position of the max — first occurrence, so ties break to the lowest
     * cell deterministically */
-  private[ops] def argmaxCell(cents: Array[(Int, Array[Float])])(
+  private[graft] def argmaxCell(cents: Array[(Int, Array[Float])])(
       emb: Column, nrm: Column): Column = {
     val simArr = array(cellSims(cents)(emb, nrm).map(_._2): _*)
     element_at(typedlit(cents.map(_._1).toSeq),
@@ -200,7 +200,7 @@ object Similarity {
     * rows — the every-20th external-batch stand-in for the ANN ops, ALL
     * rows for [[sKnnJoin]]. The explode+window is |queries|×kCells rows,
     * hash-partitioned on q_id — linear either way. */
-  private[ops] def probeCells(e: DataFrame, cents: Array[(Int, Array[Float])],
+  private[graft] def probeCells(e: DataFrame, cents: Array[(Int, Array[Float])],
                          nprobe: Int,
                          qPred: Column = col("vec_id") % 20 === 0 && col("vec_id") < 20000): DataFrame =
     e.where(qPred)
@@ -225,6 +225,13 @@ object Similarity {
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6).as("cosine"))
+      // r13: pin the top-k window's exchange explicitly — the window needs
+      // a q_id exchange anyway, but the candidate-score bytes are small
+      // enough that AQE's byte-proportional coalescing folded the final
+      // sort+rank to ONE task (measured 3 s single-task while 31 cores
+      // idle). Explicit width forbids the under-coalescing; no extra
+      // shuffle is added.
+      .repartition(spark.sparkContext.defaultParallelism, col("q_id"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 5)
@@ -675,6 +682,15 @@ object Similarity {
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6).as("cosine"))
+      // r13: pin the top-k window's parallelism (see ivfTopk). The
+      // repartition alone was NOT enough — AQE still folded the reducer
+      // side to one task (measured 3.1 s single-task while 31 cores idle);
+      // localCheckpoint materializes the scored rows AT width 32, which no
+      // runtime re-optimization can coalesce. Measured 4.6 → 1.1 s with
+      // identical output (Lab `knn`). The materialized frame is the same
+      // candidate set the window must sort anyway — no extra data is held.
+      .repartition(spark.sparkContext.defaultParallelism, col("q_id"))
+      .localCheckpoint()
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 5)

@@ -11,6 +11,15 @@ object Profile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Sessions.local(cpus, "graft-profile")
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // bench-parity knob: the Bench main enables ModelCache so ANN model
+    // builds are priced separately from query cost — set
+    // SPARK_GRAFT_MODELCACHE=1 to profile under the same split
+    if (sys.env.get("SPARK_GRAFT_MODELCACHE").contains("1"))
+      graft.ops.ModelCache.enabled = true
+    // ad-hoc runtime conf overrides for profiling experiments:
+    // SPARK_GRAFT_SET="key=value;key=value"
+    sys.env.get("SPARK_GRAFT_SET").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
 
     // wall + process-CPU + /proc/stat host-steal per timing, so a starved
     // window is mechanically evident in the profile output itself
@@ -57,6 +66,12 @@ object Profile {
         time("s_cosine_topk warm")(graft.ops.Similarity.sCosineTopk(spark, sfDir).count())
       case "explain" =>
         graft.SparkEntry.queries(args(1))(spark, sfDir).explain("formatted")
+      case "finalplan" =>
+        // AQE final plan: execute first, then explain — shows actual join
+        // strategies, AQEShuffleRead coalescing and runtime stats
+        val df = graft.SparkEntry.queries(args(1))(spark, sfDir)
+        df.count()
+        df.explain("formatted")
       case l if l.startsWith("list:") =>
         // cold+warm for a comma-separated query list, Bench-style cache
         // hygiene between runs
@@ -68,6 +83,47 @@ object Profile {
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         }
+      case l if l.startsWith("jobs:") =>
+        // per-Spark-job wall decomposition of one query (guide §1.1/§7):
+        // run once untimed (codegen/model warmup), then attach a listener
+        // and re-run, printing every job's duration + task-time so the
+        // expensive stage is mechanically identified
+        val q = l.stripPrefix("jobs:")
+        def hygiene(): Unit = {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        }
+        graft.SparkEntry.queries(q)(spark, sfDir).count(); hygiene()
+        val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+        val jobTask = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]
+        val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.put(e.jobId, (e.time, Option(e.properties.getProperty("spark.job.description")).getOrElse("")))
+            e.stageIds.foreach(s => stageJob.put(s, e.jobId))
+            jobTask.put(e.jobId, new java.util.concurrent.atomic.AtomicLong)
+          }
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val j = stageJob.getOrDefault(e.stageId, -1)
+            if (j >= 0 && e.taskMetrics != null)
+              jobTask.get(j).addAndGet(e.taskMetrics.executorRunTime)
+          }
+          override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = e.stageInfo
+            val wall = (for { a <- si.submissionTime; b <- si.completionTime } yield (b - a) / 1e3).getOrElse(-1.0)
+            if (wall > 0.1) {
+              val ops = si.rddInfos.map(_.name).distinct.mkString(">")
+              println(f"[stage] ${si.stageId}%4d  wall $wall%7.3f s  tasks ${si.numTasks}%4d  $ops%.160s")
+            }
+          }
+          override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (t0, desc) = jobs.getOrDefault(e.jobId, (e.time, "?"))
+            println(f"[job] ${e.jobId}%4d  wall ${(e.time - t0) / 1e3}%7.3f s  taskTime ${jobTask.get(e.jobId).get / 1e3}%8.3f s  $desc%.110s")
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        time(q + " instrumented")(graft.SparkEntry.queries(q)(spark, sfDir).count())
+        spark.sparkContext.removeSparkListener(listener)
       case other =>
         time(other)(graft.SparkEntry.queries(other)(spark, sfDir).count())
         spark.catalog.clearCache()
