@@ -19,8 +19,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Schema memo for the (immutable, read-only) benchmark tables: a bare
+  // spark.read.parquet infers the schema from the footer on EVERY call
+  // (~70 ms measured), and operators load 2-3 tables each — across 335
+  // queries that inference was a double-digit-seconds tax per bench pass.
+  // Passing the memoized schema skips the footer read; the data path is
+  // untouched and the schema of a given dir never changes within a run.
+  // At 100 TB the analog is standard practice: readers take the schema
+  // from the table catalog (as the reference does via pyiceberg), never
+  // by per-query file inference.
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaMemo.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") normalizeEventTs(df) else df
   }
 
@@ -67,8 +82,20 @@ object Tables {
     // Row multiset is unchanged either way (round-robin repartition), and
     // every consumer downstream is order-independent (decimal sums,
     // hash joins, windows with explicit ORDER BY) — results identical.
+    //
+    // The width probe is `inputFiles.length` (analysis-only, ~1 ms — a
+    // physical-plan probe via df.rdd measured +53 ms per call, which at 66
+    // call sites was a visible tail across the whole bench): a scan backed
+    // by >= parallelism FILES has >= parallelism splits. A table of few
+    // giant multi-split files would repartition needlessly — at real scale
+    // parquet tables are many-filed, and the repartition is still correct,
+    // only redundant. Non-file-backed frames fall back to the exact probe.
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    val wide =
+      if (files.nonEmpty) files.length >= p
+      else df.rdd.getNumPartitions >= p
+    if (wide) df else df.repartition(p)
   }
 
   /** Register every table as a temp view so `spark.sql` covers the

@@ -310,12 +310,25 @@ object Pipeline {
         size(regexp_extract_all(col("text"), lit("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"), lit(0))) +
         size(regexp_extract_all(col("text"), lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit(0)))
 
-    val gated = Tables.table(spark, dir, "documents")
-      .where(col("lang").isin("en", "fr"))
+    // r13 (guide §4.4's duplicated-evaluation problem, Scala-expression
+    // form, found by stage profiling): the gate predicate references the
+    // regex-computed columns, so Catalyst pushed the WHOLE five-regex
+    // evaluation down through the fanout exchange into the single-split
+    // scan's Filter (one 0.9 s task) — and the projection above the
+    // exchange recomputed it all for surviving rows. Fix: evaluate the
+    // gates ONCE, parallel, into a narrow per-doc proxy row (doc_id,
+    // source, quality, fp, n_tok, rep, n_pii — no text), materialize it,
+    // and filter ABOVE the materialization where no pushdown can reach.
+    // This is guide §8's decision-pass shape: at 100 TB this proxy is the
+    // fingerprint table a curation pipeline materializes anyway.
+    val gateCols = Tables.fanout(Tables.table(spark, dir, "documents")
+        .where(col("lang").isin("en", "fr")))
       .select(col("doc_id"), col("source"), quality.as("quality"),
         md5(norm(col("text"))).as("fp"),
         size(split(norm(col("text")), " ")).cast("long").as("n_tok"),
         rep.as("rep"), nPii.as("n_pii"))
+      .localCheckpoint()
+    val gated = gateCols
       .where(col("quality") >= 0.55 && col("n_pii") === 0 && col("rep") <= 0.6)
     // exact-dup keep-first: min(struct) aggregate on fp — map-side combined,
     // skew-immune (see pCurate scaladoc); the struct carries the full row

@@ -31,7 +31,7 @@ object Lab {
       case "pagerank" =>
         // warm both plans once, then alternate timed runs
         def orig() = graft.ops.Graph.qPagerank(spark, sfDir)
-        def cand() = pagerank2(spark, sfDir)
+        def cand() = pagerank3(spark, sfDir)
         time("pagerank orig (jit)")(orig()); time("pagerank cand (jit)")(cand())
         val a = time("pagerank orig")(orig())
         val b = time("pagerank cand")(cand())
@@ -118,6 +118,49 @@ object Lab {
         val b2 = time("knn cand")(cand())
         assert(a == b && a == a2 && b == b2, "knn candidate DIVERGED")
         println("[lab] knn candidate identical to original")
+      case "jobfloor" =>
+        // the fixed cost of one trivial action (plan + schedule + 1 task):
+        // the structural floor under every lifecycle op's 50-70 actions
+        val r = spark.range(1)
+        r.count()
+        val t0 = System.nanoTime()
+        (1 to 50).foreach(_ => r.count())
+        println(f"[lab] trivial action floor: ${(System.nanoTime() - t0) / 50e6}%.1f ms")
+        val pq = spark.read.parquet(s"$sfDir/region.parquet")
+        val t1 = System.nanoTime()
+        (1 to 50).foreach(_ => pq.count())
+        println(f"[lab] parquet count floor: ${(System.nanoTime() - t1) / 50e6}%.1f ms")
+        def floor(tag: String): Unit = {
+          val t = System.nanoTime()
+          (1 to 50).foreach(_ => r.count())
+          println(f"[lab] floor [$tag]: ${(System.nanoTime() - t) / 50e6}%.1f ms")
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        floor("aqe=off")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        floor("aqe=on again")
+        // collect instead of count (no agg exchange)
+        val one = spark.range(1)
+        val t2 = System.nanoTime()
+        (1 to 50).foreach(_ => one.collect())
+        println(f"[lab] collect floor: ${(System.nanoTime() - t2) / 50e6}%.1f ms")
+        // raw RDD job: no SQL planning at all
+        val rdd = spark.sparkContext.parallelize(Seq(1), 1)
+        rdd.count()
+        val t3 = System.nanoTime()
+        (1 to 50).foreach(_ => rdd.count())
+        println(f"[lab] raw rdd job floor: ${(System.nanoTime() - t3) / 50e6}%.1f ms")
+      case "fanoutcost" =>
+        // does the conditional fanout's df.rdd probe add per-op latency?
+        val scan = Tables.table(spark, sfDir, "documents")
+        Tables.fanout(scan).count()
+        val t0 = System.nanoTime()
+        (1 to 50).foreach(_ => Tables.fanout(Tables.table(spark, sfDir, "documents")))
+        println(f"[lab] conditional fanout construction: ${(System.nanoTime() - t0) / 50e6}%.2f ms/call")
+        val t1 = System.nanoTime()
+        (1 to 50).foreach(_ => Tables.table(spark, sfDir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism))
+        println(f"[lab] unconditional construction:      ${(System.nanoTime() - t1) / 50e6}%.2f ms/call")
       case other => sys.error(s"unknown experiment $other")
     }
     spark.stop()
@@ -218,6 +261,44 @@ object Lab {
       .where(col("prevmax").isNull || col("qty") > col("prevmax"))
       .select(col("price"), col("qty"), col("n_rows"))
       .orderBy("price")
+  }
+
+  /** qPagerank with ONLY the edge cache width pinned (the decimal contrib
+    * sums are the per-iteration map cost; AQE's coalesced distinct leaves
+    * the cache narrow, serializing them). Everything else identical. */
+  def pagerank3(spark: SparkSession, dir: String): DataFrame = {
+    val damping = 0.85
+    val iters = 5
+    val edges = Tables.table(spark, dir, "orders")
+      .join(Tables.table(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+      .repartition(spark.sparkContext.defaultParallelism, col("src"))
+      .cache()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val n = nodes.count()
+    var pr = nodes.select(col("id"), (lit(1.0) / lit(n)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(deg, "src")
+        .join(pr, pr("id") === edges("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(dsum12(col("pr") / col("deg")).as("cin"))
+      val dang = pr.join(deg, pr("id") === deg("src"), "left_anti")
+        .agg(coalesce(dsum12(col("pr")), lit(0.0)).as("dm"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          round(lit(0.15) / lit(n)
+            + lit(damping) * (coalesce(col("cin"), lit(0.0))
+              + col("dm") / lit(n)), 12).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("id"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("id")).limit(20)
   }
 
   /** qPagerank with loop invariants hoisted: edges⋈deg materialized once,
